@@ -1,0 +1,261 @@
+"""Scalar metadata-key functions (dedup keys, sort keys, normalization).
+
+Re-expresses the reference's Utils/MetadataUtils.php scalar library
+(normalizeKey :416-433, createTitleKey :369-405, normalizeISBN :442-453,
+isbn10to13 :270-284, authorMatch :464-496, punctuation strips :507-677,
+stripLeadingArticle/createSortTitle :678-719, array_iunique :721-740,
+createIdSortKey :742-756, getSourceFromId :1093-1108) as Spark Column
+expressions. Everything here except the ISBN check-digit math stays
+JVM-side inside whole-stage codegen — no Python round trip — which is what
+makes key generation viable over 100 TB of records.
+
+Design note: the reference folds diacritics through an ICU transliterator
+(conf/recordmanager.ini.sample:19-25). We fold the common Latin accent
+block with ``translate`` (JVM-side); texts outside that block pass through
+unchanged. The fold table is data, not code, so extending it is config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Common Latin accent folding (lowercase side; input is lowercased first).
+_ACCENTS = "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįıòóôõöøōŏőùúûüũūŭůűųýÿŷçćĉċčñńņňďđĝğġģĥħĵķĺļľłŕŗřśŝşšţťŧŵźżž"
+_FOLDED = (
+    "a" * 9 + "e" * 9 + "i" * 9 + "o" * 9 + "u" * 10 + "y" * 3 + "c" * 5
+    + "n" * 4 + "d" * 2 + "g" * 4 + "h" * 2 + "jk" + "l" * 4 + "r" * 3
+    + "s" * 4 + "t" * 3 + "w" + "z" * 3
+)
+assert len(_ACCENTS) == len(_FOLDED), (len(_ACCENTS), len(_FOLDED))
+
+# normalizeKey strip classes: control chars, space, ASCII punctuation ranges
+# !-/ :-@ [-` {-DEL (MetadataUtils.php:424-428).
+_KEY_STRIP_RE = r"[\x00-\x20\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]"
+
+
+def normalize_key(col: Column | str) -> Column:
+    """Lowercase + fold accents + strip punctuation/whitespace/control chars.
+
+    The comparison key used everywhere the reference builds dedup keys.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.translate(c, _ACCENTS, _FOLDED)
+    return F.regexp_replace(c, _KEY_STRIP_RE, "")
+
+
+def title_key_prefix(col: Column | str) -> Column:
+    """The word-accumulation prefix used by createTitleKey.
+
+    Reference loop (MetadataUtils.php:383-401): append words (without
+    separators) until more than 3 "long" (>3 char) words OR more than 35
+    significant chars have been accumulated; the word that crosses the
+    threshold is still included. Expressed as a JVM-side ``aggregate``
+    higher-order function over the split word array — no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(c, " ")
+    acc0 = F.struct(
+        F.lit("").alias("key"),
+        F.lit(0).alias("len"),
+        F.lit(0).alias("lw"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(acc, w):
+        wl = F.length(w)
+        new_len = acc["len"] + wl
+        new_lw = acc["lw"] + F.when(wl > 3, 1).otherwise(0)
+        return F.when(acc["done"], acc).otherwise(
+            F.struct(
+                F.concat(acc["key"], w).alias("key"),
+                new_len.alias("len"),
+                new_lw.alias("lw"),
+                ((new_lw > 3) | (new_len > 35)).alias("done"),
+            )
+        )
+
+    return F.aggregate(words, acc0, step, lambda acc: acc["key"])
+
+
+def create_title_key(col: Column | str) -> Column:
+    """createTitleKey: truncated-word-prefix, capped at 200, normalized."""
+    return normalize_key(F.substring(title_key_prefix(col), 1, 200))
+
+
+def author_match_expr(a1: Column, a2: Column) -> Column:
+    """authorMatch (MetadataUtils.php:464-496) as a pure Column expression.
+
+    True when equal; else both >= 6 chars AND (one is a prefix of the
+    other OR word-wise: first words equal, later words equal-or-same-initial).
+    """
+    eq = a1 == a2
+    long_enough = (F.length(a1) >= 6) & (F.length(a2) >= 6)
+    n = F.least(F.length(a1), F.length(a2))
+    prefix = a1.substr(F.lit(1), n) == a2.substr(F.lit(1), n)
+    w1 = F.split(a1, " ")
+    w2 = F.split(a2, " ")
+    m = F.least(F.size(w1), F.size(w2))
+    z = F.zip_with(
+        F.slice(w1, 1, m),
+        F.slice(w2, 1, m),
+        lambda x, y: (x == y) | (F.substring(x, 1, 1) == F.substring(y, 1, 1)),
+    )
+    first_eq = F.element_at(w1, 1) == F.element_at(w2, 1)
+    wordwise = first_eq & (F.size(F.filter(z, lambda b: ~b)) == 0)
+    return eq | (long_enough & (prefix | wordwise))
+
+
+def normalize_isbn(col: Column | str) -> Column:
+    """normalizeISBN: strip dashes, extract 10-13 digit run, upgrade 10→13.
+
+    Check-digit validation (isbn10to13, MetadataUtils.php:270-284) is pure
+    arithmetic over digit positions — expressed natively via aggregate over
+    the char array so ISBN normalization never leaves the JVM.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_replace(c, "-", "")
+    m = F.regexp_extract(raw, "([0-9]{9,12}[0-9xX])", 1)
+    # ISBN-10 -> 13: validate mod-11 check char, prepend 978, recompute mod-10
+    digits9 = F.substring(m, 1, 9)
+    # sum of d_i * (10 - i) for i=0..8 over the first nine digits
+    idx = F.sequence(F.lit(1), F.lit(9))
+    s10 = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc
+        + F.substring(digits9, i, 1).cast("int") * (F.lit(11) - i),
+    )
+    rem = (F.lit(11) - s10 % 11) % 11
+    check10 = F.when(rem == 10, F.lit("X")).otherwise(rem.cast("string"))
+    valid10 = F.upper(F.substring(m, 10, 1)) == check10
+    base12 = F.concat(F.lit("978"), digits9)
+    s13 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(12)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.substring(base12, i, 1).cast("int")
+        * F.when(i % 2 == 1, 1).otherwise(3),
+    )
+    check13 = ((F.lit(10) - s13 % 10) % 10).cast("string")
+    upgraded = F.when(valid10, F.concat(base12, check13)).otherwise(F.lit(""))
+    return (
+        F.when(m == "", F.lit(""))
+        .when(F.length(m) == 10, upgraded)
+        .otherwise(m)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Punctuation / article / sort-key helpers
+# ---------------------------------------------------------------------------
+
+# Leading punctuation set (MetadataUtils.php:652): space tab #*!¡?/:;.,=(['"´`”
+_LEADING_PUNCT_RE = "^[ \\t#*!¡?/:;.,=\\(\\['\"´`”]+"
+# Trailing basic set (MetadataUtils.php:577): space /:;,=([
+_TRAILING_BASIC_RE = "[ /:;,=\\(\\[]+$"
+
+# Default leading-article list (reference ships these via config; the PHP
+# default articles cover English/French/German/Scandinavian determiners).
+ARTICLES = ["the ", "a ", "an ", "la ", "le ", "les ", "el ", "der ", "die ", "das "]
+
+
+def strip_leading_punctuation(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, _LEADING_PUNCT_RE, "")
+    # preservePunctuationOnly: return original if nothing remains
+    return F.when(stripped == "", c).otherwise(stripped)
+
+
+def strip_trailing_punctuation(col: Column | str) -> Column:
+    """Trailing strip incl. the "keep initial's period" rule.
+
+    A trailing period survives when it terminates a single-letter word
+    (an initial, e.g. "Smith, A.") — the native approximation of the
+    reference's abbreviation list (MetadataUtils.php:601-620).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, _TRAILING_BASIC_RE, "")
+    is_initial = s.rlike("(^| )\\w\\.$")
+    s = F.when(
+        s.endswith(".") & ~is_initial, s.substr(F.lit(1), F.length(s) - 1)
+    ).otherwise(s)
+    # drop unbalanced trailing ) or ]
+    s = F.when(
+        s.endswith(")") & ~s.contains("("), s.substr(F.lit(1), F.length(s) - 1)
+    ).otherwise(s)
+    s = F.when(
+        s.endswith("]") & ~s.contains("["), s.substr(F.lit(1), F.length(s) - 1)
+    ).otherwise(s)
+    return s
+
+
+def strip_punctuation(col: Column | str) -> Column:
+    """stripPunctuation: any punctuation run -> single space, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.trim(F.regexp_replace(c, "[\\t\\p{P}=´`” ]+", " "))
+    return F.when(out == "", c).otherwise(out)
+
+
+def strip_leading_article(col: Column | str, articles: list[str] | None = None) -> Column:
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    out = c
+    # first matching article wins (reference breaks after first match);
+    # coalesce over ordered when-chain preserves that.
+    expr = None
+    for art in articles or ARTICLES:
+        cond = F.when(c.startswith(art), c.substr(F.lit(len(art) + 1), F.length(c)))
+        expr = cond if expr is None else expr.when(c.startswith(art), c.substr(F.lit(len(art) + 1), F.length(c)))
+    return expr.otherwise(out) if expr is not None else out
+
+
+def create_sort_title(col: Column | str) -> Column:
+    """createSortTitle: strip article, collapse punctuation, lowercase."""
+    stripped = strip_leading_article(col)
+    return F.lower(F.trim(F.regexp_replace(stripped, "[\\t\\p{P}=´`” ]+", " ")))
+
+
+def create_id_sort_key(col: Column | str) -> Column:
+    """createIdSortKey: trailing digit run if id is \\w*\\d+, else the id."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_extract(c, "^\\w*?(\\d+)$", 1)
+    return F.when(digits != "", digits).otherwise(c)
+
+
+def get_source_from_id(col: Column | str) -> Column:
+    """Prefix before the first '.' (MetadataUtils.php:1093-1108)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, "^([^.]+)", 1)
+
+
+def extract_year(col: Column | str) -> Column:
+    """First 4-digit year-ish run (MetadataUtils.php:847-880)."""
+    c = F.col(col) if isinstance(col, str) else col
+    y = F.regexp_extract(c, "(\\d{4})", 1)
+    return F.when(y == "", None).otherwise(y)
+
+
+def array_iunique(col: Column | str) -> Column:
+    """Case-insensitive distinct preserving first occurrence + original case.
+
+    Reference: MetadataUtils.php:721-740. JVM-side fold: accumulate
+    (seen_lowercase, output) pair, append when unseen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def step(acc, x):
+        lx = F.lower(x)
+        return F.when(
+            F.array_contains(acc["seen"], lx), acc
+        ).otherwise(
+            F.struct(
+                F.array_append(acc["seen"], lx).alias("seen"),
+                F.array_append(acc["out"], x).alias("out"),
+            )
+        )
+
+    return F.aggregate(c, acc0, step, lambda acc: acc["out"])

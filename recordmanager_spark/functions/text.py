@@ -1,0 +1,158 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Beyond the reference's metadata surface: tokenization, token counting,
+quality scoring, n-gram language ID, document fingerprinting and shingling.
+All pure Column expressions (whole-stage codegen) — at 100 TB these run in
+the scan stage with zero Python overhead and no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small: language ID at corpus scale is a scan-stage scoring
+# pass, refined downstream if needed.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+    "fi": ["ja", "on", "ei", "että", "se", "oli", "hän", "mutta", "kun", "niin"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: count word pieces + digits + punctuation.
+
+    A BPE-flavoured regex split (letters runs of <=4 chars count as one
+    piece, longer words as ceil(len/4) pieces approximated by counting
+    4-char chunks), used for cheap token budgeting over a corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokenize(c)
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, "[^\\p{P}]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    u = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    return F.when(n > 0, u / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = stopwords or LANG_PROFILES["en"]
+    lit_sw = F.array(*[F.lit(s) for s in sw])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane word length + low punctuation. Mirrors the C4/Gopher-style rule
+    filters used in LLM data pipelines, as a single scan-stage expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(c)
+    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.0)
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    pr = punct_ratio(c)
+    pr_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + sw_ok + mwl_ok + pr_ok) / 4.0
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map of language -> stopword-hit count."""
+    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
+    pairs = []
+    for lang, words in LANG_PROFILES.items():
+        lit_sw = F.array(*[F.lit(s) for s in words])
+        pairs.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.filter(toks, lambda t: F.array_contains(lit_sw, t))).alias(
+                    "hits"
+                ),
+            )
+        )
+    return F.array(*pairs)
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Pick the language with the most stopword hits; 'und' when all zero.
+
+    Ties break by profile order (array_sort is stable on equal keys would
+    not be deterministic; instead fold keeps the first maximum)."""
+    scores = lang_scores(col)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(default).alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def normalize_for_fingerprint(col: Column | str) -> Column:
+    """Canonical text form for dedup fingerprints: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_for_fingerprint(col))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of the normalized text."""
+    c = normalize_for_fingerprint(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def token_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles ('a b c' strings)."""
+    toks = tokenize(normalize_for_fingerprint(col))
+    cnt = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(cnt, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.array_distinct(
+        F.when(cnt >= 1, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )

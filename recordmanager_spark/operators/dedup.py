@@ -1,0 +1,353 @@
+"""Entity-resolution deduplication: blocking join + pairwise verification +
+connected components + one-per-source invariant.
+
+Reference: Deduplication/DedupHandler.php — the crown operator.
+- Key generation :313-370 (title_keys / isbn_keys / id_keys, 200-char cap)
+- Blocking search :413-545 (key ∈ candidates from *other* sources, caps
+  101 fetch / 1000 verify to bound hot keys)
+- Pairwise verification matchRecords :742-985
+- Group maintenance :1089-1242 (≤1 record per source per group)
+
+Spark-first re-expression: the reference probes a DB index per record
+(sequential, the one phase it can't parallelize). Here the whole phase is
+ONE exploded-key self-join + an iterative small-diameter connected
+components, which is the standard distributed-ER shape and parallelizes
+to any cluster size:
+
+  records --explode keys--> (key, id, source)   [scan stage]
+       self-join on key, source_a != source_b, id_a < id_b   [1 shuffle]
+       per-key candidate cap via row_number (hot-key bound = skew bound)
+       pairwise verify as a Column expression (levenshtein is built-in)
+       connected components over surviving edges  [O(log n) small joins]
+       one-per-source enforcement (keep earliest per source per component)
+
+Divergence note (SURVEY §7.4): the reference assigns groups greedily in
+arrival order; batch CC yields the transitive closure, compared as a set
+partition in tests.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import (
+    author_match_expr,
+    create_title_key,
+    normalize_isbn,
+    normalize_key,
+)
+
+# ---------------------------------------------------------------------------
+# Key generation (DedupHandler.php:313-370)
+# ---------------------------------------------------------------------------
+
+
+def with_dedup_keys(
+    df: DataFrame,
+    title_col: str = "title",
+    author_col: str = "author",
+    isbn_col: str | None = "isbn",
+    ignore_keys: list[str] | None = None,
+) -> DataFrame:
+    """Add title_keys / isbn_keys columns. title key = createTitleKey(title)
+    + normalizeKey(author), capped at 200 chars; poison keys from the
+    configurable ignore list are dropped (DedupHandler.php:1036-1079)."""
+    tk = F.substring(
+        F.concat(create_title_key(F.col(title_col)), normalize_key(F.col(author_col))),
+        1,
+        200,
+    )
+    out = df.withColumn("title_keys", F.array(tk))
+    if isbn_col is not None:
+        out = out.withColumn(
+            "isbn_keys",
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.col(isbn_col), normalize_isbn),
+                    lambda x: x != "",
+                )
+            ),
+        )
+    if ignore_keys:
+        bad = F.array(*[F.lit(k) for k in ignore_keys])
+        for c in ("title_keys", "isbn_keys"):
+            if c in out.columns:
+                out = out.withColumn(
+                    c, F.filter(F.col(c), lambda x: ~F.array_contains(bad, x))
+                )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Blocking join
+# ---------------------------------------------------------------------------
+
+
+def blocking_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    candidates_per_key: int = 101,
+) -> DataFrame:
+    """Candidate pairs: records from different sources sharing any blocking
+    key. Returns (key, id_a, id_b) with id_a < id_b, deduped across keys.
+
+    Skew control: keys shared by more than ``candidates_per_key`` records
+    are truncated per the reference's fetch cap (DedupHandler.php:466-467) —
+    the row_number bound keeps a poison key ("annual report") from turning
+    into an O(n²) partition on one executor.
+    """
+    exploded = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.col(k)).alias("key"),
+        )
+        for k in key_cols
+        if k in df.columns
+    ]
+    keys = reduce(lambda a, b: a.unionByName(b), exploded).where(F.col("key") != "")
+    w = Window.partitionBy("key").orderBy(F.col("id"))
+    keys = keys.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= candidates_per_key
+    ).drop("__rn")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Pairwise verification (matchRecords, DedupHandler.php:742-985)
+# ---------------------------------------------------------------------------
+
+
+def match_condition(a: str = "a", b: str = "b") -> Column:
+    """The matchRecords decision as one boolean Column over a joined pair
+    of record structs aliased ``a`` and ``b``.
+
+    Expected columns per side: format, access_restrictions, isbn (array),
+    unique_ids (array), issn (array), publish_year, page_count,
+    series_issn, series_numbering, title, author.
+    """
+
+    def c(side: str, name: str) -> Column:
+        return F.col(f"{side}.{name}")
+
+    # hard filters (:752-808)
+    fmt_ok = (c(a, "format").eqNullSafe(c(b, "format")))
+    access_ok = c(a, "access_restrictions").eqNullSafe(c(b, "access_restrictions"))
+
+    inter = lambda f: F.size(F.array_intersect(c(a, f), c(b, f))) > 0  # noqa: E731
+    isbn_accept = inter("isbn")
+    id_accept = inter("unique_ids")
+
+    both_issn = (F.size(c(a, "issn")) > 0) & (F.size(c(b, "issn")) > 0)
+    issn_reject = both_issn & ~inter("issn")
+
+    year_reject = (
+        c(a, "publish_year").isNotNull()
+        & c(b, "publish_year").isNotNull()
+        & (c(a, "publish_year") != c(b, "publish_year"))
+    )
+    pages_reject = (
+        c(a, "page_count").isNotNull()
+        & c(b, "page_count").isNotNull()
+        & (F.abs(c(a, "page_count") - c(b, "page_count")) > 10)
+    )
+    series_reject = (
+        c(a, "series_issn").isNotNull()
+        & c(b, "series_issn").isNotNull()
+        & (c(a, "series_issn") != c(b, "series_issn"))
+    ) | (
+        c(a, "series_numbering").isNotNull()
+        & c(b, "series_numbering").isNotNull()
+        & (c(a, "series_numbering") != c(b, "series_numbering"))
+    )
+
+    # title similarity: normalized keys within 10% levenshtein (:902-927)
+    ta = normalize_key(c(a, "title"))
+    tb = normalize_key(c(b, "title"))
+    tlen = F.least(F.length(ta), F.length(tb))
+    title_ok = (F.length(ta) > 0) & (
+        F.levenshtein(ta, tb) < (tlen * 0.1)
+    )
+
+    # author: exact, authorMatch, or levenshtein <= 20% (:929-962)
+    aa = normalize_key(c(a, "author"))
+    ab = normalize_key(c(b, "author"))
+    alen = F.least(F.length(aa), F.length(ab))
+    author_ok = (
+        author_match_expr(aa, ab)
+        | ((F.length(aa) > 0) & (F.levenshtein(aa, ab) <= (alen * 0.2)))
+    )
+
+    accept_fast = isbn_accept | id_accept
+    accept_slow = ~issn_reject & ~year_reject & ~pages_reject & ~series_reject & title_ok & author_ok
+    return fmt_ok & access_ok & (accept_fast | accept_slow)
+
+
+def verified_edges(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "_id",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Join candidate pairs back to their payloads and keep matches.
+
+    The pair table is tiny relative to the corpus — join it twice against
+    the (pruned) record projection; Catalyst prunes the record scan to the
+    verification columns only.
+    """
+    fields = fields or [
+        "format",
+        "access_restrictions",
+        "isbn",
+        "unique_ids",
+        "issn",
+        "publish_year",
+        "page_count",
+        "series_issn",
+        "series_numbering",
+        "title",
+        "author",
+    ]
+    proj = records.select(F.col(id_col).alias("id"), *fields)
+    a = proj.alias("a")
+    b = proj.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+    )
+    return joined.where(match_condition("a", "b")).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (small-diameter label propagation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over undirected edges (id_a, id_b).
+
+    Returns (id, component) where component = min id reachable. Dedup
+    graphs have tiny diameter (groups of 2-10 records), so this converges
+    in 2-4 iterations; each iteration is one join + one groupBy on the
+    current labels. ``localCheckpoint`` truncates the lineage so the plan
+    does not grow exponentially across iterations.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # initial label = min neighbor (including self)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each edge, candidate label of dst = label(src)
+        neigh = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            neigh.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def enforce_one_per_source(
+    components: DataFrame,
+    records: DataFrame,
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """≤1 record per source per group (DedupHandler.php:1221-1242).
+
+    Batch variant of the reference's greedy insert: within a component,
+    keep the first record per source (by ``order_col`` or id); extras
+    leave the group (component -> null). Groups shrinking below 2 members
+    dissolve (reference removeFromDedupRecord :672-741)."""
+    j = components.join(
+        records.select(F.col(id_col).alias("id"), F.col(source_col).alias("source")),
+        "id",
+    )
+    w = Window.partitionBy("component", "source").orderBy(
+        F.col(order_col or "id").asc()
+    )
+    kept = j.withColumn("__rn", F.row_number().over(w))
+    kept = kept.withColumn(
+        "component", F.when(F.col("__rn") == 1, F.col("component"))
+    ).drop("__rn", "source")
+    sizes = (
+        kept.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    out = kept.join(F.broadcast(sizes), "component", "left").withColumn(
+        "component",
+        F.when(F.col("__n") >= 2, F.col("component")),
+    ).drop("__n")
+    return out.select("id", "component")
+
+
+def deduplicate(
+    records: DataFrame,
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    key_cols: list[str] | None = None,
+    verify_fields: list[str] | None = None,
+    candidates_per_key: int = 101,
+) -> DataFrame:
+    """End-to-end dedup: records (with key columns) -> (id, dedup_id).
+
+    dedup_id is the smallest member id of the group; null for singletons.
+    """
+    pairs = blocking_pairs(
+        records,
+        key_cols or ["isbn_keys", "id_keys", "title_keys"],
+        id_col,
+        source_col,
+        candidates_per_key,
+    )
+    edges = verified_edges(records, pairs, id_col, verify_fields)
+    comps = connected_components(edges)
+    comps = enforce_one_per_source(comps, records, id_col, source_col)
+    return comps.withColumnRenamed("component", "dedup_id")

@@ -1,0 +1,258 @@
+"""Document-level deduplication for training-data pipelines.
+
+Four families, each designed for 100 TB scale:
+
+- exact: md5 fingerprint of normalized text, one groupBy. Map-side
+  partial agg collapses duplicates before the shuffle.
+- MinHash + LSH: shingle -> K permutation-hashes -> band -> bucket join.
+  The O(n²) similarity join becomes an equi-join on band signatures; the
+  per-bucket cap bounds hot buckets exactly like the reference caps hot
+  blocking keys (DedupHandler.php:466-520 — same skew problem, same fix).
+- n-gram Jaccard verification on candidate pairs (exact similarity on the
+  small candidate set, never the full cross product).
+- SimHash: 60-bit signed-projection fingerprint; near-dups = small
+  Hamming distance, found by banding the fingerprint bits.
+
+Hash choice: md5 (+ hex->int via conv) rather than xxhash64 so results are
+reproducible across engines — the hash IS the semantics for minhash, and
+md5 exists everywhere (oracle-checkable in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, token_ngrams
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id, fp) — canonical = min id among identical
+    normalized texts. Rows with canonical_id != id are duplicates."""
+    with_fp = df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+    w = Window.partitionBy("fp")
+    return with_fp.withColumn("canonical_id", F.min("id").over(w))
+
+
+def distinct_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _perm_hash(shingle: Column, perm: int) -> Column:
+    """Permutation-hash k of a shingle: md5 with a per-permutation salt.
+    Lexicographic min over hex strings is a valid uniform minhash."""
+    return F.md5(F.concat(F.lit(f"{perm}:"), shingle))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>[num_perm]) minhash signature over distinct
+    token n-gram shingles. Computed entirely scan-side (no shuffle): the
+    min over shingles is an array aggregate per row."""
+    shingles = token_ngrams(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, p=p: _perm_hash(s, p)))
+            for p in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """(id_a, id_b) candidates sharing at least one LSH band.
+
+    One explode + one self-equi-join on (band, band_key). ``bucket_cap``
+    truncates degenerate buckets (all-identical boilerplate docs) so no
+    single bucket explodes quadratically on one executor.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    w = Window.partitionBy("band", "band_key").orderBy("id")
+    banded = banded.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= bucket_cap
+    ).drop("__rn")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard on candidate pairs; keeps pairs with
+    similarity >= threshold. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), token_ngrams(text_col, shingle_n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    joined = pairs.join(a, pairs.id_a == F.col("a.id")).join(
+        b, pairs.id_b == F.col("b.id")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> Jaccard verify."""
+    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_n)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+
+
+def _token_hash60(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): sign of per-bit sums of ±1 over distinct token
+    hashes. Scan-stage only — the bit-sum fold is an array aggregate."""
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    )
+    hashes = F.transform(toks, _token_hash60)
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    sig = F.aggregate(
+        bit_idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda s, h: s
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Banding: split the fingerprint into 60/band_bits bands; by pigeonhole
+    any pair within Hamming distance (bands-1) shares an identical band —
+    so candidates come from an equi-join on (band, band_value), never a
+    cross product. Returns (id_a, id_b, hamming)."""
+    sigs = simhash(df, id_col, text_col)
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,101 @@
+"""Incremental pipelines: watermark-driven batch + Structured Streaming.
+
+The reference's "streaming" is incremental batch over monotonically
+increasing ``updated`` timestamps with a persisted watermark per sink
+(SolrUpdater.php:860-903, 1582-1640; ``state`` table). Both forms here:
+
+- ``incremental_run``: the exact reference shape — read watermark, process
+  ``updated >= wm`` rows, persist new watermark. State lives in a tiny
+  single-row parquet table (the ``state`` collection analogue).
+- ``streaming_events``: Structured Streaming over a file source with
+  event-time watermarking + windowed aggregation — the shape late/out-of-
+  order data takes when the engine fronts a real stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WatermarkStore:
+    """Tiny key->timestamp state store (the reference's ``state`` table,
+    dbscripts/mysql.sql:53-56). JSON file locally; a Delta table on a
+    cluster — the interface is the contract."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def get(self, key: str, default=None):
+        if not os.path.exists(self.path):
+            return default
+        with open(self.path) as f:
+            return json.load(f).get(key, default)
+
+    def set(self, key: str, value) -> None:
+        data = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                data = json.load(f)
+        data[key] = value
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, self.path)
+
+
+def incremental_run(
+    df: DataFrame,
+    ts_col: str,
+    store: WatermarkStore,
+    key: str,
+    process: Callable[[DataFrame], DataFrame],
+    slack_seconds: int = 5,
+) -> DataFrame:
+    """Process only rows newer than the stored watermark, then advance it.
+
+    The 5s slack mirrors the reference's clock-skew allowance
+    (SolrUpdater.php:990-1053)."""
+    wm = store.get(key)
+    batch = df
+    if wm is not None:
+        batch = df.filter(
+            F.col(ts_col)
+            >= (F.lit(wm).cast("timestamp") - F.expr(f"INTERVAL {slack_seconds} SECONDS"))
+        )
+    out = process(batch)
+    new_wm = df.agg(F.max(ts_col)).collect()[0][0]
+    if new_wm is not None:
+        store.set(key, str(new_wm))
+    return out
+
+
+def streaming_events(
+    spark: SparkSession,
+    path: str,
+    schema,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed event aggregation with late-data watermarking.
+
+    readStream(parquet dir) -> withWatermark -> window agg; callers attach
+    a sink (memory sink in tests via processAllAvailable)."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+    )
