@@ -182,28 +182,29 @@ def _token_hash60(tok: Column) -> Column:
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long): sign of per-bit sums of ±1 over distinct token
-    hashes. Scan-stage only — the bit-sum fold is an array aggregate."""
-    toks = F.array_distinct(
-        F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    )
-    hashes = F.transform(toks, _token_hash60)
-    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    sig = F.aggregate(
-        bit_idx,
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda s, h: s
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    hashes.
+
+    Shape: explode distinct tokens -> one groupBy(id) with 60 conditional
+    sums (all map-side combinable). Bit masks are Python-int literals so
+    the whole thing stays in codegen; one shuffle on id."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"))
+    tok_df = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).withColumn("h", _token_hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok_df.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(

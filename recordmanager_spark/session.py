@@ -43,6 +43,7 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         # 128 MB parquet split keeps task count reasonable at 100 TB scale
         # while still parallelizing small local files.
         "spark.sql.files.maxPartitionBytes": "134217728",
@@ -85,9 +86,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for col in _NANO_TS_COLUMNS.get(name, ()):
             if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-                df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
-                )
+                # integer div truncates nanos->micros (DuckDB-compatible);
+                # double division would lose precision above 2^53
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
