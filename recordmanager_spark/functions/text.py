@@ -145,14 +145,27 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
 
 
-def token_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles ('a b c' strings)."""
-    toks = tokenize(normalize_for_fingerprint(col))
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column.
+
+    Built by zipping the array with its own shifted suffixes — O(tokens)
+    per row and ``toks`` is referenced only n+1 times. (Indexing inside a
+    ``transform`` lambda re-evaluates the token expression per element —
+    quadratic — and ``slice``-per-gram is quadratic too; both measured
+    10x+ slower on long documents.)"""
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        # concat (not concat_ws): null padding from the shorter side must
+        # poison the gram so it can be filtered, not be skipped silently
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(acc, lambda x: x.isNotNull())
     cnt = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(cnt, F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
     return F.array_distinct(
         F.when(cnt >= 1, grams).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def token_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    return ngrams_from_tokens(tokenize(normalize_for_fingerprint(col)), n)

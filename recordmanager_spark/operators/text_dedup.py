@@ -23,7 +23,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, token_ngrams
+from ..functions.text import (
+    fingerprint,
+    ngrams_from_tokens,
+    normalize_for_fingerprint,
+    token_ngrams,
+    tokenize,
+)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, s) exploded distinct shingles. Tokens are materialized as a
+    column first so gram construction reads a per-row array reference."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokenize(normalize_for_fingerprint(text_col)).alias("toks"),
+    )
+    return toks.select("id", F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("s"))
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh array<string>) distinct shingle set per doc."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokenize(normalize_for_fingerprint(text_col)).alias("toks"),
+    )
+    return toks.select("id", ngrams_from_tokens(F.col("toks"), n).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -66,16 +91,24 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<string>[num_perm]) minhash signature over distinct
-    token n-gram shingles. Computed entirely scan-side (no shuffle): the
-    min over shingles is an array aggregate per row."""
-    shingles = token_ngrams(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, p=p: _perm_hash(s, p)))
-            for p in range(num_perm)
-        ]
+    token n-gram shingles.
+
+    Shape: explode shingles -> num_perm salted md5 columns -> groupBy(id)
+    with num_perm min() aggregates. The mins combine map-side, so the
+    shuffle carries one num_perm-wide row per doc — at 100 TB the exchange
+    is proportional to doc count, not shingle count. (A nested
+    array_min(transform(...)) per row blows up codegen and ran ~50x
+    slower.)"""
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        "id", *[_perm_hash(F.col("s"), p).alias(f"h{p}") for p in range(num_perm)]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -136,9 +169,7 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact token-n-gram Jaccard on candidate pairs; keeps pairs with
     similarity >= threshold. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), token_ngrams(text_col, shingle_n).alias("sh")
-    )
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
     a, b = sh.alias("a"), sh.alias("b")
     joined = pairs.join(a, pairs.id_a == F.col("a.id")).join(
         b, pairs.id_b == F.col("b.id")
@@ -163,9 +194,16 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full pipeline: signatures -> LSH candidates -> Jaccard verify."""
-    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    """Full pipeline: signatures -> LSH candidates -> Jaccard verify.
+
+    Signatures are persisted across the two downstream consumers (the
+    band join reads them twice via self-join; without the persist the
+    whole shingle+hash scan re-runs per consumer)."""
+    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n).persist()
+    # materialize the (tiny) candidate set so its lineage no longer
+    # references the signature scan, then drop the cache.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
+    sigs.unpersist(blocking=False)
     return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_n)
 
 
