@@ -641,11 +641,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "id_sort_keys": """
             SELECT c_custkey,
-                   CASE WHEN regexp_matches(c_name, '^\\w*?(\\d+)$')
-                        THEN regexp_extract(c_name, '^\\w*?(\\d+)$', 1)
+                   CASE WHEN regexp_matches(c_name, '^\\w*(\\d+)$')
+                        THEN regexp_extract(c_name, '^\\w*(\\d+)$', 1)
                         ELSE c_name END AS name_key,
-                   CASE WHEN regexp_matches('cust' || CAST(c_custkey AS VARCHAR), '^\\w*?(\\d+)$')
-                        THEN regexp_extract('cust' || CAST(c_custkey AS VARCHAR), '^\\w*?(\\d+)$', 1)
+                   CASE WHEN regexp_matches('cust' || CAST(c_custkey AS VARCHAR), '^\\w*(\\d+)$')
+                        THEN regexp_extract('cust' || CAST(c_custkey AS VARCHAR), '^\\w*(\\d+)$', 1)
                         ELSE 'cust' || CAST(c_custkey AS VARCHAR) END AS synth_key
             FROM customer
         """,

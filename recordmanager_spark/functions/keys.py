@@ -216,9 +216,12 @@ def create_sort_title(col: Column | str) -> Column:
 
 
 def create_id_sort_key(col: Column | str) -> Column:
-    """createIdSortKey: trailing digit run if id is \\w*\\d+, else the id."""
+    """createIdSortKey (MetadataUtils.php:742-749): PHP `^\\w*(\\d+)$` with a
+    greedy \\w* — the capture is the *last digit only* when the id ends in
+    digits (PCRE backtracks minimally), else the id unchanged. We keep parity
+    with that quirk; Java regex greediness matches PCRE here."""
     c = F.col(col) if isinstance(col, str) else col
-    digits = F.regexp_extract(c, "^\\w*?(\\d+)$", 1)
+    digits = F.regexp_extract(c, "^\\w*(\\d+)$", 1)
     return F.when(digits != "", digits).otherwise(c)
 
 

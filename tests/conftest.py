@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from recordmanager_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,125 @@
+"""Golden tests for the scalar key/normalization library — mirrors the
+reference's MetadataUtilsTest data providers (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from recordmanager_spark.functions import keys as K
+
+
+def one(spark, col, value: str):
+    df = spark.createDataFrame([Row(v=value)])
+    return df.select(col.alias("out")).first()["out"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Hello, World!", "helloworld"),
+        ("Ähtäri – kaupunki", "ahtäri–kaupunki".replace("ä", "a").replace("–", "–")),
+        ("  spaces  and\ttabs ", "spacesandtabs"),
+        ("UPPER lower 123", "upperlower123"),
+        ("café Résumé", "caferesume"),
+    ],
+)
+def test_normalize_key(spark, raw, expected):
+    # non-ASCII punctuation (en dash) is outside the reference's ASCII strip
+    # ranges and survives — semantics pinned here
+    assert one(spark, K.normalize_key(F.col("v")), raw) == expected
+
+
+@pytest.mark.parametrize(
+    "title,expected",
+    [
+        # >3 long words stops accumulation after the 4th long word
+        ("alpha bravo charlie delta echo foxtrot", "alphabravocharliedelta"),
+        # 35 significant chars cap: word crossing the cap is kept
+        ("ab cd ef gh ij kl mn op qr st uv wx yz aa bb cc dd ee ff gg hh ii",
+         "abcdefghijklmnopqrstuvwxyzaabbccddee"),
+        ("short", "short"),
+        ("", ""),
+    ],
+)
+def test_create_title_key(spark, title, expected):
+    assert one(spark, K.create_title_key(F.col("v")), title) == expected
+
+
+@pytest.mark.parametrize(
+    "isbn,expected",
+    [
+        ("0-306-40615-2", "9780306406157"),  # valid ISBN-10 -> 13
+        ("0306406152", "9780306406157"),
+        ("0-306-40615-1", ""),  # bad check digit
+        ("9780306406157", "9780306406157"),  # already 13
+        ("not an isbn", ""),
+        ("043942089X", "9780439420891"),  # X check char
+    ],
+)
+def test_normalize_isbn(spark, isbn, expected):
+    assert one(spark, K.normalize_isbn(F.col("v")), isbn) == expected
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("smith john", "smith john", True),  # equal
+        ("smith john", "smith j", True),  # prefix
+        ("smith john", "smith jane", True),  # initial match on 2nd word
+        ("smith john", "jones john", False),  # first word must match
+        ("li wu", "li wu x", False),  # < 6 chars -> only exact
+        ("smith john a", "smith john b", False),  # differing later initial
+    ],
+)
+def test_author_match(spark, a, b, expected):
+    df = spark.createDataFrame([Row(a=a, b=b)])
+    got = df.select(
+        K.author_match_expr(F.col("a"), F.col("b")).alias("m")
+    ).first()["m"]
+    assert got == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("title /", "title"),
+        ("Smith, A.", "Smith, A."),  # initial's period survives
+        ("The end.", "The end"),
+        ("unbalanced)", "unbalanced"),
+        ("balanced (yes)", "balanced (yes)"),
+    ],
+)
+def test_strip_trailing_punctuation(spark, raw, expected):
+    assert one(spark, K.strip_trailing_punctuation(F.col("v")), raw) == expected
+
+
+def test_strip_leading_article_and_sort_title(spark):
+    assert one(spark, K.strip_leading_article(F.col("v")), "The Annual Report") == "annual report"
+    assert one(spark, K.create_sort_title(F.col("v")), "The  [Annual] Report!") == "annual report"
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    # PHP `^\w*(\d+)$` is greedy: capture = last digit only (verified vs PCRE)
+    [("rec000123", "3"), ("Customer#7", "Customer#7"), ("42", "2"), ("abc", "abc")],
+)
+def test_create_id_sort_key(spark, raw, expected):
+    assert one(spark, K.create_id_sort_key(F.col("v")), raw) == expected
+
+
+def test_get_source_from_id(spark):
+    assert one(spark, K.get_source_from_id(F.col("v")), "alpha.rec.1") == "alpha"
+
+
+def test_extract_year(spark):
+    assert one(spark, K.extract_year(F.col("v")), "c1987.") == "1987"
+    assert one(spark, K.extract_year(F.col("v")), "no year") is None
+
+
+def test_array_iunique(spark):
+    df = spark.createDataFrame([Row(v=["Foo", "foo", "BAR", "Foo", "baz"])])
+    got = df.select(K.array_iunique(F.col("v")).alias("out")).first()["out"]
+    # first occurrence + original case preserved
+    assert got == ["Foo", "BAR", "baz"]

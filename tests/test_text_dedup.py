@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from recordmanager_spark.operators import text_dedup as TD
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+    Row(doc_id=2, text="The quick brown fox jumps over the lazy dog today!"),  # exact after norm
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy cat today"),  # near-dup
+    Row(doc_id=4, text="completely different content about spark engines here"),
+    Row(doc_id=5, text="another unrelated document discussing parquet files"),
+]
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(DOCS)
+    out = {r["id"]: r["canonical_id"] for r in TD.exact_duplicates(df, "doc_id", "text").collect()}
+    assert out[1] == 1 and out[2] == 1  # same fingerprint
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_distinct_by_text(spark):
+    df = spark.createDataFrame(DOCS)
+    kept = sorted(r["doc_id"] for r in TD.distinct_by_text(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_jaccard_verify_bruteforce(spark):
+    df = spark.createDataFrame(DOCS)
+    ids = df.select(F.col("doc_id").alias("id"))
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    out = TD.jaccard_verify(df, pairs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    df = spark.createDataFrame(DOCS)
+    out = TD.minhash_near_duplicates(df, "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # identical docs always collide in every band
+    assert (1, 2) in pairs
+    # no false positives above threshold
+    for a, b in pairs:
+        assert {a, b} <= {1, 2, 3}
+
+
+def test_minhash_recall_vs_bruteforce(spark):
+    # identical-after-normalization docs are guaranteed; near-dups are
+    # probabilistic — assert the pipeline is a subset of true pairs
+    df = spark.createDataFrame(DOCS)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in TD.minhash_near_duplicates(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    ids = df.select(F.col("doc_id").alias("id"))
+    all_pairs = (
+        ids.alias("a").crossJoin(ids.alias("b")).where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in TD.jaccard_verify(df, all_pairs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert approx <= exact
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(DOCS)
+    sigs = {r["id"]: r["simhash"] for r in TD.simhash(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) <= ham(sigs[1], sigs[4])
+    out = TD.simhash_near_duplicates(df, "doc_id", "text", max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # identical token sets -> distance 0
