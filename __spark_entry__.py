@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from recordmanager_spark.extractors import dc as DC
+from recordmanager_spark.extractors import marc as MARC
 from recordmanager_spark.plans.filter_dsl import apply_query
 from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
@@ -423,6 +425,71 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
+# Extractors (SURVEY §2.4): synthesize serialized records from base tables,
+# run the real parse+extract path, and compare to directly-computed truth.
+# ---------------------------------------------------------------------------
+
+
+def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """MARC-in-JSON round-trip: build → parse (Arrow UDF) → fieldspec exprs."""
+    c = _t(spark, sf, "customer")
+    year = (F.lit(1990) + F.pmod(F.col("c_custkey"), F.lit(10))).cast("string")
+    pages = (F.pmod(F.col("c_custkey"), F.lit(500)) + 1).cast("string")
+    f008 = F.concat(F.lit("970101s"), year, F.lit("    xxu" + " " * 17 + "eng d"))
+    raw = F.format_string(
+        '{"leader":"00000cam a22000004i 4500","fields":['
+        '{"001":"%s"},'
+        '{"008":"%s"},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"%s :"},{"b":"a test record /"}]}},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Writer, W."}]}},'
+        '{"260":{"ind1":" ","ind2":" ","subfields":[{"b":"PubHouse,"},{"c":"c%s."}]}},'
+        '{"300":{"ind1":" ","ind2":" ","subfields":[{"a":"%s pages"}]}}]}',
+        F.col("c_custkey").cast("string"), f008, F.col("c_name"), year, pages,
+    )
+    parsed = c.select(
+        "c_custkey", MARC.parse_marc_in_json(raw).alias("marc")
+    )
+    out = MARC.to_solr_columns(parsed, "marc")
+    return out.select(
+        "c_custkey",
+        "id",
+        "title",
+        "title_short",
+        F.element_at("author", 1).alias("author1"),
+        "publish_year",
+        F.col("page_count").cast("int").alias("page_count"),
+        F.element_at("language", 1).alias("lang1"),
+    )
+
+
+def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """DC XML round-trip through the xpath-based extractor (Record/Dc.php)."""
+    c = _t(spark, sf, "customer")
+    year = (F.lit(2000) + F.pmod(F.col("c_custkey"), F.lit(20))).cast("string")
+    xml = F.format_string(
+        "<dc><recordID>dc-%s</recordID>"
+        "<title>%s : extracted edition</title>"
+        "<creator>Maker, M.</creator>"
+        "<language>engfin</language>"
+        "<date>%s-01-01</date>"
+        "<publisher>DCPub</publisher>"
+        "<type>Text</type></dc>",
+        F.col("c_custkey").cast("string"), F.col("c_name"), year,
+    )
+    out = DC.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
+    return out.select(
+        "c_custkey",
+        "id",
+        "title_short",
+        "title_sub",
+        F.col("author").alias("creator"),
+        F.array_join("language", ",").alias("langs"),
+        F.col("publishDate").alias("publish_year"),
+        F.col("format").alias("dc_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -448,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_component_merge": host_component_merge,
         "group_merge_orders": group_merge_orders,
         "dedup_er": dedup_er,
+        "marc_extract": marc_extract,
+        "dc_extract": dc_extract,
         "title_keys_docs": title_keys_docs,
         "id_sort_keys": id_sort_keys,
         "text_quality": text_quality,
@@ -638,6 +707,28 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_replace(substr(key, 1, 200),
                          '[\\x00-\\x20!-/:-@\\[-`{-\\x7f]', '', 'g')) AS title_key
             FROM k
+        """,
+        "marc_extract": """
+            SELECT c_custkey,
+                   CAST(c_custkey AS VARCHAR) AS id,
+                   c_name || ' : a test record' AS title,
+                   c_name AS title_short,
+                   'Writer, W.' AS author1,
+                   CAST(1990 + c_custkey % 10 AS VARCHAR) AS publish_year,
+                   CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
+                   'eng' AS lang1
+            FROM customer
+        """,
+        "dc_extract": """
+            SELECT c_custkey,
+                   'dc-' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS title_short,
+                   'extracted edition' AS title_sub,
+                   'Maker, M.' AS creator,
+                   'eng,fin' AS langs,
+                   CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
+                   'Text' AS dc_type
+            FROM customer
         """,
         "id_sort_keys": """
             SELECT c_custkey,

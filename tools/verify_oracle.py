@@ -70,6 +70,10 @@ def main():
     spark = get_spark("verify_oracle", shuffle_partitions=16)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}; known: {sorted(qs)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
