@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from recordmanager_spark.extractors import dc as DC
 from recordmanager_spark.extractors import marc as MARC
+from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans.filter_dsl import apply_query
 from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
@@ -490,6 +491,59 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mapping + field rules (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def value_mapping_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """FieldMapper normal-type mapping with multi-value + default sentinels."""
+    m = MP.parse_map_file(
+        "status_map",
+        "O[] = Open\nO[] = Ongoing\nF = Finished\n##default = Other",
+    )
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        MP.map_array_column(F.array(F.col("o_orderstatus")), m).alias("status_mapped"),
+    )
+
+
+def regexp_mapping_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """FieldMapper regexp-type mapping: first match wins, backrefs, default."""
+    m = MP.Mapping(
+        name="prio_map",
+        type="regexp",
+        entries={
+            "^1-URGENT$": ["P1"],
+            "^([0-9])-(.*)$": ["P$1 ($2)"],
+            "##default": ["UNKNOWN"],
+        },
+    )
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        MP.map_array_column(F.array(F.col("o_orderpriority")), m).alias("prio_mapped"),
+    )
+
+
+def field_rules_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """copy/move/delete field rules over array columns (SolrUpdater rules)."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("flags"),
+    )
+    out = MP.apply_field_rules(
+        o,
+        [
+            'copy flags prio match="/^[0-9]-/"',
+            'move flags status match="/^[A-Z]$/"',
+            'copy flags rest default="NONE"',
+        ],
+    )
+    return out.select("o_orderkey", "flags", "prio", "status", "rest")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -517,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_er": dedup_er,
         "marc_extract": marc_extract,
         "dc_extract": dc_extract,
+        "value_mapping_orders": value_mapping_orders,
+        "regexp_mapping_orders": regexp_mapping_orders,
+        "field_rules_orders": field_rules_orders,
         "title_keys_docs": title_keys_docs,
         "id_sort_keys": id_sort_keys,
         "text_quality": text_quality,
@@ -729,6 +786,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "value_mapping_orders": """
+            SELECT o_orderkey,
+                   CASE o_orderstatus
+                        WHEN 'O' THEN ['Open', 'Ongoing']
+                        WHEN 'F' THEN ['Finished']
+                        ELSE ['Other'] END AS status_mapped
+            FROM orders
+        """,
+        "regexp_mapping_orders": """
+            SELECT o_orderkey,
+                   CASE
+                        WHEN o_orderpriority = '1-URGENT' THEN ['P1']
+                        WHEN regexp_matches(o_orderpriority, '^([0-9])-(.*)$')
+                             THEN ['P' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 1)
+                                   || ' (' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 2) || ')']
+                        ELSE ['UNKNOWN'] END AS prio_mapped
+            FROM orders
+        """,
+        "field_rules_orders": """
+            WITH base AS (
+                SELECT o_orderkey, [o_orderstatus, o_orderpriority] AS flags0
+                FROM orders
+            ), r1 AS (  -- copy flags prio match=/^[0-9]-/
+                SELECT o_orderkey, flags0,
+                       list_filter(flags0, v -> regexp_matches(v, '^[0-9]-')) AS prio
+                FROM base
+            ), r2 AS (  -- move flags status match=/^[A-Z]$/
+                SELECT o_orderkey,
+                       CASE WHEN len(list_filter(flags0, v -> regexp_matches(v, '^[A-Z]$'))) > 0
+                            THEN list_filter(flags0, v -> NOT regexp_matches(v, '^[A-Z]$'))
+                            ELSE flags0 END AS flags,
+                       prio,
+                       list_filter(flags0, v -> regexp_matches(v, '^[A-Z]$')) AS status
+                FROM r1
+            )
+            SELECT o_orderkey, flags, prio, status,
+                   CASE WHEN len(flags) > 0 THEN flags ELSE ['NONE'] END AS rest
+            FROM r2
         """,
         "id_sort_keys": """
             SELECT c_custkey,
