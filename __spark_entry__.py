@@ -27,6 +27,7 @@ from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans.filter_dsl import apply_query
 from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
+from recordmanager_spark.operators import normalize as NZ
 from recordmanager_spark.operators import (
     count_values as CV,
     dedup as DD,
@@ -544,6 +545,53 @@ def field_rules_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Normalization pipeline (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def hierarchical_facets_geo(spark: SparkSession, sf: str) -> DataFrame:
+    """Institution prefix + hierarchical facet encoding over region/nation."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    df = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.array(F.concat_ws("/", "r_name", "n_name")).alias("building"),
+        )
+    )
+    df = NZ.add_institution_to_building(df, "INST")
+    return df.select(
+        "n_nationkey", NZ.hierarchical_facet(F.col("building")).alias("building_facets")
+    )
+
+
+def allfields_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """allfields synthesis with exclusions + case-insensitive unique."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),  # excluded
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.array(F.lower(F.col("c_mktsegment")), F.col("c_nationkey").cast("string")).alias("tags"),
+    )
+    return c.select(
+        F.col("id").cast("long").alias("c_custkey"),
+        NZ.allfields(c).alias("allfields"),
+    )
+
+
+def normalize_fields_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Length trim + non-indexed removal + per-field dedup over documents."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text").alias("title"),
+        F.array(F.col("lang"), F.col("source"), F.lit("n/a")).alias("tags"),
+    )
+    out = NZ.normalize_fields(d, limits={"title": 50}, non_indexed=["n/a"])
+    return out.select("doc_id", "title", "tags")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -572,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_extract": marc_extract,
         "dc_extract": dc_extract,
         "value_mapping_orders": value_mapping_orders,
+        "hierarchical_facets_geo": hierarchical_facets_geo,
+        "allfields_customer": allfields_customer,
+        "normalize_fields_docs": normalize_fields_docs,
         "regexp_mapping_orders": regexp_mapping_orders,
         "field_rules_orders": field_rules_orders,
         "title_keys_docs": title_keys_docs,
@@ -825,6 +876,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, flags, prio, status,
                    CASE WHEN len(flags) > 0 THEN flags ELSE ['NONE'] END AS rest
             FROM r2
+        """,
+        "hierarchical_facets_geo": """
+            SELECT n_nationkey,
+                   ['0/INST/',
+                    '1/INST/' || r_name || '/',
+                    '2/INST/' || r_name || '/' || n_name || '/'] AS building_facets
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "allfields_customer": """
+            -- allfields = [name, segment, lower(segment), phone] with
+            -- case-insensitive dedup keeping first occurrence: lower(segment)
+            -- collides with segment and is dropped
+            SELECT c_custkey,
+                   [c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)] AS allfields
+            FROM customer
+        """,
+        "normalize_fields_docs": """
+            SELECT doc_id,
+                   left(text, 50) AS title,
+                   list_filter([lang, source], v -> v != 'n/a') AS tags  -- list_distinct reorders in duckdb; no dups here
+            FROM documents
         """,
         "id_sort_keys": """
             SELECT c_custkey,
