@@ -25,6 +25,8 @@ from recordmanager_spark.extractors import dc as DC
 from recordmanager_spark.extractors import marc as MARC
 from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans.filter_dsl import apply_query
+from recordmanager_spark.functions import callnumbers as CN
+from recordmanager_spark.functions import geo as GEO
 from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
 from recordmanager_spark.operators import normalize as NZ
@@ -592,6 +594,49 @@ def normalize_fields_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Call-number + geo scalar functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def callnumber_sort_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """LC sort keys for synthesized call numbers via the parser UDF."""
+    p = _t(spark, sf, "part")
+    digits = (F.pmod(F.col("p_partkey"), F.lit(999)) + 1).cast("string")
+    cutter = (F.pmod(F.col("p_partkey"), F.lit(89)) + 10).cast("string")
+    callnum = F.format_string("QA%s.5 .A%s", digits, cutter)
+    return p.select(
+        "p_partkey",
+        CN.lc_sort_key(callnum).alias("lc_key"),
+        CN.lc_is_valid(callnum).alias("lc_valid"),
+    )
+
+
+def geo_centers(spark: SparkSession, sf: str) -> DataFrame:
+    """DMS → decimal and WKT ENVELOPE/POINT centers as JVM expressions."""
+    s = _t(spark, sf, "supplier")
+    deg = F.lpad((F.pmod(F.col("s_suppkey"), F.lit(180))).cast("string"), 3, "0")
+    mm = F.lpad((F.pmod(F.col("s_suppkey"), F.lit(60))).cast("string"), 2, "0")
+    ss = F.lpad((F.pmod(F.col("s_suppkey") * 7, F.lit(60))).cast("string"), 2, "0")
+    dms = F.concat(F.lit("E"), deg, mm, ss)
+    x1 = (F.pmod(F.col("s_suppkey"), F.lit(100))).cast("double")
+    env = F.format_string(
+        "ENVELOPE(%s, %s, %s, %s)",
+        x1.cast("string"), (x1 + 10).cast("string"),
+        (x1 + 50).cast("string"), (x1 + 20).cast("string"),
+    )
+    point = F.format_string(
+        "POINT(%s %s)", x1.cast("string"), (x1 + 5).cast("string")
+    )
+    return s.select(
+        "s_suppkey",
+        F.round(GEO.coordinate_to_decimal(dms), 6).alias("dms_decimal"),
+        GEO.center_coordinates(env).alias("env_center"),
+        GEO.geo_display_field(env).alias("env_display"),
+        GEO.center_coordinates(point).alias("point_center"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -621,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_extract": dc_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
+        "callnumber_sort_keys": callnumber_sort_keys,
+        "geo_centers": geo_centers,
         "allfields_customer": allfields_customer,
         "normalize_fields_docs": normalize_fields_docs,
         "regexp_mapping_orders": regexp_mapping_orders,
@@ -897,6 +944,37 @@ def oracle_sql() -> dict[str, str]:
                    left(text, 50) AS title,
                    list_filter([lang, source], v -> v != 'n/a') AS tags  -- list_distinct reorders in duckdb; no dups here
             FROM documents
+        """,
+        "callnumber_sort_keys": """
+            WITH b AS (
+                SELECT p_partkey,
+                       CAST((p_partkey % 999) + 1 AS VARCHAR) AS d,
+                       CAST((p_partkey % 89) + 10 AS VARCHAR) AS c
+                FROM part
+            )
+            SELECT p_partkey,
+                   'QA ' || length(d) || d || '.5 A' || length(c) || c AS lc_key,
+                   true AS lc_valid
+            FROM b
+        """,
+        "geo_centers": """
+            WITH b AS (
+                SELECT s_suppkey,
+                       s_suppkey % 180 AS deg,
+                       s_suppkey % 60 AS mm,
+                       (s_suppkey * 7) % 60 AS ss,
+                       s_suppkey % 100 AS x
+                FROM supplier
+            )
+            SELECT s_suppkey,
+                   round(deg + mm/60.0 + ss/3600.0, 6) AS dms_decimal,
+                   CAST(x + 5 AS VARCHAR) || ' ' || CAST(x + 35 AS VARCHAR) AS env_center,
+                   CAST(CAST(x AS DOUBLE) AS VARCHAR) || ' ' ||
+                   CAST(CAST(x + 10 AS DOUBLE) AS VARCHAR) || ' ' ||
+                   CAST(CAST(x + 50 AS DOUBLE) AS VARCHAR) || ' ' ||
+                   CAST(CAST(x + 20 AS DOUBLE) AS VARCHAR) AS env_display,
+                   CAST(x AS VARCHAR) || ' ' || CAST(x + 5 AS VARCHAR) AS point_center
+            FROM b
         """,
         "id_sort_keys": """
             SELECT c_custkey,

@@ -262,3 +262,39 @@ def array_iunique(col: Column | str) -> Column:
         )
 
     return F.aggregate(c, acc0, step, lambda acc: acc["out"])
+
+
+# ---------------------------------------------------------------------------
+# Author / language / relator / date helpers (MetadataUtils.php:1056-1240)
+# ---------------------------------------------------------------------------
+
+
+def convert_author_last_first(col: Column | str) -> Column:
+    """'First Middle Last' -> 'Last, First Middle' (split on LAST space)."""
+    c = F.col(col) if isinstance(col, str) else col
+    last = F.substring_index(c, " ", -1)
+    rest = F.substring(c, 1, F.length(c) - F.length(last) - 1)
+    return F.when(
+        c.contains(" ") & ~c.startswith(" "), F.concat(last, F.lit(", "), rest)
+    ).otherwise(c)
+
+
+def normalize_relator(col: Column | str) -> Column:
+    """Trim, strip all punctuation, lowercase (MetadataUtils.php:1077-1092)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), "\\p{P}+", ""))
+
+
+def normalize_language_strings(col: Column) -> Column:
+    """Array variant: trim + lowercase each, drop empties (:1056-1070)."""
+    return F.filter(
+        F.transform(col, lambda v: F.lower(F.trim(v))), lambda v: v != ""
+    )
+
+
+def validate_date(col: Column | str) -> Column:
+    """yyyy-mm-dd validity -> unix seconds, NULL when invalid (:757-800)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = F.try_to_timestamp(c, F.lit("yyyy-MM-dd"))
+    ok = (F.length(c) == 10) & c.rlike("^-?\\d{4}-\\d{2}-\\d{2}$") & parsed.isNotNull()
+    return F.when(ok, F.unix_timestamp(parsed))
