@@ -29,6 +29,7 @@ from recordmanager_spark.functions import callnumbers as CN
 from recordmanager_spark.functions import geo as GEO
 from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
+from recordmanager_spark.operators import enrich as EN
 from recordmanager_spark.operators import normalize as NZ
 from recordmanager_spark.operators import (
     count_values as CV,
@@ -637,6 +638,72 @@ def geo_centers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Enrichment joins (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def enrich_topics_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline linked-data enrichment: topic URIs → vocabulary labels."""
+    n = _t(spark, sf, "nation")
+    entities = n.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("uri"),
+        F.array(F.col("n_name")).alias("pref_labels"),
+        F.array(F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))).alias("alt_labels"),
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.array(
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string")),
+            F.lit("urn:nation:missing"),
+        ).alias("topic_uris"),
+    )
+    out = EN.enrich_with_entities(c, entities, "c_custkey", "topic_uris")
+    return out.select("c_custkey", "topic_add")
+
+
+def link_resolution_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """MARC \\$w-style link resolution: match → stored id, miss → prefixed."""
+    targets = (
+        _t(spark, sf, "part")
+        .where(F.pmod(F.col("p_partkey"), F.lit(2)) == 0)
+        .select(
+            F.lit("src").alias("source_id"),
+            F.col("p_partkey").cast("string").alias("linking_id"),
+            F.concat(F.lit("src."), F.col("p_partkey").cast("string"), F.lit("#r")).alias("_id"),
+        )
+    )
+    recs = _t(spark, sf, "lineitem").select(
+        F.lit("src").alias("source_id"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey").cast("string").alias("w"),
+    )
+    out = EN.resolve_links(recs, targets, "w")
+    return out.select("l_orderkey", "l_linenumber", "w", "resolved_id")
+
+
+def geocode_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Geocode-cache join + WKT center derivation."""
+    n = _t(spark, sf, "nation")
+    cache = n.where(F.pmod(F.col("n_nationkey"), F.lit(2)) == 0).select(
+        F.col("n_name").alias("location"),
+        F.format_string(
+            "ENVELOPE(%s, %s, %s, %s)",
+            F.col("n_nationkey").cast("double").cast("string"),
+            (F.col("n_nationkey") + 10).cast("double").cast("string"),
+            (F.col("n_nationkey") + 40).cast("double").cast("string"),
+            (F.col("n_nationkey") + 20).cast("double").cast("string"),
+        ).alias("wkt"),
+    )
+    recs = _t(spark, sf, "customer").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("loc"))
+    out = EN.geocode_locations(recs, cache, "loc")
+    return out.select("c_custkey", "loc", "location_geo", "center_coords")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -668,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "callnumber_sort_keys": callnumber_sort_keys,
         "geo_centers": geo_centers,
+        "enrich_topics_nation": enrich_topics_nation,
+        "link_resolution_lineitem": link_resolution_lineitem,
+        "geocode_customers": geocode_customers,
         "allfields_customer": allfields_customer,
         "normalize_fields_docs": normalize_fields_docs,
         "regexp_mapping_orders": regexp_mapping_orders,
@@ -975,6 +1045,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(x + 20 AS DOUBLE) AS VARCHAR) AS env_display,
                    CAST(x AS VARCHAR) || ' ' || CAST(x + 5 AS VARCHAR) AS point_center
             FROM b
+        """,
+        "enrich_topics_nation": """
+            SELECT c_custkey,
+                   [n_name, 'N' || CAST(n_nationkey AS VARCHAR)] AS topic_add
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "link_resolution_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_partkey AS VARCHAR) AS w,
+                   CASE WHEN l_partkey % 2 = 0
+                        THEN 'src.' || CAST(l_partkey AS VARCHAR) || '#r'
+                        ELSE 'src.' || CAST(l_partkey AS VARCHAR) END AS resolved_id
+            FROM lineitem
+        """,
+        "geocode_customers": """
+            SELECT c_custkey, n_name AS loc,
+                   CASE WHEN n_nationkey % 2 = 0 THEN
+                     'ENVELOPE(' || CAST(CAST(n_nationkey AS DOUBLE) AS VARCHAR) || ', '
+                       || CAST(CAST(n_nationkey + 10 AS DOUBLE) AS VARCHAR) || ', '
+                       || CAST(CAST(n_nationkey + 40 AS DOUBLE) AS VARCHAR) || ', '
+                       || CAST(CAST(n_nationkey + 20 AS DOUBLE) AS VARCHAR) || ')'
+                   END AS location_geo,
+                   CASE WHEN n_nationkey % 2 = 0
+                        THEN CAST(n_nationkey + 5 AS VARCHAR) || ' '
+                             || CAST(n_nationkey + 30 AS VARCHAR)
+                        ELSE '' END AS center_coords
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "id_sort_keys": """
             SELECT c_custkey,

@@ -1,0 +1,222 @@
+"""Enrichment joins: offline linked-data, geocode cache, MARC link resolution.
+
+Behavioral spec (reference, NOT code):
+- Enrichment/SkosmosEnrichment.php:222-352 — a record's topic URIs are
+  looked up in a vocabulary (offline mode reads the imported ``ldEnrichment``
+  table); matched concepts contribute prefLabels in other languages and
+  altLabels to an add-field, plus geo coordinates where present.
+- Enrichment/NominatimGeocoder.php:215-345 — location strings resolve to
+  polygon WKT + center via a persistent cache table; cold HTTP misses are
+  out of scope here (network-free engine) — the cache join IS the operator.
+- Record/Marc.php:273-319 — MARC 760-787 $w link targets resolve to a
+  stored record id by (source_id, linking_id); unresolved ids get the
+  source prefix.
+- Enrichment/AuthEnrichment.php:113+ — author ids pull variant names from
+  an authority table.
+
+Spark-first: every one of these is a LEFT equi-join against a small-to-
+medium lookup DataFrame. Lookup sides are broadcast by default (vocabulary/
+cache/authority tables are MBs, records are TBs) so enrichment never
+shuffles the record side — the plan stays narrow per partition. For lookup
+tables too large to broadcast, pass ``broadcast_lookup=False`` and bucket
+both sides on the join key instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geo as GEO
+
+
+def _maybe_broadcast(df: DataFrame, broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if broadcast else df
+
+
+def enrich_with_entities(
+    records: DataFrame,
+    entities: DataFrame,
+    id_col: str,
+    uri_col: str,
+    out_col: str = "topic_add",
+    entity_uri: str = "uri",
+    label_cols: tuple[str, ...] = ("pref_labels", "alt_labels"),
+    broadcast_lookup: bool = True,
+    max_map_entries: int = 100_000,
+) -> DataFrame:
+    """Add an array column of labels gathered from matched entities.
+
+    records[uri_col] is array<string> of concept URIs. The result column is
+    the ordered, de-duplicated union of the matched entities' label arrays
+    (SkosmosEnrichment's pref+alt label accumulation).
+
+    Strategy: when the vocabulary fits ``max_map_entries`` it is compiled
+    into a literal map and the lookup happens INSIDE the array expression —
+    zero shuffles of the record side (the explode→join→groupBy→join-back
+    alternative shuffles 100 TB twice). Larger vocabularies fall back to
+    that join path automatically.
+    """
+    ent_rows = None
+    if max_map_entries:
+        limited = entities.select(
+            F.col(entity_uri).alias("u"),
+            F.flatten(
+                F.array(*[F.coalesce(F.col(c), F.array()) for c in label_cols])
+            ).alias("l"),
+        ).limit(max_map_entries + 1)
+        ent_rows = limited.collect()
+        if len(ent_rows) > max_map_entries:
+            ent_rows = None
+    if ent_rows is not None:
+        if ent_rows:
+            kv: list[Column] = []
+            for r in ent_rows:
+                kv.append(F.lit(r.u))
+                kv.append(F.array(*[F.lit(x) for x in r.l]))
+            lookup = F.create_map(*kv)
+            uris = F.coalesce(F.col(uri_col), F.array())
+            labels = F.array_distinct(
+                F.flatten(
+                    F.filter(
+                        F.transform(uris, lambda u: F.element_at(lookup, u)),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            )
+        else:
+            labels = F.array().cast("array<string>")
+        return records.withColumn(out_col, labels)
+    ent = entities.select(
+        F.col(entity_uri).alias("__uri"),
+        F.flatten(
+            F.array(*[F.coalesce(F.col(c), F.array()) for c in label_cols])
+        ).alias("__labels"),
+    )
+    exploded = records.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode_outer(uri_col).alias("__pos", "__uri"),
+    )
+    joined = exploded.join(_maybe_broadcast(ent, broadcast_lookup), "__uri", "left")
+    # unmatched URIs join to NULL labels; coalesce before collecting, since
+    # flatten() of an array containing NULL elements is NULL. Sorting by the
+    # original position keeps the reference's per-record URI iteration order.
+    gathered = joined.groupBy("__rid").agg(
+        F.array_distinct(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(F.col("__pos"), F.lit(0)).alias("__pos"),
+                            F.coalesce(F.col("__labels"), F.array()).alias("__labels"),
+                        )
+                    )
+                )["__labels"]
+            )
+        ).alias(out_col)
+    )
+    return records.join(
+        gathered.withColumnRenamed("__rid", id_col), id_col, "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.array()))
+
+
+def geocode_locations(
+    records: DataFrame,
+    cache: DataFrame,
+    location_col: str,
+    cache_key: str = "location",
+    cache_wkt: str = "wkt",
+    wkt_out: str = "location_geo",
+    center_out: str = "center_coords",
+    broadcast_lookup: bool = True,
+) -> DataFrame:
+    """Join the geocode cache and derive center coordinates from the WKT.
+
+    The reference's term-simplification retries happen at cache-fill time;
+    the steady-state hot path is exactly this lookup (uriCache semantics).
+    """
+    c = cache.select(
+        F.col(cache_key).alias("__loc"), F.col(cache_wkt).alias(wkt_out)
+    )
+    out = records.join(
+        _maybe_broadcast(c, broadcast_lookup),
+        F.col(location_col) == F.col("__loc"),
+        "left",
+    ).drop("__loc")
+    return out.withColumn(
+        center_out,
+        F.when(
+            F.col(wkt_out).isNotNull(), GEO.center_coordinates(F.col(wkt_out))
+        ).otherwise(F.lit("")),
+    )
+
+
+def resolve_links(
+    records: DataFrame,
+    targets: DataFrame,
+    link_col: str,
+    source_col: str = "source_id",
+    id_prefix_col: str | None = None,
+    target_source: str = "source_id",
+    target_linking: str = "linking_id",
+    target_id: str = "_id",
+    out_col: str = "resolved_id",
+    broadcast_lookup: bool = True,
+) -> DataFrame:
+    """MARC $w resolution: (source_id, link) → stored id, else prefixed id.
+
+    targets[target_linking] may be array<string> (a record's alternative
+    linking ids) or a scalar; arrays are exploded into the lookup.
+    """
+    t = targets
+    from pyspark.sql import types as T
+
+    if isinstance(t.schema[target_linking].dataType, T.ArrayType):
+        t = t.select(
+            F.col(target_source).alias("__tsrc"),
+            F.explode(target_linking).alias("__tlink"),
+            F.col(target_id).alias("__tid"),
+        )
+    else:
+        t = t.select(
+            F.col(target_source).alias("__tsrc"),
+            F.col(target_linking).alias("__tlink"),
+            F.col(target_id).alias("__tid"),
+        )
+    t = t.dropDuplicates(["__tsrc", "__tlink"])
+    joined = records.join(
+        _maybe_broadcast(t, broadcast_lookup),
+        (F.col(source_col) == F.col("__tsrc")) & (F.col(link_col) == F.col("__tlink")),
+        "left",
+    )
+    prefix = (
+        F.col(id_prefix_col)
+        if id_prefix_col
+        else F.col(source_col)
+    )
+    return joined.withColumn(
+        out_col,
+        F.coalesce(F.col("__tid"), F.concat(prefix, F.lit("."), F.col(link_col))),
+    ).drop("__tsrc", "__tlink", "__tid")
+
+
+def enrich_authors(
+    records: DataFrame,
+    authorities: DataFrame,
+    author_id_col: str,
+    auth_id: str = "auth_id",
+    variants_col: str = "variant_names",
+    out_col: str = "author_variant",
+    broadcast_lookup: bool = True,
+) -> DataFrame:
+    """Author-id → authority variant names (AuthEnrichment semantics)."""
+    a = authorities.select(
+        F.col(auth_id).alias("__aid"),
+        F.coalesce(F.col(variants_col), F.array()).alias(out_col),
+    )
+    out = records.join(
+        _maybe_broadcast(a, broadcast_lookup),
+        F.col(author_id_col) == F.col("__aid"),
+        "left",
+    ).drop("__aid")
+    return out.withColumn(out_col, F.coalesce(F.col(out_col), F.array()))

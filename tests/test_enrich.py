@@ -1,0 +1,104 @@
+"""Enrichment join tests (Skosmos offline / geocode cache / $w resolution)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recordmanager_spark.operators import enrich as E
+
+
+def _entities(spark):
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("pref_labels", T.ArrayType(T.StringType())),
+            T.StructField("alt_labels", T.ArrayType(T.StringType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            ("urn:c:1", ["Cats", "Katter"], ["Felines"]),
+            ("urn:c:2", ["Dogs"], None),
+        ],
+        schema,
+    )
+
+
+def test_enrich_with_entities(spark):
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["urn:c:1", "urn:c:2"]),
+            ("r2", ["urn:c:1", "urn:missing"]),
+            ("r3", []),
+            ("r4", None),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("topic_uris", T.ArrayType(T.StringType())),
+            ]
+        ),
+    )
+    out = {
+        r.id: r.topic_add
+        for r in E.enrich_with_entities(
+            recs, _entities(spark), "id", "topic_uris"
+        ).collect()
+    }
+    assert out["r1"] == ["Cats", "Katter", "Felines", "Dogs"]
+    assert out["r2"] == ["Cats", "Katter", "Felines"]
+    assert out["r3"] == []
+    assert out["r4"] == []
+
+
+def test_geocode_locations(spark):
+    cache = spark.createDataFrame(
+        [("helsinki", "ENVELOPE(24.0, 26.0, 61.0, 60.0)")], ["location", "wkt"]
+    )
+    recs = spark.createDataFrame(
+        [("r1", "helsinki"), ("r2", "nowhere")], ["id", "loc"]
+    )
+    out = {r.id: r for r in E.geocode_locations(recs, cache, "loc").collect()}
+    assert out["r1"].location_geo == "ENVELOPE(24.0, 26.0, 61.0, 60.0)"
+    assert out["r1"].center_coords == "25 60.5"
+    assert out["r2"].location_geo is None
+    assert out["r2"].center_coords == ""
+
+
+def test_resolve_links_array_linking(spark):
+    targets = spark.createDataFrame(
+        [("src1", ["12", "(FOO)12"], "src1.12"), ("src1", ["99"], "src1.99")],
+        T.StructType(
+            [
+                T.StructField("source_id", T.StringType()),
+                T.StructField("linking_id", T.ArrayType(T.StringType())),
+                T.StructField("_id", T.StringType()),
+            ]
+        ),
+    )
+    recs = spark.createDataFrame(
+        [("src1", "(FOO)12"), ("src1", "77"), ("src2", "12")],
+        ["source_id", "w"],
+    )
+    out = E.resolve_links(recs, targets, "w").collect()
+    got = {(r.source_id, r.w): r.resolved_id for r in out}
+    assert got[("src1", "(FOO)12")] == "src1.12"  # resolved via alt linking id
+    assert got[("src1", "77")] == "src1.77"  # unresolved -> prefixed
+    assert got[("src2", "12")] == "src2.12"  # wrong source -> no match
+
+
+def test_enrich_authors(spark):
+    auth = spark.createDataFrame(
+        [("a1", ["Variant One", "Variantti Yksi"])],
+        T.StructType(
+            [
+                T.StructField("auth_id", T.StringType()),
+                T.StructField("variant_names", T.ArrayType(T.StringType())),
+            ]
+        ),
+    )
+    recs = spark.createDataFrame([("r1", "a1"), ("r2", "a9")], ["id", "aid"])
+    out = {r.id: r.author_variant for r in E.enrich_authors(recs, auth, "aid").collect()}
+    assert out["r1"] == ["Variant One", "Variantti Yksi"]
+    assert out["r2"] == []
