@@ -31,6 +31,7 @@ from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
 from recordmanager_spark.operators import enrich as EN
 from recordmanager_spark.operators import normalize as NZ
+from recordmanager_spark.sources import splitter as SP
 from recordmanager_spark.operators import (
     count_values as CV,
     dedup as DD,
@@ -704,6 +705,29 @@ def geocode_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Splitter flatMap (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def xml_split_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """recordXPath-style split: one XML doc → N component rows via explode."""
+    c = _t(spark, sf, "customer")
+    xml = F.format_string(
+        "<records><record><id>a%s</id></record>"
+        "<record><id>b%s</id></record></records>",
+        F.col("c_custkey").cast("string"),
+        F.col("c_custkey").cast("string"),
+    )
+    split = SP.make_xpath_splitter("record", "id")
+    out = SP.explode_parts(
+        c.select("c_custkey", xml.alias("xml")),
+        split(F.col("xml")),
+        keep=["c_custkey"],
+    )
+    return out.select("c_custkey", "part_id", "sequence")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_topics_nation": enrich_topics_nation,
         "link_resolution_lineitem": link_resolution_lineitem,
         "geocode_customers": geocode_customers,
+        "xml_split_customers": xml_split_customers,
         "allfields_customer": allfields_customer,
         "normalize_fields_docs": normalize_fields_docs,
         "regexp_mapping_orders": regexp_mapping_orders,
@@ -1073,6 +1098,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS center_coords
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
+        "xml_split_customers": """
+            SELECT c_custkey, part_id, sequence
+            FROM customer, (VALUES ('a', 1), ('b', 2)) AS t(prefix, sequence)
+            ORDER BY c_custkey, sequence
+        """.replace("part_id", "prefix || CAST(c_custkey AS VARCHAR) AS part_id"),
         "id_sort_keys": """
             SELECT c_custkey,
                    CASE WHEN regexp_matches(c_name, '^\\w*(\\d+)$')
