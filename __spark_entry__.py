@@ -31,6 +31,7 @@ from recordmanager_spark.functions import keys as K
 from recordmanager_spark.functions import text as TX
 from recordmanager_spark.operators import enrich as EN
 from recordmanager_spark.operators import normalize as NZ
+from recordmanager_spark.operators import multimodal as MM
 from recordmanager_spark.sources import splitter as SP
 from recordmanager_spark.operators import (
     count_values as CV,
@@ -728,6 +729,32 @@ def xml_split_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (Arrow streaming).
+
+    Payloads are documents' text bytes; the deterministic fake feature is
+    the first 8 sha256 digest bytes / 255, so the oracle can recompute the
+    whole vector from hex — the Spark-side batch plumbing is the real path.
+    """
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
+    )
+    feats = MM.extract_features(d)
+    return feats.select(
+        "id",
+        "sha256",
+        "byte_len",
+        F.transform(
+            "feature", lambda x: F.round(x * 255).cast("int")
+        ).alias("feature_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -763,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resolution_lineitem": link_resolution_lineitem,
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
+        "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
         "normalize_fields_docs": normalize_fields_docs,
         "regexp_mapping_orders": regexp_mapping_orders,
@@ -1103,6 +1131,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer, (VALUES ('a', 1), ('b', 2)) AS t(prefix, sequence)
             ORDER BY c_custkey, sequence
         """.replace("part_id", "prefix || CAST(c_custkey AS VARCHAR) AS part_id"),
+        "multimodal_features": """
+            SELECT doc_id AS id,
+                   sha256(text) AS sha256,
+                   CAST(strlen(text) AS INT) AS byte_len,
+                   list_transform(range(1, 9),
+                       i -> CAST(('0x' || substr(sha256(text), (i-1)*2+1, 2)) AS INT)
+                   ) AS feature_bytes
+            FROM documents
+        """,
         "id_sort_keys": """
             SELECT c_custkey,
                    CASE WHEN regexp_matches(c_name, '^\\w*(\\d+)$')

@@ -31,12 +31,21 @@ BENCH_QUERIES = [
     "group_merge_orders",
     "dedup_er",
     "events_hourly_rollup",
+    # extraction / mapping / enrichment / split
+    "dc_extract",
+    "value_mapping_orders",
+    "field_rules_orders",
+    "link_resolution_lineitem",
+    "enrich_topics_nation",
+    "xml_split_customers",
+    "normalize_fields_docs",
     # training-data extensions
     "exact_dup_docs",
     "minhash_near_dup",
     "simhash_near_dup",
     "knn_bruteforce",
     "text_quality",
+    "multimodal_features",
 ]
 
 

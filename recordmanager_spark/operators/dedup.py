@@ -339,7 +339,25 @@ def deduplicate(
     """End-to-end dedup: records (with key columns) -> (id, dedup_id).
 
     dedup_id is the smallest member id of the group; null for singletons.
+
+    The record lineage feeds four consumers (key explode, two verification
+    sides, the one-per-source pass); persist the pruned projection once so
+    upstream extraction work is not recomputed 4x — at scale this is the
+    difference between one pass over the corpus and four.
     """
+    proj_cols = {id_col, source_col}
+    proj_cols.update(key_cols or ["isbn_keys", "id_keys", "title_keys"])
+    proj_cols.update(
+        verify_fields
+        or [
+            "format", "access_restrictions", "isbn", "unique_ids", "issn",
+            "publish_year", "page_count", "series_issn", "series_numbering",
+            "title", "author",
+        ]
+    )
+    records = records.select(
+        *[c for c in records.columns if c in proj_cols]
+    ).persist()
     pairs = blocking_pairs(
         records,
         key_cols or ["isbn_keys", "id_keys", "title_keys"],
@@ -350,4 +368,11 @@ def deduplicate(
     edges = verified_edges(records, pairs, id_col, verify_fields)
     comps = connected_components(edges)
     comps = enforce_one_per_source(comps, records, id_col, source_col)
-    return comps.withColumnRenamed("component", "dedup_id")
+    out = comps.withColumnRenamed("component", "dedup_id")
+    # materialize before unpersisting so callers get the cached benefit.
+    # Note: localCheckpoint RDDs (the tiny (id, dedup_id) label sets) stay
+    # resident for the session — negligible for batch jobs; a long-lived
+    # service should clear them via SparkContext.getPersistentRDDs.
+    out = out.localCheckpoint(eager=True)
+    records.unpersist()
+    return out

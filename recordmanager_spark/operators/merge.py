@@ -77,8 +77,13 @@ def merge_groups(
         pairs = F.collect_list(
             F.struct(F.col("__rank").alias("r"), F.col(f).alias("v"))
         )
+        # NULL member arrays must not poison the flatten (flatten of an
+        # array containing NULL is NULL -> a group of all-null values
+        # should merge to [], not NULL)
         ordered = F.flatten(
-            F.transform(F.array_sort(pairs), lambda p: p["v"])
+            F.transform(
+                F.array_sort(pairs), lambda p: F.coalesce(p["v"], F.array())
+            )
         )
         aggs.append(array_iunique(F.filter(ordered, lambda x: x.isNotNull())).alias(f))
     for f in single_fields:

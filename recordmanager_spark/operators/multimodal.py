@@ -60,7 +60,9 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
+            # NULL payloads (missing media) hash as empty bytes instead of
+            # killing the stage
+            payloads = pdf[payload_col].map(lambda b: b if b is not None else b"")
             out = pd.DataFrame(
                 {
                     "id": pdf["id"],

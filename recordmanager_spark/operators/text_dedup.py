@@ -224,8 +224,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Shape: explode distinct tokens -> one groupBy(id) with 60 conditional
     sums (all map-side combinable). Bit masks are Python-int literals so
-    the whole thing stays in codegen; one shuffle on id."""
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"))
+    the whole thing stays in codegen; one shuffle on id.
+
+    Tokens come from the same canonical normalization as the other dedup
+    fingerprints (punctuation stripped), so 'dog today!' == 'dog today'."""
+    toks = F.array_distinct(
+        F.split(normalize_for_fingerprint(F.col(text_col)), "\\s+")
+    )
     tok_df = df.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).withColumn("h", _token_hash60(F.col("tok")))
