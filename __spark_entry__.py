@@ -319,6 +319,91 @@ def dedup_er(spark: SparkSession, sf: str) -> DataFrame:
     return out.where(F.col("dedup_id").isNotNull()).select("id", "dedup_id")
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: dirty rows re-derived against the full key index.
+
+    Source b records with pk%7==3 arrive dirty on top of a prior full
+    assignment computed without them; the incremental result must equal the
+    full recompute (dedup_er's oracle restricted to the same universe).
+    """
+    records = _synthetic_records(spark, sf)
+    records = DD.with_dedup_keys(records, "title", "author", isbn_col=None)
+    records = records.withColumn("isbn_keys", F.col("isbn"))
+    dirty_cond = (F.col("source_id") == "b") & (
+        F.pmod(F.regexp_extract("_id", "(\\d+)$", 1).cast("long"), F.lit(7)) == 3
+    )
+    prior = DD.deduplicate(
+        records.where(~dirty_cond), key_cols=["title_keys", "isbn_keys"]
+    )
+    dirty = records.withColumn("update_needed", dirty_cond)
+    out = DD.deduplicate_incremental(
+        dirty, prior, key_cols=["title_keys", "isbn_keys"]
+    )
+    return out.where(F.col("dedup_id").isNotNull()).select("id", "dedup_id")
+
+
+def component_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Component-part dedup: duplicate hosts whose sorted component lists
+    pairwise-match get their aligned components grouped."""
+    from pyspark.sql import Window as W
+
+    sel = _t(spark, sf, "orders").where(F.pmod(F.col("o_orderkey"), F.lit(5)) == 0)
+    # the synthetic lineitem repeats (orderkey, linenumber); derive a unique
+    # deterministic per-order position instead
+    pos_w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .join(sel.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("__pos", F.row_number().over(pos_w))
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.lpad(F.col("__pos").cast("string"), 2, "0").alias("ln"),
+            F.col("l_partkey"),
+        )
+    )
+    hosts = sel.select(
+        F.concat(F.lit("a.h"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("a").alias("source_id"),
+        F.concat(F.lit("g"), F.col("o_orderkey").cast("string")).alias("dedup_id"),
+    ).unionByName(
+        sel.select(
+            F.concat(F.lit("b.h"), F.col("o_orderkey").cast("string")).alias("_id"),
+            F.lit("b").alias("source_id"),
+            F.concat(F.lit("g"), F.col("o_orderkey").cast("string")).alias("dedup_id"),
+        )
+    )
+
+    def comp_side(src: str) -> DataFrame:
+        perturb = (
+            (F.pmod(F.col("k"), F.lit(10)) == 5) & (F.col("ln") == "01")
+            if src == "b"
+            else F.lit(False)
+        )
+        empty = F.array().cast("array<string>")
+        return li.select(
+            F.format_string(f"{src}.c%sx%s", F.col("k").cast("string"), F.col("ln")).alias("_id"),
+            F.lit(src).alias("source_id"),
+            F.concat(F.lit(f"{src}.h"), F.col("k").cast("string")).alias("host_id"),
+            F.concat(F.lit("part "), F.col("l_partkey").cast("string")).alias("title"),
+            F.lit("author x").alias("author"),
+            F.lit("marc").alias("format"),
+            F.lit(None).cast("string").alias("access_restrictions"),
+            empty.alias("isbn"),
+            empty.alias("unique_ids"),
+            empty.alias("issn"),
+            F.when(perturb, F.lit("1999")).otherwise(F.lit("2000")).alias("publish_year"),
+            F.lit(100).alias("page_count"),
+            F.lit(None).cast("string").alias("series_issn"),
+            F.lit(None).cast("string").alias("series_numbering"),
+        )
+
+    comps = comp_side("a").unionByName(comp_side("b"))
+    out = DD.dedup_component_parts(hosts, comps)
+    return out.where(F.col("dedup_id").isNotNull()).select("id", "dedup_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis + scalar function library (§2.7 + training-data extensions)
 # ---------------------------------------------------------------------------
@@ -780,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_component_merge": host_component_merge,
         "group_merge_orders": group_merge_orders,
         "dedup_er": dedup_er,
+        "dedup_incremental": dedup_incremental,
+        "component_dedup": component_dedup,
         "marc_extract": marc_extract,
         "dc_extract": dc_extract,
         "value_mapping_orders": value_mapping_orders,
@@ -960,6 +1047,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'a.' || pk AS id, 'a.' || pk AS dedup_id FROM m
             UNION ALL
             SELECT 'b.' || pk AS id, 'a.' || pk AS dedup_id FROM m
+        """,
+        "dedup_incremental": """
+            -- incremental == full recompute on the same universe
+            WITH m AS (
+                SELECT p_partkey AS pk FROM part
+                WHERE pk % 10 NOT IN (0, 5, 7))
+            SELECT 'a.' || pk AS id, 'a.' || pk AS dedup_id FROM m
+            UNION ALL
+            SELECT 'b.' || pk AS id, 'a.' || pk AS dedup_id FROM m
+        """,
+        "component_dedup": """
+            WITH li AS (
+                SELECT l_orderkey AS k,
+                       lpad(CAST(row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                       ) AS VARCHAR), 2, '0') AS ln
+                FROM lineitem
+                WHERE l_orderkey % 5 = 0
+            ), good AS (
+                SELECT DISTINCT k FROM li WHERE k % 10 <> 5
+            )
+            SELECT 'a.c' || k || 'x' || ln AS id,
+                   'a.c' || k || 'x' || ln AS dedup_id
+            FROM li WHERE k IN (SELECT k FROM good)
+            UNION ALL
+            SELECT 'b.c' || k || 'x' || ln,
+                   'a.c' || k || 'x' || ln
+            FROM li WHERE k IN (SELECT k FROM good)
         """,
         "title_keys_docs": """
             WITH w AS (

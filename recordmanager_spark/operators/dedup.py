@@ -376,3 +376,195 @@ def deduplicate(
     out = out.localCheckpoint(eager=True)
     records.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Component-part dedup (DedupHandler.php:1255-1372)
+# ---------------------------------------------------------------------------
+
+
+def component_part_edges(
+    hosts: DataFrame,
+    components: DataFrame,
+    host_id_col: str = "_id",
+    comp_id_col: str = "_id",
+    comp_host_col: str = "host_id",
+    source_col: str = "source_id",
+    dedup_col: str = "dedup_id",
+    verify_fields: list[str] | None = None,
+) -> DataFrame:
+    """Match edges between component parts of duplicate hosts.
+
+    Reference semantics: for two hosts in the same dedup group (different
+    sources), sort each host's components by id sort key; if the lists have
+    equal length AND every aligned pair passes matchRecords, each aligned
+    pair becomes a duplicate pair. Batch shape: position-align components
+    with a window, join on (host pair, position), verify pairwise, then
+    keep only host pairs where matched == len1 == len2.
+    """
+    from ..functions.keys import create_id_sort_key
+
+    h = hosts.where(F.col(dedup_col).isNotNull()).select(
+        F.col(host_id_col).alias("hid"),
+        F.col(source_col).alias("hsrc"),
+        F.col(dedup_col).alias("hdedup"),
+    )
+    host_pairs = (
+        h.alias("h1")
+        .join(
+            h.alias("h2"),
+            (F.col("h1.hdedup") == F.col("h2.hdedup"))
+            & (F.col("h1.hsrc") != F.col("h2.hsrc"))
+            & (F.col("h1.hid") < F.col("h2.hid")),
+        )
+        .select(F.col("h1.hid").alias("host_a"), F.col("h2.hid").alias("host_b"))
+    )
+
+    w = Window.partitionBy(comp_host_col).orderBy(
+        create_id_sort_key(F.col(comp_id_col)), F.col(comp_id_col)
+    )
+    comp = components.withColumn("__pos", F.row_number().over(w))
+    counts = comp.groupBy(F.col(comp_host_col).alias("__h")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+
+    fields = verify_fields or [
+        "format", "access_restrictions", "isbn", "unique_ids", "issn",
+        "publish_year", "page_count", "series_issn", "series_numbering",
+        "title", "author",
+    ]
+    proj = comp.select(
+        F.col(comp_id_col).alias("id"),
+        F.col(comp_host_col).alias("host"),
+        F.col("__pos"),
+        *[f for f in fields if f in comp.columns],
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    aligned = (
+        host_pairs.join(a, F.col("a.host") == F.col("host_a"))
+        .join(
+            b,
+            (F.col("b.host") == F.col("host_b"))
+            & (F.col("a.__pos") == F.col("b.__pos")),
+        )
+    )
+    verified = aligned.withColumn("__ok", match_condition("a", "b"))
+    per_pair = (
+        verified.groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("__aligned"), F.sum(F.col("__ok").cast("int")).alias("__okn"))
+        .join(counts.withColumnRenamed("__h", "host_a").withColumnRenamed("__n", "__na"), "host_a")
+        .join(counts.withColumnRenamed("__h", "host_b").withColumnRenamed("__n", "__nb"), "host_b")
+        .where(
+            (F.col("__na") == F.col("__nb"))
+            & (F.col("__okn") == F.col("__na"))
+            & (F.col("__aligned") == F.col("__na"))
+        )
+        .select("host_a", "host_b")
+    )
+    return (
+        verified.join(per_pair, ["host_a", "host_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
+def dedup_component_parts(
+    hosts: DataFrame,
+    components: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Component-part dedup: returns (id, dedup_id) for component records.
+
+    dedup_id = smallest member id (consistent with ``deduplicate``);
+    components whose host pairs don't fully match stay ungrouped (the
+    reference's zero-marked cleanup path)."""
+    edges = component_part_edges(hosts, components, **kwargs)
+    comps = connected_components(edges)
+    src_col = kwargs.get("source_col", "source_id")
+    id_col = kwargs.get("comp_id_col", "_id")
+    comps = enforce_one_per_source(comps, components, id_col, src_col)
+    return comps.withColumnRenamed("component", "dedup_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (Command/Records/Deduplicate.php:216-317 semantics)
+# ---------------------------------------------------------------------------
+
+
+def deduplicate_incremental(
+    records: DataFrame,
+    existing: DataFrame,
+    dirty_col: str = "update_needed",
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    key_cols: list[str] | None = None,
+    verify_fields: list[str] | None = None,
+    candidates_per_key: int = 101,
+) -> DataFrame:
+    """Re-dedup only dirty rows against the full key index.
+
+    ``existing`` is the prior (id, dedup_id) assignment. Semantics match
+    the reference's per-record re-evaluation: a dirty record's old links
+    are discarded and re-derived from scratch; clean records keep their
+    mutual grouping (expressed as star edges to the smallest CLEAN member
+    of each prior group, so a dirty ex-member can't transitively hold a
+    group together).
+
+    Scale shape: blocking explodes only the dirty rows' keys and probes the
+    full key index with a broadcast-able dirty side — the 100 TB corpus is
+    scanned once for the index, not self-joined.
+    """
+    key_cols = key_cols or ["isbn_keys", "id_keys", "title_keys"]
+    ids = records.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(dirty_col).alias("dirty"),
+        *[k for k in key_cols if k in records.columns],
+    )
+    exploded = [
+        ids.select("id", "source", "dirty", F.explode(F.col(k)).alias("key"))
+        for k in key_cols
+        if k in ids.columns
+    ]
+    keys = reduce(lambda x, y: x.unionByName(y), exploded).where(F.col("key") != "")
+    w = Window.partitionBy("key").orderBy(F.col("id"))
+    keys = (
+        keys.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= candidates_per_key)
+        .drop("__rn")
+    )
+    dirty_keys = keys.where(F.col("dirty"))
+    pairs = (
+        dirty_keys.alias("d")
+        .join(
+            keys.alias("k"),
+            (F.col("d.key") == F.col("k.key"))
+            & (F.col("d.source") != F.col("k.source"))
+            & (F.col("d.id") != F.col("k.id")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("k.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("k.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    new_edges = verified_edges(records, pairs, id_col, verify_fields)
+
+    # prior groups among CLEAN members only, as star edges to the group's
+    # smallest clean member
+    clean = ids.where(~F.col("dirty")).select("id")
+    prior = (
+        existing.withColumnRenamed(id_col, "id")
+        if id_col in existing.columns
+        else existing
+    )
+    prior_clean = prior.where(F.col("dedup_id").isNotNull()).join(clean, "id")
+    rep = prior_clean.groupBy("dedup_id").agg(F.min("id").alias("__rep"))
+    prior_edges = (
+        prior_clean.join(rep, "dedup_id")
+        .where(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+
+    comps = connected_components(new_edges.unionByName(prior_edges))
+    comps = enforce_one_per_source(comps, records, id_col, source_col)
+    return comps.withColumnRenamed("component", "dedup_id")

@@ -1,0 +1,172 @@
+"""Component-part dedup + incremental dedup tests (DedupHandler.php:1255-1372,
+Command/Records/Deduplicate.php incremental semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recordmanager_spark.operators import dedup as DD
+
+_EMPTY = []
+
+
+def _rec(id, src, title, author="author x", fmt="marc", year="2000", pages=100,
+         isbn=None, host=None, dirty=False):
+    return (
+        id, src, title, author, fmt, None, isbn or [], [], [],
+        year, pages, None, None, host, dirty,
+    )
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("access_restrictions", T.StringType()),
+        T.StructField("isbn", T.ArrayType(T.StringType())),
+        T.StructField("unique_ids", T.ArrayType(T.StringType())),
+        T.StructField("issn", T.ArrayType(T.StringType())),
+        T.StructField("publish_year", T.StringType()),
+        T.StructField("page_count", T.IntegerType()),
+        T.StructField("series_issn", T.StringType()),
+        T.StructField("series_numbering", T.StringType()),
+        T.StructField("host_id", T.StringType()),
+        T.StructField("update_needed", T.BooleanType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_component_part_dedup_full_match(spark):
+    hosts = spark.createDataFrame(
+        [("a.h1", "a", "g1"), ("b.h1", "b", "g1"), ("a.h2", "a", None)],
+        ["_id", "source_id", "dedup_id"],
+    )
+    comps = _df(
+        spark,
+        [
+            _rec("a.c1", "a", "part one", host="a.h1"),
+            _rec("a.c2", "a", "part two", host="a.h1"),
+            _rec("b.c1", "b", "part one", host="b.h1"),
+            _rec("b.c2", "b", "part two", host="b.h1"),
+        ],
+    )
+    out = {
+        r.id: r.dedup_id
+        for r in DD.dedup_component_parts(hosts, comps).collect()
+    }
+    # aligned pairs matched -> each pair grouped
+    assert out["a.c1"] == out["b.c1"] is not None
+    assert out["a.c2"] == out["b.c2"] is not None
+    assert out["a.c1"] != out["a.c2"]
+
+
+def test_component_part_dedup_count_mismatch(spark):
+    hosts = spark.createDataFrame(
+        [("a.h1", "a", "g1"), ("b.h1", "b", "g1")],
+        ["_id", "source_id", "dedup_id"],
+    )
+    comps = _df(
+        spark,
+        [
+            _rec("a.c1", "a", "part one", host="a.h1"),
+            _rec("a.c2", "a", "part two", host="a.h1"),
+            _rec("b.c1", "b", "part one", host="b.h1"),  # only 1 component
+        ],
+    )
+    out = DD.dedup_component_parts(hosts, comps).collect()
+    assert all(r.dedup_id is None for r in out)
+
+
+def test_component_part_dedup_one_bad_pair_rejects_host(spark):
+    hosts = spark.createDataFrame(
+        [("a.h1", "a", "g1"), ("b.h1", "b", "g1")],
+        ["_id", "source_id", "dedup_id"],
+    )
+    comps = _df(
+        spark,
+        [
+            _rec("a.c1", "a", "part one", host="a.h1"),
+            _rec("a.c2", "a", "part two", year="2000", host="a.h1"),
+            _rec("b.c1", "b", "part one", host="b.h1"),
+            _rec("b.c2", "b", "part two", year="1999", host="b.h1"),  # reject
+        ],
+    )
+    out = DD.dedup_component_parts(hosts, comps).collect()
+    assert all(r.dedup_id is None for r in out)
+
+
+def _base_records(spark):
+    rows = [
+        _rec("a.1", "a", "shared title one"),
+        _rec("b.1", "b", "shared title one"),
+        _rec("a.2", "a", "shared title two"),
+        _rec("b.2", "b", "shared title two"),
+        _rec("a.3", "a", "lonely record"),
+    ]
+    df = _df(spark, rows)
+    df = DD.with_dedup_keys(df, "title", "author", isbn_col=None)
+    return df.withColumn("id_keys", F.array().cast("array<string>")).withColumn(
+        "isbn_keys", F.array().cast("array<string>")
+    )
+
+
+def test_incremental_matches_full(spark):
+    recs = _base_records(spark)
+    full = {r.id: r.dedup_id for r in DD.deduplicate(recs).collect()}
+    # prior state: groups computed without b.2 (it arrives dirty)
+    prior_recs = recs.where(F.col("_id") != "b.2")
+    prior = DD.deduplicate(prior_recs)
+    dirty = recs.withColumn("update_needed", F.col("_id") == "b.2")
+    inc = {
+        r.id: r.dedup_id
+        for r in DD.deduplicate_incremental(dirty, prior).collect()
+    }
+    for k, v in inc.items():
+        assert full.get(k) == v, (k, v, full.get(k))
+    # the new arrival joined its group
+    assert inc["b.2"] == inc["a.2"] is not None
+
+
+def test_incremental_dirty_record_leaves_group(spark):
+    recs = _base_records(spark)
+    prior = DD.deduplicate(recs)
+    # b.1's title changes so it no longer matches a.1
+    changed = recs.withColumn(
+        "title",
+        F.when(F.col("_id") == "b.1", F.lit("entirely different now")).otherwise(
+            F.col("title")
+        ),
+    )
+    changed = DD.with_dedup_keys(changed, "title", "author", isbn_col=None)
+    dirty = changed.withColumn("update_needed", F.col("_id") == "b.1")
+    inc = {
+        r.id: r.dedup_id
+        for r in DD.deduplicate_incremental(dirty, prior).collect()
+    }
+    assert inc.get("b.1") is None  # left the group
+    assert inc.get("a.1") is None  # group dissolved below 2 members
+    assert inc["a.2"] == inc["b.2"] is not None  # untouched group survives
+
+
+def test_ignore_keys_block_poison(spark):
+    recs = _df(
+        spark,
+        [
+            _rec("a.1", "a", "annual report"),
+            _rec("b.1", "b", "annual report"),
+        ],
+    )
+    keyed = DD.with_dedup_keys(recs, "title", "author", isbn_col=None)
+    poison = keyed.select(F.element_at("title_keys", 1)).collect()[0][0]
+    blocked = DD.with_dedup_keys(
+        recs, "title", "author", isbn_col=None, ignore_keys=[poison]
+    )
+    assert blocked.select(F.size("title_keys")).collect()[0][0] == 0
