@@ -554,6 +554,23 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def work_keys_marc(spark: SparkSession, sf: str) -> DataFrame:
+    """Work-id keys (UT/AT) synthesized from the same MARC round-trip."""
+    c = _t(spark, sf, "customer")
+    raw = F.format_string(
+        '{"leader":"00000cam a22000004i 4500","fields":['
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Writer, W."}]}},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"%s :"},{"b":"a test record /"}]}}]}',
+        F.col("c_name"),
+    )
+    parsed = c.select("c_custkey", MARC.parse_marc_in_json(raw).alias("marc"))
+    return parsed.select(
+        "c_custkey",
+        F.element_at(MARC.work_keys(F.col("marc")), 1).alias("work_key"),
+        F.size(MARC.work_keys(F.col("marc"))).alias("n_keys"),
+    )
+
+
 def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     """DC XML round-trip through the xpath-based extractor (Record/Dc.php)."""
     c = _t(spark, sf, "customer")
@@ -868,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
+        "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
@@ -1111,6 +1129,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1990 + c_custkey % 10 AS VARCHAR) AS publish_year,
                    CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
                    'eng' AS lang1
+            FROM customer
+        """,
+        "work_keys_marc": """
+            SELECT c_custkey,
+                   'AT writerw ' ||
+                   regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+                   || 'atestrecord' AS work_key,
+                   1 AS n_keys
             FROM customer
         """,
         "dc_extract": """

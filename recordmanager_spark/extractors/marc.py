@@ -417,3 +417,120 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             "allfields": marc_allfields(m),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Work identification keys (Record/Marc.php:1173-1361 + SolrUpdater:2172-2233)
+# ---------------------------------------------------------------------------
+
+_WORK_AUTHOR_SPECS = [
+    ("100", ["a", "b"], False),
+    ("110", ["a", "b"], False),
+    ("111", ["a", "c"], False),
+    ("700", ["a", "b"], True),
+    ("710", ["a", "b"], True),
+    ("711", ["a", "c"], True),
+]
+
+_WORK_TITLE_SPECS = {
+    # tag -> (extra subfields, non-filing indicator: 1|2|None)
+    "130": (["n", "p"], 1),
+    "730": (["n", "p"], 1),
+    "240": (["n", "p", "m", "r"], 2),
+    "245": (["b", "n"], 2),
+    "246": (["b", "n"], None),
+    "247": (["b", "n"], 2),
+}
+
+
+def _work_authors(marc: Column, alt: bool) -> Column:
+    parts = []
+    for tag, subs, skip_analytical in _WORK_AUTHOR_SPECS:
+        flds = fields_by_tag(marc, tag)
+        if skip_analytical:
+            # analytical entries (ind2 == '2') form separate work-id sets;
+            # excluded by default like work_keys_from_analytical_entries=false
+            flds = F.filter(flds, lambda f: F.coalesce(f["ind2"], F.lit(" ")) != "2")
+        if alt:
+            vals = linked_alt_values(marc, tag, subs)
+        else:
+            vals = F.filter(
+                F.transform(flds, lambda f: subfield_join(f, subs)),
+                lambda v: v != "",
+            )
+        parts.append(vals)
+    return F.concat(*parts)
+
+
+def _work_titles(marc: Column, alt: bool) -> Column:
+    """Array of struct(uniform boolean, value string) title entries."""
+    parts = []
+    for tag, (extra, nonfiling_ind) in _WORK_TITLE_SPECS.items():
+        uniform = tag in ("130", "730")
+        if alt:
+            raw_vals = F.slice(linked_alt_values(marc, tag, ["a"] + extra), 1, 1)
+            vals = raw_vals
+        else:
+            fld = F.element_at(fields_by_tag(marc, tag), 1)
+            a = F.coalesce(F.element_at(_sub_values(fld, ["a"]), 1), F.lit(""))
+            rest = subfield_join(fld, extra)
+            title = F.when(rest != "", F.concat(a, F.lit(" "), rest)).otherwise(a)
+            if nonfiling_ind is not None:
+                ind = F.coalesce(
+                    fld["ind1" if nonfiling_ind == 1 else "ind2"], F.lit(" ")
+                )
+                nf = F.when(ind.rlike("^[1-9]$"), ind.cast("int")).otherwise(0)
+                stripped = F.when(nf > 0, F.substring(title, nf + 1, 100000)).otherwise(title)
+            else:
+                stripped = title
+            # stripped first, original too when they differ
+            vals = F.filter(
+                F.when(
+                    stripped != title, F.array(stripped, title)
+                ).otherwise(F.array(stripped)),
+                lambda v: v != "",
+            )
+        parts.append(
+            F.transform(
+                vals,
+                lambda v: F.struct(
+                    F.lit(uniform).alias("uniform"), v.alias("value")
+                ),
+            )
+        )
+    return F.concat(*parts)
+
+
+def work_keys(marc: Column) -> Column:
+    """'UT <title>' / 'AT <author> <title>' work keys, main + alt-script.
+
+    Uniform titles key alone; other titles cross with every author
+    (work_keys_from_all_authors default). All values pass normalizeKey.
+    Pure array expressions — the cross product happens per record in the
+    JVM with no join.
+    """
+
+    def keys_for(authors: Column, titles: Column) -> Column:
+        ut = F.transform(
+            F.filter(titles, lambda t: t["uniform"]),
+            lambda t: F.concat(F.lit("UT "), K.normalize_key(t["value"])),
+        )
+        at = F.flatten(
+            F.transform(
+                F.filter(titles, lambda t: ~t["uniform"]),
+                lambda t: F.transform(
+                    authors,
+                    lambda a: F.concat(
+                        F.lit("AT "),
+                        K.normalize_key(a),
+                        F.lit(" "),
+                        K.normalize_key(t["value"]),
+                    ),
+                ),
+            )
+        )
+        return F.concat(ut, at)
+
+    main = keys_for(_work_authors(marc, False), _work_titles(marc, False))
+    alt = keys_for(_work_authors(marc, True), _work_titles(marc, True))
+    return F.array_distinct(F.concat(main, alt))
