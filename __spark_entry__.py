@@ -495,6 +495,18 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.knn_bruteforce(e, q, "vec_id", "embedding", k=5)
 
 
+def knn_ivf_full(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with every cell probed == exhaustive search: checkable exactly.
+
+    (The approximate configuration n_probe << n_cells is exercised with a
+    recall bound in tests/test_ivf_preview.py.)"""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return SIM.knn_ivf(
+        e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=16
+    )
+
+
 def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
@@ -910,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
+        "knn_ivf_full": knn_ivf_full,
         "knn_lsh": knn_lsh,
         "embedding_neardup": embedding_neardup,
     }
@@ -1371,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
                              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
                 FROM d a JOIN d b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2
+        """,
+        "knn_ivf_full": """
+            -- full-probe IVF is exhaustive: same result as brute force
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            s AS (SELECT query_id, neighbor_id,
+                         round(list_cosine_similarity(qv, cv), 6) AS cosine
+                  FROM q, c WHERE query_id <> neighbor_id),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+                  FROM s)
+            SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+            FROM r WHERE rnk <= 5
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -80,41 +80,38 @@ def allfields(df: DataFrame, columns: list[str] | None = None) -> Column:
     return array_iunique(F.concat(*parts))
 
 
-_ASCII_RE = "^[\\x00-\\x7F]*$"
+def _nfkc_one(v):
+    # str.isascii is a C-level check; NFKC is identity on ASCII, so the
+    # fast path costs one flag test per string. (A JVM-side when/otherwise
+    # guard would NOT help: Spark extracts Python UDFs out of CASE branches
+    # and evaluates them unconditionally — and nesting them in conditional
+    # branches can even fail codegen on complex inputs.)
+    if isinstance(v, str) and not v.isascii():
+        return unicodedata.normalize("NFKC", v)
+    return v
 
 
 @pandas_udf(T.StringType())
 def _nfkc(values: pd.Series) -> pd.Series:
-    return values.map(
-        lambda v: unicodedata.normalize("NFKC", v) if isinstance(v, str) else v
-    )
+    return values.map(_nfkc_one)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def _nfkc_arr(values: pd.Series) -> pd.Series:
     return values.map(
-        lambda arr: None
-        if arr is None
-        else [
-            unicodedata.normalize("NFKC", v) if isinstance(v, str) else v
-            for v in arr
-        ]
+        lambda arr: None if arr is None else [_nfkc_one(v) for v in arr]
     )
 
 
 def normalize_unicode(col: Column) -> Column:
-    """NFKC-normalize, skipping pure-ASCII strings JVM-side (the fast path)."""
-    is_ascii = col.rlike(_ASCII_RE)
-    return F.when(col.isNull() | is_ascii, col).otherwise(_nfkc(col))
+    """NFKC-normalize a string column (ASCII fast path inside the UDF)."""
+    return _nfkc(col)
 
 
 def normalize_unicode_array(col: Column) -> Column:
     """NFKC over array<string>. Python UDFs can't appear inside higher-order
-    lambdas, so the UDF takes the whole array; a JVM ``exists`` pre-check
-    keeps all-ASCII arrays (the vast majority at scale) off the Python path.
-    """
-    needs = F.exists(col, lambda v: ~v.rlike(_ASCII_RE))
-    return F.when(col.isNull() | ~needs, col).otherwise(_nfkc_arr(col))
+    lambdas, so the UDF takes the whole array."""
+    return _nfkc_arr(col)
 
 
 def _limit_for(field: str, limits: dict[str, int]) -> int | None:
@@ -135,8 +132,20 @@ def normalize_fields(
     limits: dict[str, int] | None = None,
     non_indexed: list[str] | None = None,
     unicode_normalize: bool = True,
+    barrier: bool = False,
 ) -> DataFrame:
-    """The normalizeFields pass over string / array<string> columns."""
+    """The normalizeFields pass over string / array<string> columns.
+
+    ``barrier=True`` inserts a streaming Arrow identity pass before the
+    NFKC UDFs. Required when the input columns are *derived expressions*
+    containing higher-order aggregates (e.g. straight off the MARC
+    extractor without materializing): Spark cannot extract a Python UDF
+    from a projection whose input subtree holds lambda functions, and
+    fails with INTERNAL_ERROR at runtime. Plain table columns (the normal
+    pre-sink case, where extraction was persisted first) don't need it.
+    """
+    if barrier and unicode_normalize:
+        df = df.mapInArrow(lambda batches: batches, df.schema)
     limits = limits or {}
     non_indexed = non_indexed or []
     cols = columns or [

@@ -180,3 +180,126 @@ def embedding_near_duplicates(
         F.round(cosine_similarity(F.col("x.vec"), F.col("y.vec")), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer — the trained-index scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    kmeans_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assignments).
+
+    Centroids seed deterministically from the lowest-id vectors, then
+    refine with a few Lloyd iterations (each: one broadcast join + one
+    groupBy-mean — map-side combinable). Assignment is argmin cosine
+    distance via a broadcast join, so the corpus never shuffles; only the
+    tiny (id, cell) assignment does. Returns
+    (centroids(cell, c_vec), assign(id, cell)).
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus_n = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_d, lambda x: x / _norm(vec_d)).alias("vec"),
+    )
+    centroids = (
+        corpus_n.orderBy("id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("cell"),
+            F.col("vec").alias("c_vec"),
+        )
+    ).localCheckpoint(eager=True)
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = corpus_n.join(F.broadcast(cents)).withColumn(
+            "__sim", _dot(F.col("vec"), F.col("c_vec"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("cell"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "cell", "vec")
+        )
+
+    assigned = assign(centroids)
+    dim = len(corpus.select(vec_col).first()[0])
+    for _ in range(kmeans_iters):
+        # Lloyd update: mean of member vectors per cell (renormalized)
+        sums = assigned.groupBy("cell").agg(
+            F.array(*[
+                F.avg(F.element_at("vec", i + 1)) for i in range(dim)
+            ]).alias("c_vec")
+        )
+        centroids = sums.select(
+            "cell",
+            F.transform(
+                F.col("c_vec"),
+                lambda x: x / F.sqrt(
+                    F.aggregate(F.col("c_vec"), F.lit(0.0), lambda a, v: a + v * v)
+                ),
+            ).alias("c_vec"),
+        ).localCheckpoint(eager=True)
+        assigned = assign(centroids)
+    return centroids, assigned.select("id", "cell")
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF top-k: probe the n_probe nearest cells per query, exact-score
+    only those cells' members. Candidate volume ~ corpus * n_probe/n_cells.
+
+    Returns (query_id, neighbor_id, cosine, rank) like knn_bruteforce.
+    """
+    centroids, assigned = ivf_assign(corpus, id_col, vec_col, n_cells)
+    members = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(
+        assigned.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.join(F.broadcast(centroids.withColumnRenamed("c_vec", "cent"))).withColumn(
+        "__sim",
+        _dot(
+            F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+            F.col("cent"),
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    cands = probes.join(members, "cell")
+    if not include_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
