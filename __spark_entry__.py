@@ -576,10 +576,11 @@ def work_keys_marc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name"),
     )
     parsed = c.select("c_custkey", MARC.parse_marc_in_json(raw).alias("marc"))
+    wk = MARC.work_keys(F.col("marc"))  # Column reuse: build the tree once
     return parsed.select(
         "c_custkey",
-        F.element_at(MARC.work_keys(F.col("marc")), 1).alias("work_key"),
-        F.size(MARC.work_keys(F.col("marc"))).alias("n_keys"),
+        F.element_at(wk, 1).alias("work_key"),
+        F.size(wk).alias("n_keys"),
     )
 
 

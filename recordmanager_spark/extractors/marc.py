@@ -337,12 +337,22 @@ def marc_allfields(marc: Column) -> Column:
     return F.filter(vals, lambda v: v != "")
 
 
+# Building the ~30-column expression tree costs tens of seconds of py4j
+# round trips; Column objects are immutable and reusable across DataFrames
+# in the same JVM, so the map is built once per (marc_col, id_prefix).
+_SOLR_COLS_CACHE: dict = {}
+
+
 def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None = None) -> DataFrame:
     """Project a parsed-MARC DataFrame into the wide Solr-array schema.
 
     Columns follow Record/Marc.php:267-596; each is a JVM expression over the
     struct column so Catalyst prunes unused ones when callers select less.
     """
+    cache_key = (marc_col, id_prefix)
+    cached = _SOLR_COLS_CACHE.get(cache_key)
+    if cached is not None:
+        return df.withColumns(cached)
     m = F.col(marc_col)
     local_id = control_value(m, "001")
     rec_id = (
@@ -353,8 +363,8 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
         (GET_BOTH, "700", ["a", "b", "c", "d"]),
     ]
     corp_spec = [(GET_BOTH, "110", ["a", "b"]), (GET_BOTH, "710", ["a", "b"])]
-    return df.withColumns(
-        {
+    publish_year = marc_publish_year(m)
+    cols = {
             "id": rec_id,
             "record_format": F.lit("marc"),
             "lccn": F.trim(get_field_subfields(m, "010", ["a"])),
@@ -388,9 +398,9 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             "publisher": get_fields_subfields(
                 m, [(GET_NORMAL, "260", ["b"]), (GET_NORMAL, "264", ["b"])]
             ),
-            "publish_year": marc_publish_year(m),
+            "publish_year": publish_year,
             "publishDate": F.when(
-                marc_publish_year(m).isNotNull(), F.array(marc_publish_year(m))
+                publish_year.isNotNull(), F.array(publish_year)
             ).otherwise(F.array()),
             "physical": get_fields_subfields(
                 m, [(GET_NORMAL, "300", ["a", "b", "c", "e", "f", "g"])]
@@ -416,7 +426,8 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             "building": get_fields_subfields(m, [(GET_NORMAL, "852", ["b"])], split_subfields=True),
             "allfields": marc_allfields(m),
         }
-    )
+    _SOLR_COLS_CACHE[cache_key] = cols
+    return df.withColumns(cols)
 
 
 # ---------------------------------------------------------------------------
