@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from recordmanager_spark.extractors import dc as DC
+from recordmanager_spark.extractors import ead as EAD
 from recordmanager_spark.extractors import marc as MARC
 from recordmanager_spark.plans import mapping as MP
+from recordmanager_spark.plans import filter_dsl as FDSL
 from recordmanager_spark.plans.filter_dsl import apply_query
 from recordmanager_spark.functions import callnumbers as CN
 from recordmanager_spark.functions import geo as GEO
@@ -566,6 +568,47 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ead_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EAD component extraction via namespace-agnostic xpath expressions."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    xml = F.format_string(
+        '<c01 level="file" id="c%s"><did><unittitle>%s</unittitle>'
+        "<repository><corpname>Lib%s</corpname></repository>"
+        "<physdesc><extent>%s boxes</extent></physdesc></did>"
+        "<controlaccess><persname>Person, P%s</persname>"
+        "<subject>Topic%s</subject></controlaccess>"
+        "<scopecontent><p>About %s.</p><p>More.</p></scopecontent></c01>",
+        k, F.col("s_name"), F.col("s_nationkey").cast("string"),
+        k, k, F.pmod(F.col("s_suppkey"), F.lit(5)).cast("string"), F.col("s_name"),
+    )
+    df = s.select("s_suppkey", xml.alias("part_xml"))
+    out = EAD.to_solr_columns(
+        df, archive_id_col=None, archive_title_col=None, sequence_col=None
+    )
+    return out.select(
+        "s_suppkey",
+        "ctrlnum",
+        "level",
+        "title_short",
+        "title_sort",
+        "institution",
+        "description",
+        F.element_at("author", 1).alias("author1"),
+        F.element_at("topic", 1).alias("topic1"),
+        F.element_at("physical", 1).alias("physical1"),
+    )
+
+
+def suppression_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """suppressOnField: value-list and /regex/ filters drop records."""
+    o = _t(spark, sf, "orders")
+    cond = FDSL.suppressed_condition(
+        o, {"o_orderstatus": "F", "o_orderpriority": "/^1-/"}
+    )
+    return o.where(~cond).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
 def work_keys_marc(spark: SparkSession, sf: str) -> DataFrame:
     """Work-id keys (UT/AT) synthesized from the same MARC round-trip."""
     c = _t(spark, sf, "customer")
@@ -898,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
+        "ead_extract": ead_extract,
+        "suppression_filter": suppression_filter,
         "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
         "value_mapping_orders": value_mapping_orders,
@@ -1144,6 +1189,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
                    'eng' AS lang1
             FROM customer
+        """,
+        "ead_extract": """
+            SELECT s_suppkey,
+                   'c' || CAST(s_suppkey AS VARCHAR) AS ctrlnum,
+                   'file' AS level,
+                   s_name AS title_short,
+                   lower(regexp_replace(s_name, '[^a-zA-Z0-9]+', ' ', 'g')) AS title_sort,
+                   'Lib' || CAST(s_nationkey AS VARCHAR) AS institution,
+                   'About ' || s_name || '.   /   More.' AS description,
+                   'Person, P' || CAST(s_suppkey AS VARCHAR) AS author1,
+                   'Topic' || CAST(s_suppkey % 5 AS VARCHAR) AS topic1,
+                   CAST(s_suppkey AS VARCHAR) || ' boxes' AS physical1
+            FROM supplier
+        """,
+        "suppression_filter": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' OR o_orderpriority LIKE '1-%')
         """,
         "work_keys_marc": """
             SELECT c_custkey,

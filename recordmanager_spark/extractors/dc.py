@@ -95,8 +95,8 @@ def to_solr_columns(
     if validate:
         x = F.when(well_formed_xml(x), F.col(xml_col))
     title = K.strip_trailing_punctuation(F.trim(_el(x, "title")))
-    identifiers = F.transform(_els(x, "identifier"), F.trim)
-    descriptions = F.transform(_els(x, "description"), F.trim)
+    identifiers = F.transform(_els(x, "identifier"), lambda v: F.trim(v))
+    descriptions = F.transform(_els(x, "description"), lambda v: F.trim(v))
     urls = F.concat(
         F.filter(identifiers, lambda v: v.rlike("^https?")),
         F.filter(descriptions, lambda v: v.rlike("^https?")),

@@ -175,3 +175,44 @@ def apply_query(
     if projection:
         out = out.select(*projection)
     return out
+
+
+def suppressed_condition(df, filters: dict[str, str]):
+    """suppressOnField predicate (Record/AbstractRecord.php:446-477).
+
+    ``filters`` maps a projected field to either '/regex/' (match any
+    value) or a pipe-separated value list. True = record is suppressed.
+    Works over scalar and array<string> columns; missing fields never
+    suppress (reference's ``continue``).
+    """
+    from pyspark.sql import types as T
+
+    cond = F.lit(False)
+    for field, flt in filters.items():
+        if field not in df.columns:
+            continue
+        is_re = flt.startswith("/") and (flt.endswith("/") or flt.endswith("/i"))
+        # bind via closure factory, NOT lambda default args: pyspark counts
+        # default parameters when deciding the higher-order-function arity
+        # and would pass (value, index)
+        if is_re:
+            pat = flt[1 : flt.rindex("/")]
+            if flt.endswith("/i"):
+                pat = "(?i)" + pat
+
+            def make_test(p):
+                return lambda v: v.rlike(p)
+
+            test = make_test(pat)
+        else:
+
+            def make_test_in(a):
+                return lambda v: v.isin(*a)
+
+            test = make_test_in(tuple(flt.split("|")))
+        if isinstance(df.schema[field].dataType, T.ArrayType):
+            hit = F.exists(F.coalesce(F.col(field), F.array()), test)
+        else:
+            hit = F.coalesce(test(F.col(field)), F.lit(False))
+        cond = cond | hit
+    return cond
