@@ -35,6 +35,7 @@ from recordmanager_spark.operators import enrich as EN
 from recordmanager_spark.operators import normalize as NZ
 from recordmanager_spark.operators import multimodal as MM
 from recordmanager_spark.sources import splitter as SP
+from recordmanager_spark.sources import upsert as UP
 from recordmanager_spark.operators import (
     count_values as CV,
     dedup as DD,
@@ -568,6 +569,46 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO-style last-write-wins upsert (StoreRecordTrait parity).
+
+    Store = orders with okey%3!=0; batch = orders with okey%2==0 and a
+    rewritten status. Matched rows take batch values and keep created;
+    new rows stamp created=updated=ts; untouched rows pass through.
+    """
+    o = _t(spark, sf, "orders")
+    t0 = _ts("2020-01-01")
+    existing = o.where(F.pmod(F.col("o_orderkey"), F.lit(3)) != 0).select(
+        F.concat(F.lit("o."), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(t0).alias("created"),
+        F.lit(t0).alias("updated"),
+        F.lit(t0).alias("date"),
+    )
+    batch = o.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0).select(
+        F.concat(F.lit("o."), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.concat(F.lit("NEW-"), F.col("o_orderstatus")).alias("status"),
+    )
+    out = UP.upsert_records(existing, batch, _ts("2021-06-01"))
+    return out.select("_id", "status", "created", "updated")
+
+
+def copy_down_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy fields from the merged doc back to every member (SolrUpdater
+    :2718-2737): members inherit the group's merged topic union."""
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("o."), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.col("o_custkey").alias("grp"),
+        F.array(F.col("o_orderpriority")).alias("topics"),
+    )
+    merged = MG.merge_groups(o, "grp", "_id", merged_fields=["topics"])
+    members = o.withColumnRenamed("_id", "member_id")
+    out = MG.copy_down(members, merged, "grp", "_id", ["topics"])
+    return out.select(
+        "member_id", "grp", F.col("topics").alias("group_topics")
+    )
+
+
 def ead_extract(spark: SparkSession, sf: str) -> DataFrame:
     """EAD component extraction via namespace-agnostic xpath expressions."""
     s = _t(spark, sf, "supplier")
@@ -942,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
         "ead_extract": ead_extract,
+        "upsert_orders": upsert_orders,
+        "copy_down_merged": copy_down_merged,
         "suppression_filter": suppression_filter,
         "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
@@ -1189,6 +1232,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
                    'eng' AS lang1
             FROM customer
+        """,
+        "upsert_orders": """
+            SELECT 'o.' || CAST(o_orderkey AS VARCHAR) AS _id,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 'NEW-' || o_orderstatus
+                        ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 3 <> 0 THEN TIMESTAMP '2020-01-01'
+                        ELSE TIMESTAMP '2021-06-01' END AS created,
+                   CASE WHEN o_orderkey % 2 = 0 THEN TIMESTAMP '2021-06-01'
+                        ELSE TIMESTAMP '2020-01-01' END AS updated
+            FROM orders
+            WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+        """,
+        "copy_down_merged": """
+            WITH m AS (
+                SELECT 'o.' || CAST(o_orderkey AS VARCHAR) AS id,
+                       o_custkey AS grp, o_orderpriority AS p
+                FROM orders
+            ), ord AS (
+                SELECT grp, p, row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+                FROM m
+            ), dd AS (
+                SELECT grp, p, min(rn) AS mrn FROM ord GROUP BY grp, p
+            ), agg AS (
+                SELECT grp, list(p ORDER BY mrn) AS group_topics FROM dd GROUP BY grp
+            )
+            SELECT m.id AS member_id, m.grp, agg.group_topics
+            FROM m JOIN agg USING (grp)
         """,
         "ead_extract": """
             SELECT s_suppkey,
