@@ -99,3 +99,51 @@ def streaming_events(
             F.sum("value").alias("total_value"),
         )
     )
+
+
+def dedup_new_or_changed(
+    stream: DataFrame,
+    id_col: str = "_id",
+    hash_col: str = "content_hash",
+):
+    """Stateful streaming dedup: emit a record only when its content hash
+    is new or changed since the last emission for that id.
+
+    The reference's upsert skips unchanged records per id
+    (StoreRecordTrait.php:193-229 compares stored vs incoming payload);
+    this is that behavior as a custom stateful operator —
+    ``applyInPandasWithState`` keyed by record id, state = last hash.
+    State is partitioned by id across executors, so cardinality scales
+    with the cluster; late re-deliveries of identical payloads are
+    suppressed exactly once per change.
+    """
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    out_schema = f"{id_col} string, {hash_col} string, is_new boolean"
+    state_schema = "last_hash string"
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for h in pdf[hash_col]:
+                if h != last:
+                    rows.append((key[0], h, last is None))
+                    last = h
+        if last is not None:
+            state.update((last,))
+        if rows:
+            import pandas as pd
+
+            yield pd.DataFrame(rows, columns=[id_col, hash_col, "is_new"])
+
+    return (
+        stream.groupBy(id_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

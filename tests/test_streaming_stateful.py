@@ -1,0 +1,60 @@
+"""Stateful streaming dedup test: applyInPandasWithState change detection."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from recordmanager_spark.streaming.pipeline import dedup_new_or_changed
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def test_streaming_dedup_new_or_changed(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two new records
+    spark.createDataFrame(
+        [("A", "h1"), ("B", "h1")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = dedup_new_or_changed(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r._id, r.content_hash, r.is_new)
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        assert ("A", "h1", True) in first and ("B", "h1", True) in first
+
+        # batch 2: A unchanged (suppressed), B changed, C new
+        spark.createDataFrame(
+            [("A", "h1"), ("B", "h2"), ("C", "h1")], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = [
+            (r._id, r.content_hash, r.is_new)
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        ]
+        assert ("B", "h2", False) in rows  # changed, not new
+        assert ("C", "h1", True) in rows  # new id
+        # A's unchanged redelivery was suppressed: only one A row ever
+        assert sum(1 for r in rows if r[0] == "A") == 1
+    finally:
+        q.stop()
