@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from recordmanager_spark.extractors import dc as DC
 from recordmanager_spark.extractors import ead as EAD
+from recordmanager_spark.extractors import lido as LIDO
 from recordmanager_spark.extractors import marc as MARC
 from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans import filter_dsl as FDSL
@@ -569,6 +570,37 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """LIDO museum-object extraction via xpath expressions."""
+    p = _t(spark, sf, "part")
+    year = (F.lit(1800) + F.pmod(F.col("p_partkey"), F.lit(200))).cast("string")
+    xml = F.format_string(
+        "<lido><titleWrap><titleSet><appellationValue>%s</appellationValue></titleSet></titleWrap>"
+        "<objectWorkTypeWrap><objectWorkType><term>%s</term></objectWorkType></objectWorkTypeWrap>"
+        "<legalBodyName><appellationValue>Museum %s</appellationValue></legalBodyName>"
+        "<eventWrap><event>"
+        "<eventActor><actorInRole><actor><nameActorSet><appellationValue>Maker, M%s</appellationValue></nameActorSet></actor></actorInRole></eventActor>"
+        "<eventDate><displayDate>%s</displayDate></eventDate>"
+        "<eventMaterialsTech><materialsTech><termMaterialsTech><term>%s</term></termMaterialsTech></materialsTech></eventMaterialsTech>"
+        "</event></eventWrap>"
+        "<recordWrap><recordID>L%s</recordID></recordWrap></lido>",
+        F.col("p_name"), F.col("p_type"), F.col("p_brand"),
+        F.col("p_partkey").cast("string"), year, F.col("p_brand"),
+        F.col("p_partkey").cast("string"),
+    )
+    out = LIDO.to_solr_columns(p.select("p_partkey", xml.alias("xml")), "xml")
+    return out.select(
+        "p_partkey",
+        "title",
+        "format",
+        "institution",
+        F.element_at("author", 1).alias("author1"),
+        F.element_at("era", 1).alias("display_date"),
+        F.element_at("material", 1).alias("material1"),
+        "ctrlnum",
+    )
+
+
 def upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO-style last-write-wins upsert (StoreRecordTrait parity).
 
@@ -983,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
         "ead_extract": ead_extract,
+        "lido_extract": lido_extract,
         "upsert_orders": upsert_orders,
         "copy_down_merged": copy_down_merged,
         "suppression_filter": suppression_filter,
@@ -1232,6 +1265,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
                    'eng' AS lang1
             FROM customer
+        """,
+        "lido_extract": """
+            SELECT p_partkey,
+                   p_name AS title,
+                   p_type AS format,
+                   'Museum ' || p_brand AS institution,
+                   'Maker, M' || CAST(p_partkey AS VARCHAR) AS author1,
+                   CAST(1800 + p_partkey % 200 AS VARCHAR) AS display_date,
+                   p_brand AS material1,
+                   'L' || CAST(p_partkey AS VARCHAR) AS ctrlnum
+            FROM part
         """,
         "upsert_orders": """
             SELECT 'o.' || CAST(o_orderkey AS VARCHAR) AS _id,

@@ -1,0 +1,67 @@
+"""LIDO extractor golden test."""
+
+from __future__ import annotations
+
+from recordmanager_spark.extractors import lido
+
+LIDO1 = """<lido xmlns="http://www.lido-schema.org">
+  <descriptiveMetadata>
+    <objectClassificationWrap>
+      <objectWorkTypeWrap><objectWorkType><term>Painting</term></objectWorkType></objectWorkTypeWrap>
+    </objectClassificationWrap>
+    <objectIdentificationWrap>
+      <titleWrap>
+        <titleSet><appellationValue>The Starry Meadow</appellationValue></titleSet>
+        <titleSet><appellationValue>Alt Title</appellationValue></titleSet>
+      </titleWrap>
+      <repositoryWrap>
+        <repositorySet><repositoryName><legalBodyName><appellationValue>City Museum</appellationValue></legalBodyName></repositoryName></repositorySet>
+      </repositoryWrap>
+      <objectDescriptionWrap>
+        <objectDescriptionSet><descriptiveNoteValue>A lovely meadow scene.</descriptiveNoteValue></objectDescriptionSet>
+      </objectDescriptionWrap>
+    </objectIdentificationWrap>
+    <eventWrap>
+      <eventSet><event>
+        <eventActor><actorInRole><actor><nameActorSet><appellationValue>Painter, Paula</appellationValue></nameActorSet></actor></actorInRole></eventActor>
+        <eventDate><displayDate>1899</displayDate></eventDate>
+        <eventPlace><place><namePlaceSet><appellationValue>Helsinki</appellationValue></namePlaceSet></place></eventPlace>
+        <eventMaterialsTech><materialsTech><termMaterialsTech><term>oil on canvas</term></termMaterialsTech></materialsTech></eventMaterialsTech>
+      </event></eventSet>
+    </eventWrap>
+    <objectRelationWrap>
+      <subjectWrap><subjectSet><subject><subjectConcept><term>landscape</term></subjectConcept></subject></subjectSet></subjectWrap>
+    </objectRelationWrap>
+  </descriptiveMetadata>
+  <administrativeMetadata>
+    <recordWrap><recordID>LIDO-77</recordID></recordWrap>
+    <resourceWrap><resourceSet><resourceRepresentation>
+      <linkResource>https://img.example/77.jpg</linkResource>
+    </resourceRepresentation></resourceSet></resourceWrap>
+  </administrativeMetadata>
+</lido>"""
+
+
+def test_lido_extract(spark):
+    df = spark.createDataFrame([(LIDO1,)], "xml string")
+    r = lido.to_solr_columns(df).collect()[0]
+    assert r.title == "The Starry Meadow"
+    assert r.title_sort.lower().startswith("starry meadow")  # article stripped
+    assert r.title_alt == ["Alt Title"]
+    assert r.format == "Painting"
+    assert r.institution == "City Museum"
+    assert r.author == ["Painter, Paula"]
+    assert r.author_sort == "Painter, Paula"
+    assert r.era == ["1899"]
+    assert r.geographic == ["Helsinki"]
+    assert r.material == ["oil on canvas"]
+    assert r.topic == ["landscape"]
+    assert r.ctrlnum == "LIDO-77"
+    assert r.thumbnail == "https://img.example/77.jpg"
+    assert r.description == "A lovely meadow scene."
+
+
+def test_lido_malformed(spark):
+    df = spark.createDataFrame([("<lido",), (None,)], "xml string")
+    out = lido.to_solr_columns(df).collect()
+    assert all(r.title == "" for r in out)
