@@ -192,6 +192,14 @@ def count_values_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return CV.count_values(d, "tok")
 
 
+def count_values_mapped(spark: SparkSession, sf: str) -> DataFrame:
+    """countValues --mapped: tally after running the mapping table."""
+    m = MP.parse_map_file(
+        "status_map", "O = Open\nF = Finished\n##default = Other"
+    )
+    return CV.count_mapped_values(_t(spark, sf, "orders"), "o_orderstatus", m)
+
+
 def deletion_antijoin(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders").select("o_orderkey")
     seen = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
@@ -1004,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_values_lang": count_values_lang,
         "count_values_event_type": count_values_event_type,
         "count_values_tokens": count_values_tokens,
+        "count_values_mapped": count_values_mapped,
         "deletion_antijoin": deletion_antijoin,
         "incremental_changed": incremental_changed,
         "events_hourly_rollup": events_hourly_rollup,
@@ -1132,6 +1141,12 @@ def oracle_sql() -> dict[str, str]:
               AND ts <= TIMESTAMP '2024-01-20 00:00:00'
             ORDER BY ts, event_id
             LIMIT 100 OFFSET 50
+        """,
+        "count_values_mapped": """
+            SELECT CASE o_orderstatus WHEN 'O' THEN 'Open'
+                        WHEN 'F' THEN 'Finished' ELSE 'Other' END AS value,
+                   count(*) AS count
+            FROM orders GROUP BY 1 ORDER BY count DESC, value ASC
         """,
         "count_values_lang": """
             SELECT lang AS value, count(*) AS count

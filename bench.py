@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     # extraction / mapping / enrichment / split
     "dc_extract",
+    "ead_extract",
+    "lido_extract",
+    "upsert_orders",
+    "copy_down_merged",
+    "suppression_filter",
     "value_mapping_orders",
     "field_rules_orders",
     "link_resolution_lineitem",

@@ -30,3 +30,24 @@ def count_values(df: DataFrame, field: str, descending: bool = True) -> DataFram
         F.col("value").asc(),
     ]
     return out.orderBy(*order)
+
+
+def count_mapped_values(
+    df: DataFrame, field: str, mapping, descending: bool = True
+) -> DataFrame:
+    """countValues over the MAPPED form of a field (--mapped mode of
+    Command/Records/CountValues.php): values run through the source's
+    mapping table before tallying, so the frequency table reflects what
+    the index would see."""
+    from ..plans.mapping import map_array_column
+
+    col = df.schema[field].dataType
+    arr = (
+        F.col(field)
+        if isinstance(col, T.ArrayType)
+        else F.when(F.col(field).isNotNull(), F.array(F.col(field))).otherwise(
+            F.array()
+        )
+    )
+    mapped = df.select(map_array_column(arr, mapping).alias("__mapped"))
+    return count_values(mapped, "__mapped", descending)
