@@ -54,3 +54,23 @@ def test_normalized_empty_if_identical(spark):
     )
     out = {r._id: r.normalized_data for r in UP.normalize_empty_if_identical(df).collect()}
     assert out == {"r1": "", "r2": "<y/>", "r3": ""}
+
+
+def test_xslt_gate():
+    """XSLT is gated on lxml: clear driver-side error when unavailable,
+    working transform when present (Utils/XslTransformation.php analogue)."""
+    from recordmanager_spark.sources import transforms
+
+    if transforms.xslt_available():
+        udf = transforms.make_xslt_udf(
+            '<xsl:stylesheet version="1.0" '
+            'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:template match="/"><out/></xsl:template></xsl:stylesheet>'
+        )
+        assert udf is not None
+    else:
+        try:
+            transforms.make_xslt_udf("<xsl/>")
+            raise AssertionError("expected RuntimeError without lxml")
+        except RuntimeError as e:
+            assert "lxml" in str(e)
