@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from recordmanager_spark.extractors import dc as DC
 from recordmanager_spark.extractors import ead as EAD
 from recordmanager_spark.extractors import lido as LIDO
+from recordmanager_spark.extractors import qdc as QDC
 from recordmanager_spark.extractors import marc as MARC
 from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans import filter_dsl as FDSL
@@ -578,6 +579,30 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qdc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Qualified-DC extraction: typed alternative titles + issn identifiers."""
+    c = _t(spark, sf, "customer")
+    xml = F.format_string(
+        "<qdc><recordID>q%s</recordID>"
+        "<title>%s : qualified</title>"
+        '<title type="alternative">Alias %s</title>'
+        '<identifier type="issn">1234-567%s</identifier>'
+        "<creator>Author, A.</creator><type>Text</type></qdc>",
+        F.col("c_custkey").cast("string"), F.col("c_name"),
+        F.col("c_custkey").cast("string"),
+        F.pmod(F.col("c_custkey"), F.lit(10)).cast("string"),
+    )
+    out = QDC.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
+    return out.select(
+        "c_custkey",
+        "id",
+        "title_short",
+        "title_sub",
+        F.element_at("title_alt", 1).alias("alt1"),
+        F.element_at("issn", 1).alias("issn1"),
+    )
+
+
 def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
     """LIDO museum-object extraction via xpath expressions."""
     p = _t(spark, sf, "part")
@@ -1025,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_extract": marc_extract,
         "ead_extract": ead_extract,
         "lido_extract": lido_extract,
+        "qdc_extract": qdc_extract,
         "upsert_orders": upsert_orders,
         "copy_down_merged": copy_down_merged,
         "suppression_filter": suppression_filter,
@@ -1279,6 +1305,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1990 + c_custkey % 10 AS VARCHAR) AS publish_year,
                    CAST((c_custkey % 500) + 1 AS INTEGER) AS page_count,
                    'eng' AS lang1
+            FROM customer
+        """,
+        "qdc_extract": """
+            SELECT c_custkey,
+                   'q' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS title_short,
+                   'qualified' AS title_sub,
+                   'Alias ' || CAST(c_custkey AS VARCHAR) AS alt1,
+                   '1234-567' || CAST(c_custkey % 10 AS VARCHAR) AS issn1
             FROM customer
         """,
         "lido_extract": """

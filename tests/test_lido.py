@@ -65,3 +65,36 @@ def test_lido_malformed(spark):
     df = spark.createDataFrame([("<lido",), (None,)], "xml string")
     out = lido.to_solr_columns(df).collect()
     assert all(r.title == "" for r in out)
+
+
+QDC1 = """<qualifieddc>
+  <recordID>q-5</recordID>
+  <title>Main : with sub</title>
+  <title type="alternative">Other Name</title>
+  <creator>Maker, M.</creator>
+  <identifier type="issn">1234-5678</identifier>
+  <identifier>978-0-12-345678-6</identifier>
+  <identifier>https://x.example/q5</identifier>
+  <description>Primary desc.</description>
+  <description>Secondary.</description>
+  <type>Text</type>
+  <language>eng</language>
+</qualifieddc>"""
+
+
+def test_qdc_extract(spark):
+    from recordmanager_spark.extractors import qdc
+
+    df = spark.createDataFrame([(QDC1,)], "xml string")
+    r = qdc.to_solr_columns(df).collect()[0]
+    assert r.id == "q-5"
+    assert r.title == "Main : with sub"
+    assert r.title_short == "Main"
+    assert r.title_sub == "with sub"
+    assert r.title_alt == ["Other Name"]
+    assert r.issn == ["1234-5678"]
+    assert r.isbn == ["9780123456786"]
+    assert r.url == ["https://x.example/q5"]
+    assert r.description == "Primary desc."
+    assert r.contents == ["Primary desc.", "Secondary."]
+    assert r.author == ["Maker, M."]
