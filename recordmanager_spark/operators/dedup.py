@@ -246,15 +246,49 @@ def verified_edges(
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over undirected edges (id_a, id_b).
 
-    Returns (id, component) where component = min id reachable. Dedup
-    graphs have tiny diameter (groups of 2-10 records), so this converges
-    in 2-4 iterations; each iteration is one join + one groupBy on the
-    current labels. ``localCheckpoint`` truncates the lineage so the plan
-    does not grow exponentially across iterations.
+    Returns (id, component) where component = min id reachable.
+
+    Adaptive strategy: the verified-match edge set is tiny relative to the
+    corpus (even 10^9 records rarely verify more than 10^7-10^8 pairs), so
+    when it fits ``driver_threshold`` rows the components come from a
+    driver-side union-find — one collect, zero iterative jobs. Beyond the
+    threshold, distributed min-label propagation: dedup graphs have tiny
+    diameter (groups of 2-10 records), so it converges in 2-4 iterations;
+    each iteration is one join + one groupBy on the current labels, with
+    ``localCheckpoint`` truncating lineage.
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id string, component string")
+    if n_edges <= driver_threshold:
+        pairs = edges.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                # min id becomes the root so component = smallest member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = set()
+        for r in pairs:
+            members.add(r.id_a)
+            members.add(r.id_b)
+        rows = [(m, find(m)) for m in members]
+        return edges.sparkSession.createDataFrame(rows, "id string, component string")
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
