@@ -220,3 +220,110 @@ def enrich_authors(
         "left",
     ).drop("__aid")
     return out.withColumn(out_col, F.coalesce(F.col(out_col), F.array()))
+
+
+def enrich_music_ids(
+    records: DataFrame,
+    mb_lookup: DataFrame,
+    id_col: str = "_id",
+    title_col: str = "title_short",
+    music_ids_col: str = "music_ids",
+    pub_numbers_col: str = "publisher_numbers",
+    out_col: str = "mbid_str_mv",
+    broadcast_lookup: bool = True,
+) -> DataFrame:
+    """MusicBrainz-id enrichment (Enrichment/MusicBrainzEnrichment.php:78-140).
+
+    records[music_ids] is array<struct<type,value>>; types map isrc→isrc,
+    upc/ismn/ian→catno (title-guarded), musicb→reid; others drop.
+    records[publisher_numbers] is array<struct<source,value>>: the
+    source-qualified catalog number matches unguarded; the bare number is
+    the fallback and requires a title match — per number, the qualified
+    match wins when present.
+
+    mb_lookup: (id_type, id_value, title, mbid); NULL title = no guard.
+    Offline-join form of the reference's rate-limited HTTP queries: the
+    lookup broadcasts, the record side stays narrow plus one gather.
+    """
+    from ..functions.keys import normalize_key
+
+    mb = mb_lookup.select(
+        F.col("id_type").alias("__t"),
+        F.col("id_value").alias("__v"),
+        F.col("title").alias("__mbtitle"),
+        F.col("mbid").alias("__mbid"),
+    )
+    mb = _maybe_broadcast(mb, broadcast_lookup)
+
+    base = records.select(
+        F.col(id_col).alias("__rid"),
+        F.col(title_col).alias("__title"),
+        F.col(music_ids_col).alias("__mids"),
+        F.col(pub_numbers_col).alias("__pnums"),
+    )
+
+    # music ids: type mapping + guard flag
+    mids = base.select(
+        "__rid", "__title", F.explode_outer("__mids").alias("__m")
+    ).select(
+        "__rid",
+        "__title",
+        F.when(F.col("__m.type") == "isrc", F.lit("isrc"))
+        .when(F.col("__m.type").isin("upc", "ismn", "ian"), F.lit("catno"))
+        .when(F.col("__m.type") == "musicb", F.lit("reid"))
+        .alias("__t"),
+        F.col("__m.value").alias("__v"),
+    ).where(F.col("__t").isNotNull())
+    guarded = F.col("__t") == "catno"
+    m_hits = mids.join(mb, ["__t", "__v"]).where(
+        ~guarded
+        | F.col("__mbtitle").isNull()
+        | (normalize_key(F.col("__mbtitle")) == normalize_key(F.col("__title")))
+    ).select("__rid", "__mbid", F.lit(0).alias("__prio"))
+
+    # publisher numbers: qualified "source value" first, bare+title fallback
+    pnums = base.select(
+        "__rid", "__title", F.explode_outer("__pnums").alias("__p")
+    ).select(
+        "__rid",
+        "__title",
+        F.col("__p.source").alias("__src"),
+        F.col("__p.value").alias("__num"),
+    ).where(F.col("__num").isNotNull())
+    q_hits = (
+        pnums.where(F.col("__src").isNotNull() & (F.col("__src") != ""))
+        .withColumn("__t", F.lit("catno"))
+        .withColumn("__v", F.concat_ws(" ", "__src", "__num"))
+        .join(mb, ["__t", "__v"])
+        .select("__rid", F.col("__num").alias("__pn"), "__mbid", F.lit(1).alias("__prio"))
+    )
+    f_hits = (
+        pnums.withColumn("__t", F.lit("catno"))
+        .withColumn("__v", F.col("__num"))
+        .join(mb, ["__t", "__v"])
+        .where(
+            F.col("__mbtitle").isNull()
+            | (normalize_key(F.col("__mbtitle")) == normalize_key(F.col("__title")))
+        )
+        .select("__rid", F.col("__num").alias("__pn"), "__mbid", F.lit(2).alias("__prio"))
+    )
+    # per (record, number): fallback only when the qualified form missed
+    pn_all = q_hits.unionByName(f_hits)
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("__rid", "__pn")
+    pn_best = (
+        pn_all.withColumn("__minp", F.min("__prio").over(wp))
+        .where(F.col("__prio") == F.col("__minp"))
+        .select("__rid", "__mbid", F.lit(1).alias("__prio"))
+    )
+
+    hits = m_hits.unionByName(pn_best)
+    gathered = hits.groupBy("__rid").agg(
+        F.array_distinct(
+            F.array_sort(F.collect_list(F.struct("__prio", "__mbid")))["__mbid"]
+        ).alias(out_col)
+    )
+    return records.join(
+        gathered.withColumnRenamed("__rid", id_col), id_col, "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.array()))

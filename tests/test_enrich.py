@@ -102,3 +102,69 @@ def test_enrich_authors(spark):
     out = {r.id: r.author_variant for r in E.enrich_authors(recs, auth, "aid").collect()}
     assert out["r1"] == ["Variant One", "Variantti Yksi"]
     assert out["r2"] == []
+
+
+def test_enrich_music_ids(spark):
+    from pyspark.sql import types as T
+
+    rec_schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("title_short", T.StringType()),
+            T.StructField(
+                "music_ids",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("type", T.StringType()),
+                            T.StructField("value", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "publisher_numbers",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("source", T.StringType()),
+                            T.StructField("value", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    recs = spark.createDataFrame(
+        [
+            # isrc: unguarded match; upc: guarded (title must match)
+            ("r1", "Album One", [("isrc", "ISRC1"), ("upc", "UPC1")], []),
+            # upc with WRONG title -> guarded match rejected
+            ("r2", "Other Title", [("upc", "UPC1")], []),
+            # publisher number: qualified source+num wins over fallback
+            ("r3", "Album Three", [], [("LBL", "123")]),
+            # publisher number without qualified hit: bare num + title guard
+            ("r4", "Album Four", [], [(None, "456")]),
+            ("r5", "No Matches", [], []),
+        ],
+        rec_schema,
+    )
+    mb = spark.createDataFrame(
+        [
+            ("isrc", "ISRC1", None, "mb-isrc"),
+            ("catno", "UPC1", "Album One", "mb-upc"),
+            ("catno", "LBL 123", None, "mb-qualified"),
+            ("catno", "123", "Album Three", "mb-fallback-not-used"),
+            ("catno", "456", "Album Four", "mb-fallback"),
+        ],
+        "id_type string, id_value string, title string, mbid string",
+    )
+    out = {
+        r._id: r.mbid_str_mv
+        for r in E.enrich_music_ids(recs, mb).collect()
+    }
+    assert out["r1"] == ["mb-isrc", "mb-upc"]
+    assert out["r2"] == []  # title guard rejected
+    assert out["r3"] == ["mb-qualified"]  # fallback suppressed
+    assert out["r4"] == ["mb-fallback"]
+    assert out["r5"] == []
