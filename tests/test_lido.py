@@ -98,3 +98,39 @@ def test_qdc_extract(spark):
     assert r.description == "Primary desc."
     assert r.contents == ["Primary desc.", "Secondary."]
     assert r.author == ["Maker, M."]
+
+
+EACCPF1 = """<eac-cpf xmlns="urn:isbn:1-931666-33-4">
+  <control><maintenanceAgency><agencyName>Nat Lib</agencyName></maintenanceAgency></control>
+  <cpfDescription>
+    <identity>
+      <entityType>person</entityType>
+      <nameEntry><part>Author, Alice</part><part>1880-1950</part></nameEntry>
+      <nameEntry><part>A. Author</part></nameEntry>
+      <nameEntry><part>Alice A.</part></nameEntry>
+    </identity>
+    <description>
+      <existDates><dateSet>
+        <date localType="http://rdaregistry.info/Elements/a/P50121" standardDate="1880-01-02">1880</date>
+        <date localType="http://rdaregistry.info/Elements/a/P50120" standardDate="1950-03-04">1950</date>
+      </dateSet></existDates>
+      <occupation><term>Novelist</term></occupation>
+      <functions><function><term>Writing</term></function></functions>
+    </description>
+  </cpfDescription>
+</eac-cpf>"""
+
+
+def test_eaccpf_extract(spark):
+    from recordmanager_spark.extractors import eaccpf
+
+    df = spark.createDataFrame([(EACCPF1,)], "xml string")
+    r = eaccpf.to_solr_columns(df).collect()[0]
+    assert r.record_type == "person"
+    assert r.heading == "Author, Alice, 1880-1950"
+    assert r.use_for == ["A. Author", "Alice A."]
+    assert r.birth_date == "1880"
+    assert r.death_date == "1950"
+    assert r.occupation == ["Novelist"]
+    assert r.field_of_activity == ["Writing"]
+    assert r.agency == "Nat Lib"
