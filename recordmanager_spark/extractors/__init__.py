@@ -1,3 +1,3 @@
 """Format-specific record extractors (reference: src/RecordManager/Base/Record/)."""
 
-from . import dc, ead, eaccpf, format_calculator, lido, linemarc, marc, qdc  # noqa: F401
+from . import dc, ead, eaccpf, format_calculator, forward, lido, linemarc, marc, qdc  # noqa: F401

@@ -134,3 +134,39 @@ def test_eaccpf_extract(spark):
     assert r.occupation == ["Novelist"]
     assert r.field_of_activity == ["Writing"]
     assert r.agency == "Nat Lib"
+
+
+FORWARD1 = """<ProductionWork>
+  <Identifier><IDValue>fw-1</IDValue></Identifier>
+  <IdentifyingTitle>The Great Film</IdentifyingTitle>
+  <Title><TitleText>The Great Film</TitleText></Title>
+  <Title><TitleText>Le Grand Film</TitleText></Title>
+  <YearOfReference>1972</YearOfReference>
+  <HasAgent><AgentName>Director, Dana</AgentName><Activity>D02</Activity></HasAgent>
+  <HasAgent><AgentName>Actor, Amy</AgentName><Activity>E01</Activity></HasAgent>
+  <HasAgent><AgentName>Grip, Gary</AgentName><Activity>x99</Activity></HasAgent>
+  <ContentDescription><DescriptionText>A film about things.</DescriptionText></ContentDescription>
+  <SubjectTerms><Term>drama</Term></SubjectTerms>
+  <Genre>feature</Genre>
+</ProductionWork>"""
+
+
+def test_forward_extract(spark):
+    from recordmanager_spark.extractors import forward
+
+    df = spark.createDataFrame([(FORWARD1,)], "xml string")
+    r = forward.to_solr_columns(df).collect()[0]
+    assert r.ctrlnum == "fw-1"
+    assert r.title == "The Great Film"
+    assert r.title_alt == ["Le Grand Film"]
+    assert r.publishDate == "1972"
+    # relator classification: d02 primary, e01 secondary, x99 neither
+    assert r.author == ["Director, Dana"]
+    assert r.author_role == ["d02"]
+    assert r.author2 == ["Actor, Amy"]
+    assert r.author2_role == ["e01"]
+    assert r.author_sort == "Director, Dana"
+    assert not any("Grip" in (n or "") for n in r.author + r.author2)
+    assert r.description == "A film about things."
+    assert r.topic == ["drama"]
+    assert r.genre == ["feature"]
