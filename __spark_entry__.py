@@ -579,6 +579,27 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistency checker over a deliberately-broken assignment."""
+    o = _t(spark, sf, "orders")
+    records = o.select(
+        F.concat(F.lit("r"), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.concat(F.lit("s"), F.pmod(F.col("o_orderkey"), F.lit(3)).cast("string")).alias("source_id"),
+    )
+    assignment = o.where(F.pmod(F.col("o_orderkey"), F.lit(7)) != 0).select(
+        F.concat(F.lit("r"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.concat(F.lit("g"), F.col("o_custkey").cast("string")).alias("dedup_id"),
+    ).unionByName(
+        o.where(F.pmod(F.col("o_custkey"), F.lit(100)) == 0)
+        .select(F.col("o_custkey")).distinct()
+        .select(
+            F.concat(F.lit("ghost"), F.col("o_custkey").cast("string")).alias("id"),
+            F.concat(F.lit("g"), F.col("o_custkey").cast("string")).alias("dedup_id"),
+        )
+    )
+    return DD.check_dedup_consistency(assignment, records)
+
+
 def qdc_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Qualified-DC extraction: typed alternative titles + issn identifiers."""
     c = _t(spark, sf, "customer")
@@ -1046,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_merge_orders": group_merge_orders,
         "dedup_er": dedup_er,
         "dedup_incremental": dedup_incremental,
+        "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
         "ead_extract": ead_extract,
@@ -1241,6 +1263,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'a.' || pk AS id, 'a.' || pk AS dedup_id FROM m
             UNION ALL
             SELECT 'b.' || pk AS id, 'a.' || pk AS dedup_id FROM m
+        """,
+        "dedup_check": """
+            WITH rec AS (
+                SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS id,
+                       's' || CAST(o_orderkey % 3 AS VARCHAR) AS src
+                FROM orders
+            ), asgn AS (
+                SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS id,
+                       'g' || CAST(o_custkey AS VARCHAR) AS dedup_id
+                FROM orders WHERE o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT DISTINCT 'ghost' || CAST(o_custkey AS VARCHAR),
+                       'g' || CAST(o_custkey AS VARCHAR)
+                FROM orders WHERE o_custkey % 100 = 0
+            ), j AS (
+                SELECT asgn.id, asgn.dedup_id, rec.src
+                FROM asgn LEFT JOIN rec USING (id)
+            ), dangling AS (
+                SELECT id, dedup_id, 'dangling_record' AS issue
+                FROM j WHERE src IS NULL
+            ), sizes AS (
+                SELECT dedup_id, count(*) AS n FROM j WHERE src IS NOT NULL
+                GROUP BY dedup_id
+            ), singleton AS (
+                SELECT j.id, j.dedup_id, 'singleton_group' AS issue
+                FROM j JOIN sizes USING (dedup_id)
+                WHERE sizes.n < 2 AND j.src IS NOT NULL
+            ), coll AS (
+                SELECT id, dedup_id, 'same_source_collision' AS issue
+                FROM (
+                    SELECT id, dedup_id,
+                           row_number() OVER (PARTITION BY dedup_id, src ORDER BY id) AS rn
+                    FROM j WHERE src IS NOT NULL
+                ) WHERE rn > 1
+            )
+            SELECT * FROM dangling
+            UNION ALL SELECT * FROM singleton
+            UNION ALL SELECT * FROM coll
         """,
         "dedup_incremental": """
             -- incremental == full recompute on the same universe

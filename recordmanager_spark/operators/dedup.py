@@ -602,3 +602,61 @@ def deduplicate_incremental(
     comps = connected_components(new_edges.unionByName(prior_edges))
     comps = enforce_one_per_source(comps, records, id_col, source_col)
     return comps.withColumnRenamed("component", "dedup_id")
+
+
+# ---------------------------------------------------------------------------
+# Consistency checking (DedupHandler.php:176-303, Command/Records/CheckDedup)
+# ---------------------------------------------------------------------------
+
+
+def check_dedup_consistency(
+    assignment: DataFrame,
+    records: DataFrame,
+    id_col: str = "_id",
+    source_col: str = "source_id",
+) -> DataFrame:
+    """Validate a (id, dedup_id) assignment against the invariants.
+
+    Returns (id, dedup_id, issue) rows for every violation:
+    - ``singleton_group``: the group has < 2 members (reference deletes
+      such groups, removeFromDedupRecord :672-741)
+    - ``same_source_collision``: two members share a source (the ≤1 per
+      source invariant, addToDedupRecord :1221-1242); every member of the
+      colliding source except the smallest id is flagged
+    - ``dangling_record``: the assignment references an id that no longer
+      exists in the record store (checkRecordLinks repair path)
+    Empty result = consistent. The repair is ``enforce_one_per_source`` /
+    re-running ``deduplicate`` on the affected groups.
+    """
+    a = assignment.select(
+        F.col(id_col).alias("id") if id_col in assignment.columns else F.col("id"),
+        "dedup_id",
+    ).where(F.col("dedup_id").isNotNull())
+    recs = records.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("__src")
+    )
+    j = a.join(recs, "id", "left")
+
+    dangling = j.where(F.col("__src").isNull()).select(
+        "id", "dedup_id", F.lit("dangling_record").alias("issue")
+    )
+
+    sizes = j.where(F.col("__src").isNotNull()).groupBy("dedup_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    singleton = (
+        j.where(F.col("__src").isNotNull())  # dangling rows are not members
+        .join(sizes, "dedup_id")
+        .where(F.col("__n") < 2)
+        .select("id", "dedup_id", F.lit("singleton_group").alias("issue"))
+    )
+
+    w = Window.partitionBy("dedup_id", "__src").orderBy("id")
+    collisions = (
+        j.where(F.col("__src").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select("id", "dedup_id", F.lit("same_source_collision").alias("issue"))
+    )
+
+    return dangling.unionByName(singleton).unionByName(collisions)

@@ -170,3 +170,36 @@ def test_ignore_keys_block_poison(spark):
         recs, "title", "author", isbn_col=None, ignore_keys=[poison]
     )
     assert blocked.select(F.size("title_keys")).collect()[0][0] == 0
+
+
+def test_check_dedup_consistency(spark):
+    records = spark.createDataFrame(
+        [("a.1", "a"), ("a.2", "a"), ("b.1", "b"), ("c.1", "c")],
+        "_id string, source_id string",
+    )
+    assignment = spark.createDataFrame(
+        [
+            ("a.1", "g1"), ("b.1", "g1"), ("a.2", "g1"),  # a.2 collides with a.1
+            ("c.1", "g2"),                                  # singleton
+            ("ghost", "g1"),                                # dangling
+        ],
+        "id string, dedup_id string",
+    )
+    issues = {
+        (r.id, r.issue)
+        for r in DD.check_dedup_consistency(assignment, records).collect()
+    }
+    assert ("a.2", "same_source_collision") in issues
+    assert ("c.1", "singleton_group") in issues
+    assert ("ghost", "dangling_record") in issues
+    assert not any(i for i in issues if i[0] in ("a.1", "b.1"))
+
+
+def test_check_dedup_consistency_clean(spark):
+    records = spark.createDataFrame(
+        [("a.1", "a"), ("b.1", "b")], "_id string, source_id string"
+    )
+    assignment = spark.createDataFrame(
+        [("a.1", "g1"), ("b.1", "g1")], "id string, dedup_id string"
+    )
+    assert DD.check_dedup_consistency(assignment, records).count() == 0
