@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from recordmanager_spark.extractors import dc as DC
+from recordmanager_spark.extractors import doaj as DOAJ
 from recordmanager_spark.extractors import ead as EAD
+from recordmanager_spark.extractors import ese as ESE
+from recordmanager_spark.extractors import lrmi as LRMI
 from recordmanager_spark.extractors import lido as LIDO
 from recordmanager_spark.extractors import qdc as QDC
 from recordmanager_spark.extractors import marc as MARC
@@ -781,6 +784,116 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ese_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """ESE extraction: space-split languages, ISBN digit-run capture,
+    last-match-wins url across identifiers then descriptions."""
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    xml = F.format_string(
+        "<ese><recordID>e%s</recordID>"
+        "<title>%s : europeana</title>"
+        "<creator>Maker, M.</creator><contributor>Helper, H.</contributor>"
+        "<language>eng fin</language>"
+        "<date>ca. %s</date><date>%s</date>"
+        "<identifier>ISBN 0-306-40615-2</identifier>"
+        "<identifier>http://first/%s</identifier>"
+        "<description>https://last/%s</description>"
+        "<type>IMAGE</type><subject>Maps</subject></ese>",
+        k, F.col("c_name"),
+        (F.lit(1900) + F.pmod(F.col("c_custkey"), F.lit(100))).cast("string"),
+        (F.lit(1900) + F.pmod(F.col("c_custkey"), F.lit(100))).cast("string"),
+        k, k,
+    )
+    out = ESE.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
+    return out.select(
+        "c_custkey",
+        "id",
+        "title_short",
+        "title_sub",
+        F.array_join("language", ",").alias("langs"),
+        F.col("publishDate").alias("publish_year"),
+        F.element_at("isbn", 1).alias("isbn1"),
+        "url",
+    )
+
+
+def doaj_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """DOAJ extraction: first-per-block authors/keywords, 3-char language
+    chunks, year prefix of publicationDate, oai-id fallback for the id."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    rid = F.when(
+        F.pmod(F.col("s_suppkey"), F.lit(2)) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("d"), k))
+    xml = F.format_string(
+        "<record><recordID>%s</recordID>"
+        "<title>%s : an article /</title>"
+        "<authors><author><name>First, F%s</name></author>"
+        "<author><name>Second, S.</name></author></authors>"
+        "<keywords><keyword>Kw%s</keyword><keyword>Other</keyword></keywords>"
+        "<language>engswe</language>"
+        "<publisher>OA Press.</publisher>"
+        "<publicationDate>%s-04-01</publicationDate>"
+        "<fullTextUrl>https://doaj.example/%s</fullTextUrl></record>",
+        rid, F.col("s_name"), k,
+        F.pmod(F.col("s_suppkey"), F.lit(7)).cast("string"),
+        (F.lit(1990) + F.pmod(F.col("s_suppkey"), F.lit(30))).cast("string"),
+        k,
+    )
+    df = s.select(
+        "s_suppkey",
+        xml.alias("xml"),
+        F.concat(F.lit("oai:doaj.example:art-"), k).alias("oai_id"),
+    )
+    out = DOAJ.to_solr_columns(df, "xml", oai_id_col="oai_id")
+    return out.select(
+        "s_suppkey",
+        "id",
+        "title_short",
+        "title_sub",
+        F.element_at("author", 1).alias("author1"),
+        F.size("author").alias("n_authors"),
+        F.element_at("topic", 1).alias("topic1"),
+        F.array_join("language", ",").alias("langs"),
+        F.col("publishDate").alias("publish_year"),
+        "url",
+    )
+
+
+def lrmi_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """LRMI extraction: unsplit title, person/organization authors,
+    about/thing topics with http-normalized enrichment ids."""
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    xml = F.format_string(
+        "<lrmi><recordID>lr%s</recordID>"
+        "<title>%s : learning unit</title>"
+        "<author><person><name>Teacher, T%s</name></person>"
+        "<person><name>Aide, A.</name></person>"
+        "<organization><legalName>Edu Org</legalName></organization></author>"
+        "<material><inLanguage>FI</inLanguage></material>"
+        "<inLanguage>sv</inLanguage>"
+        "<about><thing><name>Topic %s</name>"
+        "<identifier>https://example.org/t/%s</identifier></thing></about>"
+        "<about><thing><notname>skipped</notname></thing></about></lrmi>",
+        k, F.col("c_name"), k,
+        F.pmod(F.col("c_custkey"), F.lit(9)).cast("string"), k,
+    )
+    out = LRMI.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
+    return out.select(
+        "c_custkey",
+        "id",
+        "title",
+        "title_short",
+        F.array_join("language", ",").alias("langs"),
+        F.element_at("author", 1).alias("author1"),
+        F.size("author2").alias("n_author2"),
+        F.element_at("author_corporate", 1).alias("corp1"),
+        F.element_at("topic", 1).alias("topic1"),
+        F.element_at("topic_ids", 1).alias("topic_id1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mapping + field rules (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -1078,6 +1191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppression_filter": suppression_filter,
         "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
+        "ese_extract": ese_extract,
+        "doaj_extract": doaj_extract,
+        "lrmi_extract": lrmi_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "callnumber_sort_keys": callnumber_sort_keys,
@@ -1449,6 +1565,45 @@ def oracle_sql() -> dict[str, str]:
                    'eng,fin' AS langs,
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
+            FROM customer
+        """,
+        "ese_extract": """
+            SELECT c_custkey,
+                   'e' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS title_short,
+                   'europeana' AS title_sub,
+                   'eng,fin' AS langs,
+                   CAST(1900 + c_custkey % 100 AS VARCHAR) AS publish_year,
+                   '9780306406157' AS isbn1,
+                   'https://last/' || CAST(c_custkey AS VARCHAR) AS url
+            FROM customer
+        """,
+        "doaj_extract": """
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 2 = 0
+                        THEN 'art-' || CAST(s_suppkey AS VARCHAR)
+                        ELSE 'd' || CAST(s_suppkey AS VARCHAR) END AS id,
+                   s_name AS title_short,
+                   'an article' AS title_sub,
+                   'First, F' || CAST(s_suppkey AS VARCHAR) AS author1,
+                   1 AS n_authors,
+                   'Kw' || CAST(s_suppkey % 7 AS VARCHAR) AS topic1,
+                   'eng,swe' AS langs,
+                   CAST(1990 + s_suppkey % 30 AS VARCHAR) AS publish_year,
+                   'https://doaj.example/' || CAST(s_suppkey AS VARCHAR) AS url
+            FROM supplier
+        """,
+        "lrmi_extract": """
+            SELECT c_custkey,
+                   'lr' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name || ' : learning unit' AS title,
+                   c_name || ' : learning unit' AS title_short,
+                   'fi,sv' AS langs,
+                   'Teacher, T' || CAST(c_custkey AS VARCHAR) AS author1,
+                   2 AS n_author2,
+                   'Edu Org' AS corp1,
+                   'Topic ' || CAST(c_custkey % 9 AS VARCHAR) AS topic1,
+                   'http://example.org/t/' || CAST(c_custkey AS VARCHAR) AS topic_id1
             FROM customer
         """,
         "value_mapping_orders": """

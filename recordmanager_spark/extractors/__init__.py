@@ -1,3 +1,16 @@
 """Format-specific record extractors (reference: src/RecordManager/Base/Record/)."""
 
-from . import dc, ead, eaccpf, format_calculator, forward, lido, linemarc, marc, qdc  # noqa: F401
+from . import (  # noqa: F401
+    dc,
+    doaj,
+    ead,
+    eaccpf,
+    ese,
+    format_calculator,
+    forward,
+    lido,
+    linemarc,
+    lrmi,
+    marc,
+    qdc,
+)

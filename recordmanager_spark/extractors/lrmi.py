@@ -1,0 +1,97 @@
+"""LRMI (learning-resource metadata) extractor — QDC variant.
+
+Behavioral spec (reference, NOT code): Record/Lrmi.php:66-262 — LRMI extends
+QDC and overrides:
+- record_format 'lrmi'; title/title_full/title_short are the WHOLE first
+  title (no ' : ' split; Lrmi.php:70-72)
+- language from ``material/inLanguage`` plus top-level ``inLanguage``,
+  unique then normalized (Lrmi.php:251-262)
+- topic from ``about/thing/name`` (Lrmi.php:191-210); ``about/thing/
+  identifier`` values that are http(s) URLs become enrichment topic ids
+  (normalized to the http:// scheme)
+- author = first person name; author2 = all ``author/person/name``;
+  author_corporate = all ``author/organization/legalName``
+  (Lrmi.php:141-182)
+- url: none (Lrmi.php:241-244).
+
+Other fields (isbn/issn/publisher/publishDate/descriptions/title_alt…)
+come from the shared QDC projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import keys as K
+from .dc import _els, well_formed_xml
+from .qdc import to_solr_columns as qdc_to_solr_columns
+
+
+def _path(xml: Column, *names: str) -> Column:
+    steps = "".join(f'/*[local-name()="{n}"]' for n in names)
+    return F.xpath(xml, F.lit(f"//{steps[1:]}/text()"))
+
+
+def lrmi_languages(xml: Column) -> Column:
+    langs = F.concat(
+        _path(xml, "material", "inLanguage"),
+        F.xpath(xml, F.lit('/*/*[local-name()="inLanguage"]/text()')),
+    )
+    return F.filter(
+        F.transform(F.array_distinct(langs), lambda v: F.lower(F.trim(v))),
+        lambda v: v != "",
+    )
+
+
+def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) -> DataFrame:
+    out = qdc_to_solr_columns(df, xml_col=xml_col, validate=validate)
+    x = F.col(xml_col)
+    if validate:
+        x = F.when(well_formed_xml(x), F.col(xml_col))
+    title = F.trim(F.coalesce(F.element_at(_els(x, "title"), 1), F.lit("")))
+    person_names = F.filter(
+        F.transform(_path(x, "author", "person", "name"), lambda v: F.trim(v)),
+        lambda v: v != "",
+    )
+    # ids come only from things that also carry a name (Lrmi.php:195-197
+    # continues before the id branch when thing->name is unset)
+    named_thing_ids = F.xpath(
+        x,
+        F.lit(
+            '//*[local-name()="about"]/*[local-name()="thing"]'
+            '[*[local-name()="name"]]/*[local-name()="identifier"]/text()'
+        ),
+    )
+    topic_ids = F.transform(
+        F.filter(
+            F.transform(named_thing_ids, lambda v: F.trim(v)),
+            lambda v: v.rlike("^https?://"),
+        ),
+        lambda v: F.regexp_replace(v, "^https?://", "http://"),
+    )
+    return out.withColumns(
+        {
+            "record_format": F.lit("lrmi"),
+            "title": title,
+            "title_full": title,
+            "title_short": title,
+            "title_sort": K.create_sort_title(title),
+            "language": lrmi_languages(x),
+            "author": F.slice(person_names, 1, 1),
+            "author2": person_names,
+            "author_corporate": F.filter(
+                F.transform(
+                    _path(x, "author", "organization", "legalName"),
+                    lambda v: F.trim(v),
+                ),
+                lambda v: v != "",
+            ),
+            "topic": F.filter(
+                F.transform(_path(x, "about", "thing", "name"), lambda v: F.trim(v)),
+                lambda v: v != "",
+            ),
+            "topic_ids": topic_ids,
+            "url": F.array().cast("array<string>"),
+        }
+    )

@@ -1,0 +1,148 @@
+"""Golden tests for the ESE / DOAJ / LRMI extractors (DC family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recordmanager_spark.extractors import doaj, ese, lrmi
+
+ESE1 = """<record>
+  <recordID>ese-1</recordID>
+  <title>Kalevala : the land of heroes</title>
+  <creator>Lonnrot, Elias</creator>
+  <contributor>Kirby, W. F.</contributor>
+  <language>fin eng</language>
+  <type>TEXT</type>
+  <date>about 1849</date>
+  <date>1849</date>
+  <identifier>ISBN 0-306-40615-2</identifier>
+  <identifier>http://europeana.example/1</identifier>
+  <subject>epic poetry</subject>
+</record>"""
+
+DOAJ1 = """<record>
+  <title>Open access in the north : a survey /</title>
+  <authors>
+    <author><name>Virtanen, Veera</name><affiliation>UH</affiliation></author>
+    <author><name>Second, S.</name></author>
+  </authors>
+  <keywords><keyword>open access</keyword><keyword>other</keyword></keywords>
+  <language>engfinswe</language>
+  <publisher>OA Press.</publisher>
+  <publicationDate>2012-05-01</publicationDate>
+  <fullTextUrl>https://doaj.example/a/1</fullTextUrl>
+</record>"""
+
+LRMI1 = """<lrmi>
+  <recordID>lrmi-9</recordID>
+  <title>Fractions for beginners : part one</title>
+  <author>
+    <person><name>Opettaja, Outi</name></person>
+    <person><name>Toinen, T.</name></person>
+    <organization><legalName>Edu Board</legalName></organization>
+  </author>
+  <material><inLanguage>FI</inLanguage><url>https://material.example/1</url></material>
+  <inLanguage>sv</inLanguage>
+  <inLanguage>FI</inLanguage>
+  <about><thing><name>Mathematics</name><identifier>https://ontology.example/math</identifier></thing></about>
+  <about><thing><identifier>https://no-name.example/skip</identifier></thing></about>
+</lrmi>"""
+
+
+def test_ese_extract(spark):
+    df = spark.createDataFrame([(ESE1,)], "xml string")
+    r = ese.to_solr_columns(df).collect()[0]
+    assert r.id == "ese-1"
+    assert r.title_short == "Kalevala"
+    assert r.title_sub == "the land of heroes"
+    assert r.language == ["fin", "eng"]
+    assert r.publishDate == "1849"  # 'about 1849' skipped
+    assert r.isbn == ["9780306406157"]  # ISBN-10 run normalized to 13
+    # no description URL → last identifier URL wins
+    assert r.url == "http://europeana.example/1"
+    assert r.author == "Lonnrot, Elias"
+    assert r.author2 == ["Kirby, W. F."]
+    assert "epic poetry" in r.allfields
+
+
+def test_ese_url_description_overrides_identifier(spark):
+    xml = ESE1.replace(
+        "<subject>epic poetry</subject>",
+        "<description>https://desc.example/9</description><subject>x</subject>",
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    r = ese.to_solr_columns(df).collect()[0]
+    assert r.url == "https://desc.example/9"
+
+
+def test_doaj_extract(spark):
+    df = spark.createDataFrame(
+        [(DOAJ1, "oai:doaj.example:art-42")], "xml string, oai_id string"
+    )
+    r = doaj.to_solr_columns(df, "xml", oai_id_col="oai_id").collect()[0]
+    assert r.id == "art-42"  # recordID absent → oai-id local part
+    assert r.record_format == "doaj"
+    assert r.format == "Article"
+    assert r.title == "Open access in the north : a survey"  # trailing / stripped
+    assert r.title_short == "Open access in the north"
+    assert r.title_sub == "a survey"
+    # only the FIRST author/keyword per block (reference quirk)
+    assert r.author == ["Virtanen, Veera"]
+    assert r.topic == ["open access"]
+    assert r.language == ["eng", "fin", "swe"]
+    assert r.publishDate == "2012"
+    assert r.url == "https://doaj.example/a/1"
+    assert r.publisher == ["OA Press"]
+
+
+def test_doaj_non_oai_id_passthrough(spark):
+    df = spark.createDataFrame([(DOAJ1, "plain-7")], "xml string, oai_id string")
+    r = doaj.to_solr_columns(df, "xml", oai_id_col="oai_id").collect()[0]
+    assert r.id == "plain-7"
+
+
+def test_doaj_fulltext_xpaths(spark):
+    xml = DOAJ1.replace(
+        "</record>",
+        "<fullText>hyphen-\nated text continues</fullText></record>",
+    )
+    df = spark.createDataFrame([(xml, "x")], "xml string, oai_id string")
+    r = doaj.to_solr_columns(
+        df, "xml", fulltext_xpaths=['//*[local-name()="fullText"]/text()']
+    ).collect()[0]
+    assert r.fulltext == "hyphenated text continues"
+
+
+def test_lrmi_extract(spark):
+    df = spark.createDataFrame([(LRMI1,)], "xml string")
+    r = lrmi.to_solr_columns(df).collect()[0]
+    assert r.record_format == "lrmi"
+    # whole title — no ' : ' split for LRMI
+    assert r.title == "Fractions for beginners : part one"
+    assert r.title_short == r.title
+    assert r.language == ["fi", "sv"]  # unique, lowercased
+    assert r.author == ["Opettaja, Outi"]
+    assert r.author2 == ["Opettaja, Outi", "Toinen, T."]
+    assert r.author_corporate == ["Edu Board"]
+    assert r.topic == ["Mathematics"]  # about without thing/name skipped
+    assert r.topic_ids == ["http://ontology.example/math"]
+    assert r.url == []
+
+
+def test_malformed_xml_masked(spark):
+    df = spark.createDataFrame([("<broken",)], "xml string")
+    for mod in (ese, lrmi):
+        r = mod.to_solr_columns(df).collect()[0]
+        assert r.id == ""
+    df2 = spark.createDataFrame([("<broken", "o")], "xml string, oai_id string")
+    r = doaj.to_solr_columns(df2, "xml", oai_id_col="oai_id").collect()[0]
+    assert r.id == "o"  # falls back to the oai id; xpath never ran
+
+
+def test_lrmi_topic_ids_join_ready(spark):
+    """topic_ids is the enrichment join key column (explode → join)."""
+    df = spark.createDataFrame([(LRMI1,)], "xml string")
+    out = lrmi.to_solr_columns(df).select(
+        F.explode("topic_ids").alias("topic_id")
+    )
+    assert out.collect()[0].topic_id == "http://ontology.example/math"
