@@ -29,6 +29,8 @@ from recordmanager_spark.extractors import lrmi as LRMI
 from recordmanager_spark.extractors import lido as LIDO
 from recordmanager_spark.extractors import qdc as QDC
 from recordmanager_spark.extractors import marc as MARC
+from recordmanager_spark.extractors import marc_authority as MAUTH
+from recordmanager_spark.extractors import forward_authority as FAUTH
 from recordmanager_spark.plans import mapping as MP
 from recordmanager_spark.plans import filter_dsl as FDSL
 from recordmanager_spark.plans.filter_dsl import apply_query
@@ -894,6 +896,93 @@ def lrmi_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def marc_authority_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """MARC authority extraction: personal vs corporate headings, use_for
+    variants, RDA dates/places, occupations."""
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    personal = F.format_string(
+        '{"leader":"00000nz  a2200000n  4500","fields":['
+        '{"035":{"ind1":" ","ind2":" ","subfields":[{"a":"auth%s"}]}},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Person, P%s."}]}},'
+        '{"400":{"ind1":"1","ind2":" ","subfields":[{"a":"Alias, A%s."}]}},'
+        '{"046":{"ind1":" ","ind2":" ","subfields":[{"f":"%s"},{"g":"%s"}]}},'
+        '{"370":{"ind1":" ","ind2":" ","subfields":[{"a":"Turku"},{"c":"Finland"}]}},'
+        '{"372":{"ind1":" ","ind2":" ","subfields":[{"a":"Music"},{"a":"Opera"}]}},'
+        '{"374":{"ind1":" ","ind2":" ","subfields":[{"a":"Composer"},{"0":"occ%s"}]}}]}',
+        k, k, k,
+        (F.lit(1820) + F.pmod(F.col("c_custkey"), F.lit(100))).cast("string"),
+        (F.lit(1880) + F.pmod(F.col("c_custkey"), F.lit(100))).cast("string"),
+        k,
+    )
+    corporate = F.format_string(
+        '{"leader":"00000nz  a2200000n  4500","fields":['
+        '{"035":{"ind1":" ","ind2":" ","subfields":[{"a":"auth%s"}]}},'
+        '{"110":{"ind1":"2","ind2":" ","subfields":[{"a":"Corp %s."},{"b":"Unit B."}]}},'
+        '{"410":{"ind1":"2","ind2":" ","subfields":[{"a":"CorpAlias %s"}]}}]}',
+        k, F.col("c_name"), k,
+    )
+    raw = F.when(F.pmod(F.col("c_custkey"), F.lit(4)) == 0, corporate).otherwise(personal)
+    parsed = c.select("c_custkey", MARC.parse_marc_in_json(raw).alias("marc"))
+    out = MAUTH.to_solr_columns(parsed, "marc")
+    return out.select(
+        "c_custkey",
+        "id",
+        "heading",
+        "record_type",
+        F.element_at("use_for", 1).alias("use_for1"),
+        "birth_date",
+        "death_date",
+        "birth_place",
+        "country",
+        F.array_join("field_of_activity", ",").alias("activities"),
+        F.element_at("occupation", 1).alias("occupation1"),
+        F.element_at("occupation_ids", 1).alias("occ_id1"),
+    )
+
+
+def forward_authority_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward authority extraction: typed agent dates (51/52), combined
+    affiliation:position occupation, envelope main-element addressing."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    xml = F.format_string(
+        "<envelope><CAgent>"
+        "<AgentIdentifier><IDTypeName>elonet_henkilo</IDTypeName>"
+        "<IDValue>%s</IDValue></AgentIdentifier>"
+        "<CAgentName><PersonName>%s</PersonName></CAgentName>"
+        "<AgentDate><AgentDateEventType>51</AgentDateEventType>"
+        "<DateText>%s-02-11</DateText><LocationName>Oulu</LocationName></AgentDate>"
+        "<AgentDate><AgentDateEventType>52</AgentDateEventType>"
+        "<DateText>%s</DateText><LocationName>Lahti</LocationName></AgentDate>"
+        "<AgentPlace><LocationName>Kuopio</LocationName></AgentPlace>"
+        "<ProfessionalAffiliation><Affiliation>Studio %s</Affiliation>"
+        "<ProfessionalPosition>Director</ProfessionalPosition></ProfessionalAffiliation>"
+        "<RecordSource><SourceName>Filmography</SourceName></RecordSource>"
+        "</CAgent></envelope>",
+        k, F.col("s_name"),
+        (F.lit(1900) + F.pmod(F.col("s_suppkey"), F.lit(80))).cast("string"),
+        (F.lit(1950) + F.pmod(F.col("s_suppkey"), F.lit(70))).cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(5)).cast("string"),
+    )
+    out = FAUTH.to_solr_columns(
+        s.select("s_suppkey", xml.alias("xml")), "xml", source="fwa"
+    )
+    return out.select(
+        "s_suppkey",
+        "id",
+        "heading",
+        "record_type",
+        "birth_date",
+        "death_date",
+        "birth_place",
+        "death_place",
+        F.element_at("related_place", 1).alias("related_place1"),
+        F.element_at("occupation", 1).alias("occupation1"),
+        F.array_join("allfields", "|").alias("allfields_joined"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mapping + field rules (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -1194,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
+        "marc_authority_extract": marc_authority_extract,
+        "forward_authority_extract": forward_authority_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "callnumber_sort_keys": callnumber_sort_keys,
@@ -1605,6 +1696,43 @@ def oracle_sql() -> dict[str, str]:
                    'Topic ' || CAST(c_custkey % 9 AS VARCHAR) AS topic1,
                    'http://example.org/t/' || CAST(c_custkey AS VARCHAR) AS topic_id1
             FROM customer
+        """,
+        "marc_authority_extract": """
+            SELECT c_custkey,
+                   'auth' || CAST(c_custkey AS VARCHAR) AS id,
+                   CASE WHEN c_custkey % 4 = 0
+                        THEN 'Corp ' || c_name || ' / Unit B'
+                        ELSE 'Person, P' || CAST(c_custkey AS VARCHAR) END AS heading,
+                   CASE WHEN c_custkey % 4 = 0
+                        THEN 'Corporate Name' ELSE 'Personal Name' END AS record_type,
+                   CASE WHEN c_custkey % 4 = 0
+                        THEN 'CorpAlias ' || CAST(c_custkey AS VARCHAR)
+                        ELSE 'Alias, A' || CAST(c_custkey AS VARCHAR) END AS use_for1,
+                   CASE WHEN c_custkey % 4 = 0 THEN ''
+                        ELSE CAST(1820 + c_custkey % 100 AS VARCHAR) END AS birth_date,
+                   CASE WHEN c_custkey % 4 = 0 THEN ''
+                        ELSE CAST(1880 + c_custkey % 100 AS VARCHAR) END AS death_date,
+                   CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'Turku' END AS birth_place,
+                   CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'Finland' END AS country,
+                   CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'Music,Opera' END AS activities,
+                   CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE 'Composer' END AS occupation1,
+                   CASE WHEN c_custkey % 4 = 0 THEN NULL
+                        ELSE 'occ' || CAST(c_custkey AS VARCHAR) END AS occ_id1
+            FROM customer
+        """,
+        "forward_authority_extract": """
+            SELECT s_suppkey,
+                   'elonet_henkilo_' || CAST(s_suppkey AS VARCHAR) AS id,
+                   s_name AS heading,
+                   'elonet_henkilo' AS record_type,
+                   CAST(1900 + s_suppkey % 80 AS VARCHAR) AS birth_date,
+                   CAST(1950 + s_suppkey % 70 AS VARCHAR) AS death_date,
+                   'Oulu' AS birth_place,
+                   'Lahti' AS death_place,
+                   'Kuopio' AS related_place1,
+                   'Studio ' || CAST(s_suppkey % 5 AS VARCHAR) || ': Director' AS occupation1,
+                   'Filmography|' || s_name || '|' || s_name AS allfields_joined
+            FROM supplier
         """,
         "value_mapping_orders": """
             SELECT o_orderkey,

@@ -8,6 +8,8 @@ from . import (  # noqa: F401
     ese,
     format_calculator,
     forward,
+    forward_authority,
+    marc_authority,
     lido,
     linemarc,
     lrmi,

@@ -232,10 +232,10 @@ def get_source_from_id(col: Column | str) -> Column:
 
 
 def extract_year(col: Column | str) -> Column:
-    """First 4-digit year-ish run (MetadataUtils.php:847-880)."""
+    """First (possibly negative) 4-digit year run; '' when none
+    (MetadataUtils.php:847-880)."""
     c = F.col(col) if isinstance(col, str) else col
-    y = F.regexp_extract(c, "(\\d{4})", 1)
-    return F.when(y == "", None).otherwise(y)
+    return F.regexp_extract(c, "(-?\\d{4})", 1)
 
 
 def array_iunique(col: Column | str) -> Column:

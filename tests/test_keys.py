@@ -115,7 +115,8 @@ def test_get_source_from_id(spark):
 
 def test_extract_year(spark):
     assert one(spark, K.extract_year(F.col("v")), "c1987.") == "1987"
-    assert one(spark, K.extract_year(F.col("v")), "no year") is None
+    assert one(spark, K.extract_year(F.col("v")), "no year") == ""
+    assert one(spark, K.extract_year(F.col("v")), "in -0044 BC era") == "-0044"
 
 
 def test_array_iunique(spark):
