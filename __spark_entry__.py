@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from recordmanager_spark.extractors import dc as DC
 from recordmanager_spark.extractors import doaj as DOAJ
 from recordmanager_spark.extractors import ead as EAD
+from recordmanager_spark.extractors import ead3 as EAD3
 from recordmanager_spark.extractors import ese as ESE
 from recordmanager_spark.extractors import lrmi as LRMI
 from recordmanager_spark.extractors import lido as LIDO
@@ -983,6 +984,51 @@ def forward_authority_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ead3_split_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EAD3 end-to-end: finding aid → splitter flatMap (archdesc + @level
+    descendants, id/parent/archive propagation) → extractor columns."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    xml = F.format_string(
+        '<ead><archdesc level="fonds">'
+        '<did><unitid identifier="A%s">A%s</unitid><unittitle>Fonds %s</unittitle></did>'
+        "<dsc>"
+        '<c01 level="series"><did><unitid identifier="S%s">S%s</unitid>'
+        "<unittitle>Series One</unittitle></did>"
+        '<c02 level="file"><did><unitid identifier="F%s">F%s</unitid>'
+        "<unittitle>File %s</unittitle>"
+        "<repository><corpname><part>Archive %s</part></corpname></repository></did>"
+        '<controlaccess><persname><part>Person P%s</part></persname>'
+        '<subject identifier="sub%s"><part>Topic%s</part></subject></controlaccess>'
+        "<scopecontent><p>About it.</p></scopecontent>"
+        "</c02></c01></dsc></archdesc></ead>",
+        k, k, F.col("s_name"), k, k, k, k, F.col("s_name"),
+        F.col("s_nationkey").cast("string"), k, k,
+        F.pmod(F.col("s_suppkey"), F.lit(6)).cast("string"),
+    )
+    parts = SP.explode_parts(
+        s.select("s_suppkey", xml.alias("xml")),
+        SP.split_ead3(F.col("xml")),
+        ["s_suppkey"],
+    )
+    out = EAD3.to_solr_columns(parts)
+    return out.select(
+        "s_suppkey",
+        "part_id",
+        "level",
+        "sequence",
+        "format",
+        "title",
+        "title_sub",
+        "series",
+        "hierarchy_parent_id",
+        "hierarchy_top_title",
+        F.element_at("topic", 1).alias("topic1"),
+        F.element_at("author", 1).alias("author1"),
+        "institution",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mapping + field rules (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -1285,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lrmi_extract": lrmi_extract,
         "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
+        "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "callnumber_sort_keys": callnumber_sort_keys,
@@ -1696,6 +1743,37 @@ def oracle_sql() -> dict[str, str]:
                    'Topic ' || CAST(c_custkey % 9 AS VARCHAR) AS topic1,
                    'http://example.org/t/' || CAST(c_custkey AS VARCHAR) AS topic_id1
             FROM customer
+        """,
+        "ead3_split_extract": """
+            WITH parts(i) AS (VALUES (1), (2), (3))
+            SELECT s_suppkey,
+                   CASE i WHEN 1 THEN 'A' || k
+                          WHEN 2 THEN 'A' || k || '_S' || k
+                          ELSE 'A' || k || '_F' || k END AS part_id,
+                   CASE i WHEN 1 THEN 'fonds' WHEN 2 THEN 'series'
+                          ELSE 'file' END AS level,
+                   '000000' || CAST(i AS VARCHAR) AS sequence,
+                   CASE i WHEN 1 THEN 'fonds' WHEN 2 THEN 'series'
+                          ELSE 'file' END AS format,
+                   CASE i WHEN 1 THEN 'Fonds ' || s_name
+                          WHEN 2 THEN 'S' || k || ' Series One'
+                          ELSE 'F' || k || ' File ' || s_name END AS title,
+                   CASE i WHEN 1 THEN ''
+                          WHEN 2 THEN 'S' || k
+                          ELSE 'F' || k END AS title_sub,
+                   CASE i WHEN 3 THEN 'Series One' ELSE '' END AS series,
+                   CASE i WHEN 1 THEN NULL
+                          WHEN 2 THEN 'A' || k
+                          ELSE 'A' || k || '_S' || k END AS hierarchy_parent_id,
+                   'Fonds ' || s_name AS hierarchy_top_title,
+                   CASE i WHEN 3 THEN 'Topic' || CAST(s_suppkey % 6 AS VARCHAR)
+                          ELSE NULL END AS topic1,
+                   CASE i WHEN 3 THEN 'Person P' || k ELSE NULL END AS author1,
+                   CASE i WHEN 3 THEN 'Archive ' || CAST(s_nationkey AS VARCHAR)
+                          ELSE '' END AS institution
+            FROM (SELECT s_suppkey, s_name, s_nationkey,
+                         CAST(s_suppkey AS VARCHAR) AS k FROM supplier)
+            CROSS JOIN parts
         """,
         "marc_authority_extract": """
             SELECT c_custkey,

@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     dc,
     doaj,
     ead,
+    ead3,
     eaccpf,
     ese,
     format_calculator,

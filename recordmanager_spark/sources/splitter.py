@@ -18,6 +18,8 @@ emitted XML strings with the normal extractor expressions.
 
 from __future__ import annotations
 
+import copy
+import re
 import urllib.parse
 import xml.etree.ElementTree as ET
 
@@ -34,6 +36,29 @@ def _strip_ns(tag: str) -> str:
 
 def _findall_local(root: ET.Element, name: str) -> list[ET.Element]:
     return [e for e in root.iter() if _strip_ns(e.tag) == name]
+
+
+_COMPONENT_TAG = re.compile(r"^c\d*$")
+
+
+def _component_xml(el: ET.Element) -> str:
+    """Serialize a component WITHOUT nested c/cNN sub-components.
+
+    The reference's appendXMLFiltered (Splitter/Ead.php:333-342) skips
+    children named ``c`` or ``c<number>`` at every depth, so an archive or
+    series record does not carry its descendants' metadata.
+    """
+    clone = copy.deepcopy(el)
+
+    def prune(node: ET.Element) -> None:
+        for child in list(node):
+            if _COMPONENT_TAG.match(_strip_ns(child.tag)):
+                node.remove(child)
+            else:
+                prune(child)
+
+    prune(clone)
+    return ET.tostring(clone, encoding="unicode")
 
 
 SPLIT_SCHEMA = T.ArrayType(
@@ -165,7 +190,7 @@ def _ead_components(doc: str | None):
             unit_id = f"{archive_id}_{seq}"
         out.append(
             (
-                ET.tostring(el, encoding="unicode"),
+                _component_xml(el),
                 unit_id,
                 archive_id,
                 archive_title,
@@ -180,6 +205,160 @@ def _ead_components(doc: str | None):
 @pandas_udf(EAD_SCHEMA)
 def split_ead(xml: pd.Series) -> pd.Series:
     return xml.map(_ead_components)
+
+
+# ---------------------------------------------------------------------------
+# EAD3 splitter (Splitter/Ead3.php:50-326)
+# ---------------------------------------------------------------------------
+
+EAD3_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("part_xml", T.StringType()),
+            T.StructField("part_id", T.StringType()),
+            T.StructField("archive_id", T.StringType()),
+            T.StructField("archive_title", T.StringType()),
+            T.StructField("sequence", T.StringType()),
+            T.StructField("level", T.StringType()),
+            T.StructField("parent_id", T.StringType()),
+            T.StructField("parent_title", T.StringType()),
+            T.StructField("parent_level", T.StringType()),
+            T.StructField("inherited_titles", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+
+# EAD3: only dao/daoset are withheld from inheritance (Splitter/Ead3.php:65-68)
+_EAD3_NON_INHERITED = {"dao", "daoset"}
+
+
+def _first_unitid(el, unit_id_label: str | None) -> str:
+    """@identifier of the unitid matching the label (first id fallback),
+    per Splitter/Ead3.php:150-174."""
+    first = ""
+    for did in el:
+        if _strip_ns(did.tag) != "did":
+            continue
+        for uid in did:
+            if _strip_ns(uid.tag) != "unitid":
+                continue
+            ident = uid.get("identifier")
+            if ident is None:
+                continue
+            ident = urllib.parse.quote(ident)
+            if not first:
+                first = ident
+            if not unit_id_label or uid.get("label") == unit_id_label:
+                return ident
+        break
+    return first
+
+
+def _ead3_components(doc: str | None, unit_id_label: str | None = None):
+    """One EAD3 document → component tuples (Splitter/Ead3.php:91-303).
+
+    Differences from EAD: the archive id comes from archdesc/did/
+    unitid@identifier (not eadid); parent id/title/level are emitted for
+    every non-root component (the reference injects them as ``add-data``
+    XML; we surface them as columns for the extractor's hierarchy
+    fields); only dao/daoset are non-inherited.
+    """
+    if not doc:
+        return []
+    try:
+        root = ET.fromstring(doc)
+    except ET.ParseError:
+        return []
+
+    archdescs = _findall_local(root, "archdesc")
+    if not archdescs:
+        return []
+    arch = archdescs[0]
+
+    archive_id = _first_unitid(arch, unit_id_label)
+    archive_title = ""
+    for did in arch:
+        if _strip_ns(did.tag) == "did":
+            for t in did:
+                if _strip_ns(t.tag) == "unittitle":
+                    archive_title = (t.text or "").strip()
+                    break
+            break
+    archive_title = archive_title or archive_id
+
+    # components in document order: archdesc + dsc descendants with @level
+    comps: list[tuple[ET.Element, ET.Element | None, list[str]]] = []
+
+    def walk(el, parent_comp, titles):
+        is_comp = el is arch or el.get("level") is not None
+        my_titles = titles
+        if is_comp:
+            comps.append((el, parent_comp, list(titles)))
+            own = [
+                (t.text or "").strip()
+                for did in el
+                if _strip_ns(did.tag) == "did"
+                for t in did
+                if _strip_ns(t.tag) == "unittitle"
+            ]
+            my_titles = titles + own
+            parent_comp = el
+        for child in el:
+            walk(child, parent_comp, my_titles)
+
+    walk(arch, None, [])
+
+    ids: dict[int, str] = {}
+    titles_by_el: dict[int, str] = {}
+    out = []
+    for seq, (el, parent, inherited) in enumerate(comps, start=1):
+        if el is arch:
+            unit_id = archive_id
+        else:
+            unit_id = _first_unitid(el, unit_id_label)
+            if not unit_id:
+                unit_id = f"{archive_id}_{seq}"
+            elif unit_id != archive_id:
+                unit_id = f"{archive_id}_{unit_id}"
+        ids[id(el)] = unit_id
+
+        own_title = ""
+        for did in el:
+            if _strip_ns(did.tag) == "did":
+                for t in did:
+                    if _strip_ns(t.tag) == "unittitle":
+                        own_title = (t.text or "").strip() or t.get("label", "")
+                        break
+                break
+        titles_by_el[id(el)] = own_title
+
+        parent_id = parent_title = parent_level = ""
+        if parent is not None:
+            parent_id = ids.get(id(parent), archive_id)
+            parent_title = titles_by_el.get(id(parent), "") or parent_id
+            parent_level = (
+                "archive" if parent is arch else (parent.get("level") or "")
+            )
+        out.append(
+            (
+                _component_xml(el),
+                unit_id,
+                archive_id,
+                archive_title,
+                str(seq).zfill(7),
+                "archdesc" if el is arch else (el.get("level") or ""),
+                parent_id,
+                parent_title,
+                parent_level,
+                inherited,
+            )
+        )
+    return out
+
+
+@pandas_udf(EAD3_SCHEMA)
+def split_ead3(xml: pd.Series) -> pd.Series:
+    return xml.map(_ead3_components)
 
 
 def explode_parts(df: DataFrame, parts_col: Column, keep: list[str]) -> DataFrame:
