@@ -111,26 +111,39 @@ def blocking_pairs(
         if k in df.columns
     ]
     keys = reduce(lambda a, b: a.unionByName(b), exploded).where(F.col("key") != "")
-    w = Window.partitionBy("key").orderBy(F.col("id"))
-    keys = keys.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= candidates_per_key
-    ).drop("__rn")
-    a = keys.alias("a")
-    b = keys.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.source") != F.col("b.source"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-        )
+    # ONE shuffle: group each key's (sorted, capped) candidate list and
+    # generate the cross pairs in-partition with array expressions. The
+    # former shape (window row_number + self-join on key) shuffled the
+    # exploded keys three times; with the cap the per-key list is <= 101
+    # entries, so the collected array is bounded regardless of skew.
+    grouped = keys.groupBy("key").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("id", "source"))),
+            1,
+            candidates_per_key,
+        ).alias("__c")
+    )
+    # sorted list + (i, j>i) generation keeps id_a < id_b without a filter
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__c"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__c"), i + 2, candidates_per_key),
+                    lambda y: F.when(
+                        x["source"] != y["source"],
+                        F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -261,12 +274,16 @@ def connected_components(
     each iteration is one join + one groupBy on the current labels, with
     ``localCheckpoint`` truncating lineage.
     """
+    # materialize the edge set ONCE: the count probe, the driver collect,
+    # and the iterative propagation all reuse the checkpointed result
+    # instead of re-running the verification join per action
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     n_edges = edges.limit(driver_threshold + 1).count()
     if n_edges == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
     if n_edges <= driver_threshold:
-        pairs = edges.select("id_a", "id_b").collect()
+        pairs = edges.collect()
         parent: dict = {}
 
         def find(x):

@@ -263,7 +263,10 @@ def simhash_near_duplicates(
     any pair within Hamming distance (bands-1) shares an identical band —
     so candidates come from an equi-join on (band, band_value), never a
     cross product. Returns (id_a, id_b, hamming)."""
-    sigs = simhash(df, id_col, text_col)
+    # materialize signatures once: the banded self-join reads both sides
+    # from the checkpointed result instead of re-running the 60-bit
+    # aggregation (token explode + shuffle) per side
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
