@@ -787,6 +787,36 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dc_extract_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """DC extraction via the single-parse from_xml engine (the scale path:
+    one StAX parse per record instead of one DOM parse per xpath column)."""
+    c = _t(spark, sf, "customer")
+    year = (F.lit(2000) + F.pmod(F.col("c_custkey"), F.lit(20))).cast("string")
+    xml = F.format_string(
+        "<dc><recordID>dc-%s</recordID>"
+        "<title>%s : extracted edition</title>"
+        "<creator>Maker, M.</creator>"
+        "<language>engfin</language>"
+        "<date>%s-01-01</date>"
+        "<publisher>DCPub</publisher>"
+        "<type>Text</type></dc>",
+        F.col("c_custkey").cast("string"), F.col("c_name"), year,
+    )
+    out = DC.to_solr_columns(
+        c.select("c_custkey", xml.alias("xml")), "xml", engine="struct"
+    )
+    return out.select(
+        "c_custkey",
+        "id",
+        "title_short",
+        "title_sub",
+        F.col("author").alias("creator"),
+        F.array_join("language", ",").alias("langs"),
+        F.col("publishDate").alias("publish_year"),
+        F.col("format").alias("dc_type"),
+    )
+
+
 def ese_extract(spark: SparkSession, sf: str) -> DataFrame:
     """ESE extraction: space-split languages, ISBN digit-run capture,
     last-match-wins url across identifiers then descriptions."""
@@ -1326,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppression_filter": suppression_filter,
         "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
+        "dc_extract_struct": dc_extract_struct,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1695,6 +1726,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "dc_extract": """
+            SELECT c_custkey,
+                   'dc-' || CAST(c_custkey AS VARCHAR) AS id,
+                   c_name AS title_short,
+                   'extracted edition' AS title_sub,
+                   'Maker, M.' AS creator,
+                   'eng,fin' AS langs,
+                   CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
+                   'Text' AS dc_type
+            FROM customer
+        """,
+        "dc_extract_struct": """
             SELECT c_custkey,
                    'dc-' || CAST(c_custkey AS VARCHAR) AS id,
                    c_name AS title_short,

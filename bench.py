@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     # extraction / mapping / enrichment / split
     "dc_extract",
+    "dc_extract_struct",
     "ead_extract",
     "lido_extract",
     "upsert_orders",

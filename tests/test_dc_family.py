@@ -139,6 +139,38 @@ def test_malformed_xml_masked(spark):
     assert r.id == "o"  # falls back to the oai id; xpath never ran
 
 
+def test_dc_engines_agree(spark):
+    """xpath and from_xml struct engines produce identical projections
+    (flat records, namespaced records, malformed input)."""
+    from recordmanager_spark.extractors import dc
+
+    docs = [
+        "<dc><recordID>r1</recordID><title>Big Title : part /</title>"
+        "<creator>Auth, A.</creator><contributor>C1.</contributor>"
+        "<contributor>C2</contributor><language>engfin swe</language>"
+        "<date>2001-05-05</date><publisher>Pub,</publisher><type>Text</type>"
+        "<subject>S1.</subject><identifier>9780306406157</identifier>"
+        "<identifier>https://u/1</identifier><description>plain desc</description>"
+        "<description>https://u/2</description></dc>",
+        '<oai_dc:dc xmlns:oai_dc="http://x" xmlns:dc="http://y">'
+        "<dc:recordID>r2</dc:recordID><dc:title>NS title</dc:title>"
+        "<dc:creator>B</dc:creator></oai_dc:dc>",
+        "<broken",
+        "<dc><title>only title</title></dc>",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "xml string")
+    cols = [
+        "id", "ctrlnum", "language", "format", "author", "author2", "title",
+        "title_full", "title_short", "title_sub", "title_sort", "publisher",
+        "publishDate", "isbn", "topic", "url", "contents",
+    ]
+    a = dc.to_solr_columns(df, "xml").select(*cols).collect()
+    b = dc.to_solr_columns(df, "xml", engine="struct").select(*cols).collect()
+    for ra, rb in zip(a, b):
+        for c in cols:
+            assert ra[c] == rb[c], (c, ra[c], rb[c])
+
+
 def test_lrmi_topic_ids_join_ready(spark):
     """topic_ids is the enrichment join key column (explode → join)."""
     df = spark.createDataFrame([(LRMI1,)], "xml string")
