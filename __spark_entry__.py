@@ -787,6 +787,40 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def marc_holdings_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Koha item-to-holdings normalize: duplicate 952 keys merge into one
+    holding whose availability is the OR over member items."""
+    from recordmanager_spark.extractors import marc_normalize as MN
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    status7 = F.when(k % 5 != 0, F.lit("0")).otherwise(F.lit("2"))
+    raw = F.format_string(
+        '{"leader":"00000cam a22000004i 4500","fields":['
+        '{"001":"h%s"},'
+        '{"952":{"ind1":" ","ind2":" ","subfields":[{"b":"BR%s"},{"o":"CN%s"},{"7":"%s"}]}},'
+        '{"952":{"ind1":" ","ind2":" ","subfields":[{"b":"BR%s"},{"o":"CN%s"},{"7":"2"}]}}]}',
+        k.cast("string"),
+        (k % 3).cast("string"), (k % 7).cast("string"), status7,
+        (k % 3).cast("string"), (k % 7).cast("string"),
+    )
+    parsed = o.select("o_orderkey", MARC.parse_marc_in_json(raw).alias("marc"))
+    norm = parsed.select(
+        "o_orderkey",
+        MN.normalize_marc(F.col("marc"), koha=True).alias("marc"),
+    )
+    h = norm.select(
+        "o_orderkey",
+        F.explode(MN.holdings_summary(F.col("marc"))).alias("h"),
+    )
+    return h.select(
+        "o_orderkey",
+        F.col("h.branch").alias("branch"),
+        F.col("h.callnumber").alias("callnumber"),
+        F.col("h.available").alias("available"),
+    )
+
+
 def dc_extract_struct(spark: SparkSession, sf: str) -> DataFrame:
     """DC extraction via the single-parse from_xml engine (the scale path:
     one StAX parse per record instead of one DOM parse per xpath column)."""
@@ -1357,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "work_keys_marc": work_keys_marc,
         "dc_extract": dc_extract,
         "dc_extract_struct": dc_extract_struct,
+        "marc_holdings_normalize": marc_holdings_normalize,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1735,6 +1770,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "marc_holdings_normalize": """
+            SELECT o_orderkey,
+                   'BR' || CAST(o_orderkey % 3 AS VARCHAR) AS branch,
+                   'CN' || CAST(o_orderkey % 7 AS VARCHAR) AS callnumber,
+                   o_orderkey % 5 <> 0 AS available
+            FROM orders
         """,
         "dc_extract_struct": """
             SELECT c_custkey,

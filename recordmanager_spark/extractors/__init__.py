@@ -15,5 +15,6 @@ from . import (  # noqa: F401
     linemarc,
     lrmi,
     marc,
+    marc_normalize,
     qdc,
 )
