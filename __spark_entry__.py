@@ -787,6 +787,53 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def oai_harvest_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """OAI-PMH ListRecords parsing: header/status/sets + first metadata
+    child, id regex rewrite, per-page resumption token."""
+    from recordmanager_spark.sources import oaipmh as OAI
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    page = F.format_string(
+        '<OAI-PMH><ListRecords>'
+        "<record><header><identifier>oai:ex.org:rec-%s</identifier>"
+        "<datestamp>2024-01-0%s</datestamp><setSpec>books</setSpec>"
+        "<setSpec>new</setSpec></header>"
+        "<metadata><dc><recordID>rec-%s</recordID><title>%s</title></dc></metadata>"
+        "</record>"
+        '<record><header status="deleted"><identifier>oai:ex.org:gone-%s</identifier>'
+        "<datestamp>2024-01-09</datestamp></header></record>"
+        "<resumptionToken>tok%s</resumptionToken>"
+        "</ListRecords></OAI-PMH>",
+        k, (F.pmod(F.col("c_custkey"), F.lit(9)) + 1).cast("string"),
+        k, F.col("c_name"), k, k,
+    )
+    pages = c.select("c_custkey", page.alias("xml"))
+    out = OAI.harvest_records(
+        pages,
+        keep=["c_custkey"],
+        id_search="^oai:ex\\.org:(.*)$",
+        id_replace="\\1",
+        id_prefix="src",
+    )
+    out = out.join(
+        pages.select(
+            "c_custkey", OAI.resumption_token(F.col("xml")).alias("token")
+        ),
+        "c_custkey",
+    )
+    return out.select(
+        "c_custkey",
+        "oai_id",
+        "_id",
+        "datestamp",
+        "deleted",
+        F.array_join("set_specs", ",").alias("sets"),
+        F.coalesce("metadata_xml", F.lit("")).alias("payload"),
+        "token",
+    )
+
+
 def marc_holdings_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Koha item-to-holdings normalize: duplicate 952 keys merge into one
     holding whose availability is the OR over member items."""
@@ -1392,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_extract": dc_extract,
         "dc_extract_struct": dc_extract_struct,
         "marc_holdings_normalize": marc_holdings_normalize,
+        "oai_harvest_parse": oai_harvest_parse,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1770,6 +1818,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "oai_harvest_parse": """
+            WITH two(i) AS (VALUES (1), (2))
+            SELECT c_custkey,
+                   CASE i WHEN 1 THEN 'oai:ex.org:rec-' || k
+                          ELSE 'oai:ex.org:gone-' || k END AS oai_id,
+                   CASE i WHEN 1 THEN 'src.rec-' || k
+                          ELSE 'src.gone-' || k END AS _id,
+                   CASE i WHEN 1 THEN '2024-01-0' || CAST(c_custkey % 9 + 1 AS VARCHAR)
+                          ELSE '2024-01-09' END AS datestamp,
+                   i = 2 AS deleted,
+                   CASE i WHEN 1 THEN 'books,new' ELSE '' END AS sets,
+                   CASE i WHEN 1 THEN '<dc><recordID>rec-' || k
+                          || '</recordID><title>' || c_name || '</title></dc>'
+                          ELSE '' END AS payload,
+                   'tok' || k AS token
+            FROM (SELECT c_custkey, c_name,
+                         CAST(c_custkey AS VARCHAR) AS k FROM customer)
+            CROSS JOIN two
         """,
         "marc_holdings_normalize": """
             SELECT o_orderkey,
