@@ -787,6 +787,48 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sierra_harvest_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Sierra page JSON → parsed-MARC struct (built with array exprs) →
+    fieldspec reads; deletion via flag or suppressed BCODE3."""
+    from recordmanager_spark.sources import sierra as SI
+
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    page = F.format_string(
+        '{"total":1,"entries":[{"id":"%s","deleted":%s,'
+        '"locations":[{"code":"L%s","name":"Loc"}],'
+        '"fixedFields":{"30":{"label":"Material","value":"m%s"},'
+        '"31":{"label":"BCODE3","value":"%s"}},'
+        '"varFields":[{"fieldTag":"_","content":"00000cam a2200000 i 4500"},'
+        '{"fieldTag":"t","marcTag":"245","ind1":"1","ind2":"0",'
+        '"subfields":[{"tag":"a","content":"%s"}]},'
+        '{"fieldTag":"y","marcTag":"8","content":"ctl%s"}]}]}',
+        k,
+        F.when(F.pmod(F.col("s_suppkey"), F.lit(7)) == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.col("s_nationkey").cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(4)).cast("string"),
+        F.when(F.pmod(F.col("s_suppkey"), F.lit(5)) == 0, F.lit("s")).otherwise(F.lit("ok")),
+        F.col("s_name"), k,
+    )
+    out = SI.harvest_pages(
+        s.select("s_suppkey", page.alias("json")),
+        keep=["s_suppkey"],
+        source="lib",
+        suppressed_bib_code3=["s"],
+    )
+    m = F.col("marc")
+    return out.select(
+        "s_suppkey",
+        "oai_id",
+        "local_id",
+        "deleted",
+        MARC.get_field_subfields(m, "245", ["a"]).alias("title245"),
+        MARC.get_field_subfields(m, "852", ["b"]).alias("loc852"),
+        MARC.get_field_subfields(m, "977", ["a"]).alias("mat977"),
+        MARC.control_value(m, "008").alias("ctl008"),
+    )
+
+
 def oai_harvest_parse(spark: SparkSession, sf: str) -> DataFrame:
     """OAI-PMH ListRecords parsing: header/status/sets + first metadata
     child, id regex rewrite, per-page resumption token."""
@@ -1440,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_extract_struct": dc_extract_struct,
         "marc_holdings_normalize": marc_holdings_normalize,
         "oai_harvest_parse": oai_harvest_parse,
+        "sierra_harvest_extract": sierra_harvest_extract,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1818,6 +1861,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "sierra_harvest_extract": """
+            SELECT s_suppkey,
+                   'sierra:lib:' || k AS oai_id,
+                   k AS local_id,
+                   (s_suppkey % 7 = 0 OR s_suppkey % 5 = 0) AS deleted,
+                   CASE WHEN s_suppkey % 7 = 0 OR s_suppkey % 5 = 0 THEN ''
+                        ELSE s_name END AS title245,
+                   CASE WHEN s_suppkey % 7 = 0 OR s_suppkey % 5 = 0 THEN ''
+                        ELSE 'L' || CAST(s_nationkey AS VARCHAR) END AS loc852,
+                   CASE WHEN s_suppkey % 7 = 0 OR s_suppkey % 5 = 0 THEN ''
+                        ELSE 'm' || CAST(s_suppkey % 4 AS VARCHAR) END AS mat977,
+                   CASE WHEN s_suppkey % 7 = 0 OR s_suppkey % 5 = 0 THEN ''
+                        ELSE 'ctl' || k END AS ctl008
+            FROM (SELECT *, CAST(s_suppkey AS VARCHAR) AS k FROM supplier)
         """,
         "oai_harvest_parse": """
             WITH two(i) AS (VALUES (1), (2))
