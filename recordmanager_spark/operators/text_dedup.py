@@ -142,19 +142,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    w = Window.partitionBy("band", "band_key").orderBy("id")
-    banded = banded.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= bucket_cap
-    ).drop("__rn")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    # ONE shuffle: bucket members are collected (sorted, capped) per
+    # (band, band_key) and pairs generated in-partition — replaces the
+    # window + self-join shape that shuffled the banded rows three times
+    ids = F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
+    grouped = banded.groupBy("band", "band_key").agg(ids.alias("__ids"))
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, bucket_cap),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
 
@@ -256,6 +260,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     band_bits: int = 15,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
@@ -281,25 +286,36 @@ def simhash_near_duplicates(
             )
         ).alias("band", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    # one groupBy per bucket; pairs + Hamming filter happen in-partition so
+    # the distinct only shuffles surviving near-dup pairs, not the full
+    # candidate cross product. ``bucket_cap`` bounds a degenerate bucket
+    # (identical boilerplate corpus) to cap^2/2 generated pairs — the same
+    # skew bound the reference applies to dedup candidates; pairs missed
+    # by a capped band usually reappear in one of the other 3 bands.
+    members = F.slice(
+        F.array_sort(F.collect_list(F.struct("id", "simhash"))), 1, bucket_cap
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    grouped = banded.groupBy("band", "band_val").agg(members.alias("__m"))
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__m"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__m"), i + 2, bucket_cap),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(
+                            x["simhash"].bitwiseXOR(y["simhash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["hamming"] <= max_hamming,
+    )
     return (
-        pairs.withColumn("hamming", ham)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        grouped.select(F.explode(pair_arrays).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
+        .distinct()
     )
