@@ -787,6 +787,52 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def genieplus_harvest_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """GeniePlus page JSON → line-MARC parse → 999$c + grouped 852
+    injection → fieldspec reads."""
+    from recordmanager_spark.sources import genieplus as GP
+
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    k = F.col("c_custkey").cast("string")
+    marc_text = F.concat(
+        F.lit("LDR 00000cam a2200000 i 4500\\n"),
+        F.lit("245 10 $a"), F.col("c_name"), F.lit(" :$bgenie record\\n"),
+        F.lit("260 __ $b"), F.col("n_name"),
+    )
+    page = F.format_string(
+        '{"total":1,"records":[{"UniqRecNum":[{"display":"G%s"}],'
+        '"MarcRecord":[{"display":"%s"}],'
+        '"Inventory.Location.CodeDesc":[{"display":"L%s"},{"display":"L%s"}],'
+        '"Inventory.CallNumLC":[{"display":"CN%s"},{"display":"CN%s"}],'
+        '"Inventory.Barcode":[{"display":"b1-%s"},{"display":"b2-%s"}]}]}',
+        k, marc_text,
+        F.pmod(F.col("c_custkey"), F.lit(4)).cast("string"),
+        F.pmod(F.col("c_custkey"), F.lit(4)).cast("string"),
+        F.pmod(F.col("c_custkey"), F.lit(6)).cast("string"),
+        F.pmod(F.col("c_custkey"), F.lit(6)).cast("string"),
+        k, k,
+    )
+    out = GP.harvest_pages(
+        j.select("c_custkey", page.alias("json")),
+        keep=["c_custkey"],
+        source="lib",
+        item_limit_per_location_group=1,
+    )
+    m = F.col("marc")
+    return out.select(
+        "c_custkey",
+        "oai_id",
+        "local_id",
+        MARC.get_field_subfields(m, "245", ["a"]).alias("title245"),
+        MARC.get_field_subfields(m, "260", ["b"]).alias("pub260"),
+        MARC.get_field_subfields(m, "999", ["c"]).alias("id999"),
+        F.size(F.filter(m["fields"], lambda f: f["tag"] == "852")).alias("n852"),
+        MARC.get_field_subfields(m, "852", ["p"]).alias("barcode852"),
+    )
+
+
 def sierra_harvest_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Sierra page JSON → parsed-MARC struct (built with array exprs) →
     fieldspec reads; deletion via flag or suppressed BCODE3."""
@@ -1483,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_holdings_normalize": marc_holdings_normalize,
         "oai_harvest_parse": oai_harvest_parse,
         "sierra_harvest_extract": sierra_harvest_extract,
+        "genieplus_harvest_extract": genieplus_harvest_extract,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1861,6 +1908,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "genieplus_harvest_extract": """
+            SELECT c_custkey,
+                   'genieplus:lib:G' || k AS oai_id,
+                   'G' || k AS local_id,
+                   c_name || ' :' AS title245,
+                   n_name AS pub260,
+                   'G' || k AS id999,
+                   1 AS n852,
+                   'b1-' || k AS barcode852
+            FROM (SELECT c_custkey, c_name, c_nationkey,
+                         CAST(c_custkey AS VARCHAR) AS k FROM customer)
+            JOIN nation ON c_nationkey = n_nationkey
         """,
         "sierra_harvest_extract": """
             SELECT s_suppkey,
