@@ -787,6 +787,30 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def rdf_import_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Turtle import → entity lookup table (ImportRdf equivalent)."""
+    from recordmanager_spark.sources import rdf as R
+
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    ttl = F.format_string(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "@prefix geo: <http://www.w3.org/2003/01/geo/wgs84_pos#> .\n"
+        '<http://ent.example/%s> skos:prefLabel "%s"@en , "namn %s"@sv ;\n'
+        '  skos:altLabel "alt%s"@fi ;\n'
+        "  geo:lat \"6%s.5\" .\n",
+        k, F.col("s_name"), k, k,
+        F.pmod(F.col("s_suppkey"), F.lit(10)).cast("string"),
+    )
+    ents = R.import_rdf(s.select(ttl.alias("text")))
+    return ents.select(
+        "uri",
+        F.array_join(F.array_sort("pref_labels"), "|").alias("pref"),
+        F.array_join("alt_labels", "|").alias("alt"),
+        "geo_lat",
+    )
+
+
 def genieplus_harvest_extract(spark: SparkSession, sf: str) -> DataFrame:
     """GeniePlus page JSON → line-MARC parse → 999$c + grouped 852
     injection → fieldspec reads."""
@@ -1530,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oai_harvest_parse": oai_harvest_parse,
         "sierra_harvest_extract": sierra_harvest_extract,
         "genieplus_harvest_extract": genieplus_harvest_extract,
+        "rdf_import_entities": rdf_import_entities,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1908,6 +1933,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "rdf_import_entities": """
+            SELECT 'http://ent.example/' || k AS uri,
+                   CASE WHEN s_name < ('namn ' || k)
+                        THEN s_name || '|namn ' || k
+                        ELSE 'namn ' || k || '|' || s_name END AS pref,
+                   'alt' || k AS alt,
+                   '6' || CAST(s_suppkey % 10 AS VARCHAR) || '.5' AS geo_lat
+            FROM (SELECT s_suppkey, s_name,
+                         CAST(s_suppkey AS VARCHAR) AS k FROM supplier)
         """,
         "genieplus_harvest_extract": """
             SELECT c_custkey,
