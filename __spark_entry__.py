@@ -511,7 +511,7 @@ def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return SIM.knn_bruteforce(e, q, "vec_id", "embedding", k=5)
+    return SIM.knn_bruteforce(e, q, "vec_id", "embedding", dim=64, k=5)
 
 
 def knn_ivf_full(spark: SparkSession, sf: str) -> DataFrame:
@@ -529,20 +529,12 @@ def knn_ivf_full(spark: SparkSession, sf: str) -> DataFrame:
 def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return SIM.knn_lsh(e, q, "vec_id", "embedding", k=5, num_planes=6)
+    return SIM.knn_lsh(e, q, "vec_id", "embedding", k=5, num_planes=6, dim=64)
 
 
 def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
-    x, y = e.alias("x"), e.alias("y")
-    pairs = x.join(y, F.col("x.vec_id") < F.col("y.vec_id")).select(
-        F.col("x.vec_id").alias("id_a"),
-        F.col("y.vec_id").alias("id_b"),
-        F.round(
-            SIM.cosine_similarity(F.col("x.embedding"), F.col("y.embedding")), 6
-        ).alias("cosine"),
-    )
-    return pairs.where(F.col("cosine") >= 0.35)
+    return SIM.exact_near_duplicates(e, "vec_id", "embedding", 0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------

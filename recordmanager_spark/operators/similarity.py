@@ -15,11 +15,24 @@ is chosen here because it needs no training pass.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim:
+        terms = [
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -27,14 +40,26 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        return F.sqrt(_dot(a, a, dim))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine over array<float>/array<double> columns, computed in double."""
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine over array<float>/array<double> columns, computed in double.
+
+    ``dim``: when the embedding dimension is known (the normal case — a
+    corpus has ONE model's dimension), the dot product unrolls to a flat
+    multiply-add chain that stays inside whole-stage codegen. The generic
+    path uses ``aggregate``/``zip_with`` higher-order functions, which
+    Spark evaluates interpreted — ~50x slower per pair; keep it only for
+    mixed-dimension data.
+    """
+    if dim:
+        return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
@@ -45,6 +70,7 @@ def knn_bruteforce(
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
     k: int = 10,
     include_self: bool = False,
 ) -> DataFrame:
@@ -65,7 +91,7 @@ def knn_bruteforce(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -81,25 +107,34 @@ def knn_bruteforce(
 # ---------------------------------------------------------------------------
 
 
+_MAX_LSH_DIM = 512
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(plane: int) -> tuple:
+    """±1 sign for (plane, d): parity of md5(f"{plane}:{d}")[:4].
+
+    Same deterministic formula the expression originally evaluated with
+    Spark's md5/conv — precomputed on the driver so the hot path carries a
+    literal array instead of per-element md5 inside interpreted
+    higher-order functions (which cost ~50x the multiply they guard).
+    """
+    out = []
+    for d in range(_MAX_LSH_DIM):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:4]
+        out.append(1.0 if int(h, 16) % 2 == 0 else -1.0)
+    return tuple(out)
+
+
 def _hyperplane_bit(vec: Column, plane: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[d] is a deterministic
-    pseudo-random ±1 derived from md5(plane, d) — reproducible everywhere,
-    no stored model."""
+    """Sign bit of <vec, h_plane> — reproducible everywhere, no stored
+    model; vectors up to ``_MAX_LSH_DIM`` dims."""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane)])
     signed = F.aggregate(
         F.zip_with(
             vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: x.cast("double")
-            * F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(plane), d)), 1, 4),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                1.0,
-            ).otherwise(-1.0),
+            F.slice(signs, 1, F.size(vec)),
+            lambda x, s: x.cast("double") * s,
         ),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
@@ -122,6 +157,7 @@ def knn_lsh(
     vec_col: str = "embedding",
     k: int = 10,
     num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact rescoring within the query's LSH bucket.
 
@@ -146,12 +182,40 @@ def knn_lsh(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def exact_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup baseline (no LSH bucketing).
+
+    O(n²) by definition — the truth oracle for the approximate paths.
+    Left side scans the source columnar (keeps vectorized parquet reads);
+    the right side broadcasts. Deterministic left-to-right expression math
+    so results hash-match external oracles bit-for-bit (a numpy matmul
+    block scheme is ~10x faster but sums in a different order, which
+    flips rounded 6th decimals on occasional pairs).
+    """
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(F.broadcast(y), F.col("x.id") < F.col("y.id")).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col("x.vec"), F.col("y.vec"), dim), 6
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
 
 
 def embedding_near_duplicates(
@@ -160,6 +224,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed.
 
@@ -169,7 +234,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)  # bucket bits computed once, not per join side
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(
         y,
@@ -177,7 +242,7 @@ def embedding_near_duplicates(
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
-        F.round(cosine_similarity(F.col("x.vec"), F.col("y.vec")), 6).alias("cosine"),
+        F.round(cosine_similarity(F.col("x.vec"), F.col("y.vec"), dim), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
