@@ -779,6 +779,73 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pipeline_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    """The §3 lifecycle in one query: OAI-PMH pages from two overlapping
+    sources → harvest parse → DC extraction (single-parse engine) → dedup
+    keys → blocking + verification + connected components → group merge.
+    One row per dedup group with the merged title and member ids."""
+    from recordmanager_spark.sources import oaipmh as OAI
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+
+    def pages(src: str) -> DataFrame:
+        page = F.format_string(
+            "<OAI-PMH><ListRecords><record>"
+            "<header><identifier>oai:%s:rec%s</identifier>"
+            "<datestamp>2024-02-01</datestamp></header>"
+            "<metadata><dc><recordID>rec%s</recordID>"
+            "<title>Chronicle %s of %s</title>"
+            "<creator>Chronicler, C%s.</creator>"
+            "<date>%s</date><type>Text</type></dc></metadata>"
+            "</record></ListRecords></OAI-PMH>",
+            F.lit(src), k, k, k, F.col("c_name"),
+            F.pmod(F.col("c_custkey"), F.lit(40)).cast("string"),
+            (F.lit(1900) + F.pmod(F.col("c_custkey"), F.lit(100))).cast("string"),
+        )
+        harvested = OAI.harvest_records(
+            c.select(page.alias("xml")), id_prefix=src
+        )
+        return harvested.select("_id", "metadata_xml").withColumn(
+            "source_id", F.lit(src)
+        )
+
+    recs = pages("pa").unionByName(pages("pb"))
+    extracted = DC.to_solr_columns(recs, "metadata_xml", engine="struct")
+    empty = F.array().cast("array<string>")
+    records = extracted.select(
+        "_id",
+        "source_id",
+        "title",
+        F.col("author"),
+        F.lit("dc").alias("format"),
+        F.lit(None).cast("string").alias("access_restrictions"),
+        empty.alias("isbn"),
+        empty.alias("unique_ids"),
+        empty.alias("issn"),
+        F.col("publishDate").alias("publish_year"),
+        F.lit(None).cast("int").alias("page_count"),
+        F.lit(None).cast("string").alias("series_issn"),
+        F.lit(None).cast("string").alias("series_numbering"),
+    )
+    keyed = DD.with_dedup_keys(records, "title", "author", isbn_col=None)
+    assigned = DD.deduplicate(keyed, key_cols=["title_keys"]).withColumnRenamed(
+        "id", "_id"
+    )
+    grouped = keyed.join(assigned, "_id").where(F.col("dedup_id").isNotNull())
+    merged = MG.merge_groups(
+        grouped, "dedup_id", "_id", single_fields=["title", "publish_year"]
+    )
+    # merge_groups emits the group id under id_col ("_id")
+    return merged.select(
+        F.col("_id").alias("dedup_id"),
+        "title",
+        "publish_year",
+        F.array_join("local_ids", ",").alias("members"),
+        "group_size",
+    )
+
+
 def rdf_import_entities(spark: SparkSession, sf: str) -> DataFrame:
     """Turtle import → entity lookup table (ImportRdf equivalent)."""
     from recordmanager_spark.sources import rdf as R
@@ -1506,8 +1573,9 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the crown dedup operator end-to-end at sf0.001."""
-    return dedup_er(spark, "/root/testdata/sf0.001")
+    """Flagship: the full §3 lifecycle — OAI harvest parse → extraction →
+    cross-source dedup → group merge — at sf0.001."""
+    return pipeline_end_to_end(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1547,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sierra_harvest_extract": sierra_harvest_extract,
         "genieplus_harvest_extract": genieplus_harvest_extract,
         "rdf_import_entities": rdf_import_entities,
+        "pipeline_end_to_end": pipeline_end_to_end,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "lrmi_extract": lrmi_extract,
@@ -1925,6 +1994,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + c_custkey % 20 AS VARCHAR) AS publish_year,
                    'Text' AS dc_type
             FROM customer
+        """,
+        "pipeline_end_to_end": """
+            SELECT 'pa.rec' || k AS dedup_id,
+                   'Chronicle ' || k || ' of ' || c_name AS title,
+                   CAST(1900 + c_custkey % 100 AS VARCHAR) AS publish_year,
+                   'pa.rec' || k || ',pb.rec' || k AS members,
+                   2 AS group_size
+            FROM (SELECT c_custkey, c_name,
+                         CAST(c_custkey AS VARCHAR) AS k FROM customer)
         """,
         "rdf_import_entities": """
             SELECT 'http://ent.example/' || k AS uri,
