@@ -28,7 +28,7 @@ from .marc import _sub_values, fields_by_tag, first_subfield, marc_allfields
 
 
 def _trim_dot_space(v: Column) -> Column:
-    return F.regexp_replace(v, "[. ]+$", "")
+    return F.regexp_replace(v, "[. ]+\\z", "")
 
 
 def _first_sub_per_field(marc: Column, tag: str, code: str) -> Column:
@@ -54,7 +54,7 @@ def _all_subs(marc: Column, tag: str, code: str) -> Column:
 
 def heading(marc: Column) -> Column:
     """100$a (rtrim ' .') else first 110/111 joined '$a / $b / ...'."""
-    personal = F.regexp_replace(first_subfield(marc, "100", "a"), "[ .]+$", "")
+    personal = F.regexp_replace(first_subfield(marc, "100", "a"), "[ .]+\\z", "")
 
     def corp(tag: str) -> Column:
         field = F.element_at(

@@ -153,7 +153,9 @@ def normalize_isbn(col: Column | str) -> Column:
 # Leading punctuation set (MetadataUtils.php:652): space tab #*!¡?/:;.,=(['"´`”
 _LEADING_PUNCT_RE = "^[ \\t#*!¡?/:;.,=\\(\\['\"´`”]+"
 # Trailing basic set (MetadataUtils.php:577): space /:;,=([
-_TRAILING_BASIC_RE = "[ /:;,=\\(\\[]+$"
+# \z not $: Java's $ also matches before a trailing \r/\n, which would eat
+# chars *inside* the string on repeat application (PHP rtrim never does).
+_TRAILING_BASIC_RE = "[ /:;,=\\(\\[]+\\z"
 
 # Default leading-article list (reference ships these via config; the PHP
 # default articles cover English/French/German/Scandinavian determiners).
@@ -176,7 +178,7 @@ def strip_trailing_punctuation(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(c, _TRAILING_BASIC_RE, "")
-    is_initial = s.rlike("(^| )\\w\\.$")
+    is_initial = s.rlike("(^| )\\w\\.\\z")
     s = F.when(
         s.endswith(".") & ~is_initial, s.substr(F.lit(1), F.length(s) - 1)
     ).otherwise(s)
