@@ -77,10 +77,16 @@ def distinct_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _perm_hash(shingle: Column, perm: int) -> Column:
-    """Permutation-hash k of a shingle: md5 with a per-permutation salt.
-    Lexicographic min over hex strings is a valid uniform minhash."""
-    return F.md5(F.concat(F.lit(f"{perm}:"), shingle))
+# Fixed 60-bit XOR constants, one per permutation. h -> h XOR c_k is a
+# bijection of the 60-bit hash space, so min over it is a valid minhash
+# family — and it costs one long XOR instead of one md5 per permutation.
+# Derived deterministically so the family is stable across runs/engines.
+import hashlib as _hashlib
+
+_PERM_XOR = [
+    int(_hashlib.md5(f"rmspark-minhash-perm-{k}".encode()).hexdigest()[:15], 16)
+    for k in range(64)
+]
 
 
 def minhash_signature(
@@ -90,21 +96,26 @@ def minhash_signature(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<string>[num_perm]) minhash signature over distinct
+    """(id, sig array<long>[num_perm]) minhash signature over distinct
     token n-gram shingles.
 
-    Shape: explode shingles -> num_perm salted md5 columns -> groupBy(id)
-    with num_perm min() aggregates. The mins combine map-side, so the
-    shuffle carries one num_perm-wide row per doc — at 100 TB the exchange
-    is proportional to doc count, not shingle count. (A nested
+    Shape: explode shingles -> ONE md5 -> 60-bit long -> num_perm XOR
+    bijections -> groupBy(id) with num_perm min() aggregates. The mins
+    combine map-side, so the shuffle carries one num_perm-wide row per doc
+    — at 100 TB the exchange is proportional to doc count, not shingle
+    count. One hash per shingle plus long XOR/min keeps the hot loop in
+    cheap integer ops (16 salted md5s per shingle was ~5x slower; nested
     array_min(transform(...)) per row blows up codegen and ran ~50x
-    slower.)"""
+    slower). md5 (not xxhash64) remains the base hash so the family is
+    engine-reproducible (DuckDB has md5 + bit ops)."""
     sh = _shingle_rows(df, id_col, text_col, shingle_n)
-    hashed = sh.select(
-        "id", *[_perm_hash(F.col("s"), p).alias(f"h{p}") for p in range(num_perm)]
-    )
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("id", h.alias("h"))
     agg = hashed.groupBy("id").agg(
-        *[F.min(f"h{p}").alias(f"h{p}") for p in range(num_perm)]
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(_PERM_XOR[p]))).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
     )
     return agg.select(
         "id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig")
@@ -128,14 +139,14 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -175,9 +186,13 @@ def jaccard_verify(
     similarity >= threshold. Returns (id_a, id_b, jaccard)."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
     a, b = sh.alias("a"), sh.alias("b")
-    joined = pairs.join(a, pairs.id_a == F.col("a.id")).join(
-        b, pairs.id_b == F.col("b.id")
-    )
+    # Broadcast the candidate PAIRS, never the shingle sets: the pair list
+    # is bounded by the LSH bucket caps while the shingle side scales with
+    # the corpus (per-doc gram arrays — collecting those to the driver is
+    # the expensive wrong plan Spark picks from raw file-size stats).
+    pairs = F.broadcast(pairs)
+    half = F.broadcast(pairs.join(a, pairs.id_a == F.col("a.id")))
+    joined = half.join(b, F.col("id_b") == F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -226,9 +241,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long): sign of per-bit sums of ±1 over distinct token
     hashes.
 
-    Shape: explode distinct tokens -> one groupBy(id) with 60 conditional
-    sums (all map-side combinable). Bit masks are Python-int literals so
-    the whole thing stays in codegen; one shuffle on id.
+    Shape: explode distinct tokens -> one groupBy(id) with 15 packed sums
+    (all map-side combinable). Each sum column SWAR-packs four 16-bit
+    set-bit counters (bits i, i+15, i+30, i+45) into one long, so the
+    aggregate is 15 columns of `sum((h>>i & 1) | (h>>i+15 & 1)<<16 | ...)`
+    instead of 60 conditional sums — 4x less generated code, which keeps
+    whole-stage codegen under Janino's 64 KB method limit and cuts compile
+    latency. Safe while a doc has < 65536 distinct tokens (counter width);
+    ties (exactly half the tokens set the bit) produce 0, like the
+    reference's sign-of-sum.
 
     Tokens come from the same canonical normalization as the other dedup
     fingerprints (punctuation stripped), so 'dog today!' == 'dog today'."""
@@ -238,19 +259,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok_df = df.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).withColumn("h", _token_hash60(F.col("tok")))
-    bit_sums = [
+    lanes = SIMHASH_BITS // 4  # 15 packed sum columns
+    packed = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
+            sum(
+                F.shiftleft(
+                    F.shiftright("h", i + lane * lanes).bitwiseAND(F.lit(1)),
+                    16 * lane,
+                )
+                for lane in range(4)
+            )
+        ).alias(f"p{i}")
+        for i in range(lanes)
     ]
-    agg = tok_df.groupBy("id").agg(*bit_sums)
+    agg = tok_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
+    # bit i+15*lane is set iff 2*count_ones > n_tokens (== sum(+/-1) > 0)
     sig = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
+    for i in range(lanes):
+        for lane in range(4):
+            ones = F.shiftright(f"p{i}", 16 * lane).bitwiseAND(F.lit(0xFFFF))
+            term = F.when(
+                ones * 2 > F.col("n"), F.lit(1 << (i + lane * lanes)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
     return agg.select("id", sig.alias("simhash"))
 
 
