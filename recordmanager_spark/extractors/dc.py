@@ -203,7 +203,13 @@ def _to_solr_columns_struct(
     doesn't retain element positions across names. Everything else is
     value-identical for flat DC records.
     """
-    p = dc_struct(F.col(xml_col))
+    # Materialize the parse ONCE in its own projection and reference the
+    # struct column from the field expressions. Inlining dc_struct(...)
+    # into every output column duplicates the from_xml parse ~18x (one
+    # per field); a separate project survives CollapseProject because the
+    # parse is non-cheap and multiply-referenced.
+    df = df.withColumn("__dc_parsed", dc_struct(F.col(xml_col)))
+    p = F.col("__dc_parsed")
     title = K.strip_trailing_punctuation(F.trim(_struct_el(p, "title")))
     identifiers = F.transform(_struct_els(p, "identifier"), lambda v: F.trim(v))
     descriptions = F.transform(_struct_els(p, "description"), lambda v: F.trim(v))
@@ -248,7 +254,7 @@ def _to_solr_columns_struct(
             )
         ]
     )
-    return df.withColumns(
+    out = df.withColumns(
         {
             "id": F.concat(F.lit(id_prefix + "."), local_id) if id_prefix else local_id,
             "record_format": F.lit("dc"),
@@ -284,3 +290,4 @@ def _to_solr_columns_struct(
             ),
         }
     )
+    return out.drop("__dc_parsed")
