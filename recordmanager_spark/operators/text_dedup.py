@@ -215,14 +215,13 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> Jaccard verify.
 
-    Signatures are persisted across the two downstream consumers (the
-    band join reads them twice via self-join; without the persist the
-    whole shingle+hash scan re-runs per consumer)."""
-    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n).persist()
-    # materialize the (tiny) candidate set so its lineage no longer
-    # references the signature scan, then drop the cache.
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
-    sigs.unpersist(blocking=False)
+    Single linear lineage, no persist/checkpoint: since the band join
+    became an in-partition pair generation (one groupBy, no self-join),
+    every stage is consumed exactly once — signatures flow into the
+    bucket groupBy, candidates into the verify join — so materializing
+    intermediates would only add jobs and latency."""
+    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_n)
 
 
@@ -299,10 +298,8 @@ def simhash_near_duplicates(
     any pair within Hamming distance (bands-1) shares an identical band —
     so candidates come from an equi-join on (band, band_value), never a
     cross product. Returns (id_a, id_b, hamming)."""
-    # materialize signatures once: the banded self-join reads both sides
-    # from the checkpointed result instead of re-running the 60-bit
-    # aggregation (token explode + shuffle) per side
-    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    # single consumer (the band explode) — plain lineage, no checkpoint
+    sigs = simhash(df, id_col, text_col)
     n_bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
