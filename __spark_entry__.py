@@ -1534,7 +1534,7 @@ def xml_split_customers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").cast("string"),
         F.col("c_custkey").cast("string"),
     )
-    split = SP.make_xpath_splitter("record", "id")
+    split = SP.make_tag_splitter("record", "id")
     out = SP.explode_parts(
         c.select("c_custkey", xml.alias("xml")),
         split(F.col("xml")),

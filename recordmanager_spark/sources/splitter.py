@@ -72,6 +72,51 @@ SPLIT_SCHEMA = T.ArrayType(
 )
 
 
+def make_tag_splitter(record_tag: str, id_tag: str | None = None):
+    """JVM fast path for the generic file splitter: streaming-tag matching
+    with regexp_extract_all — the same trick Hadoop's XmlInputFormat uses
+    to split XML at scale without parsing.
+
+    Whole pipeline stays in whole-stage codegen (no Python, no Arrow).
+    Correct when ``record_tag`` elements do not nest inside each other and
+    attribute values do not contain ``>`` — the overwhelmingly common
+    shape of harvested record streams (OAI-PMH ListRecords, export dumps).
+    For hierarchy-aware splitting (EAD/EAD3) or exotic layouts use the
+    parsing splitters below.
+
+    Returns the same ``SPLIT_SCHEMA`` struct array as make_xpath_splitter:
+    (part_xml = raw source fragment, part_id = first ``id_tag`` text or
+    1-based position, sequence)."""
+    tag = re.escape(record_tag)
+    ns = r"(?:\w+:)?"  # local-name match: optional namespace prefix
+    frag_pat = (
+        f"(?s)<{ns}{tag}\\b[^>]*/>|<{ns}{tag}\\b[^>]*>.*?</{ns}{tag}\\s*>"
+    )
+    id_pat = (
+        f"(?s)<{ns}{re.escape(id_tag)}\\b[^>]*>\\s*(.*?)\\s*</" if id_tag else None
+    )
+
+    def split(xml: Column) -> Column:
+        parts = F.regexp_extract_all(xml, F.lit(frag_pat), F.lit(0))
+
+        def mk(p: Column, i: Column) -> Column:
+            pos = (i + 1).cast("string")
+            if id_pat:
+                pid = F.regexp_extract(p, id_pat, 1)
+                pid = F.when(pid != "", pid).otherwise(pos)
+            else:
+                pid = pos
+            return F.struct(
+                p.alias("part_xml"),
+                pid.alias("part_id"),
+                (i + 1).cast("int").alias("sequence"),
+            )
+
+        return F.transform(parts, mk)
+
+    return split
+
+
 def make_xpath_splitter(record_tag: str, id_tag: str | None = None):
     """File-splitter equivalent: extract repeated ``record_tag`` elements.
 

@@ -47,6 +47,35 @@ def test_xpath_splitter(spark):
     assert "<title>One</title>" in rows[0].part_xml
 
 
+def test_tag_splitter_matches_xpath_splitter(spark):
+    """The JVM streaming-tag fast path agrees with the parsing splitter on
+    flat record streams (ids, sequence, fragment content), and handles
+    self-closed records, namespace prefixes, and missing id tags."""
+    tricky = (
+        "<oai:records xmlns:oai='x'>"
+        "<oai:record><oai:id> padded </oai:id></oai:record>"
+        "<oai:record/>"
+        "<oai:record><noid/></oai:record>"
+        "</oai:records>"
+    )
+    df = spark.createDataFrame([(OAI,), (tricky,)], "xml string")
+    jvm = SP.explode_parts(
+        df, SP.make_tag_splitter("record", "id")(F.col("xml")), keep=[]
+    ).collect()
+    assert [(r.part_id, r.sequence) for r in jvm] == [
+        ("r1", 1), ("r2", 2), ("padded", 1), ("2", 2), ("3", 3),
+    ]
+    assert "<title>One</title>" in jvm[0].part_xml
+    py = SP.explode_parts(
+        spark.createDataFrame([(OAI,)], "xml string"),
+        SP.make_xpath_splitter("record", "id")(F.col("xml")),
+        keep=[],
+    ).collect()
+    assert [(r.part_id, r.sequence) for r in py] == [
+        (r.part_id, r.sequence) for r in jvm[:2]
+    ]
+
+
 def test_ead_splitter(spark):
     df = spark.createDataFrame([(EAD,)], "xml string")
     parts = SP.explode_parts(df, SP.split_ead(F.col("xml")), keep=[]).collect()
