@@ -151,60 +151,60 @@ def blocking_pairs(
 # ---------------------------------------------------------------------------
 
 
-def match_condition(a: str = "a", b: str = "b") -> Column:
-    """The matchRecords decision as one boolean Column over a joined pair
-    of record structs aliased ``a`` and ``b``.
+def _match_condition_from(ca, cb, pre_normalized: bool = False) -> Column:
+    """matchRecords as a boolean Column, generic over field access.
 
-    Expected columns per side: format, access_restrictions, isbn (array),
-    unique_ids (array), issn (array), publish_year, page_count,
-    series_issn, series_numbering, title, author.
+    ``ca``/``cb`` map a field name to a Column for each side — either
+    joined-alias access (``F.col("a.title")``) or struct-lambda access
+    (``x["title"]``), so the same decision logic serves the join-based
+    verifier and the in-partition fused verifier. With ``pre_normalized``
+    the title/author comparison keys are read from ``__nk_title`` /
+    ``__nk_author`` (computed once per record instead of once per pair).
     """
-
-    def c(side: str, name: str) -> Column:
-        return F.col(f"{side}.{name}")
-
     # hard filters (:752-808)
-    fmt_ok = (c(a, "format").eqNullSafe(c(b, "format")))
-    access_ok = c(a, "access_restrictions").eqNullSafe(c(b, "access_restrictions"))
+    fmt_ok = ca("format").eqNullSafe(cb("format"))
+    access_ok = ca("access_restrictions").eqNullSafe(cb("access_restrictions"))
 
-    inter = lambda f: F.size(F.array_intersect(c(a, f), c(b, f))) > 0  # noqa: E731
+    inter = lambda f: F.size(F.array_intersect(ca(f), cb(f))) > 0  # noqa: E731
     isbn_accept = inter("isbn")
     id_accept = inter("unique_ids")
 
-    both_issn = (F.size(c(a, "issn")) > 0) & (F.size(c(b, "issn")) > 0)
+    both_issn = (F.size(ca("issn")) > 0) & (F.size(cb("issn")) > 0)
     issn_reject = both_issn & ~inter("issn")
 
     year_reject = (
-        c(a, "publish_year").isNotNull()
-        & c(b, "publish_year").isNotNull()
-        & (c(a, "publish_year") != c(b, "publish_year"))
+        ca("publish_year").isNotNull()
+        & cb("publish_year").isNotNull()
+        & (ca("publish_year") != cb("publish_year"))
     )
     pages_reject = (
-        c(a, "page_count").isNotNull()
-        & c(b, "page_count").isNotNull()
-        & (F.abs(c(a, "page_count") - c(b, "page_count")) > 10)
+        ca("page_count").isNotNull()
+        & cb("page_count").isNotNull()
+        & (F.abs(ca("page_count") - cb("page_count")) > 10)
     )
     series_reject = (
-        c(a, "series_issn").isNotNull()
-        & c(b, "series_issn").isNotNull()
-        & (c(a, "series_issn") != c(b, "series_issn"))
+        ca("series_issn").isNotNull()
+        & cb("series_issn").isNotNull()
+        & (ca("series_issn") != cb("series_issn"))
     ) | (
-        c(a, "series_numbering").isNotNull()
-        & c(b, "series_numbering").isNotNull()
-        & (c(a, "series_numbering") != c(b, "series_numbering"))
+        ca("series_numbering").isNotNull()
+        & cb("series_numbering").isNotNull()
+        & (ca("series_numbering") != cb("series_numbering"))
     )
 
     # title similarity: normalized keys within 10% levenshtein (:902-927)
-    ta = normalize_key(c(a, "title"))
-    tb = normalize_key(c(b, "title"))
+    if pre_normalized:
+        ta, tb = ca("__nk_title"), cb("__nk_title")
+        aa, ab = ca("__nk_author"), cb("__nk_author")
+    else:
+        ta, tb = normalize_key(ca("title")), normalize_key(cb("title"))
+        aa, ab = normalize_key(ca("author")), normalize_key(cb("author"))
     tlen = F.least(F.length(ta), F.length(tb))
     title_ok = (F.length(ta) > 0) & (
         F.levenshtein(ta, tb) < (tlen * 0.1)
     )
 
     # author: exact, authorMatch, or levenshtein <= 20% (:929-962)
-    aa = normalize_key(c(a, "author"))
-    ab = normalize_key(c(b, "author"))
     alen = F.least(F.length(aa), F.length(ab))
     author_ok = (
         author_match_expr(aa, ab)
@@ -214,6 +214,96 @@ def match_condition(a: str = "a", b: str = "b") -> Column:
     accept_fast = isbn_accept | id_accept
     accept_slow = ~issn_reject & ~year_reject & ~pages_reject & ~series_reject & title_ok & author_ok
     return fmt_ok & access_ok & (accept_fast | accept_slow)
+
+
+def match_condition(a: str = "a", b: str = "b") -> Column:
+    """The matchRecords decision as one boolean Column over a joined pair
+    of record structs aliased ``a`` and ``b``.
+
+    Expected columns per side: format, access_restrictions, isbn (array),
+    unique_ids (array), issn (array), publish_year, page_count,
+    series_issn, series_numbering, title, author.
+    """
+    return _match_condition_from(
+        lambda n: F.col(f"{a}.{n}"), lambda n: F.col(f"{b}.{n}")
+    )
+
+
+_VERIFY_FIELDS = [
+    "format",
+    "access_restrictions",
+    "isbn",
+    "unique_ids",
+    "issn",
+    "publish_year",
+    "page_count",
+    "series_issn",
+    "series_numbering",
+    "title",
+    "author",
+]
+
+
+def blocking_verified_edges(
+    records: DataFrame,
+    key_cols: list[str],
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    candidates_per_key: int = 101,
+    verify_fields: list[str] | None = None,
+) -> DataFrame:
+    """Blocking + pairwise verification fused into ONE key shuffle.
+
+    The verification payload rides inside the per-key candidate structs,
+    so pair generation AND matchRecords run in-partition on the grouped
+    array; only surviving edges reach the final distinct. Compared to
+    blocking_pairs -> verified_edges (pair distinct + two record joins =
+    three more corpus-sized exchanges), the corpus is shuffled once, by
+    key. Title/author normalization keys are computed once per record
+    before the explode, not once per generated pair.
+    """
+    fields = verify_fields or _VERIFY_FIELDS
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        *[F.col(f) for f in fields if f not in ("title", "author")],
+        normalize_key(F.col("title")).alias("__nk_title"),
+        normalize_key(F.col("author")).alias("__nk_author"),
+    )
+    exploded = [
+        records.select(F.explode(F.col(k)).alias("key"), member.alias("m"))
+        for k in key_cols
+        if k in records.columns
+    ]
+    keys = reduce(lambda a, b: a.unionByName(b), exploded).where(F.col("key") != "")
+    # struct comparison orders by field position: id first, so array_sort
+    # keeps the reference's created-order determinism (id_a < id_b).
+    grouped = keys.groupBy("key").agg(
+        F.slice(F.array_sort(F.collect_list("m")), 1, candidates_per_key).alias("__c")
+    )
+    match = lambda x, y: _match_condition_from(  # noqa: E731
+        lambda n: x[n], lambda n: y[n], pre_normalized=True
+    )
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__c"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__c"), i + 2, candidates_per_key),
+                    lambda y: F.when(
+                        (x["source"] != y["source"]) & match(x, y),
+                        F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .distinct()
+    )
 
 
 def verified_edges(
@@ -391,32 +481,24 @@ def deduplicate(
 
     dedup_id is the smallest member id of the group; null for singletons.
 
-    The record lineage feeds four consumers (key explode, two verification
-    sides, the one-per-source pass); persist the pruned projection once so
-    upstream extraction work is not recomputed 4x — at scale this is the
-    difference between one pass over the corpus and four.
+    The record lineage feeds two consumers (the fused blocking+verify
+    shuffle and the one-per-source pass); persist the pruned projection
+    once so upstream extraction work is not recomputed per consumer.
     """
     proj_cols = {id_col, source_col}
     proj_cols.update(key_cols or ["isbn_keys", "id_keys", "title_keys"])
-    proj_cols.update(
-        verify_fields
-        or [
-            "format", "access_restrictions", "isbn", "unique_ids", "issn",
-            "publish_year", "page_count", "series_issn", "series_numbering",
-            "title", "author",
-        ]
-    )
+    proj_cols.update(verify_fields or _VERIFY_FIELDS)
     records = records.select(
         *[c for c in records.columns if c in proj_cols]
     ).persist()
-    pairs = blocking_pairs(
+    edges = blocking_verified_edges(
         records,
         key_cols or ["isbn_keys", "id_keys", "title_keys"],
         id_col,
         source_col,
         candidates_per_key,
+        verify_fields,
     )
-    edges = verified_edges(records, pairs, id_col, verify_fields)
     comps = connected_components(edges)
     comps = enforce_one_per_source(comps, records, id_col, source_col)
     out = comps.withColumnRenamed("component", "dedup_id")
