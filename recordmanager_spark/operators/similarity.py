@@ -79,11 +79,23 @@ def knn_bruteforce(
     Returns (query_id, neighbor_id, cosine, rank). The query side is
     broadcast; ties break on neighbor id for determinism.
     """
+    # Precompute each side's norm ONCE before the cross join — inlining
+    # cosine_similarity there recomputes both norms for every (query,
+    # corpus) pair, tripling the multiply-add work of the scan.
+    as_d = (
+        (lambda v: v)
+        if dim
+        else (lambda v: F.transform(v, lambda x: x.cast("double")))
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        as_d(F.col(vec_col)).alias("q_vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        as_d(F.col(vec_col)).alias("c_vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("c_norm"),
     )
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -91,7 +103,11 @@ def knn_bruteforce(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"), dim)
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -166,14 +182,21 @@ def knn_lsh(
     rescoring is exact cosine on the reduced set. Recall < 1 by design —
     verified against knn_bruteforce in tests (multi-probe: lower
     ``num_planes`` for higher recall)."""
+    as_d = (
+        (lambda v: v)
+        if dim
+        else (lambda v: F.transform(v, lambda x: x.cast("double")))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        as_d(F.col(vec_col)).alias("q_vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("q_norm"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        as_d(F.col(vec_col)).alias("c_vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("c_norm"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(
@@ -182,7 +205,11 @@ def knn_lsh(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"), dim)
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -206,13 +233,27 @@ def exact_near_duplicates(
     block scheme is ~10x faster but sums in a different order, which
     flips rounded 6th decimals on occasional pairs).
     """
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    as_d = (
+        (lambda v: v)
+        if dim
+        else (lambda v: F.transform(v, lambda x: x.cast("double")))
+    )
+    # per-side norms computed once per vector, not once per pair; same
+    # float-op order as cosine_similarity (sqrt per side, then multiply)
+    # so rounded results stay bit-identical to the external oracle
+    b = df.select(
+        F.col(id_col).alias("id"),
+        as_d(F.col(vec_col)).alias("vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("nrm"),
+    )
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(F.broadcast(y), F.col("x.id") < F.col("y.id")).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
         F.round(
-            cosine_similarity(F.col("x.vec"), F.col("y.vec"), dim), 6
+            _dot(F.col("x.vec"), F.col("y.vec"), dim)
+            / (F.col("x.nrm") * F.col("y.nrm")),
+            6,
         ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
@@ -230,11 +271,17 @@ def embedding_near_duplicates(
 
     (id_a, id_b, cosine) with id_a < id_b; pairs in different buckets are
     missed (approximate, like all LSH dedup at scale)."""
+    as_d = (
+        (lambda v: v)
+        if dim
+        else (lambda v: F.transform(v, lambda x: x.cast("double")))
+    )
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        as_d(F.col(vec_col)).alias("vec"),
+        _norm(as_d(F.col(vec_col)), dim).alias("nrm"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    ).localCheckpoint(eager=True)  # bucket bits computed once, not per join side
+    ).localCheckpoint(eager=True)  # bucket bits + norms computed once, not per join side
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(
         y,
@@ -242,7 +289,11 @@ def embedding_near_duplicates(
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
-        F.round(cosine_similarity(F.col("x.vec"), F.col("y.vec"), dim), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("x.vec"), F.col("y.vec"), dim)
+            / (F.col("x.nrm") * F.col("y.nrm")),
+            6,
+        ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
