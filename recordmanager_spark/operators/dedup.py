@@ -364,16 +364,16 @@ def connected_components(
     each iteration is one join + one groupBy on the current labels, with
     ``localCheckpoint`` truncating lineage.
     """
-    # materialize the edge set ONCE: the count probe, the driver collect,
-    # and the iterative propagation all reuse the checkpointed result
-    # instead of re-running the verification join per action
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges == 0:
+    # optimistic single action: take(threshold+1) both sizes the edge set
+    # and fetches it when it fits the driver — the common case (verified
+    # match edges are tiny relative to the corpus) runs ONE job with no
+    # checkpoint write. Only the distributed fallback materializes.
+    edges = edges.select("id_a", "id_b")
+    pairs = edges.take(driver_threshold + 1)
+    if not pairs:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
-    if n_edges <= driver_threshold:
-        pairs = edges.collect()
+    if len(pairs) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -396,6 +396,9 @@ def connected_components(
             members.add(r.id_b)
         rows = [(m, find(m)) for m in members]
         return edges.sparkSession.createDataFrame(rows, "id string, component string")
+    # distributed fallback: materialize the edge set once — the iterative
+    # propagation reads it every round and must not re-run verification
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
