@@ -104,8 +104,110 @@ def test_id_sort_key_parity(spark, values):
 @settings(max_examples=15, deadline=None)
 @given(_BATCH)
 def test_strip_trailing_punctuation_stable(spark, values):
+    """Reference semantics are NOT idempotent (rtrim runs before the
+    period rule, which can expose more strippable chars: '(.' -> '('
+    -> ''). The honest invariants: only a suffix is ever removed, the
+    rtrim set never terminates the output unless the period rule exposed
+    it, and clean strings pass through unchanged."""
     out = _eval(spark, K.strip_trailing_punctuation, values)
     again = _eval(spark, K.strip_trailing_punctuation, out)
-    for o, o2 in zip(out, again):
+    for v, o, o2 in zip(values, out, again):
+        assert v.startswith(o)  # only a suffix removed
+        assert o.startswith(o2)
+        # no trailing rtrim-set char unless a later single-char removal
+        # (period rule / unbalanced-bracket drop) exposed it
+        if not any(v.startswith(o + ch) for ch in (".", ")", "]")):
+            assert not o.endswith((" ", "/", ";", ",", "=", ":", "(", "[")), (v, o)
+    clean = ["abc", "Smith, A.", "x9"]
+    assert _eval(spark, K.strip_trailing_punctuation, clean) == clean
+
+
+@settings(max_examples=15, deadline=None)
+@given(_BATCH)
+def test_strip_leading_punctuation_stable(spark, values):
+    lead = (" ", "\t", "#", "*", "!", "?", "/", ":", ";", ".", ",", "=", "(", "[", "'", '"')
+    out = _eval(spark, K.strip_leading_punctuation, values)
+    again = _eval(spark, K.strip_leading_punctuation, out)
+    for v, o, o2 in zip(values, out, again):
         assert o2 == o  # idempotent
-        assert not o.endswith((" ", "/", ";", ",", "=", ":"))
+        # preservePunctuationOnly: an all-punctuation string survives whole
+        if all(ch in lead for ch in v):
+            assert o == v
+        else:
+            assert not o.startswith(lead)
+            # only a prefix is ever removed
+            assert v.endswith(o)
+
+
+def _sort_title_model(v):
+    """Python mirror of createSortTitle reference semantics: strip the FIRST
+    matching article once from the lowercased string, then collapse
+    punctuation/space runs. Not idempotent by design (collapse can expose a
+    new leading article — reference behaves the same)."""
+    import unicodedata
+
+    s = v.lower()
+    for art in K.ARTICLES:
+        if s.startswith(art):
+            s = s[len(art):]
+            break
+    out, run = [], False
+    for ch in s:
+        if ch in "\t=´`” " or unicodedata.category(ch).startswith("P"):
+            run = True
+        else:
+            if run and out:
+                out.append(" ")
+            run = False
+            out.append(ch)
+    return "".join(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_BATCH)
+def test_create_sort_title_canonical(spark, values):
+    """Sort titles are lowercase, collapsed, and match the reference model."""
+    out = _eval(spark, K.create_sort_title, values)
+    for v, o in zip(values, out):
+        assert o == o.lower()
+        assert "  " not in o and o == o.strip()
+        assert o == _sort_title_model(v), (v, o)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_BATCH)
+def test_fingerprint_normalization_invariants(spark, values):
+    """The dedup fingerprint ignores case, punctuation, and whitespace
+    runs — the equivalence classes exact-dup dedup is defined over."""
+    from recordmanager_spark.functions import text as TX
+
+    out = _eval(spark, TX.normalize_for_fingerprint, values)
+    noisy = [("  " + v.upper().replace(" ", "   ") + " !!") for v in values]
+    out_noisy = _eval(spark, TX.normalize_for_fingerprint, noisy)
+    again = _eval(spark, TX.normalize_for_fingerprint, out)
+    for o, on, o2 in zip(out, out_noisy, again):
+        assert on == o  # case/whitespace/trailing-punct invariant
+        assert o2 == o  # idempotent
+        assert "  " not in o and o == o.strip()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(string.ascii_letters, min_size=1, max_size=8), max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_array_iunique_case_insensitive_distinct(spark, arrays):
+    """array_iunique: first-occurrence order, case-insensitively unique
+    (MetadataUtils.php:721-740)."""
+    df = spark.createDataFrame([(a,) for a in arrays], "v array<string>")
+    out = [r.o for r in df.select(K.array_iunique(F.col("v")).alias("o")).collect()]
+    for a, o in zip(arrays, out):
+        seen, model = set(), []
+        for x in a:
+            if x.lower() not in seen:
+                seen.add(x.lower())
+                model.append(x)
+        assert o == model
