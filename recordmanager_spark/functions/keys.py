@@ -17,6 +17,8 @@ unchanged. The fold table is data, not code, so extending it is config.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -178,43 +180,56 @@ def strip_trailing_punctuation(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(c, _TRAILING_BASIC_RE, "")
-    is_initial = s.rlike("(^| )\\w\\.\\z")
-    s = F.when(
-        s.endswith(".") & ~is_initial, s.substr(F.lit(1), F.length(s) - 1)
-    ).otherwise(s)
-    # drop unbalanced trailing ) or ]
-    s = F.when(
-        s.endswith(")") & ~s.contains("("), s.substr(F.lit(1), F.length(s) - 1)
-    ).otherwise(s)
-    s = F.when(
-        s.endswith("]") & ~s.contains("["), s.substr(F.lit(1), F.length(s) - 1)
-    ).otherwise(s)
+    # drop one trailing period unless it terminates a single-letter word
+    # (negative lookbehind = the when/rlike chain collapsed into one regex);
+    # expressed as chained regexp_replace so the expression tree stays LINEAR
+    # — the when(s...).otherwise(s) form re-references its input ~5x per
+    # rule, which compounds to a ~150x-duplicated subtree per call site and
+    # dominates plan-construction time in wide extractor projections.
+    s = F.regexp_replace(s, "(?<!(^| )\\w)\\.\\z", "")
+    # drop an unbalanced trailing ) or ] (whole-string match: no opener
+    # anywhere before it)
+    s = F.regexp_replace(s, "^([^(]*)\\)\\z", "$1")
+    s = F.regexp_replace(s, "^([^\\[]*)\\]\\z", "$1")
     return s
 
 
+# PHP trim()'s default character set (" \t\n\r\0\x0B") as a Java class;
+# Spark's F.trim strips only ASCII space, which diverges on \n/\r tails.
+_PHP_TRIM_RE = "^[ \\t\\n\\r\\x00\\x0B]+|[ \\t\\n\\r\\x00\\x0B]+\\z"
+_PUNCT_RUN_RE = "[\\t\\p{P}=´`” ]+"
+
+
 def strip_punctuation(col: Column | str) -> Column:
-    """stripPunctuation: any punctuation run -> single space, trimmed."""
+    """stripPunctuation (MetadataUtils.php:535-560): any punctuation run ->
+    single space, PHP-trimmed; the original survives when nothing remains
+    (preservePunctuationOnly)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.trim(F.regexp_replace(c, "[\\t\\p{P}=´`” ]+", " "))
+    out = F.regexp_replace(F.regexp_replace(c, _PUNCT_RUN_RE, " "), _PHP_TRIM_RE, "")
     return F.when(out == "", c).otherwise(out)
 
 
 def strip_leading_article(col: Column | str, articles: list[str] | None = None) -> Column:
+    """stripLeadingArticle (MetadataUtils.php:678-688): lowercase, then drop
+    the first list-order article prefix. Regex alternation tries branches
+    left-to-right, which preserves the reference's first-match-wins loop in
+    ONE linear op (the when-chain form re-referenced the input 2x per
+    article)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    out = c
-    # first matching article wins (reference breaks after first match);
-    # coalesce over ordered when-chain preserves that.
-    expr = None
-    for art in articles or ARTICLES:
-        cond = F.when(c.startswith(art), c.substr(F.lit(len(art) + 1), F.length(c)))
-        expr = cond if expr is None else expr.when(c.startswith(art), c.substr(F.lit(len(art) + 1), F.length(c)))
-    return expr.otherwise(out) if expr is not None else out
+    pattern = "^(?:" + "|".join(re.escape(a) for a in (articles or ARTICLES)) + ")"
+    return F.regexp_replace(c, pattern, "")
 
 
 def create_sort_title(col: Column | str) -> Column:
-    """createSortTitle: strip article, collapse punctuation, lowercase."""
-    stripped = strip_leading_article(col)
-    return F.lower(F.trim(F.regexp_replace(stripped, "[\\t\\p{P}=´`” ]+", " ")))
+    """createSortTitle (MetadataUtils.php:698-711): strip article, collapse
+    punctuation (preserving the original when only punctuation remains), and
+    strip the article AGAIN if the collapse changed the first character —
+    already lowercase from the article strip."""
+    t = strip_leading_article(col)
+    start = F.substring(t, 1, 1)
+    p = F.regexp_replace(F.regexp_replace(t, _PUNCT_RUN_RE, " "), _PHP_TRIM_RE, "")
+    p = F.when(p == "", t).otherwise(p)
+    return F.when(F.substring(p, 1, 1) != start, strip_leading_article(p)).otherwise(p)
 
 
 def create_id_sort_key(col: Column | str) -> Column:
