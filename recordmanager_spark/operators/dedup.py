@@ -292,16 +292,24 @@ def blocking_verified_edges(
                     F.slice(F.col("__c"), i + 2, candidates_per_key),
                     lambda y: F.when(
                         (x["source"] != y["source"]) & match(x, y),
-                        F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+                        F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            x["source"].alias("src_a"),
+                            y["source"].alias("src_b"),
+                        ),
                     ),
                 ),
             )
         ),
         lambda p: p.isNotNull(),
     )
+    # sources ride along (functionally dependent on the ids, so the
+    # distinct is unchanged) — they let ``deduplicate`` enforce the
+    # one-per-source invariant driver-side without a second record pass.
     return (
         grouped.select(F.explode(pair_arrays).alias("__p"))
-        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .select("__p.id_a", "__p.id_b", "__p.src_a", "__p.src_b")
         .distinct()
     )
 
@@ -338,7 +346,8 @@ def verified_edges(
         pairs.join(a, pairs.id_a == F.col("a.id"))
         .join(b, pairs.id_b == F.col("b.id"))
     )
-    return joined.where(match_condition("a", "b")).select("id_a", "id_b")
+    keep = ["id_a", "id_b"] + [c for c in ("src_a", "src_b") if c in pairs.columns]
+    return joined.where(match_condition("a", "b")).select(*keep)
 
 
 # ---------------------------------------------------------------------------
@@ -374,31 +383,103 @@ def connected_components(
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
     if len(pairs) <= driver_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in pairs:
-            ra, rb = find(r.id_a), find(r.id_b)
-            if ra != rb:
-                # min id becomes the root so component = smallest member
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+        parent = _union_find(pairs)
         members = set()
         for r in pairs:
             members.add(r.id_a)
             members.add(r.id_b)
-        rows = [(m, find(m)) for m in members]
+        rows = [(m, _uf_find(parent, m)) for m in members]
         return edges.sparkSession.createDataFrame(rows, "id string, component string")
     # distributed fallback: materialize the edge set once — the iterative
     # propagation reads it every round and must not re-run verification
-    edges = edges.localCheckpoint(eager=True)
+    return _cc_distributed(edges.localCheckpoint(eager=True), max_iterations)
+
+
+def _union_find(pairs) -> dict:
+    """Union-find over edge rows; min id becomes each root so the
+    component label = smallest member id (the reference's group id pick,
+    DedupHandler.php:559-627 smallest-id tie-break, made deterministic)."""
+    parent: dict = {}
+    for r in pairs:
+        ra, rb = _uf_find(parent, r.id_a), _uf_find(parent, r.id_b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return parent
+
+
+def _uf_find(parent: dict, x):
+    root = x
+    while parent.get(root, root) != root:
+        root = parent[root]
+    while parent.get(x, x) != x:
+        parent[x], x = root, parent[x]
+    return root
+
+
+def _driver_assignment(pairs) -> list[tuple[str, str | None]]:
+    """Components + one-per-source + min-group-size-2, entirely driver-side.
+
+    ``pairs`` are edge rows (id_a, id_b, src_a, src_b). Within a component,
+    the smallest id per source is kept (the batch form of the reference's
+    greedy one-per-source insert, addToDedupRecord :1221-1242, ordered by
+    id); extras get a null component, and groups left with < 2 members
+    dissolve (removeFromDedupRecord :672-741)."""
+    parent = _union_find(pairs)
+    srcs: dict = {}
+    for r in pairs:
+        srcs[r.id_a] = r.src_a
+        srcs[r.id_b] = r.src_b
+    groups: dict = {}
+    for m in srcs:
+        groups.setdefault(_uf_find(parent, m), []).append(m)
+    out: list[tuple[str, str | None]] = []
+    for root, members in groups.items():
+        best: dict = {}
+        for m in members:
+            s = srcs[m]
+            if s not in best or m < best[s]:
+                best[s] = m
+        kept = set(best.values())
+        comp = root if len(kept) >= 2 else None
+        for m in members:
+            out.append((m, comp if m in kept else None))
+    return out
+
+
+def _assign_components(
+    edges: DataFrame,
+    records: DataFrame,
+    id_col: str = "_id",
+    source_col: str = "source_id",
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(id_a, id_b, src_a, src_b) edges -> (id, component) with the group
+    invariants enforced.
+
+    Common path = ONE Spark job: the verified-match edge set is tiny
+    relative to the corpus (even 10^9 records rarely verify more than
+    10^7-10^8 pairs), so a single take() fetches it and components,
+    one-per-source, and group-size pruning all resolve driver-side — no
+    checkpoint write, no window shuffle, no second record scan. Past the
+    threshold, distributed label propagation + the windowed enforcement
+    pass take over unchanged."""
+    rows = edges.take(driver_threshold + 1)
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "id string, component string")
+    if len(rows) <= driver_threshold:
+        return spark.createDataFrame(
+            _driver_assignment(rows), "id string, component string"
+        )
+    # distributed fallback: materialize the edge set once (the iterative
+    # propagation reads it every round and must not re-run verification),
+    # then enforce invariants with the windowed pass over the records.
+    comps = _cc_distributed(edges.select("id_a", "id_b").localCheckpoint(eager=True))
+    return enforce_one_per_source(comps, records, id_col, source_col)
+
+
+def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -484,16 +565,18 @@ def deduplicate(
 
     dedup_id is the smallest member id of the group; null for singletons.
 
-    The record lineage feeds two consumers (the fused blocking+verify
-    shuffle and the one-per-source pass); persist the pruned projection
-    once so upstream extraction work is not recomputed per consumer.
+    Common path = ONE corpus pass: the fused blocking+verify shuffle emits
+    (id_a, id_b, src_a, src_b) edges, and ``_assign_components`` resolves
+    components + invariants driver-side from a single take(). No persist —
+    the pruned projection is scanned once (column-pruned parquet read), so
+    caching it would only add a cache-write pass. The rare > threshold
+    fallback re-runs blocking once to checkpoint the edges, then does the
+    distributed propagation + windowed enforcement.
     """
     proj_cols = {id_col, source_col}
     proj_cols.update(key_cols or ["isbn_keys", "id_keys", "title_keys"])
     proj_cols.update(verify_fields or _VERIFY_FIELDS)
-    records = records.select(
-        *[c for c in records.columns if c in proj_cols]
-    ).persist()
+    records = records.select(*[c for c in records.columns if c in proj_cols])
     edges = blocking_verified_edges(
         records,
         key_cols or ["isbn_keys", "id_keys", "title_keys"],
@@ -502,16 +585,8 @@ def deduplicate(
         candidates_per_key,
         verify_fields,
     )
-    comps = connected_components(edges)
-    comps = enforce_one_per_source(comps, records, id_col, source_col)
-    out = comps.withColumnRenamed("component", "dedup_id")
-    # materialize before unpersisting so callers get the cached benefit.
-    # Note: localCheckpoint RDDs (the tiny (id, dedup_id) label sets) stay
-    # resident for the session — negligible for batch jobs; a long-lived
-    # service should clear them via SparkContext.getPersistentRDDs.
-    out = out.localCheckpoint(eager=True)
-    records.unpersist()
-    return out
+    comps = _assign_components(edges, records, id_col, source_col)
+    return comps.withColumnRenamed("component", "dedup_id")
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +647,7 @@ def component_part_edges(
     proj = comp.select(
         F.col(comp_id_col).alias("id"),
         F.col(comp_host_col).alias("host"),
+        F.col(source_col).alias("src"),
         F.col("__pos"),
         *[f for f in fields if f in comp.columns],
     )
@@ -599,7 +675,12 @@ def component_part_edges(
     )
     return (
         verified.join(per_pair, ["host_a", "host_b"])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.src").alias("src_a"),
+            F.col("b.src").alias("src_b"),
+        )
     )
 
 
@@ -614,10 +695,9 @@ def dedup_component_parts(
     components whose host pairs don't fully match stay ungrouped (the
     reference's zero-marked cleanup path)."""
     edges = component_part_edges(hosts, components, **kwargs)
-    comps = connected_components(edges)
     src_col = kwargs.get("source_col", "source_id")
     id_col = kwargs.get("comp_id_col", "_id")
-    comps = enforce_one_per_source(comps, components, id_col, src_col)
+    comps = _assign_components(edges, components, id_col, src_col)
     return comps.withColumnRenamed("component", "dedup_id")
 
 
@@ -680,6 +760,12 @@ def deduplicate_incremental(
         .select(
             F.least(F.col("d.id"), F.col("k.id")).alias("id_a"),
             F.greatest(F.col("d.id"), F.col("k.id")).alias("id_b"),
+            F.when(F.col("d.id") < F.col("k.id"), F.col("d.source"))
+            .otherwise(F.col("k.source"))
+            .alias("src_a"),
+            F.when(F.col("d.id") < F.col("k.id"), F.col("k.source"))
+            .otherwise(F.col("d.source"))
+            .alias("src_b"),
         )
         .distinct()
     )
@@ -687,22 +773,30 @@ def deduplicate_incremental(
 
     # prior groups among CLEAN members only, as star edges to the group's
     # smallest clean member
-    clean = ids.where(~F.col("dirty")).select("id")
+    clean = ids.where(~F.col("dirty")).select("id", "source")
     prior = (
         existing.withColumnRenamed(id_col, "id")
         if id_col in existing.columns
         else existing
     )
     prior_clean = prior.where(F.col("dedup_id").isNotNull()).join(clean, "id")
-    rep = prior_clean.groupBy("dedup_id").agg(F.min("id").alias("__rep"))
+    rep = prior_clean.groupBy("dedup_id").agg(
+        F.min("id").alias("__rep"), F.min_by("source", "id").alias("__rep_src")
+    )
     prior_edges = (
         prior_clean.join(rep, "dedup_id")
         .where(F.col("id") != F.col("__rep"))
-        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("__rep_src").alias("src_a"),
+            F.col("source").alias("src_b"),
+        )
     )
 
-    comps = connected_components(new_edges.unionByName(prior_edges))
-    comps = enforce_one_per_source(comps, records, id_col, source_col)
+    comps = _assign_components(
+        new_edges.unionByName(prior_edges), records, id_col, source_col
+    )
     return comps.withColumnRenamed("component", "dedup_id")
 
 
