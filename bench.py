@@ -63,6 +63,17 @@ def main() -> None:
     qs = entry_mod.queries()
     # warm-up: JVM + parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+    # warm-up: Python UDF worker pool + Arrow serialization path, so
+    # pandas-UDF queries measure steady-state throughput, not the one-time
+    # worker fork (executors reuse pythonExec workers across queries)
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+
+    def _warm_fn(v):
+        return v * 1.0
+
+    _warm_fn.__annotations__ = {"v": __import__("pandas").Series, "return": __import__("pandas").Series}
+    _warm = pandas_udf(_warm_fn, "double")
+    spark.range(10000, numPartitions=32).select(_warm(col("id"))).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
