@@ -28,8 +28,6 @@ partition in tests.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,16 +99,18 @@ def blocking_pairs(
     the row_number bound keeps a poison key ("annual report") from turning
     into an O(n²) partition on one executor.
     """
-    exploded = [
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(source_col).alias("source"),
-            F.explode(F.col(k)).alias("key"),
-        )
-        for k in key_cols
-        if k in df.columns
-    ]
-    keys = reduce(lambda a, b: a.unionByName(b), exploded).where(F.col("key") != "")
+    allkeys = F.concat(
+        *[
+            F.coalesce(F.col(k), F.array().cast("array<string>"))
+            for k in key_cols
+            if k in df.columns
+        ]
+    )
+    keys = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.explode(allkeys).alias("key"),
+    ).where(F.col("key") != "")
     # ONE shuffle: group each key's (sorted, capped) candidate list and
     # generate the cross pairs in-partition with array expressions. The
     # former shape (window row_number + self-join on key) shuffled the
@@ -270,12 +270,20 @@ def blocking_verified_edges(
         normalize_key(F.col("title")).alias("__nk_title"),
         normalize_key(F.col("author")).alias("__nk_author"),
     )
-    exploded = [
-        records.select(F.explode(F.col(k)).alias("key"), member.alias("m"))
-        for k in key_cols
-        if k in records.columns
-    ]
-    keys = reduce(lambda a, b: a.unionByName(b), exploded).where(F.col("key") != "")
+    # one corpus scan: concatenate the key arrays before the explode (a
+    # union of per-column explodes re-scans the records — and re-runs the
+    # key-gen expressions — once per key column). Semantics are identical:
+    # the per-column branches shared one "key" namespace anyway.
+    allkeys = F.concat(
+        *[
+            F.coalesce(F.col(k), F.array().cast("array<string>"))
+            for k in key_cols
+            if k in records.columns
+        ]
+    )
+    keys = records.select(F.explode(allkeys).alias("key"), member.alias("m")).where(
+        F.col("key") != ""
+    )
     # struct comparison orders by field position: id first, so array_sort
     # keeps the reference's created-order determinism (id_a < id_b).
     grouped = keys.groupBy("key").agg(
@@ -736,12 +744,16 @@ def deduplicate_incremental(
         F.col(dirty_col).alias("dirty"),
         *[k for k in key_cols if k in records.columns],
     )
-    exploded = [
-        ids.select("id", "source", "dirty", F.explode(F.col(k)).alias("key"))
-        for k in key_cols
-        if k in ids.columns
-    ]
-    keys = reduce(lambda x, y: x.unionByName(y), exploded).where(F.col("key") != "")
+    allkeys = F.concat(
+        *[
+            F.coalesce(F.col(k), F.array().cast("array<string>"))
+            for k in key_cols
+            if k in ids.columns
+        ]
+    )
+    keys = ids.select(
+        "id", "source", "dirty", F.explode(allkeys).alias("key")
+    ).where(F.col("key") != "")
     w = Window.partitionBy("key").orderBy(F.col("id"))
     keys = (
         keys.withColumn("__rn", F.row_number().over(w))
