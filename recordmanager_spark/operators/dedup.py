@@ -255,12 +255,20 @@ def blocking_verified_edges(
     """Blocking + pairwise verification fused into ONE key shuffle.
 
     The verification payload rides inside the per-key candidate structs,
-    so pair generation AND matchRecords run in-partition on the grouped
-    array; only surviving edges reach the final distinct. Compared to
+    so pair generation runs in-partition on the grouped array. Compared to
     blocking_pairs -> verified_edges (pair distinct + two record joins =
     three more corpus-sized exchanges), the corpus is shuffled once, by
     key. Title/author normalization keys are computed once per record
     before the explode, not once per generated pair.
+
+    matchRecords itself is deliberately NOT evaluated inside the
+    pair-generation lambda: higher-order-function lambdas are interpreted
+    (CodegenFallback), so the levenshtein-heavy predicate would walk an
+    expression tree per candidate pair. Instead the lambda only pairs up
+    cross-source candidates (cheap), the pairs are exploded to rows, and
+    the full predicate runs as a top-level Filter inside whole-stage
+    codegen — the shape that stays fast when a hot key emits its capped
+    ~5000 pairs per group at 100 TB.
     """
     fields = verify_fields or _VERIFY_FIELDS
     member = F.struct(
@@ -289,9 +297,6 @@ def blocking_verified_edges(
     grouped = keys.groupBy("key").agg(
         F.slice(F.array_sort(F.collect_list("m")), 1, candidates_per_key).alias("__c")
     )
-    match = lambda x, y: _match_condition_from(  # noqa: E731
-        lambda n: x[n], lambda n: y[n], pre_normalized=True
-    )
     pair_arrays = F.filter(
         F.flatten(
             F.transform(
@@ -299,25 +304,31 @@ def blocking_verified_edges(
                 lambda x, i: F.transform(
                     F.slice(F.col("__c"), i + 2, candidates_per_key),
                     lambda y: F.when(
-                        (x["source"] != y["source"]) & match(x, y),
-                        F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["source"].alias("src_a"),
-                            y["source"].alias("src_b"),
-                        ),
+                        x["source"] != y["source"],
+                        F.struct(x.alias("a"), y.alias("b")),
                     ),
                 ),
             )
         ),
         lambda p: p.isNotNull(),
     )
+    pairs = grouped.select(F.explode(pair_arrays).alias("__p")).select(
+        F.col("__p.a").alias("a"), F.col("__p.b").alias("b")
+    )
+    match = _match_condition_from(
+        lambda n: F.col(f"a.{n}"), lambda n: F.col(f"b.{n}"), pre_normalized=True
+    )
     # sources ride along (functionally dependent on the ids, so the
     # distinct is unchanged) — they let ``deduplicate`` enforce the
     # one-per-source invariant driver-side without a second record pass.
     return (
-        grouped.select(F.explode(pair_arrays).alias("__p"))
-        .select("__p.id_a", "__p.id_b", "__p.src_a", "__p.src_b")
+        pairs.where(match)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
         .distinct()
     )
 
