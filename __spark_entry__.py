@@ -44,6 +44,7 @@ from recordmanager_spark.operators import normalize as NZ
 from recordmanager_spark.operators import multimodal as MM
 from recordmanager_spark.sources import splitter as SP
 from recordmanager_spark.sources import upsert as UP
+from recordmanager_spark.sparkcompat import try_element_at
 from recordmanager_spark.operators import (
     count_values as CV,
     dedup as DD,
@@ -570,10 +571,10 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         "title",
         "title_short",
-        F.element_at("author", 1).alias("author1"),
+        try_element_at("author", 1).alias("author1"),
         "publish_year",
         F.col("page_count").cast("int").alias("page_count"),
-        F.element_at("language", 1).alias("lang1"),
+        try_element_at("language", 1).alias("lang1"),
     )
 
 
@@ -617,8 +618,8 @@ def qdc_extract(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         "title_short",
         "title_sub",
-        F.element_at("title_alt", 1).alias("alt1"),
-        F.element_at("issn", 1).alias("issn1"),
+        try_element_at("title_alt", 1).alias("alt1"),
+        try_element_at("issn", 1).alias("issn1"),
     )
 
 
@@ -646,9 +647,9 @@ def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
         "title",
         "format",
         "institution",
-        F.element_at("author", 1).alias("author1"),
-        F.element_at("era", 1).alias("display_date"),
-        F.element_at("material", 1).alias("material1"),
+        try_element_at("author", 1).alias("author1"),
+        try_element_at("era", 1).alias("display_date"),
+        try_element_at("material", 1).alias("material1"),
         "ctrlnum",
     )
 
@@ -689,7 +690,7 @@ def copy_down_merged(spark: SparkSession, sf: str) -> DataFrame:
     members = o.withColumnRenamed("_id", "member_id")
     out = MG.copy_down(members, merged, "grp", "_id", ["topics"])
     return out.select(
-        "member_id", "grp", F.col("topics").alias("group_topics")
+        "member_id", "grp", F.array_join("topics", "|").alias("group_topics")
     )
 
 
@@ -719,9 +720,9 @@ def ead_extract(spark: SparkSession, sf: str) -> DataFrame:
         "title_sort",
         "institution",
         "description",
-        F.element_at("author", 1).alias("author1"),
-        F.element_at("topic", 1).alias("topic1"),
-        F.element_at("physical", 1).alias("physical1"),
+        try_element_at("author", 1).alias("author1"),
+        try_element_at("topic", 1).alias("topic1"),
+        try_element_at("physical", 1).alias("physical1"),
     )
 
 
@@ -747,7 +748,7 @@ def work_keys_marc(spark: SparkSession, sf: str) -> DataFrame:
     wk = MARC.work_keys(F.col("marc"))  # Column reuse: build the tree once
     return parsed.select(
         "c_custkey",
-        F.element_at(wk, 1).alias("work_key"),
+        try_element_at(wk, 1).alias("work_key"),
         F.size(wk).alias("n_keys"),
     )
 
@@ -1097,7 +1098,7 @@ def ese_extract(spark: SparkSession, sf: str) -> DataFrame:
         "title_sub",
         F.array_join("language", ",").alias("langs"),
         F.col("publishDate").alias("publish_year"),
-        F.element_at("isbn", 1).alias("isbn1"),
+        try_element_at("isbn", 1).alias("isbn1"),
         "url",
     )
 
@@ -1136,9 +1137,9 @@ def doaj_extract(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         "title_short",
         "title_sub",
-        F.element_at("author", 1).alias("author1"),
+        try_element_at("author", 1).alias("author1"),
         F.size("author").alias("n_authors"),
-        F.element_at("topic", 1).alias("topic1"),
+        try_element_at("topic", 1).alias("topic1"),
         F.array_join("language", ",").alias("langs"),
         F.col("publishDate").alias("publish_year"),
         "url",
@@ -1171,11 +1172,11 @@ def lrmi_extract(spark: SparkSession, sf: str) -> DataFrame:
         "title",
         "title_short",
         F.array_join("language", ",").alias("langs"),
-        F.element_at("author", 1).alias("author1"),
+        try_element_at("author", 1).alias("author1"),
         F.size("author2").alias("n_author2"),
-        F.element_at("author_corporate", 1).alias("corp1"),
-        F.element_at("topic", 1).alias("topic1"),
-        F.element_at("topic_ids", 1).alias("topic_id1"),
+        try_element_at("author_corporate", 1).alias("corp1"),
+        try_element_at("topic", 1).alias("topic1"),
+        try_element_at("topic_ids", 1).alias("topic_id1"),
     )
 
 
@@ -1213,14 +1214,14 @@ def marc_authority_extract(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         "heading",
         "record_type",
-        F.element_at("use_for", 1).alias("use_for1"),
+        try_element_at("use_for", 1).alias("use_for1"),
         "birth_date",
         "death_date",
         "birth_place",
         "country",
         F.array_join("field_of_activity", ",").alias("activities"),
-        F.element_at("occupation", 1).alias("occupation1"),
-        F.element_at("occupation_ids", 1).alias("occ_id1"),
+        try_element_at("occupation", 1).alias("occupation1"),
+        try_element_at("occupation_ids", 1).alias("occ_id1"),
     )
 
 
@@ -1260,8 +1261,8 @@ def forward_authority_extract(spark: SparkSession, sf: str) -> DataFrame:
         "death_date",
         "birth_place",
         "death_place",
-        F.element_at("related_place", 1).alias("related_place1"),
-        F.element_at("occupation", 1).alias("occupation1"),
+        try_element_at("related_place", 1).alias("related_place1"),
+        try_element_at("occupation", 1).alias("occupation1"),
         F.array_join("allfields", "|").alias("allfields_joined"),
     )
 
@@ -1305,8 +1306,8 @@ def ead3_split_extract(spark: SparkSession, sf: str) -> DataFrame:
         "series",
         "hierarchy_parent_id",
         "hierarchy_top_title",
-        F.element_at("topic", 1).alias("topic1"),
-        F.element_at("author", 1).alias("author1"),
+        try_element_at("topic", 1).alias("topic1"),
+        try_element_at("author", 1).alias("author1"),
         "institution",
     )
 
@@ -1325,7 +1326,9 @@ def value_mapping_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        MP.map_array_column(F.array(F.col("o_orderstatus")), m).alias("status_mapped"),
+        F.array_join(
+            MP.map_array_column(F.array(F.col("o_orderstatus")), m), "|"
+        ).alias("status_mapped"),
     )
 
 
@@ -1343,7 +1346,9 @@ def regexp_mapping_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
-        MP.map_array_column(F.array(F.col("o_orderpriority")), m).alias("prio_mapped"),
+        F.array_join(
+            MP.map_array_column(F.array(F.col("o_orderpriority")), m), "|"
+        ).alias("prio_mapped"),
     )
 
 
@@ -1361,7 +1366,13 @@ def field_rules_orders(spark: SparkSession, sf: str) -> DataFrame:
             'copy flags rest default="NONE"',
         ],
     )
-    return out.select("o_orderkey", "flags", "prio", "status", "rest")
+    return out.select(
+        "o_orderkey",
+        F.array_join("flags", "|").alias("flags"),
+        F.array_join("prio", "|").alias("prio"),
+        F.array_join("status", "|").alias("status"),
+        F.array_join("rest", "|").alias("rest"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1382,7 +1393,10 @@ def hierarchical_facets_geo(spark: SparkSession, sf: str) -> DataFrame:
     )
     df = NZ.add_institution_to_building(df, "INST")
     return df.select(
-        "n_nationkey", NZ.hierarchical_facet(F.col("building")).alias("building_facets")
+        "n_nationkey",
+        F.array_join(
+            NZ.hierarchical_facet(F.col("building")), "|"
+        ).alias("building_facets"),
     )
 
 
@@ -1396,7 +1410,7 @@ def allfields_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
     return c.select(
         F.col("id").cast("long").alias("c_custkey"),
-        NZ.allfields(c).alias("allfields"),
+        F.array_join(NZ.allfields(c), "|").alias("allfields"),
     )
 
 
@@ -1408,7 +1422,7 @@ def normalize_fields_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.array(F.col("lang"), F.col("source"), F.lit("n/a")).alias("tags"),
     )
     out = NZ.normalize_fields(d, limits={"title": 50}, non_indexed=["n/a"])
-    return out.select("doc_id", "title", "tags")
+    return out.select("doc_id", "title", F.array_join("tags", "|").alias("tags"))
 
 
 # ---------------------------------------------------------------------------
@@ -1475,7 +1489,7 @@ def enrich_topics_nation(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("topic_uris"),
     )
     out = EN.enrich_with_entities(c, entities, "c_custkey", "topic_uris")
-    return out.select("c_custkey", "topic_add")
+    return out.select("c_custkey", F.array_join("topic_add", "|").alias("topic_add"))
 
 
 def link_resolution_lineitem(spark: SparkSession, sf: str) -> DataFrame:
@@ -1563,8 +1577,11 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         "sha256",
         "byte_len",
-        F.transform(
-            "feature", lambda x: F.round(x * 255).cast("int")
+        F.array_join(
+            F.transform(
+                "feature", lambda x: F.round(x * 255).cast("int").cast("string")
+            ),
+            "|",
         ).alias("feature_bytes"),
     )
 
@@ -1955,7 +1972,8 @@ def oracle_sql() -> dict[str, str]:
             ), agg AS (
                 SELECT grp, list(p ORDER BY mrn) AS group_topics FROM dd GROUP BY grp
             )
-            SELECT m.id AS member_id, m.grp, agg.group_topics
+            SELECT m.id AS member_id, m.grp,
+                   array_to_string(agg.group_topics, '|') AS group_topics
             FROM m JOIN agg USING (grp)
         """,
         "ead_extract": """
@@ -2189,19 +2207,19 @@ def oracle_sql() -> dict[str, str]:
         "value_mapping_orders": """
             SELECT o_orderkey,
                    CASE o_orderstatus
-                        WHEN 'O' THEN ['Open', 'Ongoing']
-                        WHEN 'F' THEN ['Finished']
-                        ELSE ['Other'] END AS status_mapped
+                        WHEN 'O' THEN 'Open|Ongoing'
+                        WHEN 'F' THEN 'Finished'
+                        ELSE 'Other' END AS status_mapped
             FROM orders
         """,
         "regexp_mapping_orders": """
             SELECT o_orderkey,
                    CASE
-                        WHEN o_orderpriority = '1-URGENT' THEN ['P1']
+                        WHEN o_orderpriority = '1-URGENT' THEN 'P1'
                         WHEN regexp_matches(o_orderpriority, '^([0-9])-(.*)$')
-                             THEN ['P' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 1)
-                                   || ' (' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 2) || ')']
-                        ELSE ['UNKNOWN'] END AS prio_mapped
+                             THEN 'P' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 1)
+                                   || ' (' || regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 2) || ')'
+                        ELSE 'UNKNOWN' END AS prio_mapped
             FROM orders
         """,
         "field_rules_orders": """
@@ -2221,15 +2239,20 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(flags0, v -> regexp_matches(v, '^[A-Z]$')) AS status
                 FROM r1
             )
-            SELECT o_orderkey, flags, prio, status,
-                   CASE WHEN len(flags) > 0 THEN flags ELSE ['NONE'] END AS rest
+            SELECT o_orderkey,
+                   array_to_string(flags, '|') AS flags,
+                   array_to_string(prio, '|') AS prio,
+                   array_to_string(status, '|') AS status,
+                   array_to_string(
+                     CASE WHEN len(flags) > 0 THEN flags ELSE ['NONE'] END,
+                     '|') AS rest
             FROM r2
         """,
         "hierarchical_facets_geo": """
             SELECT n_nationkey,
-                   ['0/INST/',
-                    '1/INST/' || r_name || '/',
-                    '2/INST/' || r_name || '/' || n_name || '/'] AS building_facets
+                   '0/INST/' ||
+                    '|1/INST/' || r_name || '/' ||
+                    '|2/INST/' || r_name || '/' || n_name || '/' AS building_facets
             FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
         "allfields_customer": """
@@ -2237,13 +2260,14 @@ def oracle_sql() -> dict[str, str]:
             -- case-insensitive dedup keeping first occurrence: lower(segment)
             -- collides with segment and is dropped
             SELECT c_custkey,
-                   [c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)] AS allfields
+                   c_name || '|' || c_mktsegment || '|'
+                     || CAST(c_nationkey AS VARCHAR) AS allfields
             FROM customer
         """,
         "normalize_fields_docs": """
             SELECT doc_id,
                    left(text, 50) AS title,
-                   list_filter([lang, source], v -> v != 'n/a') AS tags  -- list_distinct reorders in duckdb; no dups here
+                   array_to_string(list_filter([lang, source], v -> v != 'n/a'), '|') AS tags  -- list_distinct reorders in duckdb; no dups here
             FROM documents
         """,
         "callnumber_sort_keys": """
@@ -2279,7 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "enrich_topics_nation": """
             SELECT c_custkey,
-                   [n_name, 'N' || CAST(n_nationkey AS VARCHAR)] AS topic_add
+                   n_name || '|N' || CAST(n_nationkey AS VARCHAR) AS topic_add
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "link_resolution_lineitem": """
@@ -2313,9 +2337,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
                    sha256(text) AS sha256,
                    CAST(strlen(text) AS INT) AS byte_len,
-                   list_transform(range(1, 9),
+                   array_to_string(list_transform(range(1, 9),
                        i -> CAST(('0x' || substr(sha256(text), (i-1)*2+1, 2)) AS INT)
-                   ) AS feature_bytes
+                   ), '|') AS feature_bytes
             FROM documents
         """,
         "id_sort_keys": """

@@ -22,6 +22,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from ..functions import keys as K
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 @pandas_udf(BooleanType())
@@ -52,7 +53,7 @@ def _els(xml: Column, name: str) -> Column:
 
 
 def _el(xml: Column, name: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, name), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, name), 1), F.lit(""))
 
 
 def _strip_trail_all(arr: Column) -> Column:
@@ -133,7 +134,7 @@ def _struct_els(parsed: Column, name: str) -> Column:
 
 
 def _struct_el(parsed: Column, name: str) -> Column:
-    return F.coalesce(F.element_at(parsed[name], 1), F.lit(""))
+    return F.coalesce(try_element_at(parsed[name], 1), F.lit(""))
 
 
 def to_solr_columns(
@@ -171,9 +172,9 @@ def to_solr_columns(
             "author2": _strip_trail_all(_els(x, "contributor")),
             "title": title,
             "title_full": title,
-            "title_short": F.element_at(F.split(title, " : ", 2), 1),
+            "title_short": try_element_at(F.split(title, " : ", 2), 1),
             "title_sub": F.coalesce(
-                F.element_at(F.split(title, " : ", 2), 2), F.lit("")
+                try_element_at(F.split(title, " : ", 2), 2), F.lit("")
             ),
             "title_sort": K.create_sort_title(title),
             "publisher": F.array(
@@ -270,9 +271,9 @@ def _to_solr_columns_struct(
             "author2": _strip_trail_all(_struct_els(p, "contributor")),
             "title": title,
             "title_full": title,
-            "title_short": F.element_at(F.split(title, " : ", 2), 1),
+            "title_short": try_element_at(F.split(title, " : ", 2), 1),
             "title_sub": F.coalesce(
-                F.element_at(F.split(title, " : ", 2), 2), F.lit("")
+                try_element_at(F.split(title, " : ", 2), 2), F.lit("")
             ),
             "title_sort": K.create_sort_title(title),
             "publisher": F.array(

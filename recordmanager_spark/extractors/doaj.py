@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import _el, _els, well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def doaj_languages(xml: Column) -> Column:
@@ -86,9 +87,9 @@ def to_solr_columns(
         oai = F.col(oai_id_col)
         parts = F.split(oai, ":", 3)
         fallback = F.when(
-            (F.element_at(parts, 1) == "oai")
-            & (F.coalesce(F.element_at(parts, 3), F.lit("")) != ""),
-            F.element_at(parts, 3),
+            (try_element_at(parts, 1) == "oai")
+            & (F.coalesce(try_element_at(parts, 3), F.lit("")) != ""),
+            try_element_at(parts, 3),
         ).otherwise(oai)
         record_id = F.when(record_id != "", record_id).otherwise(fallback)
     title = K.strip_trailing_punctuation(F.trim(_el(x, "title")))
@@ -113,8 +114,8 @@ def to_solr_columns(
         ),
         "title": title,
         "title_full": title,
-        "title_short": F.element_at(F.split(title, " : ", 2), 1),
-        "title_sub": F.coalesce(F.element_at(F.split(title, " : ", 2), 2), F.lit("")),
+        "title_short": try_element_at(F.split(title, " : ", 2), 1),
+        "title_sub": F.coalesce(try_element_at(F.split(title, " : ", 2), 2), F.lit("")),
         "title_sort": K.create_sort_title(F.trim(_el(x, "title"))),
         "publisher": F.array(K.strip_trailing_punctuation(F.trim(_el(x, "publisher")))),
         "publishDate": F.when(

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dc import well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 _RDA_BIRTH = "http://rdaregistry.info/Elements/a/P50121"
 _RDA_DEATH = "http://rdaregistry.info/Elements/a/P50120"
@@ -32,7 +33,7 @@ def _els(xml: Column, path: str) -> Column:
 
 
 def _el(xml: Column, path: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, path), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, path), 1), F.lit(""))
 
 
 def _typed_year(xml: Column, localtype: str) -> Column:
@@ -42,7 +43,7 @@ def _typed_year(xml: Column, localtype: str) -> Column:
             f'//*[local-name()="date" and @localType="{localtype}"]/@standardDate'
         ),
     )
-    first = F.coalesce(F.element_at(dates, 1), F.lit(""))
+    first = F.coalesce(try_element_at(dates, 1), F.lit(""))
     return F.regexp_extract(first, "(\\d{4})", 1)
 
 

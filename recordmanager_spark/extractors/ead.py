@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _els(xml: Column, path: str) -> Column:
@@ -33,11 +34,11 @@ def _els(xml: Column, path: str) -> Column:
 
 
 def _el(xml: Column, path: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, path), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, path), 1), F.lit(""))
 
 
 def _attr(xml: Column, expr: str) -> Column:
-    return F.coalesce(F.element_at(F.xpath(xml, F.lit(expr)), 1), F.lit(""))
+    return F.coalesce(try_element_at(F.xpath(xml, F.lit(expr)), 1), F.lit(""))
 
 
 def to_solr_columns(

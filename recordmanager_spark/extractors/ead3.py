@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import keys as K
 from .dc import well_formed_xml
 from .ead import _attr, _el, _els
+from recordmanager_spark.sparkcompat import try_element_at
 
 _NO_SUBTITLE_FORMATS = ("fonds", "collection")
 _NON_SERIES_FORMATS = ("fonds", "collection", "series", "subseries", "")
@@ -95,7 +96,7 @@ def to_solr_columns(
             ),
         ).otherwise(F.trim(_el(x, "scopecontent"))),
         "author": authors,
-        "author_sort": F.coalesce(F.element_at(authors, 1), F.lit("")),
+        "author_sort": F.coalesce(try_element_at(authors, 1), F.lit("")),
         "author_corporate": F.concat(
             _parts(x, "controlaccess", "corpname"),
             _parts(x, "did", "origination", "corpname"),
@@ -132,7 +133,7 @@ def to_solr_columns(
             lambda v: (v != "-") & (v != ""),
         ),
         "thumbnail": F.coalesce(
-            F.element_at(
+            try_element_at(
                 F.xpath(
                     x,
                     F.lit(

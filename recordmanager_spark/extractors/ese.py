@@ -23,11 +23,12 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import _el, _els, well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _last_url(arr: Column) -> Column:
     matches = F.filter(arr, lambda v: v.rlike("^https?"))
-    return F.element_at(F.reverse(matches), 1)
+    return try_element_at(F.reverse(matches), 1)
 
 
 def ese_languages(xml: Column) -> Column:
@@ -68,12 +69,12 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
             ),
             "title": title,
             "title_full": title,
-            "title_short": F.element_at(F.split(title, " : ", 2), 1),
-            "title_sub": F.coalesce(F.element_at(F.split(title, " : ", 2), 2), F.lit("")),
+            "title_short": try_element_at(F.split(title, " : ", 2), 1),
+            "title_sub": F.coalesce(try_element_at(F.split(title, " : ", 2), 2), F.lit("")),
             "title_sort": K.create_sort_title(title),
             "publisher": F.array(F.trim(_el(x, "publisher"))),
             "publishDate": F.coalesce(
-                F.element_at(F.filter(dates, lambda v: v.rlike("^[0-9]{4}$")), 1),
+                try_element_at(F.filter(dates, lambda v: v.rlike("^[0-9]{4}$")), 1),
                 F.lit(""),
             ),
             "isbn": F.array_distinct(

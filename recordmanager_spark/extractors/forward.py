@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 PRIMARY_RELATORS = ("d02", "a00", "a03", "a06", "a50", "a99")
 SECONDARY_RELATORS = ("d01", "e01", "f01", "f02")
@@ -30,7 +31,7 @@ def _els(xml: Column, path: str) -> Column:
 
 
 def _el(xml: Column, path: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, path), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, path), 1), F.lit(""))
 
 
 def _agents(xml: Column) -> Column:
@@ -97,7 +98,7 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
             "author2": _by_relators(agents, SECONDARY_RELATORS, "name"),
             "author2_role": _by_relators(agents, SECONDARY_RELATORS, "relator"),
             "author_sort": F.coalesce(
-                F.element_at(_by_relators(agents, PRIMARY_RELATORS, "name"), 1),
+                try_element_at(_by_relators(agents, PRIMARY_RELATORS, "name"), 1),
                 F.lit(""),
             ),
             "description": F.array_join(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 # main element = first child of the document root
 _MAIN = "/*/*[1]"
@@ -37,7 +38,7 @@ def _els(xml: Column, path: str) -> Column:
 
 
 def _el(xml: Column, path: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, path), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, path), 1), F.lit(""))
 
 
 def _agent_date(xml: Column, event_type: int, part: str) -> Column:
@@ -50,7 +51,7 @@ def _agent_date(xml: Column, event_type: int, part: str) -> Column:
             f'/*[local-name()="{part}"]/text()'
         ),
     )
-    return F.coalesce(F.element_at(vals, 1), F.lit(""))
+    return F.coalesce(try_element_at(vals, 1), F.lit(""))
 
 
 def heading(xml: Column) -> Column:

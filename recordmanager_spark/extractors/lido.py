@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _els(xml: Column, path: str) -> Column:
@@ -29,7 +30,7 @@ def _els(xml: Column, path: str) -> Column:
 
 
 def _el(xml: Column, path: str) -> Column:
-    return F.coalesce(F.element_at(_els(xml, path), 1), F.lit(""))
+    return F.coalesce(try_element_at(_els(xml, path), 1), F.lit(""))
 
 
 def _trimmed(arr: Column) -> Column:
@@ -75,7 +76,7 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
         ),
         "ctrlnum": F.trim(_el(x, "recordWrap/recordID")),
         "url": urls,
-        "thumbnail": F.coalesce(F.element_at(urls, 1), F.lit("")),
+        "thumbnail": F.coalesce(try_element_at(urls, 1), F.lit("")),
         "allfields": F.filter(
             F.transform(
                 F.xpath(x, F.lit("//*[not(*)]/text()")), lambda v: F.trim(v)
@@ -85,5 +86,5 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
     }
     out = df.withColumns(cols)
     return out.withColumn(
-        "author_sort", F.coalesce(F.element_at(F.col("author"), 1), F.lit(""))
+        "author_sort", F.coalesce(try_element_at(F.col("author"), 1), F.lit(""))
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions import keys as K
 from .dc import _els, well_formed_xml
 from .qdc import to_solr_columns as qdc_to_solr_columns
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _path(xml: Column, *names: str) -> Column:
@@ -49,7 +50,7 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
     x = F.col(xml_col)
     if validate:
         x = F.when(well_formed_xml(x), F.col(xml_col))
-    title = F.trim(F.coalesce(F.element_at(_els(x, "title"), 1), F.lit("")))
+    title = F.trim(F.coalesce(try_element_at(_els(x, "title"), 1), F.lit("")))
     person_names = F.filter(
         F.transform(_path(x, "author", "person", "name"), lambda v: F.trim(v)),
         lambda v: v != "",

@@ -38,7 +38,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions import keys as K
-from .format_calculator import format_udf
+from .format_calculator import format_col
+from recordmanager_spark.sparkcompat import try_element_at
 
 # Normalized MARC struct: control fields carry `value`, data fields carry
 # `subfields`. One array keeps original field order (MARC order matters for
@@ -121,7 +122,7 @@ def control_value(marc: Column, tag: str) -> Column:
     vals = F.filter(
         marc["fields"], lambda f: (f["tag"] == tag) & f["value"].isNotNull()
     )
-    return F.coalesce(F.element_at(vals, 1)["value"], F.lit(""))
+    return F.coalesce(try_element_at(vals, 1)["value"], F.lit(""))
 
 
 def control_values(marc: Column, tag: str) -> Column:
@@ -148,7 +149,7 @@ def subfield_join(field: Column, codes: Sequence[str] | None = None) -> Column:
 def first_subfield(marc: Column, tag: str, code: str) -> Column:
     """First value of `code` in the first `tag` field ('' if absent)."""
     return F.coalesce(
-        F.element_at(F.flatten(
+        try_element_at(F.flatten(
             F.transform(fields_by_tag(marc, tag), lambda f: _sub_values(f, [code]))
         ), 1),
         F.lit(""),
@@ -158,7 +159,7 @@ def first_subfield(marc: Column, tag: str, code: str) -> Column:
 def get_field_subfields(marc: Column, tag: str, codes: Sequence[str] | None = None) -> Column:
     """Space-joined subfields of the FIRST matching field (getFieldSubfields)."""
     return F.coalesce(
-        F.element_at(
+        try_element_at(
             F.filter(
                 F.transform(fields_by_tag(marc, tag), lambda f: subfield_join(f, codes)),
                 lambda v: v != "",
@@ -176,7 +177,7 @@ def _occurrence(link_value: Column) -> Column:
 
 def _field_link_occ(field: Column) -> Column:
     return _occurrence(
-        F.coalesce(F.element_at(_sub_values(field, ["6"]), 1), F.lit(""))
+        F.coalesce(try_element_at(_sub_values(field, ["6"]), 1), F.lit(""))
     )
 
 
@@ -372,13 +373,15 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             "isbn": marc_isbns(m),
             "issn": get_fields_subfields(m, [(GET_NORMAL, "022", ["a"])], split_subfields=True),
             "language": marc_languages(m),
-            "format": format_udf(
-                m["leader"], control_values(m, "007"), control_value(m, "008")
-            ),
+            # Full FormatCalculator.php decision tree as pure Column exprs —
+            # stays in whole-stage codegen, sees record-level cues (086, 502,
+            # 111/711, 773$g, 245$h, 336/338) the old leader/007/008-only
+            # pandas UDF could not.
+            "format": format_col(m),
             "author": get_fields_subfields(m, author_spec),
             "author2": get_fields_subfields(m, author2_spec),
             "author_corporate": get_fields_subfields(m, corp_spec),
-            "author_sort": F.element_at(get_fields_subfields(m, author_spec), 1),
+            "author_sort": try_element_at(get_fields_subfields(m, author_spec), 1),
             "title": marc_title(m),
             "title_short": K.strip_trailing_punctuation(
                 get_field_subfields(m, "245", ["a"])
@@ -482,8 +485,8 @@ def _work_titles(marc: Column, alt: bool) -> Column:
             raw_vals = F.slice(linked_alt_values(marc, tag, ["a"] + extra), 1, 1)
             vals = raw_vals
         else:
-            fld = F.element_at(fields_by_tag(marc, tag), 1)
-            a = F.coalesce(F.element_at(_sub_values(fld, ["a"]), 1), F.lit(""))
+            fld = try_element_at(fields_by_tag(marc, tag), 1)
+            a = F.coalesce(try_element_at(_sub_values(fld, ["a"]), 1), F.lit(""))
             rest = subfield_join(fld, extra)
             title = F.when(rest != "", F.concat(a, F.lit(" "), rest)).otherwise(a)
             if nonfiling_ind is not None:

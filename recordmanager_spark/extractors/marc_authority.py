@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .marc import _sub_values, fields_by_tag, first_subfield, marc_allfields
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _trim_dot_space(v: Column) -> Column:
@@ -36,7 +37,7 @@ def _first_sub_per_field(marc: Column, tag: str, code: str) -> Column:
     return F.filter(
         F.transform(
             fields_by_tag(marc, tag),
-            lambda f: F.coalesce(F.element_at(_sub_values(f, [code]), 1), F.lit("")),
+            lambda f: F.coalesce(try_element_at(_sub_values(f, [code]), 1), F.lit("")),
         ),
         lambda v: v != "",
     )
@@ -57,7 +58,7 @@ def heading(marc: Column) -> Column:
     personal = F.regexp_replace(first_subfield(marc, "100", "a"), "[ .]+\\z", "")
 
     def corp(tag: str) -> Column:
-        field = F.element_at(
+        field = try_element_at(
             F.filter(
                 fields_by_tag(marc, tag),
                 lambda f: F.size(

@@ -26,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .marc import control_value, get_field_subfields
+from recordmanager_spark.sparkcompat import try_element_at
 
 _KEY_CODES = ("c", "h", "o", "8")
 
@@ -35,7 +36,7 @@ def _sub(field: Column, code: str) -> Column:
     vals = F.filter(
         F.coalesce(field["subfields"], F.array()), lambda s: s["code"] == code
     )
-    return F.coalesce(F.element_at(vals, 1)["value"], F.lit(""))
+    return F.coalesce(try_element_at(vals, 1)["value"], F.lit(""))
 
 
 def _field_struct(tag, ind1, ind2, value, subfields) -> Column:
@@ -98,12 +99,12 @@ def normalize_marc(
     )
     uniq_pos = F.filter(
         positions,
-        lambda i: ~F.array_contains(F.slice(keys, 1, i), F.element_at(keys, i + 1)),
+        lambda i: ~F.array_contains(F.slice(keys, 1, i), try_element_at(keys, i + 1)),
     )
 
     def rebuild(i: Column) -> Column:
-        f = F.element_at(f952, i + 1)
-        key = F.element_at(keys, i + 1)
+        f = try_element_at(f952, i + 1)
+        key = try_element_at(keys, i + 1)
         any_avail = F.exists(
             F.filter(f952, lambda g: key_of(g) == key),
             lambda g: _available(g, alma),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as K
 from .dc import _el, _els, dc_languages, well_formed_xml
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _typed(xml: Column, name: str, type_test: str) -> Column:
@@ -31,7 +32,7 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
         x = F.when(well_formed_xml(x), F.col(xml_col))
     main_titles = _typed(x, "title", 'not(@type="alternative")')
     title = K.strip_trailing_punctuation(
-        F.trim(F.coalesce(F.element_at(main_titles, 1), F.lit("")))
+        F.trim(F.coalesce(try_element_at(main_titles, 1), F.lit("")))
     )
     alt = F.concat(
         F.transform(F.slice(main_titles, 2, 1000), lambda v: F.trim(v)),
@@ -57,9 +58,9 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
             ),
             "title": title,
             "title_full": title,
-            "title_short": F.element_at(F.split(title, " : ", 2), 1),
+            "title_short": try_element_at(F.split(title, " : ", 2), 1),
             "title_sub": F.coalesce(
-                F.element_at(F.split(title, " : ", 2), 2), F.lit("")
+                try_element_at(F.split(title, " : ", 2), 2), F.lit("")
             ),
             "title_alt": F.filter(alt, lambda v: v != ""),
             "title_sort": K.create_sort_title(title),
@@ -79,6 +80,6 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
             ),
             "url": F.filter(identifiers, lambda v: v.rlike("^https?")),
             "contents": F.filter(descriptions, lambda v: v != ""),
-            "description": F.coalesce(F.element_at(descriptions, 1), F.lit("")),
+            "description": F.coalesce(try_element_at(descriptions, 1), F.lit("")),
         }
     )

@@ -21,6 +21,7 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from recordmanager_spark.sparkcompat import try_element_at
 
 # Common Latin accent folding (lowercase side; input is lowercased first).
 _ACCENTS = "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįıòóôõöøōŏőùúûüũūŭůűųýÿŷçćĉċčñńņňďđĝğġģĥħĵķĺļľłŕŗřśŝşšţťŧŵźżž"
@@ -103,7 +104,7 @@ def author_match_expr(a1: Column, a2: Column) -> Column:
         F.slice(w2, 1, m),
         lambda x, y: (x == y) | (F.substring(x, 1, 1) == F.substring(y, 1, 1)),
     )
-    first_eq = F.element_at(w1, 1) == F.element_at(w2, 1)
+    first_eq = try_element_at(w1, 1) == try_element_at(w2, 1)
     wordwise = first_eq & (F.size(F.filter(z, lambda b: ~b)) == 0)
     return eq | (long_enough & (prefix | wordwise))
 
@@ -152,8 +153,10 @@ def normalize_isbn(col: Column | str) -> Column:
 # Punctuation / article / sort-key helpers
 # ---------------------------------------------------------------------------
 
-# Leading punctuation set (MetadataUtils.php:652): space tab #*!¡?/:;.,=(['"´`”
-_LEADING_PUNCT_RE = "^[ \\t#*!¡?/:;.,=\\(\\['\"´`”]+"
+# Leading punctuation set (MetadataUtils.php:650): the reference default is
+# " \t\\#*!¡?/:;.,=(['\"´`” ̈" — note it includes backslash and the combining
+# diaeresis U+0308 (the trailing " ̈" pair in the PHP literal).
+_LEADING_PUNCT_RE = "^[ \\t\\\\#*!¡?/:;.,=\\(\\['\"´`”̈]+"
 # Trailing basic set (MetadataUtils.php:577): space /:;,=([
 # \z not $: Java's $ also matches before a trailing \r/\n, which would eat
 # chars *inside* the string on repeat application (PHP rtrim never does).

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import geo as GEO
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _maybe_broadcast(df: DataFrame, broadcast: bool) -> DataFrame:
@@ -79,7 +80,7 @@ def enrich_with_entities(
             labels = F.array_distinct(
                 F.flatten(
                     F.filter(
-                        F.transform(uris, lambda u: F.element_at(lookup, u)),
+                        F.transform(uris, lambda u: try_element_at(lookup, u)),
                         lambda x: x.isNotNull(),
                     )
                 )

@@ -20,13 +20,14 @@ from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from recordmanager_spark.sparkcompat import try_element_at
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     if dim:
         terms = [
-            F.element_at(a, i + 1).cast("double")
-            * F.element_at(b, i + 1).cast("double")
+            try_element_at(a, i + 1).cast("double")
+            * try_element_at(b, i + 1).cast("double")
             for i in range(dim)
         ]
         out = terms[0]
@@ -350,7 +351,7 @@ def ivf_assign(
         # Lloyd update: mean of member vectors per cell (renormalized)
         sums = assigned.groupBy("cell").agg(
             F.array(*[
-                F.avg(F.element_at("vec", i + 1)) for i in range(dim)
+                F.avg(try_element_at("vec", i + 1)) for i in range(dim)
             ]).alias("c_vec")
         )
         centroids = sums.select(

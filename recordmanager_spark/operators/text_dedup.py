@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from recordmanager_spark.sparkcompat import try_element_at
+
 from ..functions.text import (
     fingerprint,
     ngrams_from_tokens,
@@ -142,7 +144,7 @@ def lsh_candidate_pairs(
                     F.concat_ws(
                         "|",
                         *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast(
+                            try_element_at("sig", b * rows_per_band + r + 1).cast(
                                 "string"
                             )
                             for r in range(rows_per_band)

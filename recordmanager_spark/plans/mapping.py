@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from recordmanager_spark.sparkcompat import try_element_at
 
 SENTINELS = (
     "##default",
@@ -172,7 +173,7 @@ def map_hierarchy_value(levels: Column, mapping: Mapping) -> Column:
     )
 
     def step(acc, i):
-        level_val = F.coalesce(F.element_at(levels, i), F.lit(""))
+        level_val = F.coalesce(try_element_at(levels, i), F.lit(""))
         # level 1 uses the main map; level k>1 uses sub_maps[k-2] if present
         mapped = map_value_expr(level_val, mapping)
         for idx, sub in enumerate(mapping.sub_maps):

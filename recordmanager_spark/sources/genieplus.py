@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..extractors.linemarc import parse_line_based_marc
+from recordmanager_spark.sparkcompat import try_element_at
 
 GENIE_PAGE_SCHEMA = (
     "total bigint, records array<map<string, array<struct<display string>>>>"
@@ -45,7 +46,7 @@ def _displays(rec: Column, field: str) -> Column:
 
 
 def _first_display(rec: Column, field: str) -> Column:
-    return F.coalesce(F.element_at(rec[field], 1)["display"], F.lit(""))
+    return F.coalesce(try_element_at(rec[field], 1)["display"], F.lit(""))
 
 
 def _holdings_852(rec: Column, fields: dict[str, str], item_limit: int) -> Column:
@@ -55,7 +56,7 @@ def _holdings_852(rec: Column, fields: dict[str, str], item_limit: int) -> Colum
     calls = _displays(rec, fields["callnumber"])
     bars = _displays(rec, fields["barcode"])
     n = F.greatest(F.size(locs), F.size(subs), F.size(calls), F.size(bars))
-    at = lambda arr, i: F.coalesce(F.element_at(arr, i + 1), F.lit(""))  # noqa: E731
+    at = lambda arr, i: F.coalesce(try_element_at(arr, i + 1), F.lit(""))  # noqa: E731
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -77,14 +78,14 @@ def _holdings_852(rec: Column, fields: dict[str, str], item_limit: int) -> Colum
         F.when(F.size(keys) > 0, F.sequence(F.lit(0), F.size(keys) - 1)).otherwise(
             F.array().cast("array<int>")
         ),
-        lambda i: ~F.array_contains(F.slice(keys, 1, i), F.element_at(keys, i + 1)),
+        lambda i: ~F.array_contains(F.slice(keys, 1, i), try_element_at(keys, i + 1)),
     )
     cap = 1_000_000 if item_limit < 0 else item_limit
     grouped = F.flatten(
         F.transform(
             uniq_pos,
             lambda i: F.slice(
-                F.filter(items, lambda it: it["key"] == F.element_at(keys, i + 1)),
+                F.filter(items, lambda it: it["key"] == try_element_at(keys, i + 1)),
                 1,
                 cap,
             ),

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from .splitter import _findall_local, _strip_ns
+from recordmanager_spark.sparkcompat import try_element_at
 
 OAI_RECORD_SCHEMA = T.ArrayType(
     T.StructType(
@@ -104,7 +105,7 @@ def parse_oai_response(xml: pd.Series) -> pd.Series:
 def resumption_token(xml: Column) -> Column:
     """The response's resumptionToken text ('' on the final page)."""
     return F.coalesce(
-        F.element_at(
+        try_element_at(
             F.xpath(xml, F.lit('//*[local-name()="resumptionToken"]/text()')), 1
         ),
         F.lit(""),
@@ -134,7 +135,7 @@ def harvest_records(
         *(keep or []),
         F.explode(parse_oai_response(F.col(xml_col))).alias("__r"),
     ).select(*(keep or []), "__r.*")
-    local = F.element_at(F.split(F.col("oai_id"), ":"), -1)
+    local = try_element_at(F.split(F.col("oai_id"), ":"), -1)
     if id_search is not None:
         import re as _re
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from recordmanager_spark.sparkcompat import try_element_at
 
 SIERRA_PAGE_SCHEMA = (
     "entries array<struct<"
@@ -55,7 +56,7 @@ def _field(tag, ind1, ind2, value, subfields) -> Column:
 def _marc_struct(entry: Column, keep_852: bool) -> Column:
     """Build the parsed-MARC struct for one Sierra bib entry."""
     var_fields = F.coalesce(entry["varFields"], F.array())
-    raw_leader = F.element_at(
+    raw_leader = try_element_at(
         F.filter(var_fields, lambda v: v["fieldTag"] == "_"), 1
     )["content"]
     # empty() check in the reference: '' also falls back to the default

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from recordmanager_spark.operators import dedup as DD
+from recordmanager_spark.sparkcompat import try_element_at
 
 _EMPTY = []
 
@@ -165,7 +166,7 @@ def test_ignore_keys_block_poison(spark):
         ],
     )
     keyed = DD.with_dedup_keys(recs, "title", "author", isbn_col=None)
-    poison = keyed.select(F.element_at("title_keys", 1)).collect()[0][0]
+    poison = keyed.select(try_element_at("title_keys", 1)).collect()[0][0]
     blocked = DD.with_dedup_keys(
         recs, "title", "author", isbn_col=None, ignore_keys=[poison]
     )

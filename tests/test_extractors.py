@@ -168,7 +168,9 @@ def test_marc_split_subfields(spark):
     assert r.joined == ["eng fin"]
 
 
-# --- format calculator (pure python function; UDF is a thin wrapper) -------
+# --- format calculator (faithful FormatCalculator.php port) ----------------
+# Python model tests; test_format_col_matches_model cross-checks the Column
+# implementation against the model over the same cases.
 
 
 def test_format_book():
@@ -176,8 +178,18 @@ def test_format_book():
 
 
 def test_format_ebook():
-    f008 = "120101s2011    xxu                 eng d"
-    assert "eBook" in formats_as_list("00000cam a22000004i 4500", ["cr"], f008)
+    # eBook requires 008/23 (form of item) in (o, q, s) for LDR/06 = a
+    f008 = "120101s2011    xxu     o" + " " * 16
+    assert _get008_pos(f008, 23) == "o"
+    lst = formats_as_list("00000cam a22000004i 4500", [], f008)
+    assert "eBook" in lst
+    # computer-file monograph that survives the not-book check is an eBook
+    lst = formats_as_list("00000cmm a22000004i 4500", [], "1".ljust(26) + "d")
+    assert "eBook" in lst and "Electronic" in lst
+
+
+def _get008_pos(f008, pos):
+    return f008[pos] if len(f008) > pos else " "
 
 
 def test_format_journal():
@@ -192,13 +204,35 @@ def test_format_newspaper():
     assert "Newspaper" in formats_as_list("00000cas a22000004i 4500", [], f008)
 
 
+def test_format_serial_conference_suppressed():
+    # a serial that is a conference proceeding gets no 'Serial' format
+    lst = formats_as_list("00000cas a22000004i 4500", [], "", has_111=True)
+    assert lst == ["ConferenceProceeding"]
+
+
 def test_format_video():
     lst = formats_as_list("00000cgm a22000004i 4500", ["vd"], "")
     assert "Video" in lst and "VideoDisc" in lst
+    # 007 vd with position 5 = s is a Blu-Ray disc
+    lst = formats_as_list("00000cgm a22000004i 4500", ["vd  s"], "")
+    assert "BRDisc" in lst
+    # bare 'v' 007 defaults to VideoOnline
+    assert "VideoOnline" in formats_as_list("00000cgm a22000004i 4500", ["vz"], "")
+
+
+def test_format_projected_medium():
+    # LDR/06 g with no 008/33, 008/34 or g/m/v 007 -> ProjectedMedium
+    assert "ProjectedMedium" in formats_as_list("00000cgm a22000004i 4500", [], "")
+    # ... but 008/34 technique set -> Video
+    f008 = "1".ljust(34) + "l"
+    assert "Video" in formats_as_list("00000cgm a22000004i 4500", [], f008)
 
 
 def test_format_map():
     assert "Map" in formats_as_list("00000cem a22000004i 4500", [], "")
+    # 008/25 distinguishes globes and atlases for cartographic records
+    assert "Globe" in formats_as_list("00000cem a22000004i 4500", [], "1".ljust(25) + "d")
+    assert "Atlas" in formats_as_list("00000cem a22000004i 4500", [], "1".ljust(25) + "e")
 
 
 def test_format_sound():
@@ -206,9 +240,150 @@ def test_format_sound():
     assert "MusicRecording" in formats_as_list("00000cjm a22000004i 4500", [], "")
 
 
+def test_format_computer_file_types():
+    f = lambda c26: formats_as_list(  # noqa: E731
+        "00000cmm a22000004i 4500", [], "1".ljust(26) + c26
+    )
+    assert "DataSet" in f("a")
+    assert "Software" in f("b")
+    assert "VideoGame" in f("g")
+    assert "InteractiveMultimedia" in f("i")
+    # every computer file is Electronic
+    assert "Electronic" in f("b")
+
+
+def test_format_component_parts():
+    # monograph component: BookComponentPart, or Article with a 773$g host
+    assert formats_as_list("00000caa a22000004i 4500", [], "") == ["BookComponentPart"]
+    assert formats_as_list(
+        "00000caa a22000004i 4500", [], "", serial_host=True
+    ) == ["Article"]
+    assert formats_as_list("00000cab a22000004i 4500", [], "") == ["SerialComponentPart"]
+
+
+def test_format_integrating_resources():
+    lead = "00000cai a22000004i 4500"
+    assert "Website" in formats_as_list(lead, [], "1".ljust(21) + "w")
+    assert "OnlineIntegratingResource" in formats_as_list(
+        lead, [], "1".ljust(22) + "o"
+    )
+    assert "PhysicalIntegratingResource" in formats_as_list(lead, [], "")
+
+
+def test_format_specials():
+    lst = formats_as_list(
+        "00000cam a22000004i 4500", [], "",
+        has_086=True, has_502=True, has_711=True,
+        f245_h="monograph [electronic resource]",
+    )
+    assert lst[:4] == [
+        "GovernmentDocument", "Thesis", "Electronic", "ConferenceProceeding"
+    ]
+    # thesis suppresses Manuscript for LDR/06 = t
+    lst = formats_as_list("00000ctm a22000004i 4500", [], "", has_502=True)
+    assert "Manuscript" not in lst and "Thesis" in lst
+
+
+def test_format_33x():
+    # 336 tdi/rdacontent -> Video (and VideoOnline with 338 cr/rdacarrier),
+    # suppressing the record-type probe and the Book path
+    lst = formats_as_list(
+        "00000cam a22000004i 4500", [], "", video_336=True, online_338=True
+    )
+    assert "Video" in lst and "VideoOnline" in lst and "Book" not in lst
+
+
+def test_format_007_tables():
+    lead = "00000cam a22000004i 4500"
+    f = lambda s007: formats_as_list(lead, [s007], "")  # noqa: E731
+    assert "Atlas" in f("ad")
+    assert "CDROM" in f("co")
+    assert "FloppyDisk" in f("cj")
+    assert "Postcard" in f("kp")
+    assert "Poster" in f("kk")
+    assert "Microfilm" in f("ha")
+    assert "SoundDisc" in f("sd")
+    assert "TapeCassette" in f("cf")
+    # 007 c/r (remote) intentionally maps to nothing
+    assert f("cr") == ["Book"]
+
+
 def test_format_unknown_fallbacks():
     assert formats_as_list("", [], "") == ["Unknown"]
-    assert formats_as_list("00000caa a22000004i 4500", [], "") == ["BookSection"]
+    assert formats_as_list("00000cac a22000004i 4500", [], "") == ["Kit"]
+    # language material with no other signal -> Text (blevel x: no format)
+    assert formats_as_list("00000cax a22000004i 4500", [], "") == ["Text"]
+
+
+def test_format_col_matches_model(spark):
+    """The Column implementation must agree with the Python model."""
+    from recordmanager_spark.extractors.format_calculator import format_col
+
+    cases = [
+        # (leader, fields) exercising every major branch incl. record cues
+        ("00000cam a22000004i 4500", [("007", "ta"), ("008", "120101s2011")]),
+        ("00000cam a22000004i 4500", [("008", "120101s2011    xxu     o")]),
+        ("00000cas a22000004i 4500", [("008", "1".ljust(21) + "p")]),
+        ("00000cas a22000004i 4500", [("008", "1".ljust(21) + "n")]),
+        ("00000cgm a22000004i 4500", [("007", "vd  s")]),
+        ("00000cgm a22000004i 4500", []),
+        ("00000cem a22000004i 4500", [("008", "1".ljust(25) + "e")]),
+        ("00000cmm a22000004i 4500", [("008", "1".ljust(26) + "g")]),
+        ("00000caa a22000004i 4500", []),
+        ("00000cab a22000004i 4500", []),
+        ("00000cai a22000004i 4500", [("008", "1".ljust(21) + "w")]),
+        ("", []),
+        ("00000cac a22000004i 4500", []),
+        ("00000ctm a22000004i 4500", [("502", None)]),
+        ("00000cam a22000004i 4500", [("086", None), ("111", None)]),
+        ("00000cam a22000004i 4500", [("773g", None)]),
+        ("00000cam a22000004i 4500", [("245h", None)]),
+        ("00000cam a22000004i 4500", [("336", None), ("338", None)]),
+        ("00000cam a22000004i 4500", [("338", None)]),
+        ("00000ckm a22000004i 4500", [("007", "kp"), ("007", "sd")]),
+    ]
+
+    def fields_json(fields):
+        out = []
+        for tag, val in fields:
+            if tag in ("007", "008"):
+                out.append({tag: val})
+            elif tag == "773g":
+                out.append({"773": {"ind1": " ", "ind2": " ",
+                                    "subfields": [{"g": "vol. 3"}]}})
+            elif tag == "245h":
+                out.append({"245": {"ind1": " ", "ind2": " ",
+                                    "subfields": [{"a": "T"},
+                                                  {"h": "[Electronic resource]"}]}})
+            elif tag == "336":
+                out.append({"336": {"ind1": " ", "ind2": " ",
+                                    "subfields": [{"b": "tdi"}, {"2": "rdacontent"}]}})
+            elif tag == "338":
+                out.append({"338": {"ind1": " ", "ind2": " ",
+                                    "subfields": [{"a": "online resource"},
+                                                  {"2": "rdacarrier"}]}})
+            else:
+                out.append({tag: {"ind1": " ", "ind2": " ",
+                                  "subfields": [{"a": "x"}]}})
+        return out
+
+    raws = [_marc_json(ld, fields_json(fs)) for ld, fs in cases]
+    parsed = _parsed(spark, *raws)
+    got = [r.fmt for r in parsed.select(format_col(F.col("marc")).alias("fmt")).collect()]
+
+    for (ld, fs), actual in zip(cases, got):
+        f007s = [v for t, v in fs if t == "007"]
+        f008 = next((v for t, v in fs if t == "008"), "")
+        tags = [t for t, _ in fs]
+        expected = formats_as_list(
+            ld, f007s, f008,
+            has_086="086" in tags, has_502="502" in tags,
+            has_111="111" in tags, has_711="711" in tags,
+            serial_host="773g" in tags,
+            f245_h="[Electronic resource]" if "245h" in tags else "",
+            video_336="336" in tags, online_338="338" in tags,
+        )
+        assert actual == expected, (ld, fs, actual, expected)
 
 
 # --- DC ---------------------------------------------------------------------

@@ -125,7 +125,11 @@ def test_strip_trailing_punctuation_stable(spark, values):
 @settings(max_examples=15, deadline=None)
 @given(_BATCH)
 def test_strip_leading_punctuation_stable(spark, values):
-    lead = (" ", "\t", "#", "*", "!", "?", "/", ":", ";", ".", ",", "=", "(", "[", "'", '"')
+    # Full reference set (MetadataUtils.php:650): " \t\\#*!¡?/:;.,=(['\"´`” ̈"
+    lead = (
+        " ", "\t", "\\", "#", "*", "!", "¡", "?", "/", ":", ";", ".", ",",
+        "=", "(", "[", "'", '"', "´", "`", "”", "̈",
+    )
     out = _eval(spark, K.strip_leading_punctuation, values)
     again = _eval(spark, K.strip_leading_punctuation, out)
     for v, o, o2 in zip(values, out, again):

@@ -18,6 +18,8 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from pyspark.sql.types import ArrayType as SparkArrayType  # noqa: E402
+from pyspark.sql.types import MapType as SparkMapType  # noqa: E402
 from recordmanager_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -67,7 +69,15 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark("verify_oracle", shuffle_partitions=16)
+    # Mirror the driver's harness: it builds its OWN session with Spark 4
+    # defaults (ANSI **on**), so the engine's permissive ANSI-off setting
+    # does not protect queries there.  Verifying under ANSI-on locally is
+    # the only way local green predicts driver green.
+    spark = get_spark(
+        "verify_oracle",
+        shuffle_partitions=16,
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     unknown = only - set(qs)
@@ -82,6 +92,21 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The driver canonicalizes via pandas sort_values, which raises
+            # "unhashable type" on list/dict cells — any array/map output
+            # column is an automatic red there, so flag it here first.
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (SparkArrayType, SparkMapType))
+            ]
+            if bad:
+                print(
+                    f"FAIL  {name}: non-scalar output column(s) {bad} — "
+                    "driver harness cannot canonicalize; array_join/to_json them"
+                )
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
