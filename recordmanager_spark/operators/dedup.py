@@ -199,16 +199,35 @@ def _match_condition_from(ca, cb, pre_normalized: bool = False) -> Column:
     else:
         ta, tb = normalize_key(ca("title")), normalize_key(cb("title"))
         aa, ab = normalize_key(ca("author")), normalize_key(cb("author"))
+    # Levenshtein is the hot cost of verification (every surviving pair pays
+    # it on both title and author). Two cuts, same accept set:
+    # 1. length-band reject — |len(x)-len(y)| is a lower bound on edit
+    #    distance, so a pair outside the budget can never match; Spark's And
+    #    short-circuits, so rejected pairs never run levenshtein at all.
+    # 2. threshold (banded) levenshtein — the 3-arg form computes only a
+    #    2k+1 diagonal band, O(n*k) instead of O(n^2), returning -1 past the
+    #    budget. The budget is per-row (10%/20% of the shorter key), which
+    #    the SQL function accepts even though the Python wrapper does not.
     tlen = F.least(F.length(ta), F.length(tb))
-    title_ok = (F.length(ta) > 0) & (
-        F.levenshtein(ta, tb) < (tlen * 0.1)
+    tbudget = tlen * 0.1
+    lev_t = F.call_function(
+        "levenshtein", ta, tb, F.ceil(tbudget).cast("int")
+    )
+    title_ok = (
+        (F.length(ta) > 0)
+        & (F.abs(F.length(ta) - F.length(tb)).cast("double") < tbudget)
+        & (lev_t != -1)
+        & (lev_t < tbudget)
     )
 
     # author: exact, authorMatch, or levenshtein <= 20% (:929-962)
     alen = F.least(F.length(aa), F.length(ab))
-    author_ok = (
-        author_match_expr(aa, ab)
-        | ((F.length(aa) > 0) & (F.levenshtein(aa, ab) <= (alen * 0.2)))
+    abudget = F.floor(alen * 0.2).cast("int")
+    lev_a = F.call_function("levenshtein", aa, ab, abudget)
+    author_ok = author_match_expr(aa, ab) | (
+        (F.length(aa) > 0)
+        & (F.abs(F.length(aa) - F.length(ab)) <= abudget)
+        & (lev_a != -1)
     )
 
     accept_fast = isbn_accept | id_accept
