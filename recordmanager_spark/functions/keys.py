@@ -174,22 +174,55 @@ def strip_leading_punctuation(col: Column | str) -> Column:
     return F.when(stripped == "", c).otherwise(stripped)
 
 
-def strip_trailing_punctuation(col: Column | str) -> Column:
-    """Trailing strip incl. the "keep initial's period" rule.
+# Abbreviations whose trailing period survives stripping. Config-driven in
+# the reference (recordmanager.ini [Site] abbreviations -> abbreviations.lst,
+# entries like "'mr.'"); the default here is the shipped sample list. Note:
+# the reference compares the last word WITHOUT its period against the
+# configured keys (MetadataUtils.php:605-613), so entries are stored
+# period-less to make the protection actually fire.
+DEFAULT_ABBREVIATIONS = ("ill", "col", "mr", "mrs", "ms")
 
-    A trailing period survives when it terminates a single-letter word
-    (an initial, e.g. "Smith, A.") — the native approximation of the
-    reference's abbreviation list (MetadataUtils.php:601-620).
+# PHP is_numeric shapes (bounded for Java lookbehind): int/decimal/.5 forms.
+_NUMERIC_WORD = "[+-]?([0-9]{1,10}(\\.[0-9]{0,10})?|\\.[0-9]{1,10})"
+
+
+def strip_trailing_punctuation(
+    col: Column | str,
+    additional: str = "",
+    abbreviations: tuple[str, ...] = DEFAULT_ABBREVIATIONS,
+) -> Column:
+    """stripTrailingPunctuation (MetadataUtils.php:572-632), faithfully.
+
+    1. rtrim the basic set " /:;,=([" (+ ``additional`` chars);
+    2. drop one trailing period UNLESS it terminates an initial (the char
+       three from the end is a space, e.g. "Smith, A."), a numeric word
+       ("123."), or a configured abbreviation ("Mr.");
+    3. drop a trailing ". -";
+    4. drop a trailing ")" / "]" with no matching opener anywhere.
+
+    Expressed as chained regexp_replace so the expression tree stays LINEAR
+    — the when(s...).otherwise(s) form re-references its input ~5x per
+    rule, which compounds to a ~150x-duplicated subtree per call site and
+    dominates plan-construction time in wide extractor projections. The
+    period-rule exceptions become bounded negative lookbehinds.
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(c, _TRAILING_BASIC_RE, "")
-    # drop one trailing period unless it terminates a single-letter word
-    # (negative lookbehind = the when/rlike chain collapsed into one regex);
-    # expressed as chained regexp_replace so the expression tree stays LINEAR
-    # — the when(s...).otherwise(s) form re-references its input ~5x per
-    # rule, which compounds to a ~150x-duplicated subtree per call site and
-    # dominates plan-construction time in wide extractor projections.
-    s = F.regexp_replace(s, "(?<!(^| )\\w)\\.\\z", "")
+    if additional:
+        trail_re = "[" + re.escape(" /:;,=([" + additional) + "]+\\z"
+    else:
+        trail_re = _TRAILING_BASIC_RE
+    s = F.regexp_replace(c, trail_re, "")
+    # period rule: three negative lookbehinds AND together — not an initial
+    # (space + single char), not a numeric last word, not an abbreviation.
+    abbrev_alt = "|".join(re.escape(a) for a in abbreviations if a)
+    period_re = (
+        "(?i)(?<! .)"
+        + f"(?<!(^| ){_NUMERIC_WORD})"
+        + (f"(?<!(^| )({abbrev_alt}))" if abbrev_alt else "")
+        + "\\.\\z"
+    )
+    s = F.regexp_replace(s, period_re, "")
+    s = F.regexp_replace(s, "\\. -\\z", "")
     # drop an unbalanced trailing ) or ] (whole-string match: no opener
     # anywhere before it)
     s = F.regexp_replace(s, "^([^(]*)\\)\\z", "$1")

@@ -44,7 +44,7 @@ def enrich_with_entities(
     entity_uri: str = "uri",
     label_cols: tuple[str, ...] = ("pref_labels", "alt_labels"),
     broadcast_lookup: bool = True,
-    max_map_entries: int = 100_000,
+    max_map_entries: int = 2_000,
 ) -> DataFrame:
     """Add an array column of labels gathered from matched entities.
 
@@ -52,11 +52,17 @@ def enrich_with_entities(
     the ordered, de-duplicated union of the matched entities' label arrays
     (SkosmosEnrichment's pref+alt label accumulation).
 
-    Strategy: when the vocabulary fits ``max_map_entries`` it is compiled
-    into a literal map and the lookup happens INSIDE the array expression —
-    zero shuffles of the record side (the explode→join→groupBy→join-back
-    alternative shuffles 100 TB twice). Larger vocabularies fall back to
-    that join path automatically.
+    Strategy: a SMALL vocabulary (<= ``max_map_entries``) is compiled into a
+    literal map and the lookup happens INSIDE the array expression — zero
+    shuffles of the record side. The threshold is deliberately low: every
+    map entry is an expression-tree node serialized into every task and
+    walked by the optimizer, so a 100k-entry literal map is a plan-size
+    hazard ("Truncated plan ..." warnings, minutes of driver time) long
+    before it is a data-size problem. Larger vocabularies use the
+    explode → BROADCAST hash join → groupBy path: the lookup side ships as
+    a broadcast table (data, not plan), the record side is never shuffled
+    for the join itself, and only the exploded (rid, label-array) hit rows
+    — far smaller than the records — move in the gather shuffle.
     """
     ent_rows = None
     if max_map_entries:

@@ -52,6 +52,39 @@ def test_enrich_with_entities(spark):
     assert out["r4"] == []
 
 
+def test_enrich_join_path_matches_literal_map(spark):
+    """Vocabularies over the literal-map threshold take the broadcast-join
+    path; both paths must agree (incl. per-record URI iteration order)."""
+    recs = spark.createDataFrame(
+        [
+            ("r1", ["urn:c:2", "urn:c:1"]),  # order preserved: c2 before c1
+            ("r2", ["urn:missing", "urn:c:1"]),
+            ("r3", None),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("topic_uris", T.ArrayType(T.StringType())),
+            ]
+        ),
+    )
+    ents = _entities(spark)
+    via_map = {
+        r.id: r.topic_add
+        for r in E.enrich_with_entities(
+            recs, ents, "id", "topic_uris", max_map_entries=100
+        ).collect()
+    }
+    via_join = {
+        r.id: r.topic_add
+        for r in E.enrich_with_entities(
+            recs, ents, "id", "topic_uris", max_map_entries=1
+        ).collect()
+    }
+    assert via_map == via_join
+    assert via_map["r1"] == ["Dogs", "Cats", "Katter", "Felines"]
+
+
 def test_geocode_locations(spark):
     cache = spark.createDataFrame(
         [("helsinki", "ENVELOPE(24.0, 26.0, 61.0, 60.0)")], ["location", "wkt"]

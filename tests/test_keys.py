@@ -89,10 +89,39 @@ def test_author_match(spark, a, b, expected):
         ("The end.", "The end"),
         ("unbalanced)", "unbalanced"),
         ("balanced (yes)", "balanced (yes)"),
+        # reference's own testStripTrailingPunctuation fixtures
+        # (MetadataUtilsTest.php:216-231)
+        ("123.", "123."),  # numeric last word keeps its period
+        ("foo /", "foo"),
+        ("1979© ", "1979©"),
+        ("foo--", "foo--"),
+        ("bar /:;,=([", "bar"),
+        ("Mattila P.", "Mattila P."),
+        # abbreviation list (MetadataUtils.php:605-613 + abbreviations.lst)
+        ("told by Mr.", "told by Mr."),
+        ("written by ms.", "written by ms."),
+        ("not an abbreviation xmr.", "not an abbreviation xmr"),
+        ("ends with 3.5.", "ends with 3.5."),
+        # '. -' suffix rule (MetadataUtils.php:616-618)
+        ("dangling. -", "dangling"),
+        ("squares]", "squares"),
+        ("keep [squares]", "keep [squares]"),
     ],
 )
 def test_strip_trailing_punctuation(spark, raw, expected):
     assert one(spark, K.strip_trailing_punctuation(F.col("v")), raw) == expected
+
+
+def test_strip_trailing_punctuation_additional(spark):
+    # the reference's additional-chars form: stripTrailingPunctuation('foo/]', ']')
+    assert (
+        one(spark, K.strip_trailing_punctuation(F.col("v"), additional="]"), "foo/]")
+        == "foo"
+    )
+    assert (
+        one(spark, K.strip_trailing_punctuation(F.col("v"), additional="©"), "foo/:©")
+        == "foo"
+    )
 
 
 def test_strip_leading_article_and_sort_title(spark):
