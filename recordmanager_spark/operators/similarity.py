@@ -18,6 +18,8 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from recordmanager_spark.sparkcompat import try_element_at
@@ -161,10 +163,43 @@ def _hyperplane_bit(vec: Column, plane: int) -> Column:
 
 def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Bucket id = concatenated hyperplane sign bits (0..2^planes-1)."""
-    bucket = F.lit(0)
+    bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         bucket = bucket * 2 + _hyperplane_bit(vec, p)
     return bucket
+
+
+def band_buckets_udf(num_bands: int, num_planes: int):
+    """pandas_udf: embedding array → array<long> of per-band bucket ids.
+
+    Band i draws the disjoint plane range [i*p, (i+1)*p) from the SAME
+    deterministic ±1 sign table the Column-expression ``lsh_bucket`` uses
+    (plane 0 is the most-significant bit), so the two paths agree bit for
+    bit. Many-plane banding (8 bands × ~20 planes) as Column expressions
+    would inline bands*planes*dim literal sign weights into the plan —
+    the create_map plan-bloat pathology — and evaluate ~160 interpreted
+    aggregate folds per row. One Arrow batch + a single (n×d)·(d×P) numpy
+    matmul carries zero plan literals and is the fast path at any scale.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    total = num_bands * num_planes
+    weights = np.array([_plane_signs(p) for p in range(total)])  # P × MAXDIM
+    msb_first = (2 ** np.arange(num_planes - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        arr = np.array(vs.tolist(), dtype=np.float64)  # n × d (one model dim)
+        bits = (arr @ weights[:, : arr.shape[1]].T) >= 0  # n × P
+        per_band = [
+            bits[:, b * num_planes : (b + 1) * num_planes].astype(np.int64)
+            @ msb_first
+            for b in range(num_bands)
+        ]
+        return pd.Series(list(np.stack(per_band, axis=1)))
+
+    return _buckets
 
 
 def knn_lsh(
@@ -265,28 +300,55 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | None = None,
+    num_bands: int = 8,
+    target_bucket_rows: int = 128,
     dim: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold, LSH-bucketed.
+    """Near-duplicate pairs by embedding cosine >= threshold, banded LSH.
 
-    (id_a, id_b, cosine) with id_a < id_b; pairs in different buckets are
-    missed (approximate, like all LSH dedup at scale)."""
+    (id_a, id_b, cosine) with id_a < id_b. Approximate: a pair is a
+    candidate when it shares a bucket in ANY of ``num_bands`` independent
+    bands of ``num_planes`` hyperplane sign bits each.
+
+    Scale shape: one band of p planes gives 2^p buckets, so within-bucket
+    self-join volume is ~n²/2^p — p must GROW with the corpus or the join
+    degenerates quadratically. When ``num_planes`` is None it is sized from
+    the corpus count so expected bucket size ~= ``target_bucket_rows``
+    (p = log2(n / target)). That many planes makes a single band's recall
+    collapse — P(collide | cos=t) = (1 - arccos(t)/pi)^p — which is what
+    the bands restore: recall = 1-(1-r^p)^b. At p=20, b=8 a cos=0.99 pair
+    survives with ~0.98 probability while random pairs (r~0.5) are
+    candidates ~8/2^20 of the time. The explode factor is b (each row
+    appears once per band); candidate pairs sharing multiple bands dedupe
+    via distinct() on the scored rows.
+    """
     as_d = (
         (lambda v: v)
         if dim
         else (lambda v: F.transform(v, lambda x: x.cast("double")))
     )
+    if num_planes is None:
+        import math
+
+        n = df.count()
+        num_planes = min(24, max(4, math.ceil(math.log2(max(n, 2) / max(target_bucket_rows, 1)))))
+    band_buckets = band_buckets_udf(num_bands, num_planes)
     b = df.select(
         F.col(id_col).alias("id"),
         as_d(F.col(vec_col)).alias("vec"),
         _norm(as_d(F.col(vec_col)), dim).alias("nrm"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
+        band_buckets(F.col(vec_col)).alias("buckets"),
     ).localCheckpoint(eager=True)  # bucket bits + norms computed once, not per join side
-    x, y = b.alias("x"), b.alias("y")
+    e = b.select(
+        "id", "vec", "nrm", F.posexplode("buckets").alias("band", "bucket")
+    )
+    x, y = e.alias("x"), e.alias("y")
     pairs = x.join(
         y,
-        (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") < F.col("y.id")),
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
@@ -296,7 +358,9 @@ def embedding_near_duplicates(
             6,
         ).alias("cosine"),
     )
-    return pairs.where(F.col("cosine") >= threshold)
+    # distinct collapses pairs that matched in >1 band (cosine is
+    # deterministic, so the scored row is identical across bands)
+    return pairs.where(F.col("cosine") >= threshold).distinct()
 
 
 # ---------------------------------------------------------------------------
