@@ -263,6 +263,53 @@ def host_component_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def component_parts_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """componentParts merge policy (SolrUpdater.php:1928-1993): hosts from
+    orders, components from lineitem; journal-formatted hosts only merge
+    under merge_non_earticles, dates advance to the newest merged part."""
+    o = _t(spark, sf, "orders")
+    hosts = o.select(
+        F.concat(F.lit("h."), F.col("o_orderkey").cast("string")).alias("_id"),
+        F.lit("src").alias("source_id"),
+        F.array(F.col("o_orderkey").cast("string")).alias("linking_id"),
+        # orderkey%3: 0 -> Book (always merges), 1 -> Journal (merges under
+        # merge_non_earticles), 2 -> eJournal (never merges under it)
+        try_element_at(
+            F.array(F.lit("Book"), F.lit("Journal"), F.lit("eJournal")),
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int"),
+        ).alias("format"),
+        F.col("o_orderdate").alias("date"),
+    )
+    l = _t(spark, sf, "lineitem")
+    comps = l.select(
+        F.concat(
+            F.lit("c."),
+            F.col("l_orderkey").cast("string"),
+            F.lit("."),
+            F.col("l_linenumber").cast("string"),
+        ).alias("_id"),
+        F.lit("src").alias("source_id"),
+        F.array(F.col("l_orderkey").cast("string")).alias("host_record_id"),
+        F.concat(F.lit("Part "), F.col("l_linenumber").cast("string")).alias("title"),
+        F.col("l_shipdate").alias("date"),
+        (F.pmod(F.col("l_linenumber"), F.lit(7)) == 0).alias("deleted"),
+        F.lit(False).alias("suppressed"),
+    )
+    out = MG.merge_component_parts(
+        hosts, comps, component_parts="merge_non_earticles"
+    )
+    return out.select(
+        "_id",
+        "format",
+        "has_component_parts",
+        "merged_component_count",
+        F.col("date").alias("date"),
+        F.array_join(
+            F.transform(F.col("component_info"), lambda s: s["id"]), "|"
+        ).alias("component_ids"),
+    )
+
+
 def group_merge_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     merged = MG.merge_groups(
@@ -1587,6 +1634,251 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sinks / preview / streaming (SURVEY §2.2, §2.14) — oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def solr_batch_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Solr bulk-updater batching (SolrUpdater.php:2944-3053): update
+    requests bound at max_update_records, delete id-lists at 1000/batch.
+
+    Runs the real writers to scratch dirs and reads the produced files
+    back: the observable contract is the multiset of per-file row counts.
+    """
+    import tempfile
+
+    from recordmanager_spark.sinks import solr as SOLR
+
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("o."), F.col("o_orderkey").cast("string")).alias("id"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = o.where(F.col("status") != "F").coalesce(1)
+    deletes = o.where(F.col("status") == "F").coalesce(1)
+    base = tempfile.mkdtemp(prefix="rm_solr_")
+    SOLR.write_update_batches(updates, f"{base}/updates", max_update_records=500)
+    SOLR.write_delete_batches(deletes, "id", f"{base}/deletes", batch=300)
+
+    def sizes(path: str, kind: str) -> DataFrame:
+        read = spark.read.json(path).select(
+            F.input_file_name().alias("f")
+        )
+        return (
+            read.groupBy("f")
+            .count()
+            .select(F.lit(kind).alias("kind"), F.col("count").alias("batch_rows"))
+        )
+
+    out = sizes(f"{base}/updates", "update").unionByName(
+        sizes(f"{base}/deletes", "delete")
+    )
+    # rank within kind by size: the multiset of batch sizes is deterministic
+    # ([cap]*k + [remainder]); file names are not
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("kind").orderBy(F.col("batch_rows").desc())
+    return out.select(
+        "kind", "batch_rows", F.row_number().over(w).alias("batch_rank")
+    )
+
+
+def export_filtered_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """File export with XPath record predicate + constant field injection
+    (Export.php:281-565; XPath predicate row §2.3)."""
+    from recordmanager_spark.sinks import export as EX
+
+    o = _t(spark, sf, "orders")
+    items = F.concat(
+        F.lit("<rec><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status>"),
+        F.repeat(F.lit("<item/>"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int")),
+        F.lit("</rec>"),
+    )
+    df = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        items.alias("original_data"),
+    )
+    out = EX.export_records(
+        df,
+        id_col="o_orderkey",
+        xml_col="original_data",
+        xpath_predicate="count(//item) >= 2",
+        inject_fields={"export_batch": "b1"},
+    )
+    return out.select("o_orderkey", "status", "export_batch")
+
+
+def preview_marc_record(spark: SparkSession, sf: str) -> DataFrame:
+    """PreviewCreator: ONE pasted record through the full production path
+    (extract → mappings → normalization); the preview dict comes back as a
+    1-row DataFrame. sf-independent by design — the preview record is the
+    user's paste, not corpus data."""
+    from recordmanager_spark.operators.preview import preview_record
+
+    raw = (
+        '{"leader":"00000cam a22000004i 4500","fields":['
+        '{"001":"prev1"},'
+        '{"008":"970101s1999    xxu                 eng d"},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":'
+        '[{"a":"Preview title :"},{"b":"the subtitle /"}]}},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Previewer, P."}]}},'
+        '{"260":{"ind1":" ","ind2":" ","subfields":[{"b":"Press,"},{"c":"c1999."}]}}'
+        "]}"
+    )
+    d = preview_record(spark, raw, fmt="marc")
+    return spark.createDataFrame(
+        [
+            (
+                d.get("id"),
+                d.get("title"),
+                d.get("title_short"),
+                d.get("author", [""])[0] if d.get("author") else "",
+                d.get("publish_year"),
+                "|".join(d.get("format", [])),
+            )
+        ],
+        "id string, title string, title_short string, author1 string,"
+        " publish_year string, format string",
+    )
+
+
+def once_per_group_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once per dedup group per run (tracking collection,
+    SolrUpdater.php:946-960) — surviving group keys."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("grp"))
+    return INC.once_per_group(o, "grp").select("grp")
+
+
+def dirty_hosts_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Dirty-flag propagation to hosts (StoreRecordTrait.php:232-286):
+    hosts whose components changed become update-needed."""
+    p = _t(spark, sf, "part")
+    records = p.select(
+        F.lit("src").alias("source_id"),
+        F.concat(F.lit("p."), F.col("p_partkey").cast("string")).alias("_id"),
+        F.array(F.col("p_partkey").cast("string")).alias("linking_id"),
+    )
+    l = _t(spark, sf, "lineitem")
+    changed = l.where(
+        (F.col("l_linenumber") == 1) & (F.pmod(F.col("l_orderkey"), F.lit(7)) == 0)
+    ).select(
+        F.lit("src").alias("source_id"),
+        F.array(F.col("l_partkey").cast("string")).alias("host_record_id"),
+    )
+    return INC.propagate_dirty_to_hosts(records, changed).select(
+        F.col("_id").alias("dirty_host_id")
+    )
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming wrapper (§2.14): the same hourly rollup the
+    batch query does, via readStream → watermark → windowed agg → memory
+    sink, drained with availableNow (bounded backfill run)."""
+    import os
+    import tempfile
+    import uuid
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    # the file streaming source wants a directory; events.parquet is one
+    # file — expose it through a scratch dir via symlink
+    d = tempfile.mkdtemp(prefix="rm_stream_ev_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    if isinstance(static.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ltz")
+        )
+    else:
+        # parquet TIMESTAMP(NANOS) surfaces as TIMESTAMP_NTZ on sessions
+        # without the nanosAsLong legacy flag; withWatermark requires LTZ
+        # (session tz is UTC, so the reinterpretation is value-preserving)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "stream_rollup_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful skip-unchanged (§2.14, StoreRecordTrait.php:193-229): a
+    record is emitted only when its content hash is new or changed —
+    applyInPandasWithState keyed by id, two micro-batches (initial load,
+    then a partial re-delivery with some rows changed)."""
+    import tempfile
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import dedup_new_or_changed
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") <= 2000)
+    batch1 = o.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.col("o_orderstatus").alias("content_hash"),
+    )
+    # second delivery: every 3rd record changes status, the rest unchanged
+    batch2 = batch1.withColumn(
+        "content_hash",
+        F.when(
+            F.pmod(F.col("_id").cast("long"), F.lit(3)) == 0,
+            F.concat(F.lit("NEW-"), F.col("content_hash")),
+        ).otherwise(F.col("content_hash")),
+    )
+    base = tempfile.mkdtemp(prefix="rm_state_")
+    schema = "_id string, content_hash string"
+    rows = []
+    # two availableNow drains over one checkpoint: state survives between
+    # runs, so the second delivery sees each id's last hash — deterministic
+    # regardless of file listing/mtime order. foreachBatch (not a memory
+    # sink) because only it supports restart from a checkpoint.
+    for i, batch in enumerate((batch1, batch2)):
+        batch.coalesce(1).write.mode("append").json(f"{base}/in")
+        stream = spark.readStream.schema(schema).json(f"{base}/in")
+        out = dedup_new_or_changed(stream)
+
+        def gather(bdf, _epoch, run=i):
+            rows.extend(
+                (r["_id"], r["content_hash"], bool(r["is_new"]), run)
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("stream_state_" + uuid.uuid4().hex[:10])
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        rows, "_id string, content_hash string, is_new boolean, run int"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1612,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_json_extract": events_json_extract,
         "host_component_merge": host_component_merge,
+        "component_parts_policy": component_parts_policy,
         "group_merge_orders": group_merge_orders,
         "dedup_er": dedup_er,
         "dedup_incremental": dedup_incremental,
@@ -1665,6 +1958,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full": knn_ivf_full,
         "knn_lsh": knn_lsh,
         "embedding_neardup": embedding_neardup,
+        "solr_batch_sizes": solr_batch_sizes,
+        "export_filtered_orders": export_filtered_orders,
+        "preview_marc_record": preview_marc_record,
+        "once_per_group_orders": once_per_group_orders,
+        "dirty_hosts_propagation": dirty_hosts_propagation,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "stateful_skip_unchanged": stateful_skip_unchanged,
     }
 
 
@@ -2468,6 +2768,92 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "component_parts_policy": """
+            WITH comp AS (
+                SELECT l_orderkey,
+                       'c.' || CAST(l_orderkey AS VARCHAR) || '.'
+                            || CAST(l_linenumber AS VARCHAR) AS cid,
+                       l_shipdate AS cdate
+                FROM lineitem WHERE l_linenumber % 7 <> 0
+            ), gathered AS (
+                SELECT l_orderkey,
+                       count(*) AS n,
+                       max(cdate) AS max_cdate,
+                       array_to_string(list(cid ORDER BY cid), '|') AS ids
+                FROM comp GROUP BY l_orderkey
+            ), h AS (
+                SELECT o_orderkey,
+                       'h.' || CAST(o_orderkey AS VARCHAR) AS _id,
+                       ['Book','Journal','eJournal'][(o_orderkey % 3) + 1] AS format,
+                       o_orderdate, g.n, g.max_cdate, g.ids
+                FROM orders LEFT JOIN gathered g ON o_orderkey = g.l_orderkey
+            )
+            SELECT _id, format,
+                   COALESCE(n, 0) > 0 AS has_component_parts,
+                   CASE WHEN COALESCE(n, 0) > 0 AND format <> 'eJournal'
+                        THEN n ELSE 0 END AS merged_component_count,
+                   CASE WHEN COALESCE(n, 0) > 0 AND format <> 'eJournal'
+                        THEN greatest(o_orderdate, max_cdate)
+                        ELSE o_orderdate END AS date,
+                   CASE WHEN COALESCE(n, 0) > 0 AND format <> 'eJournal'
+                        THEN ids ELSE '' END AS component_ids
+            FROM h
+        """,
+        "solr_batch_sizes": """
+            WITH ub AS (
+                   SELECT 'update' AS kind, count(*) AS batch_rows,
+                          CAST(b + 1 AS INT) AS batch_rank
+                   FROM (SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)
+                                // 500 AS b
+                         FROM orders WHERE o_orderstatus <> 'F')
+                   GROUP BY b
+                 ),
+                 db AS (
+                   SELECT 'delete' AS kind, count(*) AS batch_rows,
+                          CAST(b + 1 AS INT) AS batch_rank
+                   FROM (SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)
+                                // 300 AS b
+                         FROM orders WHERE o_orderstatus = 'F')
+                   GROUP BY b
+                 )
+            SELECT * FROM ub UNION ALL SELECT * FROM db
+        """,
+        "export_filtered_orders": """
+            SELECT o_orderkey, o_orderstatus AS status, 'b1' AS export_batch
+            FROM orders WHERE o_orderkey % 4 >= 2
+        """,
+        "preview_marc_record": """
+            SELECT 'prev1' AS id,
+                   'Preview title : the subtitle' AS title,
+                   'Preview title' AS title_short,
+                   'Previewer, P.' AS author1,
+                   '1999' AS publish_year,
+                   'Book' AS format
+        """,
+        "once_per_group_orders": """
+            SELECT DISTINCT o_custkey AS grp FROM orders
+        """,
+        "dirty_hosts_propagation": """
+            SELECT DISTINCT 'p.' || CAST(l_partkey AS VARCHAR) AS dirty_host_id
+            FROM lineitem
+            WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+              AND l_partkey IN (SELECT p_partkey FROM part)
+        """,
+        "streaming_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stateful_skip_unchanged": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+                   o_orderstatus AS content_hash,
+                   true AS is_new, 0 AS run
+            FROM orders WHERE o_orderkey <= 2000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR),
+                   'NEW-' || o_orderstatus, false, 1
+            FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 3 = 0
         """,
         # minhash_near_dup / simhash_near_dup / knn_lsh: approximate
         # engine-defined results (LSH recall < 1) — rows-only checks;

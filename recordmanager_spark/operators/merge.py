@@ -122,6 +122,140 @@ def merged_and_members(
     return merged, members
 
 
+# Formats the componentParts policy treats as journals (SolrUpdater reads
+# these from config: journal_formats / earticle_formats; defaults mirror
+# SolrUpdater.php:219-227).
+JOURNAL_FORMATS = ("Journal", "Newspaper")
+EARTICLE_FORMATS = ("eJournal",)
+
+
+def merge_component_parts(
+    hosts: DataFrame,
+    components: DataFrame,
+    *,
+    component_parts: str = "merge_all",
+    id_col: str = "_id",
+    linking_col: str = "linking_id",
+    format_col: str = "format",
+    date_col: str = "date",
+    source_col: str = "source_id",
+    host_link_col: str = "host_record_id",
+    deleted_col: str = "deleted",
+    suppressed_col: str = "suppressed",
+    component_sources: Sequence[str] | None = None,
+    max_components: int = 10000,
+    journal_formats: Sequence[str] = JOURNAL_FORMATS,
+    earticle_formats: Sequence[str] = EARTICLE_FORMATS,
+) -> DataFrame:
+    """Component-part merge policy (SolrUpdater.php:1928-1993).
+
+    A host record (no ``host_record_id`` of its own) gathers the live
+    (non-deleted, non-suppressed) components whose ``host_record_id``
+    intersects its ``linking_id`` within the same source (or the configured
+    ``componentPartSourceId`` list). Whether the components merge depends on
+    the ``componentParts`` setting vs the host's format:
+
+    - ``merge_all``          → always merge
+    - format not a journal   → merge
+    - journal format + ``merge_non_earticles`` → merge (e-article journals
+      never merge under it)
+
+    On merge, the host's ``date`` advances to the newest component date
+    (SolrUpdater.php:1984-1992) and ``component_info`` carries the ordered
+    (id, title) union — the AbstractRecord::mergeComponentParts contract;
+    MARC-driver-specific 979 field synthesis belongs to the extractor
+    layer. Components cap at ``max_components`` (:1975, same arbitrary
+    bound).
+
+    Scale shape: explode host linking ids once, equi-join components on
+    (source, link) — both sides shuffle by that key only; per-host gather
+    is one groupBy with map-side partials.
+    """
+    host_fmt = F.coalesce(F.col(format_col), F.lit(""))
+    is_journal = host_fmt.isin(*journal_formats) | host_fmt.isin(*earticle_formats)
+    merge_ok = (
+        F.lit(component_parts == "merge_all")
+        | ~is_journal
+        | (
+            host_fmt.isin(*journal_formats)
+            & F.lit(component_parts == "merge_non_earticles")
+        )
+    )
+
+    h = hosts
+    if host_link_col in h.columns:
+        h = h.where(
+            F.col(host_link_col).isNull() | (F.size(F.col(host_link_col)) == 0)
+        )
+    links = h.select(
+        F.col(id_col).alias("__hid"),
+        F.col(source_col).alias("__hsrc"),
+        F.explode_outer(linking_col).alias("__link"),
+    )
+    c = components.where(
+        ~F.coalesce(F.col(deleted_col), F.lit(False))
+        & ~F.coalesce(F.col(suppressed_col), F.lit(False))
+    )
+    comp = c.select(
+        F.col(source_col).alias("__csrc"),
+        F.col(id_col).alias("__cid"),
+        F.col("title").alias("__ctitle"),
+        F.col(date_col).alias("__cdate"),
+        F.explode(host_link_col).alias("__chost"),
+    )
+    if component_sources:
+        comp = comp.where(F.col("__csrc").isin(*component_sources))
+        src_cond = F.lit(True)
+    else:
+        src_cond = F.col("__hsrc") == F.col("__csrc")
+    joined = links.join(
+        comp, (F.col("__link") == F.col("__chost")) & src_cond, "left"
+    )
+    gathered = joined.groupBy("__hid").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__cid").isNotNull(),
+                        F.struct(
+                            F.col("__cid").alias("id"),
+                            F.col("__ctitle").alias("title"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            max_components,
+        ).alias("component_info"),
+        F.max("__cdate").alias("__max_cdate"),
+    )
+    out = hosts.join(
+        gathered.withColumnRenamed("__hid", id_col), id_col, "left"
+    ).withColumn(
+        "component_info", F.coalesce(F.col("component_info"), F.array())
+    )
+    has_parts = F.size(F.col("component_info")) > 0
+    merged = has_parts & merge_ok
+    return (
+        out.withColumn("has_component_parts", has_parts)
+        .withColumn(
+            "merged_component_count",
+            F.when(merged, F.size(F.col("component_info"))).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            date_col,
+            F.when(
+                merged, F.greatest(F.col(date_col), F.col("__max_cdate"))
+            ).otherwise(F.col(date_col)),
+        )
+        .withColumn(
+            "component_info",
+            F.when(merged, F.col("component_info")).otherwise(F.array()),
+        )
+        .drop("__max_cdate")
+    )
+
+
 def copy_down(
     members: DataFrame,
     merged: DataFrame,

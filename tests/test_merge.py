@@ -58,3 +58,64 @@ def test_merged_and_members_and_copy_down(spark):
     )
     got = {r["_id"]: r["topics"] for r in down.collect()}
     assert got["a"] == ["x", "y"] and got["b"] == ["x", "y"]
+
+
+def test_merge_component_parts_policy(spark):
+    """componentParts policy (SolrUpdater.php:1928-1993): merge decision by
+    format class, date propagation, deleted components excluded."""
+    import datetime
+
+    d = datetime.date
+    hosts = spark.createDataFrame(
+        [
+            ("h1", "src", ["L1"], "Book", d(2020, 1, 1)),
+            ("h2", "src", ["L2"], "Journal", d(2020, 1, 1)),
+            ("h3", "src", ["L3"], "eJournal", d(2020, 1, 1)),
+            ("h4", "src", ["L4"], "Book", d(2020, 1, 1)),  # no components
+            ("h5", "other", ["L1"], "Book", d(2020, 1, 1)),  # other source
+        ],
+        "_id string, source_id string, linking_id array<string>,"
+        " format string, date date",
+    )
+    comps = spark.createDataFrame(
+        [
+            ("c1", "src", ["L1"], "Part 1", d(2021, 6, 1), False, False),
+            ("c2", "src", ["L1"], "Part 2", d(2019, 6, 1), False, False),
+            ("c3", "src", ["L2"], "Part 3", d(2022, 1, 1), False, False),
+            ("c4", "src", ["L3"], "Part 4", d(2022, 1, 1), False, False),
+            ("cdel", "src", ["L1"], "Gone", d(2030, 1, 1), True, False),
+            ("csup", "src", ["L1"], "Hidden", d(2030, 1, 1), False, True),
+        ],
+        "_id string, source_id string, host_record_id array<string>,"
+        " title string, date date, deleted boolean, suppressed boolean",
+    )
+    out = {
+        r["_id"]: r
+        for r in MG.merge_component_parts(
+            hosts, comps, component_parts="merge_non_earticles"
+        ).collect()
+    }
+    # Book host merges, date advances to newest live component
+    assert out["h1"]["merged_component_count"] == 2
+    assert [s["id"] for s in out["h1"]["component_info"]] == ["c1", "c2"]
+    assert out["h1"]["date"] == d(2021, 6, 1)
+    # Journal merges under merge_non_earticles
+    assert out["h2"]["merged_component_count"] == 1
+    assert out["h2"]["date"] == d(2022, 1, 1)
+    # eJournal never merges under merge_non_earticles (but parts exist)
+    assert out["h3"]["has_component_parts"]
+    assert out["h3"]["merged_component_count"] == 0
+    assert out["h3"]["date"] == d(2020, 1, 1)
+    assert out["h3"]["component_info"] == []
+    # no components at all
+    assert not out["h4"]["has_component_parts"]
+    # cross-source components don't attach without componentPartSourceId
+    assert not out["h5"]["has_component_parts"]
+    # ... but do with it
+    out5 = {
+        r["_id"]: r
+        for r in MG.merge_component_parts(
+            hosts, comps, component_sources=["src"]
+        ).collect()
+    }
+    assert out5["h5"]["merged_component_count"] == 2
