@@ -32,18 +32,52 @@ _FOLDED = (
 )
 assert len(_ACCENTS) == len(_FOLDED), (len(_ACCENTS), len(_FOLDED))
 
+# --- Non-Latin script folding ----------------------------------------------
+# The reference's production path feeds keys through an ICU transliterator
+# (":: NFD; :: lower; :: Latin; :: [^letter number] Remove; :: NFKC;",
+# MetadataUtils.php:160-161 + conf/recordmanager.ini.sample:19-25) so
+# Cyrillic/Greek titles key identically across sources. No ICU lives in
+# this engine's runtime, so the Any-Latin step is a data-driven
+# approximation: multi-char romanizations as chained replaces (linear
+# expression tree) + 1:1 residue through translate. Tables are data — a
+# deployment can extend them the way the reference extends its rules.
+_MULTI_FOLD: list[tuple[str, str]] = [
+    # Cyrillic (GOST-style romanization, lowercase side)
+    ("щ", "shch"), ("ж", "zh"), ("ч", "ch"), ("ш", "sh"), ("ю", "yu"),
+    ("я", "ya"), ("х", "kh"), ("ц", "ts"), ("ё", "yo"),
+    # Greek
+    ("θ", "th"), ("χ", "ch"), ("ψ", "ps"),
+]
+# 1:1 residues; translate() maps positionally and DELETES source chars
+# past the target's length, so the deleted ones (ь/ъ soft/hard signs —
+# Any-Latin's prime marks, later stripped as non-letters) must sit LAST.
+_CYR_1 = "абвгдезийклмнопрстуфыэ"
+_CYR_1_TO = "abvgdeziiklmnoprstufye"
+_GREEK_1 = "αβγδεζηικλμνξοπρσςτυφωάέήίόύώϊϋΐΰ"
+_GREEK_1_TO = "avgdezi" + "iklmnxoprsstyf" + "o" + "aeiioyoiyiy"
+_ONE_FOLD_SRC = _CYR_1 + _GREEK_1 + "ьъ"
+_ONE_FOLD_DST = _CYR_1_TO + _GREEK_1_TO
+assert len(_CYR_1) == len(_CYR_1_TO), (len(_CYR_1), len(_CYR_1_TO))
+assert len(_GREEK_1) == len(_GREEK_1_TO), (len(_GREEK_1), len(_GREEK_1_TO))
+
 # normalizeKey strip classes: control chars, space, ASCII punctuation ranges
-# !-/ :-@ [-` {-DEL (MetadataUtils.php:424-428).
-_KEY_STRIP_RE = r"[\x00-\x20\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]"
+# !-/ :-@ [-` {-DEL (MetadataUtils.php:424-428); plus combining diacritics
+# (U+0300-U+036F), which the ICU rule removes via "Nonspacing Mark Remove".
+_KEY_STRIP_RE = r"[\x00-\x20\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f̀-ͯ]"
 
 
 def normalize_key(col: Column | str) -> Column:
-    """Lowercase + fold accents + strip punctuation/whitespace/control chars.
+    """Lowercase + fold to Latin + strip punctuation/whitespace/marks.
 
     The comparison key used everywhere the reference builds dedup keys.
+    Folding covers precomposed Latin accents, decomposed combining marks,
+    and Cyrillic/Greek romanization (see _MULTI_FOLD note).
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     c = F.translate(c, _ACCENTS, _FOLDED)
+    for src, dst in _MULTI_FOLD:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.translate(c, _ONE_FOLD_SRC, _ONE_FOLD_DST)
     return F.regexp_replace(c, _KEY_STRIP_RE, "")
 
 

@@ -153,3 +153,23 @@ def test_array_iunique(spark):
     got = df.select(K.array_iunique(F.col("v")).alias("out")).first()["out"]
     # first occurrence + original case preserved
     assert got == ["Foo", "BAR", "baz"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # ICU Any-Latin analogue: Cyrillic/Greek titles key consistently
+        # across sources (reference key_folding_rules,
+        # recordmanager.ini.sample:19-25)
+        ("Война и мир", "voinaimir"),
+        ("Толстой", "tolstoi"),
+        ("Tolstoï", "tolstoi"),  # same author, Latin source, same key
+        ("Δημοκρατία", "dimokratia"),
+        ("Ψυχή", "psychi"),
+        ("объём", "obyom"),  # soft sign dropped, ё -> yo
+        ("ЩИ и Борщ", "shchiiborshch"),
+        ("decomposed ä", "decomposeda"),  # combining marks stripped
+    ],
+)
+def test_normalize_key_script_folding(spark, raw, expected):
+    assert one(spark, K.normalize_key(F.col("v")), raw) == expected
