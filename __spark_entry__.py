@@ -1744,6 +1744,142 @@ def preview_marc_record(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def geocode_simplify_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Nominatim retry-with-simplification (NominatimGeocoder.php:262-345):
+    three ladder shapes (direct hit, comma-segment drop, trailing flat-
+    number strip) plus a blocklist, against an offline cache."""
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    cache = n.select(
+        F.col("n_name").alias("location"),
+        F.concat(
+            F.lit("ENVELOPE("), F.col("n_nationkey").cast("double").cast("string"),
+            F.lit(", "), (F.col("n_nationkey") + 10).cast("double").cast("string"),
+            F.lit(", 50.0, 40.0)"),
+        ).alias("wkt"),
+    ).unionByName(
+        n.select(
+            F.concat(F.col("n_name"), F.lit(", suburb")).alias("location"),
+            F.concat(
+                F.lit("ENVELOPE("), (F.col("n_nationkey") + 100).cast("double").cast("string"),
+                F.lit(", "), (F.col("n_nationkey") + 110).cast("double").cast("string"),
+                F.lit(", 50.0, 40.0)"),
+            ).alias("wkt"),
+        )
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("Street "), F.col("n_name"), F.lit(" 5")).alias("location"),
+            F.concat(
+                F.lit("ENVELOPE("), (F.col("n_nationkey") + 200).cast("double").cast("string"),
+                F.lit(", "), (F.col("n_nationkey") + 210).cast("double").cast("string"),
+                F.lit(", 50.0, 40.0)"),
+            ).alias("wkt"),
+        )
+    )
+    recs = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.when(F.pmod(F.col("c_custkey"), F.lit(3)) == 0, F.col("n_name"))
+        .when(
+            F.pmod(F.col("c_custkey"), F.lit(3)) == 1,
+            F.concat(F.col("n_name"), F.lit(", suburb, extra")),
+        )
+        .otherwise(F.concat(F.lit("Street "), F.col("n_name"), F.lit(" 5 b 12")))
+        .alias("loc"),
+    )
+    out = EN.geocode_with_simplification(
+        recs, cache, "loc", id_col="c_custkey", blocklist=("FRANC",)
+    )
+    return out.select(
+        "c_custkey", "loc", "geocoded_term", "simplify_level",
+        F.coalesce("location_geo", F.lit("")).alias("location_geo"),
+        "center_coords",
+    )
+
+
+def sfx_harvest_files(spark: SparkSession, sf: str) -> DataFrame:
+    """SFX dated-dump harvest (Harvest/Sfx.php + HTTPFiles.php): filename
+    date-window selection, namespace strip, 090$a id, 001 injection,
+    leader/06 modified flag."""
+    from recordmanager_spark.sources import sfx as SFX
+
+    p = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    day = F.lpad((F.pmod(pk, F.lit(28)) + 1).cast("string"), 2, "0")
+    hour = F.lpad(F.pmod(pk, F.lit(24)).cast("string"), 2, "0")
+    fname = F.concat(
+        F.when(F.pmod(pk, F.lit(13)) == 0, F.lit("other_")).otherwise(
+            F.lit("sfx_dump_")
+        ),
+        F.lit("202403"), day, hour, F.lit("0000"),
+        F.when(F.pmod(pk, F.lit(17)) == 0, F.lit(".tmp")).otherwise(F.lit(".xml")),
+    )
+    status = F.when(F.pmod(pk, F.lit(9)) == 0, F.lit("-")).otherwise(F.lit("c"))
+    xml = F.format_string(
+        '<record><leader>00000%sam a22000004i 4500</leader>'
+        '<datafield tag="090" ind1=" " ind2=" ">'
+        "<subfield code=\"a\"> SFX%s </subfield></datafield>"
+        "<datafield tag=\"245\" ind1=\"1\" ind2=\"0\">"
+        "<subfield code=\"a\">%s</subfield></datafield></record>",
+        status, pk.cast("string"), F.col("p_name"),
+    )
+    listing = p.select(fname.alias("filename"), xml.alias("record_xml"))
+    picked = SFX.select_harvest_files(
+        listing,
+        file_prefix="sfx_dump_",
+        file_suffix=".xml",
+        start_date="2024-03-05 00:00:00",
+        end_date="2024-03-20 23:59:59",
+    )
+    out = SFX.sfx_normalize_records(picked, source_id="mysfx")
+    return out.select(
+        "filename",
+        F.col("file_date").cast("string").alias("file_date"),
+        "record_id",
+        "oai_id",
+        "modified",
+        F.col("record_xml").contains('<controlfield tag="001">').alias("has_001"),
+    )
+
+
+def oai_provider_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """OAI-PMH provider dissemination (OaiPmhProvider.php:800-905): one
+    ListRecords page with config-driven sets, oai_dc dissemination, and
+    deleted-record headers."""
+    from recordmanager_spark.operators.range_query import range_page
+    from recordmanager_spark.sinks import oai_provider as OAI
+
+    c = _t(spark, sf, "customer")
+    recs = c.select(
+        F.concat(F.lit("c."), F.col("c_custkey").cast("string")).alias("_id"),
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(5)) == 0,
+            F.concat(F.lit("oai:ext:"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.lit("")).alias("oai_id"),
+        F.col("c_name").alias("title"),
+        F.concat(F.lit("Author & "), F.col("c_mktsegment")).alias("author"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.pmod(F.col("c_custkey"), F.lit(11)) == 0).alias("deleted"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-01 00:"),
+                F.lpad(F.pmod(F.col("c_custkey"), F.lit(60)).cast("string"), 2, "0"),
+                F.lit(":00"),
+            )
+        ).alias("updated"),
+    )
+    sets = {
+        "building": {"name": "Building segment", "segment": "BUILDING"},
+        "auto": {"segment": "AUTOMOBILE"},
+    }
+    page = range_page(
+        recs, "updated", "_id", offset=100, limit=200
+    )
+    out = OAI.disseminate(
+        page, "oai_dc", sets=sets, id_prefix="oai:repo:"
+    )
+    return out.select("_id", "oai_header", "oai_metadata")
+
+
 def once_per_group_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once per dedup group per run (tracking collection,
     SolrUpdater.php:946-960) — surviving group keys."""
@@ -1961,6 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solr_batch_sizes": solr_batch_sizes,
         "export_filtered_orders": export_filtered_orders,
         "preview_marc_record": preview_marc_record,
+        "geocode_simplify_customers": geocode_simplify_customers,
+        "sfx_harvest_files": sfx_harvest_files,
+        "oai_provider_serve": oai_provider_serve,
         "once_per_group_orders": once_per_group_orders,
         "dirty_hosts_propagation": dirty_hosts_propagation,
         "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -2833,6 +2972,97 @@ def oracle_sql() -> dict[str, str]:
         """,
         "once_per_group_orders": """
             SELECT DISTINCT o_custkey AS grp FROM orders
+        """,
+        "geocode_simplify_customers": """
+            WITH r AS (
+              SELECT c_custkey, n_name, n_nationkey AS k, c_custkey % 3 AS m,
+                     n_name LIKE '%FRANC%' AS blocked
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT c_custkey,
+              CASE m WHEN 0 THEN n_name
+                     WHEN 1 THEN n_name || ', suburb, extra'
+                     ELSE 'Street ' || n_name || ' 5 b 12' END AS loc,
+              CASE WHEN blocked THEN NULL
+                   WHEN m = 0 THEN n_name
+                   WHEN m = 1 THEN n_name || ', suburb'
+                   ELSE 'Street ' || n_name || ' 5' END AS geocoded_term,
+              CASE WHEN blocked THEN NULL
+                   WHEN m = 1 THEN 1 ELSE 0 END AS simplify_level,
+              CASE WHEN blocked THEN ''
+                   WHEN m = 0 THEN 'ENVELOPE(' || CAST(CAST(k AS DOUBLE) AS VARCHAR)
+                     || ', ' || CAST(CAST(k + 10 AS DOUBLE) AS VARCHAR)
+                     || ', 50.0, 40.0)'
+                   WHEN m = 1 THEN 'ENVELOPE(' || CAST(CAST(k + 100 AS DOUBLE) AS VARCHAR)
+                     || ', ' || CAST(CAST(k + 110 AS DOUBLE) AS VARCHAR)
+                     || ', 50.0, 40.0)'
+                   ELSE 'ENVELOPE(' || CAST(CAST(k + 200 AS DOUBLE) AS VARCHAR)
+                     || ', ' || CAST(CAST(k + 210 AS DOUBLE) AS VARCHAR)
+                     || ', 50.0, 40.0)' END AS location_geo,
+              CASE WHEN blocked THEN ''
+                   WHEN m = 0 THEN CAST(k + 5 AS VARCHAR) || ' 45'
+                   WHEN m = 1 THEN CAST(k + 105 AS VARCHAR) || ' 45'
+                   ELSE CAST(k + 205 AS VARCHAR) || ' 45' END AS center_coords
+            FROM r
+        """,
+        "sfx_harvest_files": """
+            WITH b AS (
+              SELECT p_partkey AS pk, p_name,
+                     lpad(CAST((p_partkey % 28) + 1 AS VARCHAR), 2, '0') AS dd,
+                     lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0') AS hh
+              FROM part
+              WHERE pk % 13 <> 0 AND pk % 17 <> 0   -- prefix/suffix filters
+            ), f AS (
+              SELECT pk, p_name,
+                     'sfx_dump_202403' || dd || hh || '0000.xml' AS filename,
+                     ('2024-03-' || dd || ' ' || hh || ':00:00')::TIMESTAMP
+                       AS fd
+              FROM b
+            )
+            SELECT filename,
+                   CAST(fd AS VARCHAR) AS file_date,
+                   'SFX' || CAST(pk AS VARCHAR) AS record_id,
+                   'sfx:mysfx:SFX' || CAST(pk AS VARCHAR) AS oai_id,
+                   pk % 9 <> 0 AS modified,
+                   true AS has_001
+            FROM f
+            WHERE fd > TIMESTAMP '2024-03-05 00:00:00'
+              AND fd <= TIMESTAMP '2024-03-20 23:59:59'
+        """,
+        "oai_provider_serve": """
+            WITH r AS (
+              SELECT c_custkey AS k,
+                     'c.' || CAST(c_custkey AS VARCHAR) AS _id,
+                     c_name, c_mktsegment AS seg,
+                     c_custkey % 11 = 0 AS deleted,
+                     c_custkey % 5 = 0 AS has_oai,
+                     lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0') AS mm
+              FROM customer
+            ), page AS (
+              SELECT * FROM r
+              ORDER BY ('2024-01-01 00:' || mm || ':00')::TIMESTAMP, _id
+              OFFSET 100 LIMIT 200
+            )
+            SELECT _id,
+              '<header' ||
+              CASE WHEN deleted THEN ' status="deleted"' ELSE '' END ||
+              '><identifier>' ||
+              CASE WHEN has_oai THEN 'oai:ext:' || CAST(k AS VARCHAR)
+                   ELSE 'oai:repo:c.' || CAST(k AS VARCHAR) END ||
+              '</identifier><datestamp>2024-01-01T00:' || mm ||
+              ':00Z</datestamp>' ||
+              CASE WHEN seg = 'BUILDING' THEN '<setSpec>building</setSpec>'
+                   WHEN seg = 'AUTOMOBILE' THEN '<setSpec>auto</setSpec>'
+                   ELSE '' END ||
+              '</header>' AS oai_header,
+              CASE WHEN deleted THEN '' ELSE
+                '<metadata><oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"'
+                || ' xmlns:dc="http://purl.org/dc/elements/1.1/"><dc:title>'
+                || c_name || '</dc:title><dc:creator>Author &amp; ' || seg
+                || '</dc:creator><dc:identifier>' || _id
+                || '</dc:identifier></oai_dc:dc></metadata>'
+              END AS oai_metadata
+            FROM page
         """,
         "dirty_hosts_propagation": """
             SELECT DISTINCT 'p.' || CAST(l_partkey AS VARCHAR) AS dirty_host_id

@@ -158,6 +158,122 @@ def geocode_locations(
     )
 
 
+def _simplify_address(loc: Column) -> Column:
+    """The per-try address normalization (NominatimGeocoder.php:271-283):
+    cap at 10 words, strip a trailing letter (+optional flat number) after
+    a street number."""
+    words = F.split(loc, " ")
+    capped = F.when(
+        F.size(words) > 10, F.array_join(F.slice(words, 1, 10), " ")
+    ).otherwise(loc)
+    return F.regexp_replace(
+        capped, "(.{3,}\\s+(\\d{1,3}))\\s*[a-zA-Z]\\s*\\d*$", "$1"
+    )
+
+
+def _simplify_step(loc: Column, optional_terms: tuple[str, ...]) -> Column:
+    """One cache-miss simplification (NominatimGeocoder.php:322-345):
+    remove optional terms when more than two words; if that changes
+    nothing, drop the last comma segment when more than two remain."""
+    cleaned = loc
+    if optional_terms:
+        for term in optional_terms:
+            cleaned = F.when(
+                F.size(F.split(cleaned, " ")) > 2,
+                F.regexp_replace(
+                    cleaned,
+                    f"(?i)([\\.\\,\\s]* |^){term}[\\.\\,\\s]*( |$)",
+                    " ",
+                ),
+            ).otherwise(cleaned)
+    segs = F.split(loc, ",")
+    dropped = F.when(
+        F.size(segs) > 2,
+        F.array_join(F.slice(segs, 1, F.size(segs) - 1), ","),
+    ).otherwise(loc)
+    return F.when(cleaned != loc, cleaned).otherwise(dropped)
+
+
+def geocode_with_simplification(
+    records: DataFrame,
+    cache: DataFrame,
+    location_col: str,
+    *,
+    id_col: str = "_id",
+    cache_key: str = "location",
+    cache_wkt: str = "wkt",
+    wkt_out: str = "location_geo",
+    optional_terms: tuple[str, ...] = (),
+    blocklist: tuple[str, ...] = (),
+    max_levels: int = 5,
+    broadcast_lookup: bool = True,
+) -> DataFrame:
+    """Geocode with the reference's retry-with-simplification ladder
+    (NominatimGeocoder.php:262-345) against an offline cache.
+
+    The reference loops up to 10 times per location, re-querying after each
+    simplification. Sequential retries would mean N joins; instead the
+    bounded simplification CHAIN is computed up-front as an array column,
+    exploded, joined against the cache ONCE, and the hit with the smallest
+    simplification level wins — same first-hit-wins semantics, one shuffle
+    of only the (id, candidate) pairs. Blocklisted locations never geocode.
+    """
+    loc = F.col(location_col)
+    blocked = F.lit(False)
+    for pat in blocklist:
+        blocked = blocked | loc.rlike(f"(?i){pat}")
+
+    # Build the level ladder with aggregate() so the step function appears
+    # ONCE in the plan and each level binds the previous via a lambda
+    # variable. Naively chaining Columns (levels.append(f(levels[-1])))
+    # re-embeds the whole previous tree at every reference — the step
+    # references its input ~10x, so five levels is ~10^5 expression nodes
+    # and the driver OOMs building the plan.
+    ladder = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max(max_levels - 1, 0))),
+        F.array(_simplify_address(loc)),
+        lambda acc, _i: F.concat(
+            acc,
+            F.array(
+                _simplify_address(
+                    _simplify_step(try_element_at(acc, -1), optional_terms)
+                )
+            ),
+        ),
+    )
+    chain = F.array_distinct(F.filter(ladder, lambda x: F.trim(x) != ""))
+    base = records.withColumn(
+        "__chain", F.when(blocked, F.array().cast("array<string>")).otherwise(chain)
+    )
+    cand = base.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode("__chain").alias("__lvl", "__cand"),
+    )
+    c = cache.select(
+        F.col(cache_key).alias("__cand"), F.col(cache_wkt).alias("__wkt")
+    )
+    hits = cand.join(_maybe_broadcast(c, broadcast_lookup), "__cand")
+    best = hits.groupBy("__rid").agg(
+        F.min(F.struct(F.col("__lvl"), F.col("__cand"), F.col("__wkt"))).alias("__b")
+    )
+    out = base.drop("__chain").join(
+        best.select(
+            F.col("__rid").alias(id_col),
+            F.col("__b.__wkt").alias(wkt_out),
+            F.col("__b.__cand").alias("geocoded_term"),
+            F.col("__b.__lvl").alias("simplify_level"),
+        ),
+        id_col,
+        "left",
+    )
+    return out.withColumn(
+        "center_coords",
+        F.when(
+            F.col(wkt_out).isNotNull(), GEO.center_coordinates(F.col(wkt_out))
+        ).otherwise(F.lit("")),
+    )
+
+
 def resolve_links(
     records: DataFrame,
     targets: DataFrame,

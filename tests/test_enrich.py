@@ -201,3 +201,53 @@ def test_enrich_music_ids(spark):
     assert out["r3"] == ["mb-qualified"]  # fallback suppressed
     assert out["r4"] == ["mb-fallback"]
     assert out["r5"] == []
+
+
+def test_geocode_with_simplification(spark):
+    """Retry-with-simplification ladder (NominatimGeocoder.php:262-345):
+    trailing letter/flat strip, optional-term removal, last-comma-segment
+    drop; first (least-simplified) cache hit wins; blocklist skips."""
+    cache = spark.createDataFrame(
+        [
+            ("mainville main street 5", "ENVELOPE(10.0, 12.0, 61.0, 60.0)"),
+            ("kumpula, helsinki", "ENVELOPE(24.0, 25.0, 60.3, 60.1)"),
+            # the optional-term regex consumes adjoining punctuation, so
+            # "kumpula campus, helsinki" simplifies to this (PHP parity)
+            ("kumpula helsinki", "ENVELOPE(24.0, 25.0, 60.3, 60.1)"),
+            ("atlantis", "ENVELOPE(0.0, 1.0, 1.0, 0.0)"),
+        ],
+        ["location", "wkt"],
+    )
+    recs = spark.createDataFrame(
+        [
+            # trailing letter+flat number stripped at level 0
+            ("r1", "mainville main street 5 b 12"),
+            # optional term removed, then hits
+            ("r2", "kumpula campus, helsinki"),
+            # needs comma-segment drop (3 segments -> 2)
+            ("r3", "kumpula, helsinki, finland"),
+            # blocklisted despite exact cache hit
+            ("r4", "atlantis"),
+            # no hit at any level
+            ("r5", "nowhere at all"),
+        ],
+        ["_id", "loc"],
+    )
+    out = {
+        r._id: r
+        for r in E.geocode_with_simplification(
+            recs,
+            cache,
+            "loc",
+            optional_terms=("campus",),
+            blocklist=("atlant",),
+        ).collect()
+    }
+    assert out["r1"].location_geo == "ENVELOPE(10.0, 12.0, 61.0, 60.0)"
+    assert out["r1"].simplify_level == 0
+    assert out["r1"].center_coords == "11 60.5"
+    assert out["r2"].geocoded_term == "kumpula helsinki"
+    assert out["r2"].simplify_level >= 1
+    assert out["r3"].geocoded_term == "kumpula, helsinki"
+    assert out["r4"].location_geo is None
+    assert out["r5"].location_geo is None

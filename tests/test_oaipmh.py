@@ -76,3 +76,53 @@ def test_list_identifiers_headers(spark):
 def test_malformed_response(spark):
     df = spark.createDataFrame([("<broken",), (None,)], "xml string")
     assert OAI.harvest_records(df).count() == 0
+
+
+def test_oai_provider_resumption_token():
+    from recordmanager_spark.sinks.oai_provider import resumption_token
+
+    assert resumption_token(0, 100, 250) == "100:100"
+    assert resumption_token(100, 100, 250) == "200:100"
+    assert resumption_token(200, 100, 250) is None
+    assert resumption_token(0, 100, 100) is None
+
+
+def test_sfx_file_selection_skips_invalid_dates(spark):
+    from recordmanager_spark.sources import sfx as SFX
+
+    listing = spark.createDataFrame(
+        [
+            ("sfx_20240310120000.xml",),
+            ("sfx_nodate.xml",),           # no stamp -> skipped with warning
+            ("sfx_20240301120000.xml",),   # before window
+            ("other_20240310120000.xml",), # wrong prefix
+            ("sfx_20240310120000.tmp",),   # wrong suffix
+        ],
+        ["filename"],
+    )
+    out = SFX.select_harvest_files(
+        listing,
+        file_prefix="sfx_",
+        file_suffix=".xml",
+        start_date="2024-03-05 00:00:00",
+    ).collect()
+    assert [r.filename for r in out] == ["sfx_20240310120000.xml"]
+
+
+def test_sfx_normalize_records(spark):
+    from recordmanager_spark.sources import sfx as SFX
+
+    xml = (
+        "<record><leader>00000cam a22000004i 4500</leader>"
+        '<datafield tag="090" ind1=" " ind2=" ">'
+        '<subfield code="a"> ABC1 </subfield></datafield></record>'
+    )
+    no_id = "<record><leader>00000-am a22000004i 4500</leader></record>"
+    df = spark.createDataFrame([(xml,), (no_id,)], ["record_xml"])
+    out = SFX.sfx_normalize_records(df, source_id="s1").collect()
+    assert len(out) == 1  # record without 090$a dropped
+    r = out[0]
+    assert r.record_id == "ABC1"
+    assert r.oai_id == "sfx:s1:ABC1"
+    assert r.modified  # leader/06 'c' != '-'
+    assert '<controlfield tag="001">ABC1</controlfield></record>' in r.record_xml
