@@ -338,6 +338,300 @@ def marc_allfields(marc: Column) -> Column:
     return F.filter(vals, lambda v: v != "")
 
 
+# ---------------------------------------------------------------------------
+# Authors by relator (Record/Marc.php:2236-2400)
+# ---------------------------------------------------------------------------
+
+# Default primary author relator codes (Marc.php:69-71; config-overridable).
+PRIMARY_AUTHOR_RELATORS = ("adp", "aut", "cmp", "cre", "dub", "inv")
+
+
+def normalize_relator(v: Column) -> Column:
+    """trim + strip punctuation + lowercase (MetadataUtils.php:1078-1084)."""
+    return F.lower(F.regexp_replace(F.trim(v), "\\p{P}+", ""))
+
+
+def _linked_terms_for_field(marc: Column, tag: str, field: Column, codes) -> Column:
+    """880 terms linked to THIS field via its $6 occurrence — the reference
+    appends them to the same name string (Marc.php:2270-2280)."""
+    occ = _field_link_occ(field)
+    linked = F.filter(
+        marc["fields"],
+        lambda f: (f["tag"] == "880")
+        & (occ != "")
+        & F.exists(
+            F.coalesce(f["subfields"], F.array()),
+            lambda s: (s["code"] == "6")
+            & s["value"].startswith(tag + "-")
+            & (_occurrence(s["value"]) == occ),
+        ),
+    )
+    return F.filter(
+        F.transform(linked, lambda f: subfield_join(f, list(codes))),
+        lambda v: v != "",
+    )
+
+
+def authors_by_relator(
+    marc: Column,
+    field_specs: Sequence[tuple],
+    relators: Sequence[str],
+    no_relator_required: Sequence[str],
+    invert_match: bool = False,
+) -> Column:
+    """getAuthorsByRelator as one struct Column: names / relators / variants.
+
+    ``field_specs``: [(tag, subfield list), ...] in priority order. A field
+    matches when its normalized $4/$e relators intersect ``relators``, or it
+    has none and its tag is in ``no_relator_required`` (empty ``relators``
+    matches everything); ``invert_match`` flips the decision (secondary
+    authors). 880 alt-script terms append to the same name; variants are
+    author-initial forms of $a (getAuthorVariants).
+    """
+    # closure factory, NOT default-arg capture: F.transform passes the
+    # element index to any callable with a second parameter, so mk must
+    # expose a strictly one-argument signature
+    def make_mk(tag, codes):
+        def mk(field):
+            frel = F.array_distinct(
+                F.filter(
+                    F.transform(_sub_values(field, ["4", "e"]), normalize_relator),
+                    lambda v: v != "",
+                )
+            )
+            if relators:
+                lit_rel = F.array(*[F.lit(r) for r in relators])
+                match = F.size(F.array_intersect(lit_rel, frel)) > 0
+                if tag in no_relator_required:
+                    match = match | (F.size(frel) == 0)
+            else:
+                match = F.lit(True)
+            if invert_match:
+                match = ~match
+            terms = subfield_join(field, list(codes))
+            linked = _linked_terms_for_field(marc, tag, field, codes)
+            terms = F.when(
+                F.size(linked) > 0,
+                F.concat(terms, F.lit(" "), F.array_join(linked, " ")),
+            ).otherwise(terms)
+            name = K.strip_trailing_punctuation(F.trim(terms))
+            return F.struct(
+                match.alias("m"),
+                name.alias("name"),
+                F.coalesce(try_element_at(frel, 1), F.lit("")).alias("rel"),
+                F.coalesce(
+                    try_element_at(_sub_values(field, ["a"]), 1), F.lit("")
+                ).alias("a"),
+            )
+
+        return mk
+
+    per_tag = []
+    for tag, codes in field_specs:
+        fields = fields_by_tag(marc, tag)
+        per_tag.append(
+            F.filter(
+                F.transform(fields, make_mk(tag, codes)),
+                lambda s: s["m"] & (s["name"] != ""),
+            )
+        )
+    entries = F.concat(*per_tag) if len(per_tag) > 1 else per_tag[0]
+    return F.struct(
+        F.transform(entries, lambda s: s["name"]).alias("names"),
+        F.transform(entries, lambda s: s["rel"]).alias("relators"),
+        F.filter(
+            F.transform(entries, lambda s: K.author_initials(s["a"])),
+            lambda v: v != "",
+        ).alias("variants"),
+    )
+
+
+_AUTHOR_SPECS = (("100", ("a", "b", "c", "q", "d")), ("700", ("a", "b", "c", "q", "d")))
+_CORP_SPECS = (
+    ("110", ("a", "b")), ("111", ("a", "b")),
+    ("710", ("a", "b")), ("711", ("a", "b")),
+)
+
+
+def primary_authors(marc: Column) -> Column:
+    return authors_by_relator(marc, _AUTHOR_SPECS, PRIMARY_AUTHOR_RELATORS, ("100",))
+
+
+def secondary_authors(marc: Column) -> Column:
+    return authors_by_relator(
+        marc, _AUTHOR_SPECS, PRIMARY_AUTHOR_RELATORS, ("100",), invert_match=True
+    )
+
+
+def corporate_authors(marc: Column) -> Column:
+    return authors_by_relator(marc, _CORP_SPECS, (), ("110", "111", "710", "711"))
+
+
+# ---------------------------------------------------------------------------
+# Identifier / facet / misc accessors (Record/Marc.php:465-595, 1693-1796)
+# ---------------------------------------------------------------------------
+
+
+def marc_dois(marc: Column) -> Column:
+    """024 $a where $2=doi (case-insensitive) + DOIs inside 856 $u
+    (getDOIs, Marc.php:1773-1797)."""
+    f024 = F.filter(
+        fields_by_tag(marc, "024"),
+        lambda f: F.lower(
+            F.coalesce(try_element_at(_sub_values(f, ["2"]), 1), F.lit(""))
+        )
+        == "doi",
+    )
+    from_024 = F.filter(
+        F.transform(
+            f024,
+            lambda f: F.trim(
+                F.coalesce(try_element_at(_sub_values(f, ["a"]), 1), F.lit(""))
+            ),
+        ),
+        lambda v: v != "",
+    )
+    urls = get_fields_subfields(marc, [(GET_NORMAL, "856", ["u"])], split_subfields=True)
+    from_856 = F.filter(
+        F.transform(
+            urls,
+            lambda u: F.url_decode(
+                F.regexp_extract(
+                    u, "(urn:doi:|https?://doi.org/|https?://dx.doi.org/)([^?#]+)", 2
+                )
+            ),
+        ),
+        lambda v: v != "",
+    )
+    return F.concat(from_024, from_856)
+
+
+_OCLC_PATTERNS = (
+    "\\([Oo][Cc][Oo][Ll][Cc]\\)[^0-9]*[0]*([0-9]+)",
+    "ocm[0]*([0-9]+)[ ]*[0-9]*",
+    "ocn[0]*([0-9]+).*",
+    "on[0]*([0-9]+).*",
+)
+
+
+def marc_oclc_numbers(marc: Column) -> Column:
+    """035 $a control numbers with OCLC prefixes → bare numbers
+    (getOclcNumbers, Marc.php:2489-2516; first matching pattern wins)."""
+    nums = get_fields_subfields(marc, [(GET_NORMAL, "035", ["a"])])
+
+    def extract(v):
+        low = F.lower(v)
+        prefixed = (
+            low.startswith("(ocolc)") | low.startswith("ocm")
+            | low.startswith("ocn") | low.startswith("on")
+        )
+        first = F.coalesce(
+            *[
+                F.nullif(F.regexp_extract(v, p, 1), F.lit(""))
+                for p in _OCLC_PATTERNS
+            ]
+        )
+        return F.when(prefixed, first)
+
+    return F.filter(F.transform(nums, extract), lambda v: v.isNotNull())
+
+
+_ILLUSTRATED_CODES = "abcdefghijklmop"
+
+
+def marc_illustrated(marc: Column) -> Column:
+    """'Illustrated' / 'Not Illustrated' from 008/18-21, 006/1-4 (language
+    material only) and 300 $b strings (getIllustrated, Marc.php:1697-1750)."""
+    rtype = F.lower(F.substring(F.coalesce(marc["leader"], F.lit("")), 7, 1))
+    f008 = control_value(marc, "008")
+    pos_hits_008 = F.exists(
+        F.sequence(F.lit(19), F.lit(22)),
+        lambda i: F.substring(f008, i, 1).rlike(f"[{_ILLUSTRATED_CODES}]"),
+    )
+    pos_hits_006 = F.exists(
+        control_values(marc, "006"),
+        lambda v: F.exists(
+            F.sequence(F.lit(2), F.lit(5)),
+            lambda i: F.substring(v, i, 1).rlike(f"[{_ILLUSTRATED_CODES}]"),
+        ),
+    )
+    by_fixed = rtype.isin("a", "t") & (pos_hits_008 | pos_hits_006)
+    subs_300b = get_fields_subfields(
+        marc, [(GET_NORMAL, "300", ["b"])], split_subfields=True
+    )
+    by_300 = F.exists(
+        subs_300b,
+        lambda v: F.lower(v).contains("ill.") | F.lower(v).contains("illus."),
+    )
+    return F.when(by_fixed | by_300, F.lit("Illustrated")).otherwise(
+        F.lit("Not Illustrated")
+    )
+
+
+def _stripped(col: Column) -> Column:
+    """getFieldsSubfields strips trailing punctuation on results by
+    default — applied per element for facet-style outputs."""
+    return F.transform(col, lambda v: K.strip_trailing_punctuation(v))
+
+
+def marc_topic_facets(marc: Column) -> Column:
+    return _stripped(get_fields_subfields(
+        marc,
+        [
+            (GET_NORMAL, "600", ["x"]), (GET_NORMAL, "610", ["x"]),
+            (GET_NORMAL, "611", ["x"]), (GET_NORMAL, "630", ["x"]),
+            (GET_NORMAL, "648", ["x"]), (GET_NORMAL, "650", ["a"]),
+            (GET_NORMAL, "650", ["x"]), (GET_NORMAL, "651", ["x"]),
+            (GET_NORMAL, "655", ["x"]),
+        ],
+        split_subfields=True,
+    ))
+
+
+def marc_genre_facets(marc: Column) -> Column:
+    vals = _stripped(get_fields_subfields(
+        marc,
+        [
+            (GET_NORMAL, "600", ["v"]), (GET_NORMAL, "610", ["v"]),
+            (GET_NORMAL, "611", ["v"]), (GET_NORMAL, "630", ["v"]),
+            (GET_NORMAL, "648", ["v"]), (GET_NORMAL, "650", ["v"]),
+            (GET_NORMAL, "651", ["v"]), (GET_NORMAL, "655", ["a"]),
+            (GET_NORMAL, "655", ["v"]),
+        ],
+        split_subfields=True,
+    ))
+    # ucFirst per value (MetadataUtils::ucFirst applied to genre facets)
+    return F.transform(
+        vals, lambda v: F.concat(F.upper(F.substring(v, 1, 1)), F.substring(v, 2, 100000))
+    )
+
+
+def marc_geographic_facets(marc: Column) -> Column:
+    return _stripped(get_fields_subfields(
+        marc,
+        [
+            (GET_NORMAL, "600", ["z"]), (GET_NORMAL, "610", ["z"]),
+            (GET_NORMAL, "611", ["z"]), (GET_NORMAL, "630", ["z"]),
+            (GET_NORMAL, "648", ["z"]), (GET_NORMAL, "650", ["z"]),
+            (GET_NORMAL, "651", ["a"]), (GET_NORMAL, "651", ["z"]),
+            (GET_NORMAL, "655", ["z"]),
+        ],
+        split_subfields=True,
+    ))
+
+
+def marc_era_facets(marc: Column) -> Column:
+    return _stripped(get_fields_subfields(
+        marc,
+        [
+            (GET_NORMAL, "630", ["y"]), (GET_NORMAL, "648", ["a"]),
+            (GET_NORMAL, "648", ["y"]), (GET_NORMAL, "650", ["y"]),
+            (GET_NORMAL, "651", ["y"]), (GET_NORMAL, "655", ["y"]),
+        ],
+        split_subfields=True,
+    ))
+
+
 # Building the ~30-column expression tree costs tens of seconds of py4j
 # round trips; Column objects are immutable and reusable across DataFrames
 # in the same JVM, so the map is built once per (marc_col, id_prefix).
@@ -359,11 +653,6 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
     rec_id = (
         F.concat(F.lit(id_prefix + "."), local_id) if id_prefix else local_id
     )
-    author_spec = [(GET_BOTH, "100", ["a", "b", "c", "d"])]
-    author2_spec = [
-        (GET_BOTH, "700", ["a", "b", "c", "d"]),
-    ]
-    corp_spec = [(GET_BOTH, "110", ["a", "b"]), (GET_BOTH, "710", ["a", "b"])]
     publish_year = marc_publish_year(m)
     cols = {
             "id": rec_id,
@@ -378,10 +667,24 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             # 111/711, 773$g, 245$h, 336/338) the old leader/007/008-only
             # pandas UDF could not.
             "format": format_col(m),
-            "author": get_fields_subfields(m, author_spec),
-            "author2": get_fields_subfields(m, author2_spec),
-            "author_corporate": get_fields_subfields(m, corp_spec),
-            "author_sort": try_element_at(get_fields_subfields(m, author_spec), 1),
+            # relator-classified authors (getAuthorsByRelator): 100/700 with
+            # primary relators (or bare 100) are primary; the inverse set is
+            # secondary; 110/111/710/711 are corporate
+            "author": primary_authors(m)["names"],
+            "author_role": primary_authors(m)["relators"],
+            "author_variant": primary_authors(m)["variants"],
+            "author2": secondary_authors(m)["names"],
+            "author2_role": secondary_authors(m)["relators"],
+            "author2_variant": secondary_authors(m)["variants"],
+            "author_corporate": corporate_authors(m)["names"],
+            "author_corporate_role": corporate_authors(m)["relators"],
+            "author_additional": get_fields_subfields(
+                m, [(GET_BOTH, "505", ["r"])], first_only=True
+            ),
+            "author_sort": F.coalesce(
+                try_element_at(primary_authors(m)["names"], 1),
+                try_element_at(secondary_authors(m)["names"], 1),
+            ),
             "title": marc_title(m),
             "title_short": K.strip_trailing_punctuation(
                 get_field_subfields(m, "245", ["a"])
@@ -420,14 +723,38 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
                 ],
             ),
             "topic": get_fields_subfields(
-                m, [(GET_BOTH, "650", None), (GET_BOTH, "600", None)]
+                m,
+                [
+                    (GET_BOTH, "600", list("abcdefghjklmnopqrstuvxyz")),
+                    (GET_BOTH, "610", list("abcdefghklmnoprstuvxyz")),
+                    (GET_BOTH, "611", list("acdefghjklnpqstuvxyz")),
+                    (GET_BOTH, "630", list("adefghklmnoprstvxyz")),
+                    (GET_BOTH, "650", list("abcdevxyz")),
+                ],
             ),
-            "genre": get_fields_subfields(m, [(GET_BOTH, "655", None)]),
-            "geographic": get_fields_subfields(m, [(GET_BOTH, "651", None)]),
-            "era": get_fields_subfields(m, [(GET_BOTH, "648", None)]),
+            "genre": get_fields_subfields(m, [(GET_BOTH, "655", list("abcvxyz"))]),
+            "geographic": get_fields_subfields(
+                m, [(GET_BOTH, "651", list("aevxyz"))]
+            ),
+            "era": get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))]),
+            "topic_facet": marc_topic_facets(m),
+            "genre_facet": marc_genre_facets(m),
+            "geographic_facet": marc_geographic_facets(m),
+            "era_facet": marc_era_facets(m),
+            "title_old": get_fields_subfields(m, [(GET_BOTH, "780", ["a", "s", "t"])]),
+            "title_new": get_fields_subfields(m, [(GET_BOTH, "785", ["a", "s", "t"])]),
+            "contents": get_fields_subfields(
+                m, [(GET_BOTH, "505", ["a"]), (GET_BOTH, "505", ["t"])]
+            ),
+            "dateSpan": get_fields_subfields(m, [(GET_BOTH, "362", ["a"])]),
+            "doi_str_mv": marc_dois(m),
+            "oclc_num": marc_oclc_numbers(m),
+            "illustrated": marc_illustrated(m),
             "url": get_fields_subfields(m, [(GET_NORMAL, "856", ["u"])], split_subfields=True),
             "building": get_fields_subfields(m, [(GET_NORMAL, "852", ["b"])], split_subfields=True),
             "allfields": marc_allfields(m),
+            # serialized form of the stored record (getFullRecord analogue)
+            "fullrecord": F.to_json(m),
         }
     _SOLR_COLS_CACHE[cache_key] = cols
     return df.withColumns(cols)

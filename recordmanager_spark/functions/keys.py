@@ -201,6 +201,52 @@ _TRAILING_BASIC_RE = "[ /:;,=\\(\\[]+\\z"
 ARTICLES = ["the ", "a ", "an ", "la ", "le ", "les ", "el ", "der ", "die ", "das "]
 
 
+def author_initials(col: Column | str) -> Column:
+    """getAuthorInitials (MetadataUtils.php:1184-1227): initials separate,
+    then smushed; personal names ("Last, First") rotate the surname last;
+    hyphenated names contribute both initials; long personal names add the
+    given-names smush too ("w b" + "wb" for william butler yeats)."""
+    name = F.col(col) if isinstance(col, str) else col
+    # PHP strpos: comma at position 0 is falsy -> not personal; comma as
+    # the final char doesn't count either
+    p = F.instr(name, ",")
+    is_personal = (p > 1) & (p < F.length(name))
+    cleaned = F.lower(F.regexp_replace(name, "[^\\p{L} -]", ""))
+    raw_tokens = F.split(cleaned, " ")
+    n_tokens = F.size(raw_tokens)
+    rotated = F.when(
+        is_personal & (n_tokens > 1),
+        F.concat(F.slice(raw_tokens, 2, 100000), F.slice(raw_tokens, 1, 1)),
+    ).otherwise(raw_tokens)
+    initials = F.transform(
+        F.filter(rotated, lambda t: t != ""),
+        lambda t: F.when(
+            (F.instr(t, "-") > 1) & (F.instr(t, "-") < F.length(t)),
+            F.concat(
+                F.substring(t, 1, 1),
+                F.lit(" "),
+                F.substr(t, F.instr(t, "-") + 1, F.lit(1)),
+            ),
+        ).otherwise(F.substring(t, 1, 1)),
+    )
+    result = F.array_join(initials, " ")
+    smush_all = F.replace(result, F.lit(" "), F.lit(""))
+    smush_pers = F.replace(
+        F.substring(result, 1, F.length(result) - 1).cast("string"),
+        F.lit(" "),
+        F.lit(""),
+    )
+    with_pers = F.when(
+        (n_tokens > 2) & is_personal & (smush_pers != ""),
+        F.concat(result, F.lit(" "), smush_pers),
+    ).otherwise(result)
+    out = F.when(
+        F.trim(with_pers) != smush_all,
+        F.concat(with_pers, F.lit(" "), smush_all),
+    ).otherwise(with_pers)
+    return F.trim(out)
+
+
 def strip_leading_punctuation(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, _LEADING_PUNCT_RE, "")

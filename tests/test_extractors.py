@@ -423,3 +423,65 @@ def test_dc_extract(spark):
     assert set(r.url) == {"https://example.org/dc42", "https://example.org/fulltext"}
     assert r.contents == ["An actual abstract."]
     assert r.format == "Text"
+
+
+# --- relator-classified authors + new Solr columns --------------------------
+
+MARC_AUTHORS = _marc_json(
+    "00000cam a22000004i 4500",
+    [
+        {"001": "auth1"},
+        {"008": "120101s2011    xxu     o           eng d"},
+        # primary: 100 without relator
+        {"100": {"ind1": "1", "ind2": " ",
+                 "subfields": [{"a": "Yeats, William Butler"}]}},
+        # primary: 700 with 'aut' relator (normalized from "Aut.")
+        {"700": {"ind1": "1", "ind2": " ",
+                 "subfields": [{"a": "Second, Sam"}, {"e": "Aut."}]}},
+        # secondary: 700 with non-primary relator
+        {"700": {"ind1": "1", "ind2": " ",
+                 "subfields": [{"a": "Editor, Ed"}, {"e": "edt"}]}},
+        # corporate incl. 111 meetings
+        {"110": {"ind1": "2", "ind2": " ", "subfields": [{"a": "Acme Corp"}]}},
+        {"111": {"ind1": "2", "ind2": " ", "subfields": [{"a": "Conf 2020"}]}},
+        {"024": {"ind1": "7", "ind2": " ",
+                 "subfields": [{"a": "10.1234/abc"}, {"2": "DOI"}]}},
+        {"856": {"ind1": "4", "ind2": "0",
+                 "subfields": [{"u": "https://doi.org/10.5/xy%20z?foo=1"}]}},
+        {"035": {"ind1": " ", "ind2": " ", "subfields": [{"a": "(OCoLC)00012345"}]}},
+        {"035": {"ind1": " ", "ind2": " ", "subfields": [{"a": "ocm0099  77"}]}},
+        {"035": {"ind1": " ", "ind2": " ", "subfields": [{"a": "(FI-X)555"}]}},
+        {"650": {"ind1": " ", "ind2": "0",
+                 "subfields": [{"a": "Poetry."}, {"x": "History."}]}},
+        {"655": {"ind1": " ", "ind2": "7", "subfields": [{"a": "lyric poems."}]}},
+        {"780": {"ind1": "0", "ind2": "0", "subfields": [{"t": "Old Title"}]}},
+        {"785": {"ind1": "0", "ind2": "0", "subfields": [{"t": "New Title"}]}},
+        {"300": {"ind1": " ", "ind2": " ",
+                 "subfields": [{"a": "300 p. :"}, {"b": "col. illus."}]}},
+    ],
+)
+
+
+def test_marc_authors_by_relator(spark):
+    r = _solr_row(spark, MARC_AUTHORS)
+    assert r.author == ["Yeats, William Butler", "Second, Sam"]
+    assert r.author_role == ["", "aut"]
+    assert r.author2 == ["Editor, Ed"]
+    assert r.author2_role == ["edt"]
+    assert sorted(r.author_corporate) == ["Acme Corp", "Conf 2020"]
+    assert r.author_sort == "Yeats, William Butler"
+    # getAuthorInitials: personal name rotates surname last; long personal
+    # names add the given-names smush ("w b" + "wb" + "wby")
+    assert r.author_variant[0] == "w b y wb wby"
+
+
+def test_marc_new_identifier_columns(spark):
+    r = _solr_row(spark, MARC_AUTHORS)
+    assert r.doi_str_mv == ["10.1234/abc", "10.5/xy z"]
+    assert r.oclc_num == ["12345", "99"]
+    assert r.illustrated == "Illustrated"
+    assert r.title_old == ["Old Title"]
+    assert r.title_new == ["New Title"]
+    assert "History" in r.topic_facet and "Poetry" in r.topic_facet
+    assert r.genre_facet == ["Lyric poems"]  # ucFirst applied
+    assert "eBook" in r.format  # 008/23 = o with LDR a+m
