@@ -773,6 +773,69 @@ def ead_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def marc_rich_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Relator-classified authors, facets, DOIs, OCLC numbers, call numbers
+    and Dewey columns from one synthesized MARC corpus (the Record/Marc.php
+    field-parity surface added beyond the basic extract)."""
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    rel = try_element_at(
+        F.array(F.lit('{"e":"aut."}'), F.lit('{"e":"edt"}'), F.lit("{}")),
+        (F.pmod(k, F.lit(3)) + 1).cast("int"),
+    )
+    doi_part = F.when(
+        F.pmod(k, F.lit(2)) == 0,
+        F.concat(
+            F.lit(',{"024":{"ind1":"7","ind2":" ","subfields":[{"a":"10.1/p'),
+            k.cast("string"),
+            F.lit('"},{"2":"doi"}]}}'),
+        ),
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        F.lit('{"leader":"00000cam a22000004i 4500","fields":['),
+        F.lit('{"001":"r'), k.cast("string"), F.lit('"},'),
+        F.lit('{"008":"970101s1999    xxu                 eng d"},'),
+        F.lit('{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Author, A'),
+        k.cast("string"), F.lit('"}]}},'),
+        F.lit('{"700":{"ind1":"1","ind2":" ","subfields":[{"a":"Helper, H'),
+        k.cast("string"), F.lit('"},'), rel, F.lit("]}},"),
+        F.lit('{"650":{"ind1":" ","ind2":"0","subfields":[{"a":"Topic'),
+        F.pmod(k, F.lit(7)).cast("string"),
+        F.lit('."},{"x":"Sub'), F.pmod(k, F.lit(5)).cast("string"), F.lit('"}]}},'),
+        F.lit('{"655":{"ind1":" ","ind2":"7","subfields":[{"a":"genre'),
+        F.pmod(k, F.lit(4)).cast("string"), F.lit('"}]}},'),
+        F.lit('{"035":{"ind1":" ","ind2":" ","subfields":[{"a":"(OCoLC)000'),
+        k.cast("string"), F.lit('"}]}},'),
+        F.lit('{"050":{"ind1":"0","ind2":"0","subfields":[{"a":"QA'),
+        (F.pmod(k, F.lit(999)) + 1).cast("string"), F.lit('.5"},{"b":".A1"}]}},'),
+        F.lit('{"082":{"ind1":"0","ind2":"0","subfields":[{"a":"'),
+        F.pmod(k, F.lit(900)).cast("string"), F.lit('.5"}]}},'),
+        F.lit('{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"Rich '),
+        k.cast("string"), F.lit('"}]}}'),
+        doi_part,
+        F.lit("]}"),
+    )
+    # rel JSON fragment must merge into the subfields array: fix the comma
+    raw = F.replace(raw, F.lit(',{}]}}'), F.lit(']}}'))
+    parsed = p.select("p_partkey", MARC.parse_marc_in_json(raw).alias("marc"))
+    wide = MARC.to_solr_columns(parsed, "marc")
+    return wide.select(
+        "p_partkey",
+        F.array_join("author", "|").alias("authors"),
+        F.array_join("author_role", "|").alias("author_roles"),
+        F.array_join("author2", "|").alias("authors2"),
+        F.array_join("author2_role", "|").alias("author2_roles"),
+        F.array_join("topic_facet", "|").alias("topic_facets"),
+        F.array_join("genre_facet", "|").alias("genre_facets"),
+        F.array_join("doi_str_mv", "|").alias("dois"),
+        F.array_join("oclc_num", "|").alias("oclc"),
+        "callnumber_subject",
+        "callnumber_label",
+        "dewey_hundreds",
+        "illustrated",
+    )
+
+
 def suppression_filter(spark: SparkSession, sf: str) -> DataFrame:
     """suppressOnField: value-list and /regex/ filters drop records."""
     o = _t(spark, sf, "orders")
@@ -2047,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
+        "marc_rich_extract": marc_rich_extract,
         "ead_extract": ead_extract,
         "lido_extract": lido_extract,
         "qdc_extract": qdc_extract,
@@ -2907,6 +2971,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "marc_rich_extract": """
+            WITH b AS (
+              SELECT p_partkey AS k, p_partkey % 3 AS r3,
+                     p_partkey % 7 AS m7, p_partkey % 5 AS m5,
+                     p_partkey % 4 AS m4, (p_partkey % 999) + 1 AS d,
+                     p_partkey % 900 AS m9
+              FROM part
+            )
+            SELECT k AS p_partkey,
+              CASE WHEN r3 = 0
+                   THEN 'Author, A' || CAST(k AS VARCHAR)
+                        || '|Helper, H' || CAST(k AS VARCHAR)
+                   ELSE 'Author, A' || CAST(k AS VARCHAR) END AS authors,
+              CASE WHEN r3 = 0 THEN '|aut' ELSE '' END AS author_roles,
+              CASE WHEN r3 = 0 THEN ''
+                   ELSE 'Helper, H' || CAST(k AS VARCHAR) END AS authors2,
+              CASE WHEN r3 = 1 THEN 'edt' ELSE '' END AS author2_roles,
+              'Topic' || CAST(m7 AS VARCHAR) || '|Sub' || CAST(m5 AS VARCHAR)
+                AS topic_facets,
+              'Genre' || CAST(m4 AS VARCHAR) AS genre_facets,
+              CASE WHEN k % 2 = 0 THEN '10.1/p' || CAST(k AS VARCHAR)
+                   ELSE '' END AS dois,
+              CAST(k AS VARCHAR) AS oclc,
+              'QA' AS callnumber_subject,
+              'QA' || CAST(d AS VARCHAR) AS callnumber_label,
+              lpad(CAST((m9 // 100) * 100 AS VARCHAR), 3, '0') AS dewey_hundreds,
+              'Not Illustrated' AS illustrated
+            FROM b
         """,
         "component_parts_policy": """
             WITH comp AS (

@@ -574,6 +574,70 @@ def _stripped(col: Column) -> Column:
     return F.transform(col, lambda v: K.strip_trailing_punctuation(v))
 
 
+def marc_callnumber_columns(marc: Column) -> dict[str, Column]:
+    """callnumber-* and dewey-* columns (Record/Marc.php:493-586).
+
+    callnumber-first: first of 099$a/090$a/050$a; callnumber-subject: the
+    leading letters of 090$a|050$a uppercased; callnumber-label: the
+    pre-dot part uppercased; callnumber-raw: 080ab/084ab/050ab uppercased;
+    callnumber-sort: first VALID LC sort key, else the first sort key at
+    all. Dewey from 082$a/083$a: the LAST field wins for hundreds/tens/
+    ones/full/raw (reference loop overwrites), dewey-sort keeps the first.
+    """
+    from ..functions import callnumbers as CN
+
+    cn_first = F.coalesce(
+        *[
+            F.nullif(get_field_subfields(marc, t, ["a"]), F.lit(""))
+            for t in ("099", "090", "050")
+        ]
+    )
+    subj_src = F.coalesce(
+        F.nullif(get_field_subfields(marc, "090", ["a"]), F.lit("")),
+        F.nullif(get_field_subfields(marc, "050", ["a"]), F.lit("")),
+    )
+    cn_subject = F.nullif(
+        F.regexp_extract(F.upper(subj_src), "^([A-Z]+)", 1), F.lit("")
+    )
+    cn_label = F.when(
+        subj_src.isNotNull(), F.upper(try_element_at(F.split(subj_src, "\\."), 1))
+    )
+    cn_raw = F.transform(
+        get_fields_subfields(
+            marc,
+            [
+                (GET_NORMAL, "080", ["a", "b"]),
+                (GET_NORMAL, "084", ["a", "b"]),
+                (GET_NORMAL, "050", ["a", "b"]),
+            ],
+        ),
+        F.upper,
+    )
+    # pandas UDF over the whole array (UDFs cannot run inside transform
+    # lambdas): first valid CN's sort key, else first non-empty key
+    cn_sort = F.nullif(CN.lc_sort_key_first_valid(cn_raw), F.lit(""))
+    dewey = get_fields_subfields(
+        marc,
+        [(GET_NORMAL, "082", ["a"]), (GET_NORMAL, "083", ["a"])],
+        split_subfields=True,
+    )
+    dewey_last = try_element_at(dewey, -1)
+    dewey_first = try_element_at(dewey, 1)
+    return {
+        "callnumber_first": cn_first,
+        "callnumber_subject": cn_subject,
+        "callnumber_label": cn_label,
+        "callnumber_raw": cn_raw,
+        "callnumber_sort": cn_sort,
+        "dewey_hundreds": CN.dewey_number_udf(100)(dewey_last),
+        "dewey_tens": CN.dewey_number_udf(10)(dewey_last),
+        "dewey_ones": CN.dewey_number_udf(1)(dewey_last),
+        "dewey_full": CN.dewey_search_string(dewey_last),
+        "dewey_sort": CN.dewey_sort_key(dewey_first),
+        "dewey_raw": dewey_last,
+    }
+
+
 def marc_topic_facets(marc: Column) -> Column:
     return _stripped(get_fields_subfields(
         marc,
@@ -755,6 +819,7 @@ def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None
             "allfields": marc_allfields(m),
             # serialized form of the stored record (getFullRecord analogue)
             "fullrecord": F.to_json(m),
+            **marc_callnumber_columns(m),
         }
     _SOLR_COLS_CACHE[cache_key] = cols
     return df.withColumns(cols)

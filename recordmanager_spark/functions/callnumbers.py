@@ -148,6 +148,28 @@ def dewey_search_string(col: pd.Series) -> pd.Series:
     return col.map(lambda v: DeweyCallNumber(v).search_string() if v else "")
 
 
+@pandas_udf(StringType())
+def lc_sort_key_first_valid(col: pd.Series) -> pd.Series:
+    """callnumber-sort over the raw array (Record/Marc.php:527-548): the
+    first VALID call number's sort key; else the first non-empty sort key
+    computed from any of them; else ''."""
+
+    def pick(vals):
+        if vals is None:
+            return ""
+        fallback = ""
+        for v in vals:
+            cn = LcCallNumber(v)
+            key = cn.sort_key()
+            if fallback == "" and key:
+                fallback = key
+            if cn.is_valid():
+                return key
+        return fallback
+
+    return col.map(pick)
+
+
 def dewey_number_udf(precision: int):
     @pandas_udf(StringType())
     def _f(col: pd.Series) -> pd.Series:

@@ -485,3 +485,32 @@ def test_marc_new_identifier_columns(spark):
     assert "History" in r.topic_facet and "Poetry" in r.topic_facet
     assert r.genre_facet == ["Lyric poems"]  # ucFirst applied
     assert "eBook" in r.format  # 008/23 = o with LDR a+m
+
+
+MARC_CALLNUM = _marc_json(
+    "00000cam a22000004i 4500",
+    [
+        {"001": "cn1"},
+        {"050": {"ind1": "0", "ind2": "0",
+                 "subfields": [{"a": "QA76.73"}, {"b": ".P98 2011"}]}},
+        {"080": {"ind1": " ", "ind2": " ", "subfields": [{"a": "004.43"}]}},
+        {"082": {"ind1": "0", "ind2": "0", "subfields": [{"a": "005.133"}]}},
+        {"083": {"ind1": "0", "ind2": " ", "subfields": [{"a": "004.2"}]}},
+        {"245": {"ind1": "1", "ind2": "0", "subfields": [{"a": "CN test"}]}},
+    ],
+)
+
+
+def test_marc_callnumber_columns(spark):
+    r = _solr_row(spark, MARC_CALLNUM)
+    assert r.callnumber_first == "QA76.73"  # 099 > 090 > 050 priority
+    assert r.callnumber_subject == "QA"
+    assert r.callnumber_label == "QA76"  # pre-dot part uppercased
+    assert r.callnumber_raw == ["004.43", "QA76.73 .P98 2011"]
+    assert r.callnumber_sort  # valid LC CN produces a sort key
+    # dewey: last 082/083 field wins for the numbers, first for sort
+    assert r.dewey_raw == "004.2"
+    assert r.dewey_hundreds == "000"
+    assert r.dewey_ones == "004"
+    assert r.dewey_full == "004.2"
+    assert r.dewey_sort  # from the first (005.133)
