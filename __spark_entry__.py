@@ -7,9 +7,10 @@ names and types are aligned on both sides; double-valued aggregates are
 rounded on both sides so cross-engine summation order cannot flip the
 value hash.
 
-Rows-only (no oracle) queries are the approximate scale paths whose
-results are engine-defined (LSH bucketing, simhash banding); their
-accuracy is asserted against the exact variants in tests/.
+Every query has a value-level DuckDB oracle — including the approximate
+LSH/banding paths, whose hash families are deliberately md5-derived so
+the exact same signatures reproduce on any engine; their recall is
+additionally asserted against the exact variants in tests/.
 """
 
 from __future__ import annotations
@@ -543,8 +544,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate LSH path (engine-defined recall) — no SQL oracle;
-    # recall vs ngram_jaccard_pairs asserted in tests/
+    # approximate LSH path, but DETERMINISTIC (md5-derived hash family):
+    # the DuckDB oracle replicates the full signature->band->verify
+    # pipeline; recall vs ngram_jaccard_pairs additionally in tests/
     return TD.minhash_near_duplicates(
         _t(spark, sf, "documents"), "doc_id", "text", threshold=0.2
     )
@@ -3178,7 +3180,147 @@ def oracle_sql() -> dict[str, str]:
                    'NEW-' || o_orderstatus, false, 1
             FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 3 = 0
         """,
-        # minhash_near_dup / simhash_near_dup / knn_lsh: approximate
-        # engine-defined results (LSH recall < 1) — rows-only checks;
-        # accuracy asserted against exact variants in tests/.
+        # minhash/simhash/knn_lsh are approximate but DETERMINISTIC (md5-
+        # derived hash families chosen for engine reproducibility), so the
+        # full pipelines replicate in DuckDB SQL bit-for-bit.
+        "minhash_near_dup": _minhash_oracle_sql(),
+        "simhash_near_dup": _simhash_oracle_sql(),
+        "knn_lsh": _knn_lsh_oracle_sql(),
     }
+
+
+# 60-bit value of the first 15 hex chars of an md5 hex string {h}
+_HEX15 = (
+    "CAST(list_sum(list_transform(range(1, 16), i -> "
+    "(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)::BIGINT"
+    " * CAST(power(16, 15 - i) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _minhash_oracle_sql() -> str:
+    """minhash_near_duplicates replica: md5-60bit shingle hashes, 16 XOR
+    permutations, 4x4 banding with 200-member bucket cap, exact Jaccard
+    verify at 0.2 (operators/text_dedup.py:94-230)."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    mins = ",\n                   ".join(
+        f"CAST(min(xor(h, {_PERM_XOR[p]})) AS VARCHAR) AS h{p}"
+        for p in range(16)
+    )
+    band_keys = ", ".join(
+        "h%d || '|' || h%d || '|' || h%d || '|' || h%d" % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+        for b in range(4)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s FROM toks),
+        h AS (
+            SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM sh),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, g.band, ([{band_keys}])[g.band + 1] AS key
+            FROM sig, range(0, 4) g(band)),
+        capped AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY band, key ORDER BY doc_id) AS rn
+            FROM banded),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE a.rn <= 200 AND b.rn <= 200),
+        sets AS (
+            SELECT doc_id, {_SHINGLES3.format(t='t')} AS sh FROM toks),
+        scored AS (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                     AS jaccard
+            FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                      JOIN sets b ON cand.id_b = b.doc_id)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """simhash_near_duplicates replica: sign-of-sum bits over md5 60-bit
+    distinct-token hashes, 4x15-bit pigeonhole bands, Hamming <= 3
+    (operators/text_dedup.py:236-355)."""
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, unnest(list_distinct({toks})) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id, {_HEX15.format(h='md5(tok)')} AS h FROM t),
+        cnt AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        bits AS (
+            SELECT h.doc_id, g.i,
+                   CASE WHEN 2 * sum((h.h >> g.i) & 1) > min(c.n)
+                        THEN (1::BIGINT << g.i) ELSE 0 END AS bitval
+            FROM h JOIN cnt c USING (doc_id), range(0, 60) g(i)
+            GROUP BY h.doc_id, g.i),
+        sig AS (
+            SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS s
+            FROM bits GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, s, g.b, (s >> (g.b * 15)) & 32767 AS bv
+            FROM sig, range(0, 4) g(b)),
+        capped AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY b, bv ORDER BY doc_id) AS rn
+            FROM banded)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM capped a JOIN capped b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE a.rn <= 2000 AND b.rn <= 2000
+          AND bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """knn_lsh replica: deterministic hyperplane signs from md5 parity
+    (operators/similarity.py:130-167), 6-plane buckets, exact cosine top-5
+    within the query's bucket."""
+    return """
+        WITH planes AS (
+            SELECT p.p, d.d,
+                   CASE WHEN (strpos('0123456789abcdef',
+                              substr(md5(CAST(p.p AS VARCHAR) || ':'
+                                         || CAST(d.d AS VARCHAR)), 4, 1))
+                              - 1) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM range(0, 6) p(p), range(0, 64) d(d)),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+            SELECT vec_id, p, sum(v[d + 1] * s) AS dot
+            FROM vecs, planes GROUP BY vec_id, p),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                            THEN CAST(power(2, 5 - p) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+            FROM buckets q
+            JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            JOIN vecs qv ON qv.vec_id = q.vec_id
+            JOIN vecs cv ON cv.vec_id = c.vec_id
+            WHERE q.vec_id < 20),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+        FROM ranked WHERE rnk <= 5
+    """
