@@ -1809,6 +1809,219 @@ def preview_marc_record(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def linemarc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-based (tagged) MARC parsing (GeniePlus/Alma line format):
+    LDR/control/data lines with $-delimited subfields through the same
+    fieldspec engine as binary MARC."""
+    from recordmanager_spark.extractors import linemarc as LM
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    raw = F.concat(
+        F.lit("LDR 00000cam a22000004i 4500\n"),
+        F.lit("001 L"), k, F.lit("\n"),
+        F.lit("008 '970101s1999    xxu                 eng d'\n"),
+        F.lit("100 1_ $aWriter, W"), k, F.lit("\n"),
+        F.lit("245 10 $a"), F.col("c_name"), F.lit(" :$ba line test\n"),
+        F.lit("260 __ $bLinePress,$cc1999.\n"),
+    )
+    parsed = c.select("c_custkey", LM.parse_line_based_marc(raw).alias("marc"))
+    wide = MARC.to_solr_columns(parsed, "marc")
+    return wide.select(
+        "c_custkey",
+        F.col("id").alias("rec_id"),
+        "title_short",
+        "title_sub",
+        try_element_at(F.col("author"), 1).alias("author1"),
+        "publish_year",
+    )
+
+
+def ead_split_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EAD-2002 splitter end-to-end: finding aid → component flatMap with
+    archive id/title + title inheritance → extractor columns."""
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    xml = F.format_string(
+        '<ead><eadheader><eadid identifier="E%s">E%s</eadid>'
+        "<filedesc><titlestmt><titleproper>FA %s</titleproper></titlestmt></filedesc>"
+        "</eadheader>"
+        '<archdesc level="fonds"><did><unitid>A%s</unitid>'
+        "<unittitle>Fonds %s</unittitle></did>"
+        "<dsc>"
+        '<c01 level="series"><did><unitid>S%s</unitid>'
+        "<unittitle>Series One</unittitle></did>"
+        '<c02 level="file"><did><unitid>F%s</unitid>'
+        "<unittitle>File %s</unittitle></did>"
+        "</c02></c01></dsc></archdesc></ead>",
+        k, k, F.col("s_name"), k, F.col("s_name"), k, k, F.col("s_name"),
+    )
+    parts = SP.explode_parts(
+        s.select("s_suppkey", xml.alias("xml")),
+        SP.split_ead(F.col("xml")),
+        ["s_suppkey"],
+    )
+    return parts.select(
+        "s_suppkey",
+        "part_id",
+        "archive_id",
+        "archive_title",
+        "sequence",
+        "level",
+        F.array_join("inherited_titles", "|").alias("inherited"),
+    )
+
+
+def music_enrich_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MusicBrainz-id enrichment (MusicBrainzEnrichment.php:78-140):
+    type-mapped music ids with title guards, qualified publisher numbers
+    beating bare fallbacks — offline broadcast-join form."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    recs = o.select(
+        F.concat(F.lit("o."), k.cast("string")).alias("_id"),
+        F.concat(F.lit("Album "), F.pmod(k, F.lit(50)).cast("string")).alias(
+            "title_short"
+        ),
+        F.array(
+            F.struct(
+                try_element_at(
+                    F.array(F.lit("isrc"), F.lit("upc"), F.lit("musicb"), F.lit("other")),
+                    (F.pmod(k, F.lit(4)) + 1).cast("int"),
+                ).alias("type"),
+                F.concat(F.lit("V"), F.pmod(k, F.lit(100)).cast("string")).alias("value"),
+            )
+        ).alias("music_ids"),
+        F.array(
+            F.struct(
+                F.when(F.pmod(k, F.lit(2)) == 0, F.lit("LBL")).alias("source"),
+                F.concat(F.lit("N"), F.pmod(k, F.lit(30)).cast("string")).alias("value"),
+            )
+        ).alias("publisher_numbers"),
+    )
+    n = _t(spark, sf, "nation")
+    mb = (
+        n.select(
+            F.lit("isrc").alias("id_type"),
+            F.concat(F.lit("V"), F.col("n_nationkey").cast("string")).alias("id_value"),
+            F.lit(None).cast("string").alias("title"),
+            F.concat(F.lit("mb-isrc-"), F.col("n_nationkey").cast("string")).alias("mbid"),
+        )
+        .unionByName(
+            n.select(
+                F.lit("catno").alias("id_type"),
+                F.concat(F.lit("LBL N"), F.col("n_nationkey").cast("string")).alias("id_value"),
+                F.lit(None).cast("string").alias("title"),
+                F.concat(F.lit("mb-q-"), F.col("n_nationkey").cast("string")).alias("mbid"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.lit("catno").alias("id_type"),
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id_value"),
+                F.concat(F.lit("Album "), F.col("n_nationkey").cast("string")).alias("title"),
+                F.concat(F.lit("mb-f-"), F.col("n_nationkey").cast("string")).alias("mbid"),
+            )
+        )
+    )
+    out = EN.enrich_music_ids(recs, mb)
+    return out.select("_id", F.array_join("mbid_str_mv", "|").alias("mbids"))
+
+
+def authority_enrich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Authority enrichment (AuthEnrichment.php:113+): author-id →
+    authority variant names via broadcast lookup."""
+    n = _t(spark, sf, "nation")
+    auth = n.select(
+        F.concat(F.lit("auth:"), F.col("n_nationkey").cast("string")).alias("auth_id"),
+        F.array(
+            F.col("n_name"),
+            F.concat(F.lit("Variant "), F.col("n_nationkey").cast("string")),
+        ).alias("variant_names"),
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(4)) != 0,
+            F.concat(F.lit("auth:"), F.col("c_nationkey").cast("string")),
+        ).alias("author_id"),
+    )
+    out = EN.enrich_authors(c, auth, "author_id")
+    return out.select(
+        "c_custkey", F.array_join("author_variant", "|").alias("variants")
+    )
+
+
+def scalar_functions_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar tail of the MetadataUtils library: validateDate,
+    author last-first conversion, relator + language normalization,
+    extractYear — one grid over customer-derived values."""
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    date_str = F.when(
+        F.pmod(k, F.lit(3)) == 0,
+        F.concat(
+            F.lit("19"), F.lpad(F.pmod(k, F.lit(99)).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((F.pmod(k, F.lit(12)) + 1).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((F.pmod(k, F.lit(28)) + 1).cast("string"), 2, "0"),
+        ),
+    ).when(F.pmod(k, F.lit(3)) == 1, F.lit("1999-13-45")).otherwise(
+        F.lit("not a date")
+    )
+    author = F.concat(F.lit("First M "), F.col("c_name"))
+    rel = F.concat(F.lit(" Aut. "), F.pmod(k, F.lit(5)).cast("string"))
+    year_src = F.concat(F.lit("c"), (F.lit(1900) + F.pmod(k, F.lit(120))).cast("string"), F.lit("."))
+    return c.select(
+        "c_custkey",
+        K.validate_date(date_str).alias("date_epoch"),
+        K.convert_author_last_first(author).alias("last_first"),
+        K.normalize_relator(rel).alias("relator"),
+        K.extract_year(year_src).alias("year"),
+    )
+
+
+def copy_down_parent(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-down from the PARENT/host record (SolrUpdater hierarchy copy):
+    components inherit configured fields from their host."""
+    o = _t(spark, sf, "orders")
+    hosts = o.select(
+        F.col("o_orderkey").alias("grp"),
+        F.col("o_orderkey").alias("_id"),
+        F.array(F.col("o_orderpriority")).alias("topics"),
+    )
+    l = _t(spark, sf, "lineitem").where(F.col("l_linenumber") <= 2)
+    comps = l.select(
+        F.col("l_orderkey").alias("grp"),
+        F.concat(
+            F.col("l_orderkey").cast("string"), F.lit("."),
+            F.col("l_linenumber").cast("string"),
+        ).alias("member_id"),
+        F.array().cast("array<string>").alias("topics"),
+    )
+    out = MG.copy_down(comps, hosts, "grp", "_id", ["topics"])
+    return out.select(
+        "member_id", "grp", F.array_join("topics", "|").alias("topics")
+    )
+
+
+def fulltext_trait_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """FullTextTrait offline path (FullTextTrait.php:88-127): xpath-
+    designated text blocks joined, end-of-line hyphenation undone."""
+    d = _t(spark, sf, "documents")
+    body = F.concat(
+        F.lit("<article><body><p>"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" frag-\n mented</p><p>tail "),
+        F.col("lang"),
+        F.lit("</p></body></article>"),
+    )
+    out = d.select(
+        "doc_id",
+        DOAJ.fulltext_column(body, ["//body/p/text()"]).alias("fulltext"),
+    )
+    return out
+
+
 def geocode_simplify_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Nominatim retry-with-simplification (NominatimGeocoder.php:262-345):
     three ladder shapes (direct hit, comma-segment drop, trailing flat-
@@ -2163,6 +2376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solr_batch_sizes": solr_batch_sizes,
         "export_filtered_orders": export_filtered_orders,
         "preview_marc_record": preview_marc_record,
+        "linemarc_extract": linemarc_extract,
+        "ead_split_extract": ead_split_extract,
+        "music_enrich_orders": music_enrich_orders,
+        "authority_enrich_customers": authority_enrich_customers,
+        "scalar_functions_grid": scalar_functions_grid,
+        "copy_down_parent": copy_down_parent,
+        "fulltext_trait_docs": fulltext_trait_docs,
         "geocode_simplify_customers": geocode_simplify_customers,
         "sfx_harvest_files": sfx_harvest_files,
         "oai_provider_serve": oai_provider_serve,
@@ -3067,6 +3287,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "once_per_group_orders": """
             SELECT DISTINCT o_custkey AS grp FROM orders
+        """,
+        "linemarc_extract": """
+            SELECT c_custkey,
+                   'L' || CAST(c_custkey AS VARCHAR) AS rec_id,
+                   c_name AS title_short,
+                   'a line test' AS title_sub,
+                   'Writer, W' || CAST(c_custkey AS VARCHAR) AS author1,
+                   '1999' AS publish_year
+            FROM customer
+        """,
+        "ead_split_extract": """
+            SELECT s_suppkey,
+                   'E' || CAST(s_suppkey AS VARCHAR) || '_' || t.pfx
+                     || CAST(s_suppkey AS VARCHAR) AS part_id,
+                   'E' || CAST(s_suppkey AS VARCHAR) AS archive_id,
+                   'FA ' || s_name AS archive_title,
+                   t.seq AS sequence,
+                   t.level AS level,
+                   CASE t.level
+                        WHEN 'fonds' THEN ''
+                        WHEN 'series' THEN 'Fonds ' || s_name
+                        ELSE 'Fonds ' || s_name || '|Series One' END AS inherited
+            FROM supplier,
+                 (VALUES ('A', '0000001', 'fonds'),
+                         ('S', '0000002', 'series'),
+                         ('F', '0000003', 'file')) AS t(pfx, seq, level)
+        """,
+        "music_enrich_orders": """
+            SELECT 'o.' || CAST(o_orderkey AS VARCHAR) AS _id,
+                   -- COALESCE: duckdb's runtime list_concat of two empty
+                   -- CASE-branch lists yields NULL rather than []
+                   COALESCE(array_to_string(list_concat(
+                     CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 100 <= 24
+                          THEN ['mb-isrc-' || CAST(o_orderkey % 100 AS VARCHAR)]
+                          ELSE [] END,
+                     CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 30 <= 24
+                          THEN ['mb-q-' || CAST(o_orderkey % 30 AS VARCHAR)]
+                          WHEN o_orderkey % 2 = 1 AND o_orderkey % 30 <= 24
+                               AND o_orderkey % 50 = o_orderkey % 30
+                          THEN ['mb-f-' || CAST(o_orderkey % 30 AS VARCHAR)]
+                          ELSE [] END),
+                     '|'), '') AS mbids
+            FROM orders
+        """,
+        "authority_enrich_customers": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 4 <> 0
+                        THEN n_name || '|Variant ' || CAST(c_nationkey AS VARCHAR)
+                        ELSE '' END AS variants
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "scalar_functions_grid": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN CAST(epoch(
+                     ('19' || lpad(CAST(c_custkey % 99 AS VARCHAR), 2, '0')
+                      || '-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+                      || '-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+                     )::TIMESTAMP) AS BIGINT) END AS date_epoch,
+                   c_name || ', First M' AS last_first,
+                   'aut ' || CAST(c_custkey % 5 AS VARCHAR) AS relator,
+                   CAST(1900 + c_custkey % 120 AS VARCHAR) AS year
+            FROM customer
+        """,
+        "copy_down_parent": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '.'
+                     || CAST(l_linenumber AS VARCHAR) AS member_id,
+                   l_orderkey AS grp,
+                   o_orderpriority AS topics
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_linenumber <= 2
+        """,
+        "fulltext_trait_docs": """
+            SELECT doc_id,
+                   regexp_replace(
+                     substr(text, 1, 40) || ' frag-' || chr(10) || ' mented'
+                       || ' ' || 'tail ' || lang,
+                     '([^\\s]+)-\\s*[\\n\\r]+\\s*', '\\1', 'g') AS fulltext
+            FROM documents
         """,
         "geocode_simplify_customers": """
             WITH r AS (
