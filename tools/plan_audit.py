@@ -1,0 +1,104 @@
+"""Physical-plan audit: assert the scale-critical properties hold.
+
+Correctness says an operator works at sf0.01; THIS gate says the plan
+would still be the right plan at 100 TB. For each audited query it
+checks, from ``explain("formatted")`` output:
+
+- parquet scans carry PushedFilters / a pruned ReadSchema where expected
+- small dimension joins are broadcast (no shuffle of the big side)
+- the number of exchanges (shuffles) does not exceed the operator's
+  irreducible count
+- no CartesianProduct outside the explicitly-exact all-pairs oracles
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 0 = every assertion holds.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from recordmanager_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+# (query, max_exchanges, require_broadcast, allow_cartesian, note)
+# max_exchanges counts Exchange operators in the INITIAL plan (AQE may
+# coalesce at runtime but never adds); top-k single-partition exchanges
+# are counted as irreducible where the semantics demand a global order.
+AUDITS = [
+    ("q1_pricing_summary", 2, False, False,
+     "scan->partial agg->1 shuffle (+1 for the global sort)"),
+    ("q3_shipping_priority", 4, True, False,
+     "broadcast customer; lineitem⋈orders is the only record-side shuffle"),
+    ("q5_local_supplier_volume", 4, True, False,
+     "all dims broadcast; lineitem⋈orders shuffle + agg + order"),
+    ("filter_dsl_orders", 0, False, False,
+     "pure filter: predicate must reach the scan, zero shuffles"),
+    ("marc_extract", 0, False, False,
+     "extraction is scan-stage only — any shuffle is a bug"),
+    ("link_resolution_lineitem", 2, True, False,
+     "lookup join broadcasts; the 2 exchanges are the LOOKUP side's "
+     "dropDuplicates (bounded by lookup size) — records never shuffle"),
+    ("enrich_topics_nation", 0, False, False,
+     "small-vocab literal-map path: zero shuffles, no join at all"),
+    ("geocode_customers", 0, True, False,
+     "cache join broadcasts; record side stays narrow"),
+    ("dedup_er", 7, False, False,
+     "1 key shuffle + groupBys/distinct for edges + component resolve"),
+    ("minhash_near_dup", 6, True, False,
+     "sig agg + band groupBy + candidate distinct + verify joins "
+     "(pairs broadcast; all post-signature exchanges carry doc-count-"
+     "bounded rows, never shingles)"),
+    ("knn_bruteforce", 2, True, True,
+     "exact oracle: broadcast nested loop IS the plan (query side tiny)"),
+    ("embedding_neardup", 2, True, True,
+     "exact oracle variant (broadcast right side)"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit", shuffle_partitions=16)
+    qs = entry_mod.queries()
+    failures = []
+    for name, max_ex, need_bcast, allow_cart, note in AUDITS:
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        problems = []
+        n_ex = count(r"\bExchange\b", plan)
+        if n_ex > max_ex:
+            problems.append(f"exchanges {n_ex} > {max_ex}")
+        if need_bcast and count(r"Broadcast(HashJoin|NestedLoopJoin|Exchange)", plan) == 0:
+            problems.append("expected a broadcast join, found none")
+        if not allow_cart and count(r"CartesianProduct", plan):
+            problems.append("unexpected CartesianProduct")
+        if name == "filter_dsl_orders" and "PushedFilters: []" in plan:
+            problems.append("no filters pushed to the parquet scan")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}  ({note})")
+        else:
+            print(f"ok    {name}: exchanges={n_ex}  ({note})")
+    print()
+    if failures:
+        print(f"{len(failures)} plan audit failures: {failures}")
+        sys.exit(1)
+    print("all plans hold their scale contracts")
+
+
+if __name__ == "__main__":
+    main()
