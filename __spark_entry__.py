@@ -614,7 +614,11 @@ def marc_extract(spark: SparkSession, sf: str) -> DataFrame:
     parsed = c.select(
         "c_custkey", MARC.parse_marc_in_json(raw).alias("marc")
     )
-    out = MARC.to_solr_columns(parsed, "marc")
+    out = MARC.to_solr_columns(
+        parsed, "marc",
+        only=["id", "title", "title_short", "author", "publish_year",
+              "page_count", "language"],
+    )
     return out.select(
         "c_custkey",
         "id",
@@ -820,7 +824,13 @@ def marc_rich_extract(spark: SparkSession, sf: str) -> DataFrame:
     # rel JSON fragment must merge into the subfields array: fix the comma
     raw = F.replace(raw, F.lit(',{}]}}'), F.lit(']}}'))
     parsed = p.select("p_partkey", MARC.parse_marc_in_json(raw).alias("marc"))
-    wide = MARC.to_solr_columns(parsed, "marc")
+    wide = MARC.to_solr_columns(
+        parsed, "marc",
+        only=["author", "author_role", "author2", "author2_role",
+              "topic_facet", "genre_facet", "doi_str_mv", "oclc_num",
+              "callnumber_subject", "callnumber_label", "dewey_hundreds",
+              "illustrated"],
+    )
     return wide.select(
         "p_partkey",
         F.array_join("author", "|").alias("authors"),
@@ -1826,7 +1836,10 @@ def linemarc_extract(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("260 __ $bLinePress,$cc1999.\n"),
     )
     parsed = c.select("c_custkey", LM.parse_line_based_marc(raw).alias("marc"))
-    wide = MARC.to_solr_columns(parsed, "marc")
+    wide = MARC.to_solr_columns(
+        parsed, "marc",
+        only=["id", "title_short", "title_sub", "author", "publish_year"],
+    )
     return wide.select(
         "c_custkey",
         F.col("id").alias("rec_id"),

@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash_near_dup",
     "knn_bruteforce",
+    # the ANN path a production corpus would use (brute force above is the
+    # exact oracle, not the scale path)
+    "knn_ivf_full",
     "text_quality",
     "multimodal_features",
 ]

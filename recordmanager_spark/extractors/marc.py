@@ -574,6 +574,45 @@ def _stripped(col: Column) -> Column:
     return F.transform(col, lambda v: K.strip_trailing_punctuation(v))
 
 
+def marc_geographic_locations(marc: Column) -> Column:
+    """034 $d/$e/$f/$g → WKT ENVELOPE/POINT array (getGeographicLocations,
+    Marc.php:2422-2487): DMS-or-decimal coordinates decoded, out-of-range
+    values discarded, degenerate boxes collapse to POINT, and weird
+    coordinate order is coped with by swapping (ENVELOPE is minX, maxX,
+    maxY, minY)."""
+    from ..functions import geo as GEOF
+
+    def one(field):
+        sub = lambda c: F.coalesce(  # noqa: E731
+            try_element_at(_sub_values(field, [c]), 1), F.lit("")
+        )
+        w = GEOF.coordinate_to_decimal(sub("d"))
+        e = GEOF.coordinate_to_decimal(sub("e"))
+        n = GEOF.coordinate_to_decimal(sub("f"))
+        s = GEOF.coordinate_to_decimal(sub("g"))
+        w_ok = ~F.isnan(w) & (w >= -180) & (w <= 180)
+        n_ok = ~F.isnan(n) & (n >= -90) & (n <= 90)
+        e_ok = ~F.isnan(e) & (e >= -180) & (e <= 180)
+        s_ok = ~F.isnan(s) & (s >= -90) & (s <= 90)
+        has_box = ~F.isnan(e) & ~F.isnan(s) & ((e != w) | (n != s))
+        env = F.concat(
+            F.lit("ENVELOPE("), GEOF._fmt(F.least(w, e)), F.lit(", "),
+            GEOF._fmt(F.greatest(w, e)), F.lit(", "),
+            GEOF._fmt(F.greatest(n, s)), F.lit(", "),
+            GEOF._fmt(F.least(n, s)), F.lit(")"),
+        )
+        point = F.concat(
+            F.lit("POINT("), GEOF._fmt(w), F.lit(" "), GEOF._fmt(n), F.lit(")")
+        )
+        return F.when(
+            w_ok & n_ok,
+            F.when(has_box, F.when(e_ok & s_ok, env)).otherwise(point),
+        )
+
+    vals = F.transform(fields_by_tag(marc, "034"), one)
+    return F.filter(vals, lambda v: v.isNotNull())
+
+
 def marc_callnumber_columns(marc: Column) -> dict[str, Column]:
     """callnumber-* and dewey-* columns (Record/Marc.php:493-586).
 
@@ -696,132 +735,174 @@ def marc_era_facets(marc: Column) -> Column:
     ))
 
 
-# Building the ~30-column expression tree costs tens of seconds of py4j
-# round trips; Column objects are immutable and reusable across DataFrames
-# in the same JVM, so the map is built once per (marc_col, id_prefix).
+# Building the wide column map costs tens of seconds of py4j round trips
+# (thousands of Column-constructor calls for ~50 reference fields), so
+# construction is LAZY per column name and memoized per (marc_col,
+# id_prefix): a query that selects six columns builds six expressions.
+# Column objects are immutable and reusable across DataFrames in the JVM.
 _SOLR_COLS_CACHE: dict = {}
 
 
-def to_solr_columns(df: DataFrame, marc_col: str = "marc", id_prefix: str | None = None) -> DataFrame:
+def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
+    """name → zero-arg builder for every Solr column (Record/Marc.php
+    :267-596). ``memo`` shares the expensive sub-expressions (author
+    structs, publish year) between related columns."""
+
+    def shared(name, fn):
+        if name not in memo:
+            memo[name] = fn()
+        return memo[name]
+
+    pa = lambda: shared("pa", lambda: primary_authors(m))  # noqa: E731
+    sa = lambda: shared("sa", lambda: secondary_authors(m))  # noqa: E731
+    ca = lambda: shared("ca", lambda: corporate_authors(m))  # noqa: E731
+    pubyear = lambda: shared("pubyear", lambda: marc_publish_year(m))  # noqa: E731
+    local_id = lambda: control_value(m, "001")  # noqa: E731
+
+    return {
+        "id": lambda: (
+            F.concat(F.lit(id_prefix + "."), local_id()) if id_prefix else local_id()
+        ),
+        "record_format": lambda: F.lit("marc"),
+        "lccn": lambda: F.trim(get_field_subfields(m, "010", ["a"])),
+        "ctrlnum": lambda: get_fields_subfields(m, [(GET_NORMAL, "035", ["a"])]),
+        "isbn": lambda: marc_isbns(m),
+        "issn": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "022", ["a"])], split_subfields=True
+        ),
+        "language": lambda: marc_languages(m),
+        # Full FormatCalculator.php decision tree as pure Column exprs —
+        # stays in whole-stage codegen, sees record-level cues (086, 502,
+        # 111/711, 773$g, 245$h, 336/338).
+        "format": lambda: format_col(m),
+        # relator-classified authors (getAuthorsByRelator): 100/700 with
+        # primary relators (or bare 100) are primary; the inverse set is
+        # secondary; 110/111/710/711 are corporate
+        "author": lambda: pa()["names"],
+        "author_role": lambda: pa()["relators"],
+        "author_variant": lambda: pa()["variants"],
+        "author2": lambda: sa()["names"],
+        "author2_role": lambda: sa()["relators"],
+        "author2_variant": lambda: sa()["variants"],
+        "author_corporate": lambda: ca()["names"],
+        "author_corporate_role": lambda: ca()["relators"],
+        "author_additional": lambda: get_fields_subfields(
+            m, [(GET_BOTH, "505", ["r"])], first_only=True
+        ),
+        "author_sort": lambda: F.coalesce(
+            try_element_at(pa()["names"], 1),
+            try_element_at(sa()["names"], 1),
+        ),
+        "title": lambda: marc_title(m),
+        "title_short": lambda: K.strip_trailing_punctuation(
+            get_field_subfields(m, "245", ["a"])
+        ),
+        "title_sub": lambda: get_field_subfields(m, "245", ["b", "n", "p"]),
+        "title_full": lambda: get_field_subfields(m, "245", None),
+        "title_alt": lambda: get_fields_subfields(
+            m,
+            [
+                (GET_BOTH, "130", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
+                (GET_BOTH, "240", ["a"]),
+                (GET_BOTH, "246", ["g"]),
+                (GET_BOTH, "730", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
+            ],
+        ),
+        "title_sort": lambda: K.create_sort_title(marc_title(m)),
+        "publisher": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "260", ["b"]), (GET_NORMAL, "264", ["b"])]
+        ),
+        "publish_year": pubyear,
+        "publishDate": lambda: F.when(
+            pubyear().isNotNull(), F.array(pubyear())
+        ).otherwise(F.array()),
+        "physical": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "300", ["a", "b", "c", "e", "f", "g"])]
+        ),
+        "page_count": lambda: marc_page_count(m),
+        "edition": lambda: get_field_subfields(m, "250", ["a"]),
+        "series": lambda: get_fields_subfields(
+            m,
+            [
+                (GET_BOTH, "440", ["a"]),
+                (GET_BOTH, "490", ["a"]),
+                (GET_BOTH, "800", ["a", "b", "c", "d", "f", "p", "q", "t"]),
+                (GET_BOTH, "830", ["a", "p"]),
+            ],
+        ),
+        "topic": lambda: get_fields_subfields(
+            m,
+            [
+                (GET_BOTH, "600", list("abcdefghjklmnopqrstuvxyz")),
+                (GET_BOTH, "610", list("abcdefghklmnoprstuvxyz")),
+                (GET_BOTH, "611", list("acdefghjklnpqstuvxyz")),
+                (GET_BOTH, "630", list("adefghklmnoprstvxyz")),
+                (GET_BOTH, "650", list("abcdevxyz")),
+            ],
+        ),
+        "genre": lambda: get_fields_subfields(m, [(GET_BOTH, "655", list("abcvxyz"))]),
+        "geographic": lambda: get_fields_subfields(
+            m, [(GET_BOTH, "651", list("aevxyz"))]
+        ),
+        "era": lambda: get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))]),
+        "topic_facet": lambda: marc_topic_facets(m),
+        "genre_facet": lambda: marc_genre_facets(m),
+        "geographic_facet": lambda: marc_geographic_facets(m),
+        "era_facet": lambda: marc_era_facets(m),
+        "title_old": lambda: get_fields_subfields(m, [(GET_BOTH, "780", ["a", "s", "t"])]),
+        "title_new": lambda: get_fields_subfields(m, [(GET_BOTH, "785", ["a", "s", "t"])]),
+        "contents": lambda: get_fields_subfields(
+            m, [(GET_BOTH, "505", ["a"]), (GET_BOTH, "505", ["t"])]
+        ),
+        "dateSpan": lambda: get_fields_subfields(m, [(GET_BOTH, "362", ["a"])]),
+        "doi_str_mv": lambda: marc_dois(m),
+        "oclc_num": lambda: marc_oclc_numbers(m),
+        "illustrated": lambda: marc_illustrated(m),
+        "url": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "856", ["u"])], split_subfields=True
+        ),
+        "building": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "852", ["b"])], split_subfields=True
+        ),
+        "allfields": lambda: marc_allfields(m),
+        # serialized form of the stored record (getFullRecord analogue)
+        "fullrecord": lambda: F.to_json(m),
+        "long_lat": lambda: marc_geographic_locations(m),
+        **{
+            name: (lambda n=name: shared("callnumbers", lambda: marc_callnumber_columns(m))[n])
+            for name in (
+                "callnumber_first", "callnumber_subject", "callnumber_label",
+                "callnumber_raw", "callnumber_sort", "dewey_hundreds",
+                "dewey_tens", "dewey_ones", "dewey_full", "dewey_sort",
+                "dewey_raw",
+            )
+        },
+    }
+
+
+def to_solr_columns(
+    df: DataFrame,
+    marc_col: str = "marc",
+    id_prefix: str | None = None,
+    only: Sequence[str] | None = None,
+) -> DataFrame:
     """Project a parsed-MARC DataFrame into the wide Solr-array schema.
 
-    Columns follow Record/Marc.php:267-596; each is a JVM expression over the
-    struct column so Catalyst prunes unused ones when callers select less.
+    Columns follow Record/Marc.php:267-596; each is a JVM expression over
+    the struct column. Pass ``only`` with the column names a caller will
+    actually use — Catalyst would prune unused columns anyway, but BUILDING
+    all ~50 expressions costs tens of seconds of py4j traffic, so pruning
+    at construction time is the real win.
     """
     cache_key = (marc_col, id_prefix)
-    cached = _SOLR_COLS_CACHE.get(cache_key)
-    if cached is not None:
-        return df.withColumns(cached)
-    m = F.col(marc_col)
-    local_id = control_value(m, "001")
-    rec_id = (
-        F.concat(F.lit(id_prefix + "."), local_id) if id_prefix else local_id
-    )
-    publish_year = marc_publish_year(m)
-    cols = {
-            "id": rec_id,
-            "record_format": F.lit("marc"),
-            "lccn": F.trim(get_field_subfields(m, "010", ["a"])),
-            "ctrlnum": get_fields_subfields(m, [(GET_NORMAL, "035", ["a"])]),
-            "isbn": marc_isbns(m),
-            "issn": get_fields_subfields(m, [(GET_NORMAL, "022", ["a"])], split_subfields=True),
-            "language": marc_languages(m),
-            # Full FormatCalculator.php decision tree as pure Column exprs —
-            # stays in whole-stage codegen, sees record-level cues (086, 502,
-            # 111/711, 773$g, 245$h, 336/338) the old leader/007/008-only
-            # pandas UDF could not.
-            "format": format_col(m),
-            # relator-classified authors (getAuthorsByRelator): 100/700 with
-            # primary relators (or bare 100) are primary; the inverse set is
-            # secondary; 110/111/710/711 are corporate
-            "author": primary_authors(m)["names"],
-            "author_role": primary_authors(m)["relators"],
-            "author_variant": primary_authors(m)["variants"],
-            "author2": secondary_authors(m)["names"],
-            "author2_role": secondary_authors(m)["relators"],
-            "author2_variant": secondary_authors(m)["variants"],
-            "author_corporate": corporate_authors(m)["names"],
-            "author_corporate_role": corporate_authors(m)["relators"],
-            "author_additional": get_fields_subfields(
-                m, [(GET_BOTH, "505", ["r"])], first_only=True
-            ),
-            "author_sort": F.coalesce(
-                try_element_at(primary_authors(m)["names"], 1),
-                try_element_at(secondary_authors(m)["names"], 1),
-            ),
-            "title": marc_title(m),
-            "title_short": K.strip_trailing_punctuation(
-                get_field_subfields(m, "245", ["a"])
-            ),
-            "title_sub": get_field_subfields(m, "245", ["b", "n", "p"]),
-            "title_full": get_field_subfields(m, "245", None),
-            "title_alt": get_fields_subfields(
-                m,
-                [
-                    (GET_BOTH, "130", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
-                    (GET_BOTH, "240", ["a"]),
-                    (GET_BOTH, "246", ["g"]),
-                    (GET_BOTH, "730", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
-                ],
-            ),
-            "title_sort": K.create_sort_title(marc_title(m)),
-            "publisher": get_fields_subfields(
-                m, [(GET_NORMAL, "260", ["b"]), (GET_NORMAL, "264", ["b"])]
-            ),
-            "publish_year": publish_year,
-            "publishDate": F.when(
-                publish_year.isNotNull(), F.array(publish_year)
-            ).otherwise(F.array()),
-            "physical": get_fields_subfields(
-                m, [(GET_NORMAL, "300", ["a", "b", "c", "e", "f", "g"])]
-            ),
-            "page_count": marc_page_count(m),
-            "edition": get_field_subfields(m, "250", ["a"]),
-            "series": get_fields_subfields(
-                m,
-                [
-                    (GET_BOTH, "440", ["a"]),
-                    (GET_BOTH, "490", ["a"]),
-                    (GET_BOTH, "800", ["a", "b", "c", "d", "f", "p", "q", "t"]),
-                    (GET_BOTH, "830", ["a", "p"]),
-                ],
-            ),
-            "topic": get_fields_subfields(
-                m,
-                [
-                    (GET_BOTH, "600", list("abcdefghjklmnopqrstuvxyz")),
-                    (GET_BOTH, "610", list("abcdefghklmnoprstuvxyz")),
-                    (GET_BOTH, "611", list("acdefghjklnpqstuvxyz")),
-                    (GET_BOTH, "630", list("adefghklmnoprstvxyz")),
-                    (GET_BOTH, "650", list("abcdevxyz")),
-                ],
-            ),
-            "genre": get_fields_subfields(m, [(GET_BOTH, "655", list("abcvxyz"))]),
-            "geographic": get_fields_subfields(
-                m, [(GET_BOTH, "651", list("aevxyz"))]
-            ),
-            "era": get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))]),
-            "topic_facet": marc_topic_facets(m),
-            "genre_facet": marc_genre_facets(m),
-            "geographic_facet": marc_geographic_facets(m),
-            "era_facet": marc_era_facets(m),
-            "title_old": get_fields_subfields(m, [(GET_BOTH, "780", ["a", "s", "t"])]),
-            "title_new": get_fields_subfields(m, [(GET_BOTH, "785", ["a", "s", "t"])]),
-            "contents": get_fields_subfields(
-                m, [(GET_BOTH, "505", ["a"]), (GET_BOTH, "505", ["t"])]
-            ),
-            "dateSpan": get_fields_subfields(m, [(GET_BOTH, "362", ["a"])]),
-            "doi_str_mv": marc_dois(m),
-            "oclc_num": marc_oclc_numbers(m),
-            "illustrated": marc_illustrated(m),
-            "url": get_fields_subfields(m, [(GET_NORMAL, "856", ["u"])], split_subfields=True),
-            "building": get_fields_subfields(m, [(GET_NORMAL, "852", ["b"])], split_subfields=True),
-            "allfields": marc_allfields(m),
-            # serialized form of the stored record (getFullRecord analogue)
-            "fullrecord": F.to_json(m),
-            **marc_callnumber_columns(m),
-        }
-    _SOLR_COLS_CACHE[cache_key] = cols
+    built, memo = _SOLR_COLS_CACHE.setdefault(cache_key, ({}, {}))
+    builders = _solr_col_builders(F.col(marc_col), id_prefix, memo)
+    names = list(builders) if only is None else [n for n in builders if n in set(only)]
+    cols = {}
+    for n in names:
+        if n not in built:
+            built[n] = builders[n]()
+        cols[n] = built[n]
     return df.withColumns(cols)
 
 

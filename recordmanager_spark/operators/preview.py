@@ -37,11 +37,32 @@ def preview_record(
 ) -> dict[str, Any]:
     """One serialized record → its final field map (the preview payload)."""
     df = spark.createDataFrame([(raw,)], "raw string")
-    if fmt == "marc":
-        parsed = df.select(MARC.parse_marc_in_json("raw").alias("m"))
-        wide = MARC.to_solr_columns(parsed, "m").drop("m")
-    elif fmt == "linemarc":
-        parsed = df.select(LM.parse_line_based_marc("raw").alias("m"))
+    if fmt in ("marc", "linemarc"):
+        parse = (
+            MARC.parse_marc_in_json if fmt == "marc" else LM.parse_line_based_marc
+        )
+        parsed = df.select(parse("raw").alias("m"))
+        post_steps = any(
+            (field_rules, mappings, hierarchical_facets, institution)
+        )
+        if not post_steps:
+            # Optimizer + codegen cost over the full ~60-column expression
+            # tree is superlinear in tree size and dominates a 1-row run
+            # (minutes for one record). Without cross-column post steps the
+            # field map can be collected in COLUMN CHUNKS — each chunk's
+            # plan is small, and the parse is shared.
+            parsed = parsed.cache()
+            names = list(MARC._solr_col_builders(F.col("m"), None, {}))
+            out: dict[str, Any] = {}
+            for i in range(0, len(names), 8):
+                chunk = names[i : i + 8]
+                part = MARC.to_solr_columns(parsed, "m", only=chunk).drop("m")
+                part = NZ.normalize_fields(
+                    part, limits=limits, non_indexed=non_indexed, barrier=True
+                )
+                out.update(part.collect()[0].asDict())
+            parsed.unpersist()
+            return {k: v for k, v in out.items() if v not in (None, "", [])}
         wide = MARC.to_solr_columns(parsed, "m").drop("m")
     elif fmt == "dc":
         wide = DC.to_solr_columns(df, "raw").drop("raw")

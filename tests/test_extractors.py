@@ -514,3 +514,36 @@ def test_marc_callnumber_columns(spark):
     assert r.dewey_ones == "004"
     assert r.dewey_full == "004.2"
     assert r.dewey_sort  # from the first (005.133)
+
+
+def test_marc_geographic_locations(spark):
+    """034 -> WKT (getGeographicLocations): box, point, weird order
+    swapped, invalid coordinates discarded."""
+    rec = _marc_json(
+        "00000cam a22000004i 4500",
+        [
+            {"001": "geo1"},
+            # full box (decimal degrees)
+            {"034": {"ind1": " ", "ind2": " ", "subfields": [
+                {"d": "10"}, {"e": "20"}, {"f": "60"}, {"g": "50"}]}},
+            # degenerate box -> POINT
+            {"034": {"ind1": " ", "ind2": " ", "subfields": [
+                {"d": "25"}, {"e": "25"}, {"f": "60"}, {"g": "60"}]}},
+            # weird order (west > east, south > north) -> swapped
+            {"034": {"ind1": " ", "ind2": " ", "subfields": [
+                {"d": "20"}, {"e": "10"}, {"f": "50"}, {"g": "60"}]}},
+            # out of range -> discarded
+            {"034": {"ind1": " ", "ind2": " ", "subfields": [
+                {"d": "200"}, {"e": "210"}, {"f": "60"}, {"g": "50"}]}},
+            # DMS form (E 25 08 31 ~ 25.141944) point
+            {"034": {"ind1": " ", "ind2": " ", "subfields": [
+                {"d": "E0250831"}, {"f": "N0372500"}]}},
+            {"245": {"ind1": "1", "ind2": "0", "subfields": [{"a": "G"}]}},
+        ],
+    )
+    r = _solr_row(spark, rec)
+    assert r.long_lat[0] == "ENVELOPE(10, 20, 60, 50)"
+    assert r.long_lat[1] == "POINT(25 60)"
+    assert r.long_lat[2] == "ENVELOPE(10, 20, 60, 50)"
+    assert len(r.long_lat) == 4  # out-of-range one dropped
+    assert r.long_lat[3].startswith("POINT(25.14")
