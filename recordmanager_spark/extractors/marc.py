@@ -276,10 +276,54 @@ def get_fields_subfields(
 # ---------------------------------------------------------------------------
 
 
-def marc_title(marc: Column) -> Column:
-    """245 $a $b ($n $p) joined; trailing punctuation stripped (getTitle)."""
-    raw = get_field_subfields(marc, "245", ["a", "b", "n", "p"])
-    return K.strip_trailing_punctuation(raw)
+def _field_title(field: Column, for_filing: bool) -> Column:
+    """One field's title per getTitle (Record/Marc.php:799-844): start from
+    $a (non-filing ind2 chars dropped when filing), then append accepted
+    subfields in field order with code-specific punctuation glue unless the
+    accumulated title already ends in punctuation."""
+    a = F.coalesce(try_element_at(_sub_values(field, ["a"]), 1), F.lit(""))
+    if for_filing:
+        nf = F.coalesce(field["ind2"], F.lit(" "))
+        nfn = F.when(nf.rlike("^[1-9]$"), nf.cast("int")).otherwise(F.lit(0))
+        a = F.when(nfn > 0, F.substr(a, nfn + 1, F.length(a))).otherwise(a)
+    accept = ("b", "n", "p", "c") if for_filing else ("b", "n", "p")
+
+    def step(acc, s):
+        code = s["code"]
+        glue = F.when(K.has_trailing_punctuation(acc), F.lit(" ")).otherwise(
+            F.when(code == "b", " : ")
+            .when(code.isin("n", "p"), ". ")
+            .otherwise(" ")
+        )
+        return F.when(
+            code.isin(*accept),
+            F.concat(acc, glue, F.coalesce(s["value"], F.lit(""))),
+        ).otherwise(acc)
+
+    return F.aggregate(F.coalesce(field["subfields"], F.array()), a, step)
+
+
+def marc_title(marc: Column, for_filing: bool = False) -> Column:
+    """getTitle: 245 with 240 fallback, punctuation-glued subfields; the
+    filing variant drops non-filing chars, strips punctuation and
+    lowercases; an all-punctuation title survives as the raw fallback."""
+
+    def one(tag: str) -> tuple[Column, Column]:
+        fld = try_element_at(fields_by_tag(marc, tag), 1)
+        t = _field_title(fld, for_filing)
+        if for_filing:
+            t = F.lower(K.strip_punctuation(t))
+        t = F.when(fld.isNotNull(), t).otherwise(F.lit(None))
+        return t, K.strip_trailing_punctuation(t)
+
+    t245, c245 = one("245")
+    t240, c240 = one("240")
+    fallback = F.coalesce(t245, t240, F.lit(""))
+    return (
+        F.when(F.coalesce(c245, F.lit("")) != "", c245)
+        .when(F.coalesce(c240, F.lit("")) != "", c240)
+        .otherwise(fallback)
+    )
 
 
 def marc_languages(marc: Column) -> Column:
@@ -808,7 +852,10 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
                 (GET_BOTH, "730", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
             ],
         ),
-        "title_sort": lambda: K.create_sort_title(marc_title(m)),
+        # getTitle(true): non-filing ind2 chars dropped, punctuation
+        # stripped, lowercased (the reference does NOT article-strip here —
+        # records carry the non-filing count)
+        "title_sort": lambda: marc_title(m, for_filing=True),
         "publisher": lambda: get_fields_subfields(
             m, [(GET_NORMAL, "260", ["b"]), (GET_NORMAL, "264", ["b"])]
         ),

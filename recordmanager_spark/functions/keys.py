@@ -316,6 +316,20 @@ _PHP_TRIM_RE = "^[ \\t\\n\\r\\x00\\x0B]+|[ \\t\\n\\r\\x00\\x0B]+\\z"
 _PUNCT_RUN_RE = "[\\t\\p{P}=´`” ]+"
 
 
+def has_trailing_punctuation(col: Column | str) -> Column:
+    """hasTrailingPunctuation (MetadataUtils.php:507-522): last non-space
+    char in " /:;,=([", OR a trailing period that doesn't follow a
+    single-char word (the initial rule's substr(-3) check)."""
+    c = F.col(col) if isinstance(col, str) else col
+    last_ns = F.substring(F.rtrim(c), -1, 1)
+    by_set = last_ns.isin("/", ":", ";", ",", "=", "(", "[")
+    third = F.when(F.length(c) >= 3, F.substring(c, -3, 1)).otherwise(
+        F.substring(c, 1, 1)
+    )
+    by_period = c.endswith(".") & (third != " ")
+    return (F.length(c) > 0) & (by_set | by_period)
+
+
 def strip_punctuation(col: Column | str) -> Column:
     """stripPunctuation (MetadataUtils.php:535-560): any punctuation run ->
     single space, PHP-trimmed; the original survives when nothing remains

@@ -547,3 +547,32 @@ def test_marc_geographic_locations(spark):
     assert r.long_lat[2] == "ENVELOPE(10, 20, 60, 50)"
     assert len(r.long_lat) == 4  # out-of-range one dropped
     assert r.long_lat[3].startswith("POINT(25.14")
+
+
+def test_marc_title_semantics(spark):
+    """getTitle: punctuation glue, 240 fallback, non-filing filing form."""
+    glue = _marc_json(
+        "00000cam a22000004i 4500",
+        [
+            {"001": "t1"},
+            # $a without trailing punctuation -> ' : ' glue before $b
+            {"245": {"ind1": "1", "ind2": "4",
+                     "subfields": [{"a": "The title"}, {"b": "a subtitle"},
+                                   {"n": "Part 1"}]}},
+        ],
+    )
+    r = _solr_row(spark, glue)
+    assert r.title == "The title : a subtitle. Part 1"
+    # filing: ind2=4 drops "The " and punctuation is stripped + lowercased
+    assert r.title_sort == "title a subtitle part 1"
+
+    fallback = _marc_json(
+        "00000cam a22000004i 4500",
+        [
+            {"001": "t2"},
+            {"240": {"ind1": "1", "ind2": "0",
+                     "subfields": [{"a": "Uniform only"}]}},
+        ],
+    )
+    r = _solr_row(spark, fallback)
+    assert r.title == "Uniform only"
