@@ -349,8 +349,14 @@ def marc_languages(marc: Column) -> Column:
 
 
 def marc_isbns(marc: Column) -> Column:
-    """020 $a normalized to ISBN-13 (getISBNs → MetadataUtils::normalizeISBN)."""
-    raw = get_fields_subfields(marc, [(GET_NORMAL, "020", ["a"])], split_subfields=True)
+    """020 $a + host-item 773 $z normalized to ISBN-13 (the reference's
+    isbnFields spec, Marc.php:135-144 — 'combined' type: invalid host
+    values drop silently)."""
+    raw = get_fields_subfields(
+        marc,
+        [(GET_NORMAL, "020", ["a"]), (GET_NORMAL, "773", ["z"])],
+        split_subfields=True,
+    )
     norm = F.transform(raw, lambda v: K.normalize_isbn(v))
     return F.array_distinct(F.filter(norm, lambda v: v.isNotNull() & (v != "")))
 
@@ -616,6 +622,101 @@ def _stripped(col: Column) -> Column:
     """getFieldsSubfields strips trailing punctuation on results by
     default — applied per element for facet-style outputs."""
     return F.transform(col, lambda v: K.strip_trailing_punctuation(v))
+
+
+# System-control-number prefixes accepted as unique ids (Marc.php:119-124)
+_SCN_RE = (
+    "^\\((CONSER|DLC|OCoLC)\\).+|^\\(EXLCZ\\).+|^\\(EXLNZ-.+\\).+"
+    "|^\\(\\w\\w-\\w+\\).+"
+)
+
+
+def marc_unique_ids(marc: Column) -> Column:
+    """getUniqueIDs (Record/Marc.php:887-985): dedup hard-accept ids from
+    010 (lccn/nucmc), 015/016 ($2-qualified national numbers), the first
+    024 (source by ind1; IAN truncates at the first space, invalid ISMNs
+    drop), and 035 system control numbers matching the accepted prefixes.
+    All values pass normalizeKey. Note the (nucmc) entry carries the LCCN
+    value — the reference does exactly that."""
+    def first_field(tag):
+        return try_element_at(fields_by_tag(marc, tag), 1)
+
+    def sub1(field, code):
+        return F.coalesce(
+            try_element_at(_sub_values(field, [code]), 1), F.lit("")
+        )
+
+    f010 = first_field("010")
+    lccn = K.normalize_key(sub1(f010, "a"))
+    nucmc = K.normalize_key(sub1(f010, "b"))
+    ids_010 = F.filter(
+        F.array(
+            F.when(lccn != "", F.concat(F.lit("(lccn)"), lccn)),
+            F.when((nucmc != "") & (lccn != ""), F.concat(F.lit("(nucmc)"), lccn)),
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+    def qualified(tag):
+        fld = first_field(tag)
+        nr = K.normalize_key(sub1(fld, "a"))
+        src = sub1(fld, "2")
+        return F.filter(
+            F.array(
+                F.when(
+                    (nr != "") & (src != ""),
+                    F.concat(F.lit("("), src, F.lit(")"), nr),
+                )
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    f024 = first_field("024")
+    raw = sub1(f024, "a")
+    ind1 = F.coalesce(f024["ind1"], F.lit(" "))
+    ian_nr = F.when(
+        F.instr(raw, " ") > 1, F.substring(raw, 1, F.instr(raw, " ") - 1)
+    ).otherwise(raw)
+    src24 = (
+        F.when(ind1 == "0", "istc")
+        .when(ind1 == "1", "upc")
+        .when(ind1 == "2", "ismn")
+        .when(ind1 == "3", "ian")
+        .when(ind1 == "4", "sici")
+        .when(ind1 == "7", sub1(f024, "2"))
+        .otherwise("")
+    )
+    nr24 = K.normalize_key(F.when(ind1 == "3", ian_nr).otherwise(raw))
+    nr24 = F.when(
+        (src24 == "ismn") & ~nr24.rlike("[0-9]{13}"), F.lit("")
+    ).otherwise(nr24)
+    ids_024 = F.filter(
+        F.array(
+            F.when(
+                (src24 != "") & (nr24 != ""),
+                F.concat(F.lit("("), src24, F.lit(")"), nr24),
+            )
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+    scns = F.filter(
+        F.transform(
+            fields_by_tag(marc, "035"),
+            lambda f: F.when(
+                F.coalesce(
+                    try_element_at(_sub_values(f, ["a"]), 1), F.lit("")
+                ).rlike(_SCN_RE),
+                K.normalize_key(
+                    F.coalesce(
+                        try_element_at(_sub_values(f, ["a"]), 1), F.lit("")
+                    )
+                ),
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    return F.concat(ids_010, qualified("015"), qualified("016"), ids_024, scns)
 
 
 def marc_geographic_locations(marc: Column) -> Column:
@@ -915,6 +1016,7 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
         # serialized form of the stored record (getFullRecord analogue)
         "fullrecord": lambda: F.to_json(m),
         "long_lat": lambda: marc_geographic_locations(m),
+        "unique_ids": lambda: marc_unique_ids(m),
         **{
             name: (lambda n=name: shared("callnumbers", lambda: marc_callnumber_columns(m))[n])
             for name in (

@@ -576,3 +576,43 @@ def test_marc_title_semantics(spark):
     )
     r = _solr_row(spark, fallback)
     assert r.title == "Uniform only"
+
+
+def test_marc_unique_ids(spark):
+    """getUniqueIDs: 010/015/016/024/035 sources, normalized values."""
+    rec = _marc_json(
+        "00000cam a22000004i 4500",
+        [
+            {"001": "u1"},
+            {"010": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": " 2011-01234 "}, {"b": "ms 611"}]}},
+            {"015": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": "F2012-33"}, {"2": "skl"}]}},
+            {"024": {"ind1": "2", "ind2": " ",
+                     "subfields": [{"a": "979-0-1234-5678-5"}]}},
+            {"035": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": "(OCoLC)1234"}]}},
+            {"035": {"ind1": " ", "ind2": " ",
+                     "subfields": [{"a": "local-only-9"}]}},  # no SCN prefix
+            {"245": {"ind1": "1", "ind2": "0", "subfields": [{"a": "U"}]}},
+        ],
+    )
+    r = _solr_row(spark, rec)
+    assert "(lccn)201101234" in r.unique_ids
+    # the reference's nucmc entry carries the LCCN value — pinned here
+    assert "(nucmc)201101234" in r.unique_ids
+    assert "(skl)f201233" in r.unique_ids
+    assert "(ismn)9790123456785" in r.unique_ids
+    assert "ocolc1234" in r.unique_ids
+    assert not any("local" in u for u in r.unique_ids)
+
+    # invalid ISMN (no 13-digit run) drops
+    rec2 = _marc_json(
+        "00000cam a22000004i 4500",
+        [
+            {"001": "u2"},
+            {"024": {"ind1": "2", "ind2": " ", "subfields": [{"a": "M-1234"}]}},
+            {"245": {"ind1": "1", "ind2": "0", "subfields": [{"a": "U"}]}},
+        ],
+    )
+    assert _solr_row(spark, rec2).unique_ids == []
