@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from recordmanager_spark.sparkcompat import try_element_at
 
 from ..functions.keys import (
     author_match_expr,
@@ -316,23 +317,37 @@ def blocking_verified_edges(
     grouped = keys.groupBy("key").agg(
         F.slice(F.array_sort(F.collect_list("m")), 1, candidates_per_key).alias("__c")
     )
-    pair_arrays = F.filter(
+    # Pair generation emits (i, j) INDEX pairs, not payload-struct pairs:
+    # a capped hot key yields up to ~5050 pairs, and materializing two full
+    # verify payloads (key arrays + normalized title/author strings) per
+    # pair before the explode costs tens of MB of transient row memory on
+    # poison keys. Index pairs are 8 bytes each; the payload structs are
+    # projected from __c AFTER the explode, one row at a time.
+    n = F.size(F.col("__c"))
+    empty_idx = F.array().cast("array<int>")
+    idx_pairs = F.filter(
         F.flatten(
             F.transform(
-                F.col("__c"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("__c"), i + 2, candidates_per_key),
-                    lambda y: F.when(
-                        x["source"] != y["source"],
-                        F.struct(x.alias("a"), y.alias("b")),
+                F.sequence(F.lit(1), n),
+                # sequence(a, b) DESCENDS when a > b, so the inner range
+                # needs an explicit empty guard for the last index
+                lambda i: F.transform(
+                    F.when(i < n, F.sequence(i + 1, n)).otherwise(empty_idx),
+                    lambda j: F.when(
+                        try_element_at(F.col("__c"), i)["source"]
+                        != try_element_at(F.col("__c"), j)["source"],
+                        F.struct(i.alias("i"), j.alias("j")),
                     ),
                 ),
             )
         ),
         lambda p: p.isNotNull(),
     )
-    pairs = grouped.select(F.explode(pair_arrays).alias("__p")).select(
-        F.col("__p.a").alias("a"), F.col("__p.b").alias("b")
+    pairs = grouped.select(
+        F.col("__c"), F.explode(idx_pairs).alias("__p")
+    ).select(
+        try_element_at(F.col("__c"), F.col("__p.i")).alias("a"),
+        try_element_at(F.col("__c"), F.col("__p.j")).alias("b"),
     )
     match = _match_condition_from(
         lambda n: F.col(f"a.{n}"), lambda n: F.col(f"b.{n}"), pre_normalized=True
