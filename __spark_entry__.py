@@ -684,14 +684,21 @@ def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
         "<lido><titleWrap><titleSet><appellationValue>%s</appellationValue></titleSet></titleWrap>"
         "<objectWorkTypeWrap><objectWorkType><term>%s</term></objectWorkType></objectWorkTypeWrap>"
         "<legalBodyName><appellationValue>Museum %s</appellationValue></legalBodyName>"
-        "<eventWrap><event>"
+        "<eventWrap><eventSet><event>"
+        "<eventType><term>Creation</term></eventType>"
         "<eventActor><actorInRole><actor><nameActorSet><appellationValue>Maker, M%s</appellationValue></nameActorSet></actor></actorInRole></eventActor>"
         "<eventDate><displayDate>%s</displayDate></eventDate>"
         "<eventMaterialsTech><materialsTech><termMaterialsTech><term>%s</term></termMaterialsTech></materialsTech></eventMaterialsTech>"
-        "</event></eventWrap>"
+        "</event></eventSet>"
+        "<eventSet><event><eventType><term>usage</term></eventType>"
+        "<eventActor><actorInRole><actor><nameActorSet><appellationValue>Owner, O%s</appellationValue></nameActorSet></actor></actorInRole></eventActor>"
+        "<eventPlace><displayPlace>City %s.</displayPlace></eventPlace>"
+        "</event></eventSet></eventWrap>"
         "<recordWrap><recordID>L%s</recordID></recordWrap></lido>",
         F.col("p_name"), F.col("p_type"), F.col("p_brand"),
         F.col("p_partkey").cast("string"), year, F.col("p_brand"),
+        F.col("p_partkey").cast("string"),
+        F.pmod(F.col("p_partkey"), F.lit(77)).cast("string"),
         F.col("p_partkey").cast("string"),
     )
     out = LIDO.to_solr_columns(p.select("p_partkey", xml.alias("xml")), "xml")
@@ -700,9 +707,13 @@ def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
         "title",
         "format",
         "institution",
+        # usage-event actor must NOT be an author (main events only)
         try_element_at("author", 1).alias("author1"),
+        F.size("author").alias("n_authors"),
         try_element_at("era", 1).alias("display_date"),
         try_element_at("material", 1).alias("material1"),
+        # usage-event place, trailing period stripped
+        try_element_at("geographic", 1).alias("place1"),
         "ctrlnum",
     )
 
@@ -2681,8 +2692,10 @@ def oracle_sql() -> dict[str, str]:
                    p_type AS format,
                    'Museum ' || p_brand AS institution,
                    'Maker, M' || CAST(p_partkey AS VARCHAR) AS author1,
+                   1 AS n_authors,
                    CAST(1800 + p_partkey % 200 AS VARCHAR) AS display_date,
                    p_brand AS material1,
+                   'City ' || CAST(p_partkey % 77 AS VARCHAR) AS place1,
                    'L' || CAST(p_partkey AS VARCHAR) AS ctrlnum
             FROM part
         """,

@@ -23,10 +23,15 @@ LIDO1 = """<lido xmlns="http://www.lido-schema.org">
     </objectIdentificationWrap>
     <eventWrap>
       <eventSet><event>
+        <eventType><term>Creation</term></eventType>
         <eventActor><actorInRole><actor><nameActorSet><appellationValue>Painter, Paula</appellationValue></nameActorSet></actor></actorInRole></eventActor>
         <eventDate><displayDate>1899</displayDate></eventDate>
-        <eventPlace><place><namePlaceSet><appellationValue>Helsinki</appellationValue></namePlaceSet></place></eventPlace>
         <eventMaterialsTech><materialsTech><termMaterialsTech><term>oil on canvas</term></termMaterialsTech></materialsTech></eventMaterialsTech>
+      </event></eventSet>
+      <eventSet><event>
+        <eventType><term>usage</term></eventType>
+        <eventActor><actorInRole><actor><nameActorSet><appellationValue>Not An Author</appellationValue></nameActorSet></actor></actorInRole></eventActor>
+        <eventPlace><displayPlace>Helsinki.</displayPlace></eventPlace>
       </event></eventSet>
     </eventWrap>
     <objectRelationWrap>
