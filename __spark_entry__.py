@@ -1690,6 +1690,49 @@ def xml_split_customers(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", "part_id", "sequence")
 
 
+def xslt_normalize_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """XSLT normalization through the stdlib mini engine
+    (XslTransformation.php:142-172; stylesheet shape = helmet.xsl's
+    format→type mapping). XML synthesized per order row, transformed by
+    an Arrow-batched pandas UDF with the stylesheet compiled once per
+    executor, result fields projected back out via regexp — the whole
+    path is a zero-shuffle scan-stage projection."""
+    from recordmanager_spark.sources.transforms import apply_xslt
+
+    xsl = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/|@*|node()"><xsl:copy>
+        <xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+      <xsl:template match="format">
+        <xsl:choose>
+          <xsl:when test=".='1'"><type>Book</type></xsl:when>
+          <xsl:when test=".='2'"><type>Map</type></xsl:when>
+          <xsl:when test=".='3'"><type>SoundDisc</type></xsl:when>
+          <xsl:when test=".='4'"><type>SoundCassette</type></xsl:when>
+          <xsl:when test=".='5'"><type>Journal</type></xsl:when>
+          <xsl:otherwise><type>Other</type></xsl:otherwise>
+        </xsl:choose>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    o = _t(spark, sf, "orders")
+    xml = F.concat(
+        F.lit("<record><format>"),
+        F.substring(F.col("o_orderpriority"), 1, 1),
+        F.lit("</format><note>"),
+        F.col("o_orderstatus"),
+        F.lit("</note></record>"),
+    )
+    df = apply_xslt(
+        o.select("o_orderkey", xml.alias("xml")), "xml", xsl,
+        out_column="res", backend="mini",
+    )
+    return df.select(
+        "o_orderkey",
+        F.regexp_extract("res", "<type>([^<]*)</type>", 1).alias("type_mapped"),
+        F.regexp_extract("res", "<note>([^<]*)</note>", 1).alias("note"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (training-data extension)
 # ---------------------------------------------------------------------------
@@ -2379,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resolution_lineitem": link_resolution_lineitem,
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
+        "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
         "normalize_fields_docs": normalize_fields_docs,
@@ -3084,6 +3128,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer, (VALUES ('a', 1), ('b', 2)) AS t(prefix, sequence)
             ORDER BY c_custkey, sequence
         """.replace("part_id", "prefix || CAST(c_custkey AS VARCHAR) AS part_id"),
+        "xslt_normalize_orders": """
+            SELECT o_orderkey,
+                   CASE substr(o_orderpriority, 1, 1)
+                        WHEN '1' THEN 'Book'
+                        WHEN '2' THEN 'Map'
+                        WHEN '3' THEN 'SoundDisc'
+                        WHEN '4' THEN 'SoundCassette'
+                        WHEN '5' THEN 'Journal'
+                        ELSE 'Other' END AS type_mapped,
+                   o_orderstatus AS note
+            FROM orders
+        """,
         "multimodal_features": """
             SELECT doc_id AS id,
                    sha256(text) AS sha256,

@@ -162,7 +162,10 @@ def merge_component_parts(
 
     On merge, the host's ``date`` advances to the newest component date
     (SolrUpdater.php:1984-1992) and ``component_info`` carries the ordered
-    (id, title) union — the AbstractRecord::mergeComponentParts contract;
+    (id, title) union — the AbstractRecord::mergeComponentParts contract
+    (the base reference's implementation at AbstractRecord.php:238-241 is
+    a no-op returning 0 and no base driver overrides it, so the gathering
+    orchestration above is the complete base behavior);
     MARC-driver-specific 979 field synthesis belongs to the extractor
     layer. Components cap at ``max_components`` (:1975, same arbitrary
     bound).

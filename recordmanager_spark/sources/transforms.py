@@ -1,22 +1,27 @@
-"""XSLT transformation support (gated on lxml availability).
+"""XSLT transformation as a Spark column operation.
 
 Behavioral spec (reference, NOT code): Utils/XslTransformation.php:142-172 —
 per-source XSL stylesheets applied to record XML at ingest
-(``normalization`` / ``oaipmhTransformation`` settings), optionally with
-registered extension functions.
+(``normalization`` / ``oaipmhTransformation`` settings) with ini-file
+global parameters.
 
 Spark-first: the stylesheet compiles ONCE per executor (module-level
 lazy cache inside the UDF closure) and applies per record via an
 Arrow-batched pandas UDF — the same shape as the other parse steps.
+Two interchangeable backends:
 
-This container ships no lxml, so the operator is GATED: the plumbing
-(UDF signature, batch shape, compile-once pattern) is real and tested;
-constructing the UDF without lxml raises a clear error instead of
-failing mid-stage. The native extractors (marc/dc/ead/lido) are the
-preferred path — XSLT is the compat escape hatch.
+- **lxml** (libxslt) when installed — full XSLT 1.0;
+- :class:`recordmanager_spark.xsl.MiniXSLT` (stdlib, always available) —
+  the XSLT subset the reference's shipped stylesheets use, verified
+  against all 12 ``transformations/*.xsl`` in the test suite.
+
+``backend="auto"`` (default) prefers lxml and falls back to the mini
+engine, so the operator is no longer gated on container contents.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 try:  # pragma: no cover - environment-dependent
     from lxml import etree as _etree
@@ -28,43 +33,85 @@ except ImportError:
 
 
 def xslt_available() -> bool:
-    return HAVE_LXML
+    """True — the stdlib mini engine is always present; retained for
+    callers that used the old lxml gate."""
+    return True
 
 
-def make_xslt_udf(xsl: str):
+def make_xslt_udf(xsl: str, params: dict[str, object] | None = None,
+                  backend: str = "auto"):
     """Build a pandas UDF applying the stylesheet to an XML string column.
 
-    Raises RuntimeError at construction when lxml is unavailable (fail
-    fast on the driver, not minutes into a stage).
+    ``backend``: ``"auto"`` (lxml if installed, else mini), ``"lxml"``
+    (raise if unavailable), or ``"mini"`` (force the stdlib engine).
+    Unparseable records map to NULL, mirroring the reference's
+    per-record error handling (bad records are logged and skipped, not
+    fatal to the batch).
     """
-    if not HAVE_LXML:
+    if backend == "lxml" and not HAVE_LXML:
         raise RuntimeError(
-            "XSLT transformation requires lxml, which is not installed in "
-            "this environment; use the native extractors "
-            "(recordmanager_spark.extractors) or install lxml."
+            "XSLT backend 'lxml' requested but lxml is not installed; "
+            "use backend='mini' or 'auto'."
         )
+    use_lxml = HAVE_LXML if backend == "auto" else backend == "lxml"
 
-    import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import StringType
+
+    xsl_params = dict(params or {})
 
     # compiled per executor process on first use (closures serialize the
     # source string, not the compiled object)
     state: dict = {}
 
+    if use_lxml:
+
+        @pandas_udf(StringType())
+        def transform(xml: pd.Series) -> pd.Series:
+            if "t" not in state:
+                state["t"] = _etree.XSLT(_etree.fromstring(xsl.encode()))
+
+            lx_params = {
+                k: _etree.XSLT.strparam(str(v)) for k, v in xsl_params.items()
+            }
+
+            def one(doc):
+                if not doc:
+                    return None
+                try:
+                    return str(state["t"](_etree.fromstring(doc.encode()), **lx_params))
+                except _etree.XMLSyntaxError:
+                    return None
+
+            return xml.map(one)
+
+        return transform
+
     @pandas_udf(StringType())
     def transform(xml: pd.Series) -> pd.Series:
         if "t" not in state:
-            state["t"] = _etree.XSLT(_etree.fromstring(xsl.encode()))
+            from recordmanager_spark.xsl import MiniXSLT
+
+            state["t"] = MiniXSLT(xsl)
+
+        import xml.etree.ElementTree as ET
 
         def one(doc):
             if not doc:
                 return None
             try:
-                return str(state["t"](_etree.fromstring(doc.encode())))
-            except _etree.XMLSyntaxError:
+                return state["t"].transform(doc, xsl_params)
+            except ET.ParseError:
                 return None
 
         return xml.map(one)
 
     return transform
+
+
+def apply_xslt(df, column: str, xsl: str, out_column: str | None = None,
+               params: dict[str, object] | None = None, backend: str = "auto"):
+    """Apply a stylesheet to ``column``, writing ``out_column`` (default:
+    in place). Pure projection — no shuffle; scales with the scan."""
+    udf = make_xslt_udf(xsl, params=params, backend=backend)
+    return df.withColumn(out_column or column, udf(df[column]))

@@ -1,0 +1,878 @@
+"""XSLT 1.0 subset engine over :mod:`recordmanager_spark.xsl.xpath1`.
+
+Behavioral spec (reference, NOT code): Utils/XslTransformation.php:74-186 —
+per-source stylesheets with ini-configured global parameters applied to
+record XML. The supported instruction set is exactly what the reference's
+shipped ``transformations/*.xsl`` use:
+
+    template (match/name/mode), apply-templates (select/mode/with-param),
+    call-template, param, variable (select or RTF body), value-of, text,
+    element, attribute, copy, copy-of, if, choose/when/otherwise,
+    for-each, message, import, output — plus literal result elements with
+    attribute value templates.
+
+Not implemented (and absent from the corpus): keys, sort, number,
+strip-space, attribute-set, fallback, namespace-alias, extension
+functions. Using one raises :class:`XsltError` at compile time.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+from .xpath1 import (
+    ATTR, COMMENT, ELEM, PI, ROOT, TEXT,
+    Context, XNode, XPath, XPathError, xp_boolean, xp_number, xp_string,
+)
+
+__all__ = ["MiniXSLT", "XsltError"]
+
+XSL_NS = "http://www.w3.org/1999/XSL/Transform"
+
+
+class XsltError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Result tree
+
+class ONode:
+    """Output tree node: element ('elem'), text ('text'), comment, or PI."""
+
+    __slots__ = ("kind", "name", "ns", "attrs", "children", "value")
+
+    def __init__(self, kind, name="", ns="", value=""):
+        self.kind = kind
+        self.name = name
+        self.ns = ns
+        self.attrs: list[tuple[str, str, str]] = []  # (ns, name, value)
+        self.children: list[ONode] = []
+        self.value = value
+
+    def string_value(self) -> str:
+        if self.kind == "text":
+            return self.value
+        return "".join(c.string_value() for c in self.children)
+
+
+class RTF:
+    """Result tree fragment — a variable bound to a template body."""
+
+    __slots__ = ("nodes",)
+
+    def __init__(self, nodes: list[ONode]):
+        self.nodes = nodes
+
+    def string_value(self) -> str:
+        return "".join(n.string_value() for n in self.nodes)
+
+
+def _rtf_aware_string(v) -> str:
+    if isinstance(v, RTF):
+        return v.string_value()
+    return xp_string(v)
+
+
+# ---------------------------------------------------------------------------
+# Stylesheet compilation
+
+class Template:
+    __slots__ = (
+        "pattern", "alternatives", "mode", "name", "priority",
+        "body", "nsmap", "import_depth", "index",
+    )
+
+    def __init__(self, elem, nsmap, import_depth, index):
+        self.pattern = elem.get("match")
+        self.mode = elem.get("mode")
+        self.name = elem.get("name")
+        self.nsmap = nsmap
+        self.import_depth = import_depth
+        self.index = index
+        self.body = elem
+        self.alternatives = []
+        if self.pattern is not None:
+            for alt in self._split_union(self.pattern):
+                steps = XPath(alt, nsmap).ast
+                prio = elem.get("priority")
+                self.alternatives.append(
+                    (steps, float(prio) if prio is not None else _default_priority(alt))
+                )
+
+    @staticmethod
+    def _split_union(pattern: str) -> list[str]:
+        # split on '|' outside brackets/quotes
+        parts, depth, cur, quote = [], 0, [], None
+        for ch in pattern:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+                cur.append(ch)
+            elif ch == "[":
+                depth += 1
+                cur.append(ch)
+            elif ch == "]":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "|" and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+
+def _default_priority(pattern: str) -> float:
+    p = pattern.strip()
+    if p in ("*", "@*", "node()", "text()", "comment()", "processing-instruction()"):
+        return -0.5
+    if re.fullmatch(r"[A-Za-z_][\w.\-]*:\*", p):
+        return -0.25
+    if re.fullmatch(r"@?[A-Za-z_][\w.\-]*(:[A-Za-z_][\w.\-]*)?", p):
+        return 0.0
+    return 0.5
+
+
+_UNSUPPORTED = {
+    "key", "sort", "number", "strip-space", "preserve-space",
+    "attribute-set", "namespace-alias", "decimal-format", "fallback",
+    "apply-imports", "include",
+}
+
+
+class MiniXSLT:
+    """Compile once, transform many — mirrors XSLTProcessor's lifecycle."""
+
+    def __init__(self, source: str, resolver=None, _depth: int = 0):
+        """``resolver(href) -> str`` loads imported stylesheets."""
+        self.resolver = resolver
+        self.templates: list[Template] = []
+        self.globals: list[tuple[str, str | None, ET.Element, dict, bool]] = []
+        self.output_method = "xml"
+        self.default_ns_hint: str | None = None
+        self._counter = [0]
+        self._compile(source, _depth)
+        # name -> template (last definition wins within a precedence level)
+        self.named: dict[str, Template] = {}
+        for t in sorted(self.templates, key=lambda t: (-t.import_depth, t.index)):
+            if t.name:
+                self.named[t.name] = t
+
+    # compilation -----------------------------------------------------------
+    def _compile(self, source: str, depth: int):
+        try:
+            root, nsmaps = _parse_stylesheet(source)
+        except ET.ParseError as e:
+            raise XsltError(f"stylesheet parse error: {e}") from e
+        if root.tag not in (f"{{{XSL_NS}}}stylesheet", f"{{{XSL_NS}}}transform"):
+            raise XsltError(f"not a stylesheet: {root.tag}")
+        sheet_nsmap = nsmaps[id(root)]
+        if depth == 0 and "" in sheet_nsmap:
+            # default xmlns on the stylesheet: literal result elements land
+            # in this namespace; also used as the unprefixed-name-test hint
+            # for documents in that namespace (see xpath1._test).
+            self.default_ns_hint = sheet_nsmap[""]
+        self._nsmaps = getattr(self, "_nsmaps", {})
+        self._nsmaps.update(nsmaps)
+
+        for child in root:
+            tag = child.tag
+            if not tag.startswith(f"{{{XSL_NS}}}"):
+                continue
+            local = tag.split("}", 1)[1]
+            if local == "import":
+                href = child.get("href")
+                if not self.resolver:
+                    raise XsltError(f"xsl:import {href!r} needs a resolver")
+                self._compile(self.resolver(href), depth + 1)
+            elif local == "template":
+                self._counter[0] += 1
+                self.templates.append(
+                    Template(child, nsmaps[id(child)], depth, self._counter[0])
+                )
+            elif local in ("param", "variable"):
+                name = child.get("name")
+                if not name:
+                    raise XsltError(f"xsl:{local} without name")
+                self.globals.append(
+                    (name, child.get("select"), child, nsmaps[id(child)], local == "param")
+                )
+            elif local == "output":
+                self.output_method = child.get("method", "xml")
+            elif local == "message":
+                pass
+            elif local in _UNSUPPORTED:
+                raise XsltError(f"unsupported top-level xsl:{local}")
+            # xsl:output attributes beyond method are serialization hints
+            # (indent/encoding) this engine does not act on.
+
+    # transformation --------------------------------------------------------
+    def transform(self, xml: str, params: dict[str, object] | None = None) -> str:
+        """Transform an XML string; returns serialized XML (no declaration)."""
+        nodes = self.transform_to_nodes(xml, params)
+        return "".join(_serialize(n, {}) for n in nodes)
+
+    def transform_to_nodes(self, xml: str, params=None) -> list[ONode]:
+        from .xpath1 import parse_xml
+
+        doc = parse_xml(xml)
+        run = _Run(self, params or {})
+        out: list[ONode] = []
+        run.apply_templates([doc], None, Context(doc, 1, 1, run.globals,
+                                                 extra=run.extra), out, {})
+        return out
+
+    def transform_to_fields(self, xml: str, params=None) -> list[tuple[str, str]]:
+        """transformToSolrArray analogue: collect <field name=..>text</field>."""
+        nodes = self.transform_to_nodes(xml, params)
+        fields: list[tuple[str, str]] = []
+
+        def walk(n: ONode):
+            if n.kind == "elem" and n.name == "field":
+                fname = next((v for (_, a, v) in n.attrs if a == "name"), None)
+                if fname:
+                    fields.append((fname, n.string_value()))
+            for c in n.children:
+                walk(c)
+
+        for n in nodes:
+            walk(n)
+        return fields
+
+
+def _parse_stylesheet(source: str):
+    parser = ET.XMLPullParser(events=("start", "end", "start-ns"))
+    parser.feed(source)
+    parser.close()
+    nsmaps: dict[int, dict[str, str]] = {}
+    stack: list[dict[str, str]] = []
+    pending: list[tuple[str, str]] = []
+    root = None
+    for ev, obj in parser.read_events():
+        if ev == "start-ns":
+            pending.append(obj)
+        elif ev == "start":
+            cur = dict(stack[-1]) if stack else {}
+            for p, u in pending:
+                cur[p] = u
+            pending = []
+            nsmaps[id(obj)] = cur
+            stack.append(cur)
+            if root is None:
+                root = obj
+        else:
+            stack.pop()
+    return root, nsmaps
+
+
+# ---------------------------------------------------------------------------
+# Execution
+
+_AVT_RE = re.compile(r"\{([^{}]*)\}|\{\{|\}\}")
+
+
+class _Run:
+    def __init__(self, sheet: MiniXSLT, params: dict[str, object]):
+        self.sheet = sheet
+        self.nsmaps = sheet._nsmaps
+        self.extra = {"default_ns_hint": sheet.default_ns_hint}
+        self.messages: list[str] = []
+        self._xpath_cache: dict[tuple[str, int], XPath] = {}
+        # global params/variables evaluate lazily against the document? The
+        # corpus only binds literals/strings — evaluate eagerly with an
+        # empty context; document-dependent globals are not in the subset.
+        self.globals: dict[str, object] = {}
+        for name, select, elem, nsmap, is_param in sheet.globals:
+            if is_param and name in params:
+                self.globals[name] = params[name]
+            elif select is not None:
+                dummy = XNode(ROOT)
+                self.globals[name] = self._xp(select, nsmap).evaluate(
+                    Context(dummy, 1, 1, self.globals, nsmap, self.extra)
+                )
+            else:
+                body: list[ONode] = []
+                self.instructions(
+                    elem, Context(XNode(ROOT), 1, 1, self.globals, nsmap, self.extra),
+                    body, {},
+                )
+                self.globals[name] = RTF(body)
+        for name, val in params.items():
+            self.globals.setdefault(name, val)
+
+    def _xp(self, expr: str, nsmap: dict[str, str]) -> XPath:
+        key = (expr, id(nsmap))
+        xp = self._xpath_cache.get(key)
+        if xp is None:
+            xp = XPath(expr, nsmap)
+            self._xpath_cache[key] = xp
+        return xp
+
+    # template dispatch -----------------------------------------------------
+    def find_template(self, node: XNode, mode: str | None) -> Template | None:
+        best = None
+        best_key = None
+        for t in self.sheet.templates:
+            if t.pattern is None or t.mode != mode:
+                continue
+            for ast, prio in t.alternatives:
+                if self.matches(node, ast, t.nsmap):
+                    key = (-t.import_depth, prio, t.index)
+                    if best_key is None or key > best_key:
+                        best, best_key = t, key
+        return best
+
+    def matches(self, node: XNode, ast, nsmap) -> bool:
+        return _match_pattern(self, node, ast, nsmap)
+
+    def apply_templates(self, nodes, mode, ctx: Context, out, _params):
+        size = len(nodes)
+        for i, node in enumerate(nodes):
+            sub = ctx.with_node(node, i + 1, size)
+            t = self.find_template(node, mode)
+            if t is not None:
+                self.invoke(t, sub, out, _params)
+            else:
+                self.builtin(node, mode, sub, out)
+
+    def builtin(self, node: XNode, mode, ctx: Context, out):
+        if node.kind in (ELEM, ROOT):
+            kids = list(node.children)
+            self.apply_templates(kids, mode, ctx, out, {})
+        elif node.kind in (TEXT, ATTR):
+            if node.value:
+                out.append(ONode("text", value=node.value))
+        # comments/PIs: nothing
+
+    def invoke(self, t: Template, ctx: Context, out, params: dict):
+        # template-local frame starts from globals; xsl:param picks passed-in
+        frame = dict(self.globals)
+        body_ctx = Context(ctx.node, ctx.pos, ctx.size, frame, t.nsmap, self.extra)
+        self.instructions(t.body, body_ctx, out, params)
+
+    # instruction interpreter ----------------------------------------------
+    def instructions(self, parent_elem, ctx: Context, out, params: dict):
+        """Execute the children of ``parent_elem`` into ``out``.
+
+        ``params`` feeds xsl:param instructions at the top of the body.
+        """
+        if parent_elem.text and parent_elem.text.strip():
+            out.append(ONode("text", value=parent_elem.text))
+        for child in parent_elem:
+            self.one(child, ctx, out, params)
+
+    def one(self, elem, ctx: Context, out, params: dict):
+        tag = elem.tag
+        if callable(tag):  # comment/PI nodes in the stylesheet tree
+            return
+        if tag.startswith(f"{{{XSL_NS}}}"):
+            local = tag.split("}", 1)[1]
+            handler = getattr(self, "i_" + local.replace("-", "_"), None)
+            if handler is None:
+                raise XsltError(f"unsupported instruction xsl:{local}")
+            handler(elem, ctx, out, params)
+            self._tail(elem, out)
+            return
+        # literal result element
+        uri, local = _split(tag)
+        nsmap = self.nsmaps.get(id(elem), {})
+        node = ONode("elem", local, uri)
+        for aname, aval in elem.attrib.items():
+            auri, alocal = _split(aname)
+            node.attrs.append((auri, alocal, self.avt(aval, ctx, nsmap)))
+        if elem.text and elem.text.strip():
+            node.children.append(ONode("text", value=elem.text))
+        inner_params: dict = {}
+        body_ctx = ctx.with_vars(dict(ctx.vars))
+        for c in elem:
+            self.one(c, body_ctx, node.children, inner_params)
+        _fold_attr_markers(node)
+        out.append(node)
+        self._tail(elem, out)
+
+    def _tail(self, elem, out):
+        if elem.tail and elem.tail.strip():
+            out.append(ONode("text", value=elem.tail))
+
+    def avt(self, value: str, ctx: Context, nsmap) -> str:
+        def sub(m):
+            if m.group(0) == "{{":
+                return "{"
+            if m.group(0) == "}}":
+                return "}"
+            v = self._xp(m.group(1), nsmap).evaluate(
+                Context(ctx.node, ctx.pos, ctx.size, ctx.vars, nsmap, self.extra)
+            )
+            return _rtf_aware_string(v)
+
+        return _AVT_RE.sub(sub, value)
+
+    def _eval(self, elem, expr: str, ctx: Context):
+        nsmap = self.nsmaps.get(id(elem), {})
+        v = self._xp(expr, nsmap).evaluate(
+            Context(ctx.node, ctx.pos, ctx.size, ctx.vars, nsmap, self.extra)
+        )
+        return v
+
+    def _select_nodes(self, elem, expr: str, ctx: Context):
+        v = self._eval(elem, expr, ctx)
+        if isinstance(v, RTF):
+            raise XsltError(
+                f"select={expr!r} produced a result tree fragment where a "
+                "node-set is required (XSLT 1.0 restriction)"
+            )
+        if not isinstance(v, list):
+            raise XsltError(f"select={expr!r} is not a node-set")
+        return v
+
+    # --- instructions ------------------------------------------------------
+    def i_apply_templates(self, elem, ctx, out, params):
+        mode = elem.get("mode")
+        sel = elem.get("select")
+        if sel:
+            nodes = self._select_nodes(elem, sel, ctx)
+        else:
+            nodes = list(ctx.node.children)
+        passed = self._with_params(elem, ctx)
+        self.apply_templates(nodes, mode, ctx, out, passed)
+
+    def i_call_template(self, elem, ctx, out, params):
+        name = elem.get("name")
+        t = self.sheet.named.get(name)
+        if t is None:
+            raise XsltError(f"call-template: no template named {name!r}")
+        passed = self._with_params(elem, ctx)
+        self.invoke(t, ctx, out, passed)
+
+    def _with_params(self, elem, ctx) -> dict:
+        passed = {}
+        for c in elem:
+            if c.tag == f"{{{XSL_NS}}}with-param":
+                name = c.get("name")
+                sel = c.get("select")
+                if sel is not None:
+                    passed[name] = self._eval(c, sel, ctx)
+                else:
+                    body: list[ONode] = []
+                    inner: dict = {}
+                    for cc in c:
+                        self.one(cc, ctx, body, inner)
+                    if c.text and c.text.strip():
+                        body.insert(0, ONode("text", value=c.text))
+                    passed[name] = RTF(body)
+        return passed
+
+    def i_param(self, elem, ctx, out, params):
+        name = elem.get("name")
+        if name in params:
+            ctx.vars[name] = params[name]
+        elif elem.get("select") is not None:
+            ctx.vars[name] = self._eval(elem, elem.get("select"), ctx)
+        else:
+            body: list[ONode] = []
+            self.instructions(elem, ctx, body, {})
+            if elem.text and elem.text.strip():
+                body.insert(0, ONode("text", value=elem.text))
+            ctx.vars[name] = RTF(body) if body else ""
+
+    def i_variable(self, elem, ctx, out, params):
+        name = elem.get("name")
+        sel = elem.get("select")
+        if sel is not None:
+            ctx.vars[name] = self._eval(elem, sel, ctx)
+        else:
+            body: list[ONode] = []
+            inner: dict = {}
+            if elem.text and elem.text.strip():
+                body.append(ONode("text", value=elem.text))
+            for c in elem:
+                self.one(c, ctx, body, inner)
+            ctx.vars[name] = RTF(body) if body else ""
+
+    def i_value_of(self, elem, ctx, out, params):
+        v = self._eval(elem, elem.get("select"), ctx)
+        s = _rtf_aware_string(v)
+        if s:
+            out.append(ONode("text", value=s))
+
+    def i_text(self, elem, ctx, out, params):
+        if elem.text:
+            out.append(ONode("text", value=elem.text))
+
+    def i_element(self, elem, ctx, out, params):
+        nsmap = self.nsmaps.get(id(elem), {})
+        qname = self.avt(elem.get("name", ""), ctx, nsmap)
+        ns_attr = elem.get("namespace")
+        if ns_attr is not None:
+            uri = self.avt(ns_attr, ctx, nsmap)
+            local = qname.split(":", 1)[-1]
+        elif ":" in qname:
+            prefix, local = qname.split(":", 1)
+            uri = nsmap.get(prefix, "")
+        else:
+            local = qname
+            uri = nsmap.get("", "")
+        node = ONode("elem", local, uri)
+        if elem.text and elem.text.strip():
+            node.children.append(ONode("text", value=elem.text))
+        inner: dict = {}
+        body_ctx = ctx.with_vars(dict(ctx.vars))
+        for c in elem:
+            self.one(c, body_ctx, node.children, inner)
+        _fold_attr_markers(node)
+        out.append(node)
+
+    def i_attribute(self, elem, ctx, out, params):
+        nsmap = self.nsmaps.get(id(elem), {})
+        qname = self.avt(elem.get("name", ""), ctx, nsmap)
+        ns_attr = elem.get("namespace")
+        body: list[ONode] = []
+        if elem.text and elem.text.strip():
+            body.append(ONode("text", value=elem.text))
+        inner: dict = {}
+        for c in elem:
+            self.one(c, ctx, body, inner)
+        value = "".join(n.string_value() for n in body)
+        if ns_attr is not None:
+            uri = self.avt(ns_attr, ctx, nsmap)
+            local = qname.split(":", 1)[-1]
+        elif ":" in qname:
+            prefix, local = qname.split(":", 1)
+            uri = nsmap.get(prefix, "")
+        else:
+            uri, local = "", qname
+        # emit an attribute MARKER; the enclosing element builder (or the
+        # serializer, as a last resort) folds leading markers into attrs
+        out.append(ONode("attr", local, uri, value=value))
+
+    def i_copy(self, elem, ctx, out, params):
+        node = ctx.node
+        if node.kind == ELEM:
+            o = ONode("elem", node.name, node.ns)
+            inner: dict = {}
+            if elem.text and elem.text.strip():
+                o.children.append(ONode("text", value=elem.text))
+            body_ctx = ctx.with_vars(dict(ctx.vars))
+            for c in elem:
+                self.one(c, body_ctx, o.children, inner)
+            _fold_attr_markers(o)
+            out.append(o)
+        elif node.kind in (TEXT, ATTR):
+            if node.kind == ATTR:
+                marker = ONode("attr", node.name, node.ns, value=node.value)
+                out.append(marker)
+            else:
+                out.append(ONode("text", value=node.value))
+        elif node.kind == ROOT:
+            inner = {}
+            for c in elem:
+                self.one(c, ctx, out, inner)
+        elif node.kind == COMMENT:
+            out.append(ONode("comment", value=node.value))
+        elif node.kind == PI:
+            out.append(ONode("pi", node.name, value=node.value))
+
+    def i_copy_of(self, elem, ctx, out, params):
+        v = self._eval(elem, elem.get("select"), ctx)
+        if isinstance(v, RTF):
+            out.extend(_deep_copy_onodes(v.nodes))
+        elif isinstance(v, list):
+            for n in v:
+                out.append(_xnode_to_onode(n))
+        else:
+            s = xp_string(v)
+            if s:
+                out.append(ONode("text", value=s))
+
+    def i_if(self, elem, ctx, out, params):
+        v = self._eval(elem, elem.get("test"), ctx)
+        if _rtf_bool(v):
+            if elem.text and elem.text.strip():
+                out.append(ONode("text", value=elem.text))
+            inner: dict = {}
+            for c in elem:
+                self.one(c, ctx, out, inner)
+
+    def i_choose(self, elem, ctx, out, params):
+        for c in elem:
+            if c.tag == f"{{{XSL_NS}}}when":
+                if _rtf_bool(self._eval(c, c.get("test"), ctx)):
+                    if c.text and c.text.strip():
+                        out.append(ONode("text", value=c.text))
+                    inner: dict = {}
+                    for cc in c:
+                        self.one(cc, ctx, out, inner)
+                    return
+            elif c.tag == f"{{{XSL_NS}}}otherwise":
+                if c.text and c.text.strip():
+                    out.append(ONode("text", value=c.text))
+                inner = {}
+                for cc in c:
+                    self.one(cc, ctx, out, inner)
+                return
+
+    def i_for_each(self, elem, ctx, out, params):
+        nodes = self._select_nodes(elem, elem.get("select"), ctx)
+        size = len(nodes)
+        for i, n in enumerate(nodes):
+            sub = ctx.with_node(n, i + 1, size)
+            sub = sub.with_vars(dict(ctx.vars))
+            if elem.text and elem.text.strip():
+                out.append(ONode("text", value=elem.text))
+            inner: dict = {}
+            for c in elem:
+                self.one(c, sub, out, inner)
+
+    def i_message(self, elem, ctx, out, params):
+        body: list[ONode] = []
+        inner: dict = {}
+        if elem.text and elem.text.strip():
+            body.append(ONode("text", value=elem.text))
+        for c in elem:
+            self.one(c, ctx, body, inner)
+        self.messages.append("".join(n.string_value() for n in body))
+
+    def i_comment(self, elem, ctx, out, params):
+        body: list[ONode] = []
+        inner: dict = {}
+        for c in elem:
+            self.one(c, ctx, body, inner)
+        text = (elem.text or "") + "".join(n.string_value() for n in body)
+        out.append(ONode("comment", value=text))
+
+    def i_output(self, elem, ctx, out, params):
+        pass
+
+
+def _fold_attr_markers(node: ONode) -> None:
+    """Fold leading attribute-marker children into the element's attrs.
+
+    XSLT 1.0: adding an attribute REPLACES an existing attribute with the
+    same expanded name — later definitions win.
+    """
+    kept: list[ONode] = []
+    lead = True
+    for c in node.children:
+        if c.kind == "attr" and lead:
+            node.attrs.append((c.ns, c.name, c.value))
+        else:
+            if c.kind == "attr":
+                continue  # attributes after content start are discarded
+            if not (c.kind == "text" and c.value.strip() == "" and lead):
+                lead = False
+            kept.append(c)
+    node.children = kept
+    seen: dict[tuple[str, str], int] = {}
+    deduped: list[tuple[str, str, str]] = []
+    for ns, name, value in node.attrs:
+        key = (ns, name)
+        if key in seen:
+            deduped[seen[key]] = (ns, name, value)
+        else:
+            seen[key] = len(deduped)
+            deduped.append((ns, name, value))
+    node.attrs = deduped
+
+
+def _rtf_bool(v) -> bool:
+    if isinstance(v, RTF):
+        return True  # a fragment is a non-empty "node-set" for boolean()
+    return xp_boolean(v)
+
+
+def _split(tag: str) -> tuple[str, str]:
+    if tag.startswith("{"):
+        uri, _, local = tag[1:].partition("}")
+        return uri, local
+    return "", tag
+
+
+def _xnode_to_onode(n: XNode) -> ONode:
+    if n.kind == ELEM:
+        o = ONode("elem", n.name, n.ns)
+        for a in n.attrs:
+            o.attrs.append((a.ns, a.name, a.value))
+        for c in n.children:
+            o.children.append(_xnode_to_onode(c))
+        return o
+    if n.kind == TEXT:
+        return ONode("text", value=n.value)
+    if n.kind == ATTR:
+        return ONode("attr", n.name, n.ns, value=n.value)
+    if n.kind == COMMENT:
+        return ONode("comment", value=n.value)
+    if n.kind == PI:
+        return ONode("pi", n.name, value=n.value)
+    # ROOT: wrap children
+    o = ONode("elem", "#root", "")
+    for c in n.children:
+        o.children.append(_xnode_to_onode(c))
+    return o
+
+
+def _deep_copy_onodes(nodes: list[ONode]) -> list[ONode]:
+    out = []
+    for n in nodes:
+        o = ONode(n.kind, n.name, n.ns, n.value)
+        o.attrs = list(n.attrs)
+        o.children = _deep_copy_onodes(n.children)
+        out.append(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pattern matching
+
+def _match_pattern(run: _Run, node: XNode, ast, nsmap) -> bool:
+    """Does ``node`` match the compiled pattern AST?"""
+    op = ast[0]
+    if op == "union":
+        return _match_pattern(run, node, ast[1], nsmap) or _match_pattern(
+            run, node, ast[2], nsmap
+        )
+    if op == "root":
+        return node.kind == ROOT
+    if op == "rel":
+        return _match_steps(run, node, ast[1], nsmap, anchored=False)
+    if op == "abs":
+        return _match_steps(run, node, ast[1], nsmap, anchored=True)
+    if op == "absdesc":
+        return _match_steps(run, node, ast[1], nsmap, anchored=False)
+    raise XsltError(f"unsupported match pattern AST {op!r}")
+
+
+def _match_steps(run: _Run, node: XNode, steps, nsmap, anchored: bool) -> bool:
+    """Match right-to-left: node must match the last step, each preceding
+    step must match on the parent chain ('/' = parent, '//' = any ancestor
+    gap). ``anchored`` requires the chain to terminate at the root."""
+    xp = XPath(".", nsmap)  # evaluator carrier for _test / predicates
+
+    def step_matches(n: XNode, step) -> bool:
+        _, axis, test, preds = step
+        if axis == "descendant-or-self" and test == ("node",) and not preds:
+            return True  # the '//' separator pseudo-step
+        if axis == "attribute":
+            ok = n.kind == ATTR and xp._test(
+                n, test, "attribute",
+                Context(n, 1, 1, run.globals, nsmap, run.extra),
+            )
+        elif axis == "child":
+            ok = n.kind != ATTR and xp._test(
+                n, test, "child", Context(n, 1, 1, run.globals, nsmap, run.extra)
+            )
+        else:
+            raise XsltError(f"unsupported pattern axis {axis!r}")
+        if not ok:
+            return False
+        for p in preds:
+            # positional predicates: position among like-named siblings
+            sibs = (
+                [s for s in n.parent.children if xp._test(
+                    s, test, "child",
+                    Context(s, 1, 1, run.globals, nsmap, run.extra))]
+                if n.parent is not None else [n]
+            )
+            try:
+                pos = sibs.index(n) + 1
+            except ValueError:
+                pos = 1
+            c = Context(n, pos, len(sibs), run.globals, nsmap, run.extra)
+            v = xp._eval(p, c)
+            if isinstance(v, float):
+                if v != pos:
+                    return False
+            elif not xp_boolean(v):
+                return False
+        return True
+
+    i = len(steps) - 1
+    cur: XNode | None = node
+    # the last step must match the node itself
+    if not step_matches(cur, steps[i]):
+        return False
+    i -= 1
+    cur = cur.parent
+    while i >= 0:
+        step = steps[i]
+        _, axis, test, preds = step
+        if axis == "descendant-or-self" and test == ("node",) and not preds:
+            # '//': the next outer step may match any ancestor
+            i -= 1
+            if i < 0:
+                break
+            outer = steps[i]
+            while cur is not None and not step_matches(cur, outer):
+                cur = cur.parent
+            if cur is None:
+                return False
+            i -= 1
+            cur = cur.parent
+            continue
+        if cur is None or not step_matches(cur, step):
+            return False
+        i -= 1
+        cur = cur.parent
+    if anchored:
+        return cur is not None and cur.kind == ROOT
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Serialization
+
+def _serialize(node: ONode, in_scope: dict[str, str]) -> str:
+    if node.kind == "text":
+        return escape(node.value)
+    if node.kind == "comment":
+        return f"<!--{node.value}-->"
+    if node.kind == "pi":
+        return f"<?{node.name} {node.value}?>"
+    if node.kind == "attr":
+        return ""  # dangling attribute marker outside an element: drop
+    # element: fold any remaining attr-marker children (elements built by
+    # xsl:copy-of of raw node-sets skip _fold_attr_markers), last wins
+    _fold_attr_markers(node)
+    attrs = node.attrs
+    children = node.children
+    scope = dict(in_scope)
+    decls = []
+    if (scope.get("") or "") != node.ns:
+        decls.append((None, node.ns))
+        scope[""] = node.ns
+    parts = [f"<{node.name}"]
+    pcount = 0
+    for auri, aname, aval in attrs:
+        if auri:
+            prefix = next((p for p, u in scope.items() if u == auri and p), None)
+            if prefix is None:
+                pcount += 1
+                prefix = f"ns{pcount}"
+                scope[prefix] = auri
+                decls.append((prefix, auri))
+            parts.append(f" {prefix}:{aname}={quoteattr(aval)}")
+        else:
+            parts.append(f" {aname}={quoteattr(aval)}")
+    for prefix, uri in decls:
+        if prefix is None:
+            if uri:
+                parts.append(f' xmlns={quoteattr(uri)}')
+            elif in_scope.get(""):
+                parts.append(' xmlns=""')
+        else:
+            parts.append(f" xmlns:{prefix}={quoteattr(uri)}")
+    if not children:
+        parts.append("/>")
+        return "".join(parts)
+    parts.append(">")
+    for c in children:
+        parts.append(_serialize(c, scope))
+    parts.append(f"</{node.name}>")
+    return "".join(parts)

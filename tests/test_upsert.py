@@ -56,21 +56,23 @@ def test_normalized_empty_if_identical(spark):
     assert out == {"r1": "", "r2": "<y/>", "r3": ""}
 
 
-def test_xslt_gate():
-    """XSLT is gated on lxml: clear driver-side error when unavailable,
-    working transform when present (Utils/XslTransformation.php analogue)."""
+def test_xslt_backends():
+    """XSLT is always available via the stdlib mini engine; the explicit
+    lxml backend still fails fast when lxml is absent
+    (Utils/XslTransformation.php analogue)."""
     from recordmanager_spark.sources import transforms
 
-    if transforms.xslt_available():
-        udf = transforms.make_xslt_udf(
-            '<xsl:stylesheet version="1.0" '
-            'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
-            '<xsl:template match="/"><out/></xsl:template></xsl:stylesheet>'
-        )
-        assert udf is not None
-    else:
+    assert transforms.xslt_available()
+    sheet = (
+        '<xsl:stylesheet version="1.0" '
+        'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:template match="/"><out/></xsl:template></xsl:stylesheet>'
+    )
+    assert transforms.make_xslt_udf(sheet) is not None
+    assert transforms.make_xslt_udf(sheet, backend="mini") is not None
+    if not transforms.HAVE_LXML:
         try:
-            transforms.make_xslt_udf("<xsl/>")
+            transforms.make_xslt_udf(sheet, backend="lxml")
             raise AssertionError("expected RuntimeError without lxml")
         except RuntimeError as e:
             assert "lxml" in str(e)

@@ -1,0 +1,376 @@
+"""Mini-XSLT engine: XPath semantics + all 12 reference stylesheets.
+
+The reference applies ``transformations/*.xsl`` via XSLTProcessor
+(Utils/XslTransformation.php); these tests drive the same stylesheets
+through the stdlib engine and assert the observable transform results.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from recordmanager_spark.xsl import (
+    MiniXSLT, XPath, XsltError, XslTransformationConfig, parse_xml,
+)
+from recordmanager_spark.xsl.xpath1 import Context
+
+REF = pathlib.Path("/root/reference/transformations")
+HAVE_REF = REF.is_dir()
+
+needs_ref = pytest.mark.skipif(not HAVE_REF, reason="reference stylesheets absent")
+
+
+def _resolver(href: str) -> str:
+    return (REF / href).read_text()
+
+
+def xp(expr, doc, node=None, nsmap=None, **vars):
+    tree = parse_xml(doc)
+    ctx = Context(node or tree.children[0], vars=vars, nsmap=nsmap or {})
+    return XPath(expr, nsmap).evaluate(ctx)
+
+
+DOC = """<ead>
+<eadheader><eadid mainagencycode="FI-A" identifier="C1"/></eadheader>
+<archdesc level="fonds"><did><unitid>F1</unitid></did>
+<dsc><c01 level="series" id="s1"><did><unitid>S1</unitid></did>
+<c02 level="file"><did><unitid>F2</unitid></did></c02></c01></dsc></archdesc>
+</ead>"""
+
+
+class TestXPath:
+    def test_union_and_descendant(self):
+        names = [n.name for n in xp("archdesc | archdesc/dsc//*[@level]", DOC)]
+        assert names == ["archdesc", "c01", "c02"]
+
+    def test_concat_attributes(self):
+        v = xp("concat(eadheader/eadid/@mainagencycode,'__',eadheader/eadid/@identifier)", DOC)
+        assert v == "FI-A__C1"
+
+    def test_nearest_ancestor_positional(self):
+        tree = parse_xml(DOC)
+        c02 = XPath("archdesc/dsc//c02").select(Context(tree.children[0]))[0]
+        anc = XPath("ancestor::*[did][1]").select(Context(c02))
+        assert [n.name for n in anc] == ["c01"]
+
+    def test_substring_rounding(self):
+        assert xp("substring('12345', 1.5, 2.6)", DOC) == "234"
+        assert xp("substring('12345', 0, 3)", DOC) == "12"
+        assert xp("substring('12345', 2)", DOC) == "2345"
+
+    def test_arithmetic(self):
+        assert xp("5 mod 2", DOC) == 1.0
+        assert xp("floor(7 div 2)", DOC) == 3.0
+        assert xp("ceiling(1.2) + round(2.5)", DOC) == 5.0
+
+    def test_string_functions(self):
+        assert xp("normalize-space('  a   b ')", DOC) == "a b"
+        assert xp("translate('abcd','abc','AB')", DOC) == "ABd"
+        assert xp("substring-before('a__b','__')", DOC) == "a"
+        assert xp("substring-after('a__b','__')", DOC) == "b"
+        assert xp("contains('.:,;/[ ', ';')", DOC) is True
+        assert xp("starts-with('abc','ab')", DOC) is True
+        assert xp("string-length('abc')", DOC) == 3.0
+
+    def test_numeric_attribute_comparison(self):
+        doc = "<r><f tag='008'>x</f><f tag='500'>y</f></r>"
+        assert [n.attrs[0].value for n in xp("f[@tag=8]", doc)] == ["008"]
+        got = xp("f[500 <= @tag and @tag <= 599]", doc)
+        assert [n.attrs[0].value for n in got] == ["500"]
+
+    def test_nan_detection_idiom(self):
+        doc = "<r><d tag='TAR'/><d tag='591'/></r>"
+        assert xp("string(number(d[1]/@tag)) != 'NaN'", doc) is False
+        assert xp("string(number(d[2]/@tag)) = '591'", doc) is True
+
+    def test_variables_and_booleans(self):
+        assert xp("$x != ''", DOC, x="v") is True
+        assert xp("not($x)", DOC, x="") is True
+
+    def test_prefixed_names(self):
+        doc = "<r xmlns:m='urn:m'><m:a>1</m:a><a>2</a></r>"
+        got = xp("m:a", doc, nsmap={"m": "urn:m"})
+        assert [n.string_value() for n in got] == ["1"]
+
+    def test_following_sibling(self):
+        doc = "<c><main>H</main><sub>S</sub><main>X</main></c>"
+        assert xp("local-name(main[1]/following-sibling::*[1])", doc) == "sub"
+
+    def test_unparseable_raises(self):
+        from recordmanager_spark.xsl import XPathError
+
+        with pytest.raises(XPathError):
+            XPath("foo(")
+
+
+class TestEngineCore:
+    def test_identity_with_attribute_templates(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/|node()"><xsl:copy>
+            <xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+          <xsl:template match="@*"><xsl:copy/></xsl:template>
+        </xsl:stylesheet>"""
+        out = MiniXSLT(xsl).transform('<a x="1"><b>t</b></a>')
+        assert out == '<a x="1"><b>t</b></a>'
+
+    def test_attribute_last_wins(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><r a="first">
+            <xsl:attribute name="a">second</xsl:attribute></r></xsl:template>
+        </xsl:stylesheet>"""
+        assert 'a="second"' in MiniXSLT(xsl).transform("<x/>")
+
+    def test_global_params_and_named_templates(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:param name="p" select="'dflt'"/>
+          <xsl:template match="/"><o><xsl:call-template name="emit">
+            <xsl:with-param name="v" select="concat($p,'!')"/>
+          </xsl:call-template></o></xsl:template>
+          <xsl:template name="emit"><xsl:param name="v"/>
+            <xsl:value-of select="$v"/></xsl:template>
+        </xsl:stylesheet>"""
+        t = MiniXSLT(xsl)
+        assert t.transform("<x/>") == "<o>dflt!</o>"
+        assert t.transform("<x/>", {"p": "run"}) == "<o>run!</o>"
+
+    def test_recursive_named_template(self):
+        # the chopPunctuation / replace_all pattern: recursion with params
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><o><xsl:call-template name="rep">
+              <xsl:with-param name="s" select="'a-b-c'"/>
+          </xsl:call-template></o></xsl:template>
+          <xsl:template name="rep"><xsl:param name="s"/>
+            <xsl:choose>
+              <xsl:when test="contains($s,'-')">
+                <xsl:call-template name="rep">
+                  <xsl:with-param name="s"
+                    select="concat(substring-before($s,'-'),'+',substring-after($s,'-'))"/>
+                </xsl:call-template>
+              </xsl:when>
+              <xsl:otherwise><xsl:value-of select="$s"/></xsl:otherwise>
+            </xsl:choose></xsl:template>
+        </xsl:stylesheet>"""
+        assert MiniXSLT(xsl).transform("<x/>") == "<o>a+b+c</o>"
+
+    def test_for_each_position(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><o><xsl:for-each select="r/i">
+            <v p="{position()}" l="{last()}"><xsl:value-of select="."/></v>
+          </xsl:for-each></o></xsl:template>
+        </xsl:stylesheet>"""
+        out = MiniXSLT(xsl).transform("<r><i>a</i><i>b</i></r>")
+        assert out == '<o><v p="1" l="2">a</v><v p="2" l="2">b</v></o>'
+
+    def test_rtf_variable_to_string(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/">
+            <xsl:variable name="v"><xsl:value-of select="r/a"/>-suffix</xsl:variable>
+            <o><xsl:if test="$v != ''"><xsl:value-of select="$v"/></xsl:if></o>
+          </xsl:template>
+        </xsl:stylesheet>"""
+        assert MiniXSLT(xsl).transform("<r><a>X</a></r>") == "<o>X-suffix</o>"
+
+    def test_mode_dispatch(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><o>
+            <xsl:apply-templates select="r/i"/>
+            <xsl:apply-templates select="r/i" mode="m"/></o></xsl:template>
+          <xsl:template match="i">[<xsl:value-of select="."/>]</xsl:template>
+          <xsl:template match="i" mode="m">(<xsl:value-of select="."/>)</xsl:template>
+        </xsl:stylesheet>"""
+        assert MiniXSLT(xsl).transform("<r><i>a</i></r>") == "<o>[a](a)</o>"
+
+    def test_unsupported_instruction_raises(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:key name="k" match="x" use="@id"/>
+          <xsl:template match="/"><o/></xsl:template>
+        </xsl:stylesheet>"""
+        with pytest.raises(XsltError):
+            MiniXSLT(xsl)
+
+    def test_transform_to_fields(self):
+        xsl = """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><doc>
+            <field name="title"><xsl:value-of select="r/t"/></field>
+            <field name="author"><xsl:value-of select="r/a"/></field>
+          </doc></xsl:template>
+        </xsl:stylesheet>"""
+        fields = MiniXSLT(xsl).transform_to_fields("<r><t>T</t><a>A</a></r>")
+        assert fields == [("title", "T"), ("author", "A")]
+
+
+@needs_ref
+class TestReferenceStylesheets:
+    def test_strip_namespaces(self):
+        t = MiniXSLT((REF / "strip_namespaces.xsl").read_text())
+        out = t.transform('<a xmlns="u:x" xmlns:b="u:y"><b:c d="1">hi</b:c></a>')
+        assert out == '<a><c d="1">hi</c></a>'
+
+    def test_helmet_format_mapping(self):
+        t = MiniXSLT((REF / "helmet.xsl").read_text())
+        out = t.transform("<record><format>1</format><format>g</format>"
+                          "<format>?</format><t>x</t></record>")
+        assert ("<type>Book</type>" in out and "<type>DVD</type>" in out
+                and "<type>Other</type>" in out and "<t>x</t>" in out)
+
+    def test_elka_type_mapping(self):
+        t = MiniXSLT((REF / "elka.xsl").read_text())
+        out = t.transform("<r><type>movingImage</type><type>x</type></r>")
+        assert "<type>MotionPicture</type>" in out and "<type>Unknown</type>" in out
+
+    def test_sfx_leader_injects_007(self):
+        t = MiniXSLT((REF / "sfx.xsl").read_text())
+        out = t.transform("<record><leader>00000cam</leader></record>")
+        assert '<controlfield tag="007">cr</controlfield>' in out
+
+    def test_lido_term_normalization(self):
+        t = MiniXSLT((REF / "lido_normalization.xsl").read_text())
+        doc = ("<lido><descriptiveMetadata><objectClassificationWrap>"
+               "<objectWorkTypeWrap><objectWorkType><term>Kuva</term>"
+               "</objectWorkType></objectWorkTypeWrap>"
+               "</objectClassificationWrap></descriptiveMetadata></lido>")
+        assert "<term>Image</term>" in MiniXSLT(
+            (REF / "lido_normalization.xsl").read_text()).transform(doc)
+        assert "<term>Other</term>" in t.transform(
+            doc.replace("Kuva", "Other"))
+
+    def test_ese2ese_provider_param(self):
+        t = MiniXSLT((REF / "ese2ese.xsl").read_text())
+        doc = ('<r xmlns:europeana="http://www.europeana.eu/schemas/ese/">'
+               "<europeana:provider>old</europeana:provider></r>")
+        out = t.transform(doc, {"provider": "NewP"})
+        assert ">NewP<" in out and "old" not in out
+
+    def test_ead_split(self):
+        t = MiniXSLT((REF / "EadSplit.xsl").read_text())
+        ead = """<ead><eadheader><eadid mainagencycode="FI-A" identifier="C1"/>
+          <filedesc><titlestmt><titleproper>Coll</titleproper></titlestmt></filedesc>
+          </eadheader><archdesc level="fonds"><did><unitid>F1</unitid>
+          <origination>OrgA</origination><repository>RepoX</repository></did>
+          <dsc><c01 level="series"><did><unitid>S1</unitid></did>
+          <c02 level="file"><did><unitid>F2</unitid></did></c02></c01>
+          </dsc></archdesc></ead>"""
+        root = ET.fromstring(t.transform(ead))
+        NS = "{urn:isbn:1-931666-22-9}"
+        assert root.tag == f"{NS}records"
+        items = list(root)
+        ids = [i.get("id") for i in items]
+        assert ids == ["FI-A__C1__F1", "FI-A__C1__S1", "FI-A__C1__F2"]
+        assert all(i.get("rep") == "RepoX" for i in items)
+        # origination inherits down into each split item's did
+        file_item = items[2]
+        assert "OrgA" in ET.tostring(file_item, encoding="unicode")
+        # parent/child linkage lives under add-data
+        add = file_item.find(f"{NS}add-data")
+        assert add.find(f"{NS}absolute-parent").get("id") == "FI-A__C1__F1"
+
+    def test_metalib_ird(self):
+        t = MiniXSLT((REF / "metalib_ird.xsl").read_text())
+        doc = ("<record><controlfield tag=\"001\">db1</controlfield>"
+               "<datafield tag=\"CAT\"><subfield code=\"c\">20150607</subfield></datafield>"
+               "<datafield tag=\"591\"><subfield code=\"a\">drop</subfield></datafield>"
+               "<datafield tag=\"856\" ind1=\"4\" ind2=\"1\">"
+               "<subfield code=\"u\">http://db</subfield></datafield>"
+               "<datafield tag=\"245\"><subfield code=\"a\">N</subfield></datafield>"
+               "</record>")
+        out = t.transform(doc)
+        assert "<leader>     nai a22     ua 4500</leader>" in out
+        assert '<controlfield tag="008">150607uuuuu' in out
+        assert "drop" not in out
+        assert "Database Interface" in out
+        assert '<datafield tag="977">' in out
+
+    def test_metalib_export(self):
+        NS = "http://www.loc.gov/standards/marcxml/schema/MARC21slim.xsd"
+        t = MiniXSLT((REF / "metalib_export.xsl").read_text())
+        doc = (f'<kb xmlns="{NS}"><knowledge_unit><record>'
+               '<controlfield tag="001">db1</controlfield>'
+               '<datafield tag="CAT"><subfield code="c">20150607</subfield></datafield>'
+               "</record><category><main>Hum</main><sub>Hist</sub></category>"
+               "</knowledge_unit></kb>")
+        out = t.transform(doc)
+        assert out.startswith("<collection><record>")
+        assert '<datafield tag="976"><subfield code="a">Hum</subfield>' in out
+        assert '<subfield code="b">Hist</subfield>' in out
+
+    def test_marc21slim2oaidc_with_import(self):
+        t = MiniXSLT((REF / "MARC21slim2OAIDC.xsl").read_text(), resolver=_resolver)
+        marc = ('<collection xmlns="http://www.loc.gov/MARC21/slim"><record>'
+                "<leader>00000cam a22000004i 4500</leader>"
+                '<controlfield tag="008">970101s1999    xxu                 eng d</controlfield>'
+                '<datafield tag="020" ind1=" " ind2=" ">'
+                '<subfield code="a">0-19-852663-6</subfield></datafield>'
+                '<datafield tag="245" ind1="1" ind2="0">'
+                '<subfield code="a">A title</subfield></datafield>'
+                "</record></collection>")
+        out = t.transform(marc)
+        assert ">A title<" in out
+        assert ">text<" in out  # leader6 'a' -> dc:type text
+        assert "URN:ISBN:0-19-852663-6" in out
+        assert ">eng<" in out
+
+    def test_marc2ese_full(self):
+        t = MiniXSLT((REF / "marc2ese.xsl").read_text(), resolver=_resolver)
+        marc = ('<record xmlns="http://www.loc.gov/MARC21/slim">'
+                "<leader>00000cam a22000004i 4500</leader>"
+                '<controlfield tag="001">r1</controlfield>'
+                '<controlfield tag="008">970101s1999    xxu                 eng d</controlfield>'
+                '<datafield tag="245" ind1="1" ind2="0">'
+                '<subfield code="a">A title</subfield></datafield>'
+                '<datafield tag="260" ind1=" " ind2=" ">'
+                '<subfield code="c">1999</subfield></datafield></record>')
+        out = t.transform(marc, params={
+            "source": "S", "data_provider": "DP", "provider": "P",
+            "record_address": "http://x/[001]", "id_prefix": "pre:",
+        })
+        assert ">S<" in out and ">DP<" in out and ">P<" in out
+        assert ">pre:r1<" in out
+        # replace_all template substitutes [001] with the record id
+        assert "http://x/r1" in out
+
+    def test_properties_config(self):
+        cfg = XslTransformationConfig(REF, "marc2ese_raita.properties")
+        marc = ('<record xmlns="http://www.loc.gov/MARC21/slim">'
+                "<leader>00000cam a22000004i 4500</leader>"
+                '<controlfield tag="001">viola9</controlfield>'
+                '<datafield tag="245" ind1="1" ind2="0">'
+                '<subfield code="a">T</subfield></datafield></record>')
+        out = cfg.transform(marc)
+        assert "FI-Viola:viola9" in out
+        assert "bibId=viola9" in out  # [001] substitution from ini params
+        assert "Raita collection" in out
+
+
+@needs_ref
+def test_all_reference_stylesheets_compile():
+    for path in sorted(REF.glob("*.xsl")):
+        MiniXSLT(path.read_text(), resolver=_resolver)
+
+
+def test_spark_xslt_udf(spark):
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.sources.transforms import apply_xslt
+
+    xsl = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><out><xsl:value-of select="r/v"/>!</out></xsl:template>
+    </xsl:stylesheet>"""
+    df = spark.range(50).select(
+        F.concat(F.lit("<r><v>"), F.col("id").cast("string"), F.lit("</v></r>")).alias("xml")
+    )
+    got = apply_xslt(df, "xml", xsl, out_column="res", backend="mini")
+    rows = {r.res for r in got.collect()}
+    assert "<out>7!</out>" in rows and len(rows) == 50
