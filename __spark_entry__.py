@@ -2047,6 +2047,45 @@ def scalar_functions_grid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scalar_functions_grid2(spark: SparkSession, sf: str) -> DataFrame:
+    """Second scalar grid: validateISO8601Date, formatTimestamp, ucFirst,
+    stripControlCharacters, trimXMLWhitespace, arrayTrim
+    (MetadataUtils.php:785-985)."""
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    m3 = F.pmod(k, F.lit(3))
+    iso_str = F.when(
+        m3 == 0,
+        F.concat(
+            (F.lit(1900) + F.pmod(k, F.lit(99))).cast("string"),
+            F.lit("-"), F.lpad((F.pmod(k, F.lit(12)) + 1).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((F.pmod(k, F.lit(28)) + 1).cast("string"), 2, "0"),
+            F.lit("T"), F.lpad(F.pmod(k, F.lit(24)).cast("string"), 2, "0"),
+            F.lit(":"), F.lpad(F.pmod(k, F.lit(60)).cast("string"), 2, "0"),
+            F.lit(":"), F.lpad(F.pmod(k, F.lit(60)).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ),
+    ).when(m3 == 1, F.lit("2021-02-30T10:00:00Z")).otherwise(F.lit("nope"))
+    xml = F.concat(
+        F.lit("<a> <b>"), F.col("c_name"), F.lit("</b> </a>")
+    )
+    arr = F.array(
+        F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit("\t")),
+        F.lit("  x  "),
+    )
+    return c.select(
+        "c_custkey",
+        K.validate_iso8601_date(iso_str).alias("iso_epoch"),
+        K.format_timestamp(k * 977).alias("ts_str"),
+        K.uc_first(F.lower(F.col("c_name"))).alias("ucf"),
+        K.strip_control_characters(
+            F.concat(F.lit("a\tb\n"), F.col("c_mktsegment"), F.lit("\rz"))
+        ).alias("scc"),
+        K.trim_xml_whitespace(xml).alias("xml_trim"),
+        F.array_join(K.array_trim(arr), "|").alias("trimmed"),
+    )
+
+
 def copy_down_parent(spark: SparkSession, sf: str) -> DataFrame:
     """Copy-down from the PARENT/host record (SolrUpdater hierarchy copy):
     components inherit configured fields from their host."""
@@ -2449,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "music_enrich_orders": music_enrich_orders,
         "authority_enrich_customers": authority_enrich_customers,
         "scalar_functions_grid": scalar_functions_grid,
+        "scalar_functions_grid2": scalar_functions_grid2,
         "copy_down_parent": copy_down_parent,
         "fulltext_trait_docs": fulltext_trait_docs,
         "geocode_simplify_customers": geocode_simplify_customers,
@@ -3430,6 +3470,24 @@ def oracle_sql() -> dict[str, str]:
                    c_name || ', First M' AS last_first,
                    'aut ' || CAST(c_custkey % 5 AS VARCHAR) AS relator,
                    CAST(1900 + c_custkey % 120 AS VARCHAR) AS year
+            FROM customer
+        """,
+        "scalar_functions_grid2": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN CAST(epoch(
+                     make_timestamp(1900 + c_custkey % 99,
+                                    c_custkey % 12 + 1,
+                                    c_custkey % 28 + 1,
+                                    c_custkey % 24,
+                                    c_custkey % 60,
+                                    c_custkey % 60)) AS BIGINT) END AS iso_epoch,
+                   strftime(to_timestamp(c_custkey * 977),
+                            '%Y-%m-%dT%H:%M:%SZ') AS ts_str,
+                   upper(substr(lower(c_name), 1, 1))
+                     || substr(lower(c_name), 2) AS ucf,
+                   'ab' || c_mktsegment || 'z' AS scc,
+                   '<a><b>' || c_name || '</b></a>' AS xml_trim,
+                   c_mktsegment || '|x' AS trimmed
             FROM customer
         """,
         "copy_down_parent": """

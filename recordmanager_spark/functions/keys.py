@@ -445,3 +445,64 @@ def validate_date(col: Column | str) -> Column:
     parsed = F.try_to_timestamp(c, F.lit("yyyy-MM-dd"))
     ok = (F.length(c) == 10) & c.rlike("^-?\\d{4}-\\d{2}-\\d{2}$") & parsed.isNotNull()
     return F.when(ok, F.unix_timestamp(parsed))
+
+
+def validate_iso8601_date(col: Column | str) -> Column:
+    """Strict ISO-8601 UTC instant -> unix seconds, NULL when invalid.
+
+    MetadataUtils.php:785-809: anchored ``yyyy-mm-ddThh:mm:ssZ`` regex with
+    component range checks, then a strtotime/gmdate round-trip that rejects
+    overflow dates like 2021-02-30. ``try_make_timestamp`` with an explicit
+    UTC zone gives the same reject-on-overflow semantics JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pat = "^(-?\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})Z$"
+    part = [F.regexp_extract(c, pat, i).cast("int") for i in range(7)]
+    ts = F.try_make_timestamp(
+        part[1], part[2], part[3], part[4], part[5], part[6].cast("double"),
+        F.lit("UTC"),
+    )
+    return F.when(c.rlike(pat), F.unix_timestamp(ts))
+
+
+def format_timestamp(col: Column | str) -> Column:
+    """Unix seconds -> 'yyyy-mm-ddThh:mm:ssZ' in UTC; NULL input formats the
+    epoch, mirroring the ``?? 0`` default (MetadataUtils.php:851-857)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ts = F.timestamp_seconds(F.coalesce(c.cast("long"), F.lit(0)))
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def uc_first(col: Column | str) -> Column:
+    """Multibyte-aware upper-case of the first character only
+    (MetadataUtils.php:881-900; PHP mb_strtoupper + mb_substr)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 0x7FFFFFF))
+
+
+def array_trim(col: Column | str, chars: str = " \t\n\r\x00\x0b") -> Column:
+    """PHP trim() over every array element (MetadataUtils.php:926-945)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cls = "[" + "".join("\\u%04x" % ord(ch) for ch in chars) + "]+"
+    return F.transform(
+        c,
+        lambda v: F.regexp_replace(
+            F.regexp_replace(v, "^" + cls, ""), cls + "$", ""
+        ),
+    )
+
+
+def strip_control_characters(col: Column | str) -> Column:
+    """Remove CR / LF / TAB (MetadataUtils.php:975-985 — exactly those
+    three, not the whole Cc class)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, "\r\n\t", "")
+
+
+def trim_xml_whitespace(col: Column | str) -> Column:
+    """Trim whitespace between tags but never inside text nodes
+    (MetadataUtils.php:818-830, same regex with a Java backreference)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        c, "\\s*(<([^>]*)>[^<]*</\\2>|<[^>]*>)\\s*", "$1"
+    )

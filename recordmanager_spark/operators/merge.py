@@ -128,6 +128,39 @@ def merged_and_members(
 JOURNAL_FORMATS = ("Journal", "Newspaper")
 EARTICLE_FORMATS = ("eJournal",)
 
+# MetadataUtils defaults (Solr.article_formats / earticle_formats,
+# MetadataUtils.php:219-228)
+ARTICLE_FORMATS = ("Article",)
+EARTICLE_RECORD_FORMATS = ("eArticle",)
+
+
+def is_hidden_component_part(
+    host_record_id: Column,
+    fmt: Column,
+    *,
+    component_parts: str = "merge_all",
+    article_formats: Sequence[str] = ARTICLE_FORMATS,
+    earticle_formats: Sequence[str] = EARTICLE_RECORD_FORMATS,
+) -> Column:
+    """Column predicate for MetadataUtils::isHiddenComponentPart (:947-973).
+
+    A component (non-null host_record_id) is hidden under ``merge_all``
+    unconditionally; under ``merge_non_articles``/``merge_non_earticles``
+    it stays visible only when its format is an eArticle format — the
+    reference hides both non-article formats AND plain-article formats in
+    either merge mode (a quirk preserved here: the two modes share one
+    branch body).
+    """
+    is_component = host_record_id.isNotNull()
+    if component_parts == "merge_all":
+        return is_component
+    if component_parts in ("merge_non_articles", "merge_non_earticles"):
+        all_article = list(article_formats) + list(earticle_formats)
+        return is_component & (
+            ~fmt.isin(*all_article) | fmt.isin(*article_formats)
+        )
+    return F.lit(False)
+
 
 def merge_component_parts(
     hosts: DataFrame,

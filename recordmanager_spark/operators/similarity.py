@@ -377,58 +377,71 @@ def ivf_assign(
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assignments).
 
-    Centroids seed deterministically from the lowest-id vectors, then
-    refine with a few Lloyd iterations (each: one broadcast join + one
-    groupBy-mean — map-side combinable). Assignment is argmin cosine
-    distance via a broadcast join, so the corpus never shuffles; only the
-    tiny (id, cell) assignment does. Returns
-    (centroids(cell, c_vec), assign(id, cell)).
+    Centroids are k-means training state and live driver-side as a numpy
+    matrix (n_cells × dim doubles — a few MB at most, the same shape
+    MLlib's KMeansModel holds). Assignment is a vectorized Arrow-batch
+    argmax against that matrix, so the corpus NEVER shuffles or explodes:
+    each Lloyd iteration costs one corpus scan plus a map-side-combinable
+    per-cell mean whose shuffle carries only n_cells rows per partition.
+    (The previous shape — broadcast-join every vector against every
+    centroid, then window-rank corpus×n_cells rows by id — shuffled 64×
+    the corpus volume per iteration.) Returns
+    (centroids(cell, c_vec), assign(id, cell, raw)) — ``raw`` is the
+    original (uncast) embedding carried through the assignment scan so
+    probes can exact-score members without re-joining the corpus.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus_n = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(vec_d, lambda x: x / _norm(vec_d)).alias("vec"),
+        F.col(vec_col).alias("raw"),
     )
-    centroids = (
-        corpus_n.orderBy("id")
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(Window.orderBy("id")) - 1).alias("cell"),
-            F.col("vec").alias("c_vec"),
-        )
-    ).localCheckpoint(eager=True)
+    # Deterministic seeding from the lowest-id vectors; n_cells rows is a
+    # driver-trivial collect.
+    seed = corpus_n.orderBy("id").limit(n_cells).collect()
+    cells_np = np.arange(len(seed), dtype="int64")
+    cent_mat = np.array([r["vec"] for r in seed], dtype=np.float64)
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = corpus_n.join(F.broadcast(cents)).withColumn(
-            "__sim", _dot(F.col("vec"), F.col("c_vec"))
-        )
-        w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("cell"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", "cell", "vec")
+    def assign(cells: np.ndarray, mat: np.ndarray) -> DataFrame:
+        @F.pandas_udf("long")
+        def argmax_cell(vs: pd.Series) -> pd.Series:
+            m = np.array(vs.tolist(), dtype=np.float64)
+            # ties: argmax takes the first (lowest cell id) — matrix rows
+            # are ordered by cell
+            return pd.Series(cells[np.argmax(m @ mat.T, axis=1)])
+
+        return corpus_n.select(
+            "id", argmax_cell("vec").alias("cell"), "vec", "raw"
         )
 
-    assigned = assign(centroids)
+    assigned = assign(cells_np, cent_mat)
     dim = len(corpus.select(vec_col).first()[0])
     for _ in range(kmeans_iters):
-        # Lloyd update: mean of member vectors per cell (renormalized)
-        sums = assigned.groupBy("cell").agg(
-            F.array(*[
-                F.avg(try_element_at("vec", i + 1)) for i in range(dim)
-            ]).alias("c_vec")
+        # Lloyd update: per-cell mean via dim avg aggregates (partial
+        # aggregation combines map-side; the shuffle moves ≤ n_cells rows
+        # per input partition). Renormalization happens driver-side on the
+        # collected n_cells×dim result.
+        rows = (
+            assigned.groupBy("cell")
+            .agg(*[
+                F.avg(try_element_at("vec", i + 1)).alias(f"d{i}")
+                for i in range(dim)
+            ])
+            .collect()
         )
-        centroids = sums.select(
-            "cell",
-            F.transform(
-                F.col("c_vec"),
-                lambda x: x / F.sqrt(
-                    F.aggregate(F.col("c_vec"), F.lit(0.0), lambda a, v: a + v * v)
-                ),
-            ).alias("c_vec"),
-        ).localCheckpoint(eager=True)
-        assigned = assign(centroids)
-    return centroids, assigned.select("id", "cell")
+        # cells that lost every member drop out of the groupBy — keep ids
+        cells_np = np.array(sorted(r["cell"] for r in rows), dtype="int64")
+        by_cell = {r["cell"]: [r[f"d{i}"] for i in range(dim)] for r in rows}
+        cent_mat = np.array([by_cell[c] for c in cells_np], dtype=np.float64)
+        cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+        assigned = assign(cells_np, cent_mat)
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in zip(cells_np, cent_mat)],
+        "cell: long, c_vec: array<double>",
+    )
+    return centroids, assigned.select("id", "cell", "raw")
 
 
 def knn_ivf(
@@ -447,10 +460,8 @@ def knn_ivf(
     Returns (query_id, neighbor_id, cosine, rank) like knn_bruteforce.
     """
     centroids, assigned = ivf_assign(corpus, id_col, vec_col, n_cells)
-    members = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(
-        assigned.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    members = assigned.select(
+        F.col("id").alias("neighbor_id"), "cell", F.col("raw").alias("c_vec")
     )
 
     q = queries.select(

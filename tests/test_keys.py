@@ -173,3 +173,78 @@ def test_array_iunique(spark):
 )
 def test_normalize_key_script_folding(spark, raw, expected):
     assert one(spark, K.normalize_key(F.col("v")), raw) == expected
+
+
+# ---------------------------------------------------------------------------
+# Scalar tail: ISO-8601 validation, timestamp formatting, ucFirst,
+# control-char strip, XML whitespace trim, arrayTrim
+# (MetadataUtils.php:785-985)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1970-01-01T00:00:00Z", 0),
+        ("2021-02-28T10:00:00Z", 1614506400),
+        ("2021-02-30T10:00:00Z", None),   # overflow day -> strtotime roundtrip fails
+        ("2021-13-01T00:00:00Z", None),   # month out of range
+        ("2021-02-28 10:00:00Z", None),   # missing T
+        ("nope", None),
+        ("2021-02-28T10:00:00", None),    # missing Z
+    ],
+)
+def test_validate_iso8601_date(spark, raw, expected):
+    assert one(spark, K.validate_iso8601_date(F.col("v")), raw) == expected
+
+
+def test_format_timestamp(spark):
+    assert (
+        one(spark, K.format_timestamp(F.lit(1614508800)), "x")
+        == "2021-02-28T10:40:00Z"
+    )
+    # NULL input formats the epoch (PHP `?? 0`)
+    assert (
+        one(spark, K.format_timestamp(F.lit(None).cast("long")), "x")
+        == "1970-01-01T00:00:00Z"
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("hello world", "Hello world"),
+        ("über alles", "Über alles"),
+        ("", ""),
+        ("X", "X"),
+    ],
+)
+def test_uc_first(spark, raw, expected):
+    assert one(spark, K.uc_first(F.col("v")), raw) == expected
+
+
+def test_strip_control_characters(spark):
+    assert one(spark, K.strip_control_characters(F.col("v")), "a\tb\r\nc") == "abc"
+    # only CR/LF/TAB — other control chars survive (reference strips exactly 3)
+    assert one(spark, K.strip_control_characters(F.col("v")), "a\x0bb") == "a\x0bb"
+
+
+def test_trim_xml_whitespace(spark):
+    assert (
+        one(spark, K.trim_xml_whitespace(F.col("v")), "<a> <b>x  y</b> </a>")
+        == "<a><b>x  y</b></a>"
+    )
+    assert (
+        one(
+            spark,
+            K.trim_xml_whitespace(F.col("v")),
+            "<r>\n  <t>keep  inner</t>\n  <u/>\n</r>",
+        )
+        == "<r><t>keep  inner</t><u/></r>"
+    )
+
+
+def test_array_trim(spark):
+    df = spark.createDataFrame([Row(v=[" a ", "b\t", "\n c\x0b"])])
+    out = df.select(K.array_trim(F.col("v")).alias("out")).first()["out"]
+    assert out == ["a", "b", "c"]

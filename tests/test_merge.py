@@ -119,3 +119,38 @@ def test_merge_component_parts_policy(spark):
         ).collect()
     }
     assert out5["h5"]["merged_component_count"] == 2
+
+
+def test_is_hidden_component_part(spark):
+    """MetadataUtils::isHiddenComponentPart (:947-973): merge_all hides every
+    component; the non-article merge modes hide everything except eArticle
+    formats (both modes share one branch body in the reference)."""
+    from recordmanager_spark.operators.merge import is_hidden_component_part
+
+    df = spark.createDataFrame(
+        [("h1", "Article"), (None, "Article"), ("h1", "eArticle"), ("h1", "Book")],
+        "host: string, fmt: string",
+    )
+
+    def got(mode):
+        rows = df.select(
+            "host", "fmt",
+            is_hidden_component_part(
+                F.col("host"), F.col("fmt"), component_parts=mode
+            ).alias("hidden"),
+        ).collect()
+        return {(r["host"], r["fmt"]): r["hidden"] for r in rows}
+
+    g = got("merge_all")
+    assert g[("h1", "Article")] and g[("h1", "Book")] and g[("h1", "eArticle")]
+    assert not g[(None, "Article")]
+
+    for mode in ("merge_non_articles", "merge_non_earticles"):
+        g = got(mode)
+        assert g[("h1", "Article")]        # plain article formats hide
+        assert g[("h1", "Book")]           # non-article formats hide
+        assert not g[("h1", "eArticle")]   # eArticle stays visible
+        assert not g[(None, "Article")]    # not a component
+
+    g = got("no_merge")
+    assert not any(g.values())
