@@ -558,6 +558,28 @@ def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowed (rolling-hash) document fingerprints — Schleimer et al.,
+    SIGMOD 2003; k=5 char-grams, window w=4, md5-hex hash family so the
+    DuckDB oracle replicates the selection byte-for-byte."""
+    fp = TD.winnow_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+    return fp.select(
+        F.col("id").alias("doc_id"),
+        F.size("fp").alias("n_fp"),
+        F.array_join("fp", "|").alias("fp"),
+    )
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs sharing >= 30 winnowed fingerprints (containment-style
+    near-dup detection). bucket_cap=1000 never binds at this sf (max
+    posting list = doc count); the cap's skew bound is unit-tested."""
+    return TD.winnow_near_duplicates(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        min_shared=30, bucket_cap=1000,
+    )
+
+
 def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 20)
@@ -2475,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_docs": exact_dup_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "minhash_near_dup": minhash_near_dup,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "winnow_neardup_pairs": winnow_neardup_pairs,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
@@ -3622,6 +3646,57 @@ def oracle_sql() -> dict[str, str]:
         # derived hash families chosen for engine reproducibility), so the
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
+        "winnow_fingerprint_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     [md5(substr(t, i, 5))
+                      FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS h
+              FROM d
+            ), wmin AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) - 3 >= 1
+                          THEN [list_min(h[j:j+3])
+                                FOR j IN range(1, len(h) - 3 + 1)]
+                          ELSE [list_min(h)] END AS wins
+              FROM g
+            )
+            SELECT doc_id,
+                   CAST(len(list_distinct(wins)) AS INTEGER) AS n_fp,
+                   array_to_string(list_sort(list_distinct(wins)), '|') AS fp
+            FROM wmin
+        """,
+        "winnow_neardup_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     [md5(substr(t, i, 5))
+                      FOR i IN range(1, greatest(length(t) - 4, 1) + 1)] AS h
+              FROM d
+            ), wmin AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) - 3 >= 1
+                          THEN [list_min(h[j:j+3])
+                                FOR j IN range(1, len(h) - 3 + 1)]
+                          ELSE [list_min(h)] END AS wins
+              FROM g
+            ), posts AS (
+              SELECT doc_id, unnest(list_distinct(wins)) AS fph FROM wmin
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared
+            FROM posts a JOIN posts b ON a.fph = b.fph AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 30
+        """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
     }

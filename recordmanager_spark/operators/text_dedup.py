@@ -353,3 +353,94 @@ def simhash_near_duplicates(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints — Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp array<string>) winnowed fingerprint set per document.
+
+    Hash every character k-gram of the normalized text, slide a window of
+    w consecutive hashes, keep each window's minimum: any shared substring
+    of length >= w+k-1 between two documents is guaranteed to share a
+    selected fingerprint. md5-hex hashes (lexicographic min) keep the
+    selection reproducible across engines.
+
+    Scale shape: everything is a per-row projection — zero shuffles. The
+    gram hashes materialize as a column first so the window-min transform
+    reads a bound array attribute (an expression there would re-evaluate
+    per element — quadratic; see ngrams_from_tokens).
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        normalize_for_fingerprint(text_col).alias("__t"),
+    )
+    n_grams = F.greatest(F.length("__t") - (k - 1), F.lit(1))
+    hashed = norm.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(F.col("__t"), i, k)),
+        ).alias("__h"),
+    )
+    n_wins = F.size("__h") - (w - 1)
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__h"))))
+    return hashed.select("id", F.array_sort(F.array_distinct(wins)).alias("fp"))
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """(id_a, id_b, shared) pairs sharing >= min_shared winnowed
+    fingerprints — containment/plagiarism-style near-dup detection.
+
+    Same bucketed shape as minhash LSH: explode fingerprints, cap each
+    hash's posting list at ``bucket_cap`` (lowest ids win — boilerplate
+    shared by thousands of docs would otherwise go quadratic, the same
+    skew the minhash band cap bounds), then a hash equi-self-join counts
+    shared fingerprints per pair. The join runs in whole-stage codegen —
+    pair expansion through interpreted array lambdas measured orders of
+    magnitude slower on hot hashes.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    # explode_outer, NOT explode: a plain explode makes the optimizer
+    # infer a size(fp) > 0 filter and push it below the staged
+    # projections, inlining the whole winnowing expression with the
+    # k-gram hash transform inside the window lambda — re-evaluated per
+    # window, O(len²) md5 per row (measured: minutes vs sub-second).
+    # fp is never empty (the <w fallback emits one element), so the
+    # outer variant is semantically identical.
+    posts = fp.select("id", F.explode_outer("fp").alias("h"))
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("id"))
+    capped = posts.withColumn("__rn", rn).where(F.col("__rn") <= bucket_cap)
+    a = capped.select(F.col("h"), F.col("id").alias("id_a"))
+    b = capped.select(F.col("h"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -82,3 +82,69 @@ def test_simhash_hamming(spark):
     out = TD.simhash_near_duplicates(df, "doc_id", "text", max_hamming=3)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in pairs  # identical token sets -> distance 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Any shared substring of length >= w+k-1 (= 8 at k=5,w=4) must share a
+    selected fingerprint — the paper's coverage guarantee."""
+    common = "identical shared passage inside both documents"
+    df = spark.createDataFrame(
+        [
+            (1, "first doc intro " + common + " first tail"),
+            (2, "a different opening here " + common + " other ending"),
+            (3, "totally unrelated content with nothing in common at all zzz"),
+        ],
+        "doc_id: long, text: string",
+    )
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in TD.winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert fps[1] & fps[2]          # shared passage -> shared fingerprint
+    # sanity: fingerprints are md5 hex
+    assert all(len(h) == 32 for h in fps[1])
+
+
+def test_winnow_identical_docs_identical_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "Same text! Same TEXT."), (2, "same text same text")],
+        "doc_id: long, text: string",
+    )
+    fps = [
+        r["fp"] for r in
+        TD.winnow_fingerprints(df, "doc_id", "text").orderBy("id").collect()
+    ]
+    assert fps[0] == fps[1]  # normalization collapses case/punct
+
+
+def test_winnow_short_text(spark):
+    # shorter than k: one gram of the whole text; shorter than w windows:
+    # single-min fallback
+    df = spark.createDataFrame([(1, "ab"), (2, "")], "doc_id: long, text: string")
+    out = TD.winnow_fingerprints(df, "doc_id", "text").collect()
+    assert all(len(r["fp"]) == 1 for r in out)
+
+
+def test_winnow_near_duplicates_and_cap(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, base + f" variant {i}") for i in range(6)]
+        + [(100, "entirely different text about unrelated matters xyz")],
+        "doc_id: long, text: string",
+    )
+    pairs = TD.winnow_near_duplicates(df, "doc_id", "text", min_shared=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (4, 5) in got
+    assert not any(100 in p for p in got)
+    # bucket_cap=2: every posting list truncates to the 2 lowest ids, so
+    # no pair can exceed cap membership — ids >= 2 never pair
+    capped = TD.winnow_near_duplicates(
+        df, "doc_id", "text", min_shared=5, bucket_cap=2
+    )
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got_capped == {(0, 1)}
