@@ -396,6 +396,12 @@ def ivf_assign(
         F.transform(vec_d, lambda x: x / _norm(vec_d)).alias("vec"),
         F.col(vec_col).alias("raw"),
     )
+    # Cache the normalized training set for the duration of the Lloyd
+    # iterations — every iteration scans it, and MLlib's KMeans does the
+    # same (MEMORY_AND_DISK so oversized corpora spill instead of OOM).
+    from pyspark import StorageLevel
+
+    corpus_n = corpus_n.persist(StorageLevel.MEMORY_AND_DISK)
     # Deterministic seeding from the lowest-id vectors; n_cells rows is a
     # driver-trivial collect.
     seed = corpus_n.orderBy("id").limit(n_cells).collect()
@@ -415,7 +421,7 @@ def ivf_assign(
         )
 
     assigned = assign(cells_np, cent_mat)
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = len(seed[0]["vec"]) if seed else 0
     for _ in range(kmeans_iters):
         # Lloyd update: per-cell mean via dim avg aggregates (partial
         # aggregation combines map-side; the shuffle moves ≤ n_cells rows
