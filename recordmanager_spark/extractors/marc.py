@@ -758,7 +758,9 @@ def marc_geographic_locations(marc: Column) -> Column:
     return F.filter(vals, lambda v: v.isNotNull())
 
 
-def marc_callnumber_columns(marc: Column) -> dict[str, Column]:
+def marc_callnumber_columns(
+    marc: Column, hilcc: list[dict] | None = None
+) -> dict[str, Column]:
     """callnumber-* and dewey-* columns (Record/Marc.php:493-586).
 
     callnumber-first: first of 099$a/090$a/050$a; callnumber-subject: the
@@ -767,6 +769,11 @@ def marc_callnumber_columns(marc: Column) -> dict[str, Column]:
     callnumber-sort: first VALID LC sort key, else the first sort key at
     all. Dewey from 082$a/083$a: the LAST field wins for hundreds/tens/
     ones/full/raw (reference loop overwrites), dewey-sort keeps the first.
+
+    ``hilcc``: optional HILCC range table; when given, adds
+    ``category_str_mv`` (one category per valid call number, the
+    useHILCC branch at Record/Marc.php:529-545 — the reference ships no
+    table either; it's an install-time mapping file).
     """
     from ..functions import callnumbers as CN
 
@@ -807,7 +814,13 @@ def marc_callnumber_columns(marc: Column) -> dict[str, Column]:
     )
     dewey_last = try_element_at(dewey, -1)
     dewey_first = try_element_at(dewey, 1)
+    extra = (
+        {"category_str_mv": CN.lc_categories_udf(hilcc)(cn_raw)}
+        if hilcc is not None
+        else {}
+    )
     return {
+        **extra,
         "callnumber_first": cn_first,
         "callnumber_subject": cn_subject,
         "callnumber_label": cn_label,
