@@ -18,7 +18,7 @@ from __future__ import annotations
 import datetime as _dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -556,6 +556,44 @@ def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return TD.simhash_near_duplicates(
         _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
     )
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune over the embeddings table.
+
+    Uses a deterministic non-iterative assignment (argmax cosine against
+    the 16 lowest-id seed vectors, computed with the dim-unrolled JVM
+    dot so DuckDB reproduces it bit-for-bit); the production operator
+    defaults to the Lloyd-refined Arrow-side index instead
+    (similarity.semantic_dedup / ivf_assign)."""
+    e = _t(spark, sf, "embeddings")
+    n_cells = 16
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("embedding").alias("seed_vec"),
+        )
+    )
+    scored = e.join(F.broadcast(seeds)).withColumn(
+        "sim",
+        F.round(SIM.cosine_similarity(F.col("embedding"), F.col("seed_vec"), 64), 6),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("embedding")),
+            F.struct(F.col("sim"), (-F.col("cell")).alias("nc")),
+        ).alias("bc")
+    )
+    assigned = best.select(
+        F.col("vec_id").alias("id"),
+        F.col("bc.cell").alias("cell"),
+        F.col("bc.embedding").alias("raw"),
+    )
+    out = SIM.semantic_dedup(e, "vec_id", "embedding", threshold=0.35,
+                             assignment=assigned)
+    return out.select("id", F.col("cell").cast("long").alias("cell"), "kept")
 
 
 def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2499,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "winnow_neardup_pairs": winnow_neardup_pairs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
@@ -3646,6 +3685,30 @@ def oracle_sql() -> dict[str, str]:
         # derived hash families chosen for engine reproducibility), so the
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
+        "semantic_dedup_embeddings": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+              FROM c ORDER BY vec_id LIMIT 16
+            ), scored AS (
+              SELECT c.vec_id, c.v, s.cell,
+                     round(list_cosine_similarity(c.v, s.sv), 6) AS sim
+              FROM c, seeds s
+            ), assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                FROM scored) WHERE rn = 1
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id AS id
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+            )
+            SELECT a.vec_id AS id, a.cell AS cell, (d.id IS NULL) AS kept
+            FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id
+        """,
         "winnow_fingerprint_docs": """
             WITH d AS (
               SELECT doc_id,

@@ -501,3 +501,68 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication — cluster-then-prune (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 64,
+    kmeans_iters: int = 2,
+    assignment: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space dedup by cluster-then-prune (the SemDeDup recipe:
+    coarse k-means cells, then drop every vector that has a
+    lower-id neighbor above ``threshold`` cosine in the SAME cell).
+
+    Returns (id, cell, kept). Keeps exactly one representative (the
+    lowest id) per within-cell near-dup clique edge chain: a vector is
+    dropped iff some lower-id vector in its cell is >= threshold
+    similar. Cross-cell near-dups are invisible by design — that is the
+    recall/cost trade the clustering buys; n_cells must scale with
+    corpus size (cells of ~constant expected size) exactly like
+    embedding_near_duplicates' plane count.
+
+    ``assignment``: optional precomputed (id, cell, raw) — pass
+    :func:`ivf_assign`'s output to reuse an index, or a custom
+    assignment for cross-engine-reproducible tests.
+
+    Scale shape: one within-cell self-join (quadratic only in cell
+    size), pairwise cosine in whole-stage codegen via the dim-unrolled
+    dot, one distinct + one anti-join — no full-corpus shuffle beyond
+    the cell equi-join.
+    """
+    if assignment is None:
+        _, assignment = ivf_assign(
+            corpus, id_col, vec_col, n_cells, kmeans_iters
+        )
+    dim = len(corpus.select(vec_col).first()[0])
+    a = assignment.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("raw").alias("va")
+    )
+    b = assignment.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("raw").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 6)
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assignment.select("id", "cell")
+        .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            "id", "cell", F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept")
+        )
+    )

@@ -122,3 +122,33 @@ def test_auto_plane_sizing(spark):
         for r in SIM.exact_near_duplicates(df, threshold=0.999, dim=16).collect()
     }
     assert got <= exact
+
+
+def test_semantic_dedup(spark):
+    """Cluster-then-prune: identical/near-identical vectors in the same
+    cell keep only the lowest id; distinct directions survive."""
+    import numpy as np
+
+    rng = [
+        [1.0] + [0.0] * 7,            # 0: axis-x
+        [0.999, 0.04] + [0.0] * 6,    # 1: near-dup of 0
+        [0.0, 1.0] + [0.0] * 6,       # 2: axis-y
+        [0.0, 0.999, 0.04] + [0.0] * 5,  # 3: near-dup of 2
+        [0.0] * 7 + [1.0],            # 4: distinct
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = {
+        r["id"]: (r["cell"], r["kept"])
+        for r in SIM.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, n_cells=3,
+            kmeans_iters=1,
+        ).collect()
+    }
+    assert len(out) == 5
+    # near-dup pairs land in the same cell and the higher id is dropped
+    assert out[0][0] == out[1][0] and out[0][1] and not out[1][1]
+    assert out[2][0] == out[3][0] and out[2][1] and not out[3][1]
+    assert out[4][1]
