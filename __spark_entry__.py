@@ -558,6 +558,27 @@ def simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level dedup (CCNet/RefinedWeb preprocessing): drop lines that
+    appear in more than max_docs distinct documents, preserving order.
+    Docs are synthesized with a shared header/footer so the operator has
+    boilerplate to remove."""
+    d = _t(spark, sf, "documents")
+    text = F.concat_ws(
+        "\n",
+        F.lit("SHARED HEADER"),
+        F.substring("text", 1, 60),
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.lit("EVEN FOOTER")
+        ).otherwise(
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+        ),
+    )
+    df = d.select("doc_id", text.alias("t"))
+    out = TD.line_level_dedup(df, "doc_id", "t", max_docs=3)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune over the embeddings table.
 
@@ -2538,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "winnow_neardup_pairs": winnow_neardup_pairs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "line_dedup_docs": line_dedup_docs,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
@@ -3685,6 +3707,33 @@ def oracle_sql() -> dict[str, str]:
         # derived hash families chosen for engine reproducibility), so the
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
+        "line_dedup_docs": """
+            WITH d AS (
+              SELECT doc_id, 'SHARED HEADER' || chr(10) || substr(text,1,60)
+                || chr(10) ||
+                CASE WHEN doc_id % 2 = 0 THEN 'EVEN FOOTER'
+                     ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+            ), l AS (
+              SELECT doc_id,
+                     unnest([struct_pack(pos := i, line := ls[i])
+                             FOR i IN range(1, len(ls)+1)],
+                            recursive := true)
+              FROM s
+            ), c AS (
+              SELECT line, count(DISTINCT doc_id) AS docs FROM l GROUP BY line
+            ), k AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l JOIN c USING (line) WHERE c.docs <= 3
+            ), agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM k GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(agg.text, '') AS text
+            FROM d LEFT JOIN agg USING (doc_id)
+        """,
         "semantic_dedup_embeddings": """
             WITH c AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

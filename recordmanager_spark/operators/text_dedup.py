@@ -444,3 +444,52 @@ def winnow_near_duplicates(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup — drop boilerplate lines repeated across documents
+# (the CCNet / RefinedWeb preprocessing step)
+# ---------------------------------------------------------------------------
+
+
+def line_level_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, text) with every line that appears in more than ``max_docs``
+    distinct documents removed, line order otherwise preserved.
+
+    Scale shape: posexplode -> one map-side-combinable count per distinct
+    line (boilerplate lines collapse before the shuffle) -> broadcast-size
+    join only for lines that pass, -> one groupBy(id) reassembly. The
+    line-count table is corpus-distinct-lines big; the join stays an
+    equi-join on the line hash, never a cross product.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.count_distinct("id").alias("__docs")
+    )
+    kept = (
+        lines.join(counts, "line")
+        .where(F.col("__docs") <= max_docs)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+    # documents whose every line was boilerplate come back empty, not absent
+    return df.select(F.col(id_col).alias("id")).join(kept, "id", "left").select(
+        "id", F.coalesce("text", F.lit("")).alias("text")
+    )

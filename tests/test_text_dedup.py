@@ -148,3 +148,30 @@ def test_winnow_near_duplicates_and_cap(spark):
     )
     got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got_capped == {(0, 1)}
+
+
+def test_line_level_dedup(spark):
+    """Boilerplate lines (shared by > max_docs docs) are removed; unique
+    lines keep their order; all-boilerplate docs come back empty."""
+    df = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha one\nFOOTER"),
+            (2, "HEADER\nbeta two\nFOOTER"),
+            (3, "HEADER\ngamma three\nFOOTER"),
+            (4, "HEADER\nFOOTER"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["id"]: r["text"]
+        for r in TD.line_level_dedup(df, "doc_id", "text", max_docs=3).collect()
+    }
+    # HEADER/FOOTER are in 4 docs -> dropped; unique middles survive
+    assert out == {1: "alpha one", 2: "beta two", 3: "gamma three", 4: ""}
+
+    # max_docs=4 keeps everything intact
+    out2 = {
+        r["id"]: r["text"]
+        for r in TD.line_level_dedup(df, "doc_id", "text", max_docs=4).collect()
+    }
+    assert out2[1] == "HEADER\nalpha one\nFOOTER"
