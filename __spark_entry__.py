@@ -2479,6 +2479,130 @@ def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition-filter battery (Rae et al. 2021 §A.1.1):
+    duplicate-line fractions over a synthesized multi-line rendering (the
+    corpus docs are single-line) + top/duplicated n-gram character
+    fractions over the raw text; single linear scan per row, no shuffle."""
+    from recordmanager_spark.functions import quality as QL
+
+    d = _t(spark, sf, "documents")
+    t = F.concat_ws(
+        "\n",
+        F.lit("SHARED HEADER"),
+        F.substring("text", 1, 40),
+        F.substring("text", 1, 40),
+        F.substring("text", 41, 40),
+        F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+    )
+    ls = QL.duplicate_line_stats(t)
+    top2 = QL.top_ngram_char_fraction("text", 2)
+    top3 = QL.top_ngram_char_fraction("text", 3)
+    dup5 = QL.dup_ngram_char_fraction("text", 5)
+    return d.select(
+        "doc_id",
+        F.round(ls["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(ls["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(top2, 6).alias("top2_char_frac"),
+        F.round(top3, 6).alias("top3_char_frac"),
+        F.round(dup5, 6).alias("dup5_char_frac"),
+        (
+            (ls["dup_line_frac"] <= 0.30)
+            & (ls["dup_line_char_frac"] <= 0.20)
+            & (top2 <= 0.20)
+            & (top3 <= 0.18)
+            & (dup5 <= 0.15)
+        ).alias("passes_repetition"),
+    )
+
+
+def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher non-repetition quality rules: word-count band, mean word
+    length, alphabetic-word fraction, symbol ratio, required-stop-word
+    hits — one struct-valued scan-stage expression per document."""
+    from recordmanager_spark.functions import quality as QL
+
+    d = _t(spark, sf, "documents")
+    q = QL.gopher_quality_stats("text")
+    return d.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(q["frac_alpha_words"], 6).alias("frac_alpha_words"),
+        F.round(q["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        q["stop_hits"].alias("stop_hits"),
+        q["passes"].alias("passes"),
+    )
+
+
+def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020): terminal punctuation +
+    >=3 words + boilerplate-marker rejection, over synthesized lines with
+    known-good and known-bad cases per document."""
+    from recordmanager_spark.functions import quality as QL
+
+    d = _t(spark, sf, "documents")
+    t = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 40), F.lit(".")),
+        F.lit("Short line"),
+        F.lit("This page uses cookie tracking."),
+        F.substring("text", 41, 40),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                 F.lit(" closing sentence.")),
+    )
+    c = QL.c4_clean_lines(t)
+    return d.select(
+        "doc_id",
+        c["n_total"].alias("n_total"),
+        c["n_kept"].alias("n_kept"),
+        c["text"].alias("cleaned"),
+    )
+
+
+def pii_scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex PII redaction (emails / IPv4 / phones / SSN-shaped) with
+    sequential category attribution; PII strings are planted
+    deterministically from doc_id so every pattern is exercised."""
+    from recordmanager_spark.functions import quality as QL
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), did, F.lit("@example.com or 10.0."),
+        F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit(".7 call +1 555 123 "),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(" ssn 123-45-6789"))
+        .otherwise(F.lit("")),
+    )
+    s = QL.pii_scrub(planted)
+    return d.select(
+        "doc_id",
+        s["n_ssn"].alias("n_ssn"),
+        s["n_email"].alias("n_email"),
+        s["n_ip"].alias("n_ip"),
+        s["n_phone"].alias("n_phone"),
+        s["text"].alias("redacted"),
+    )
+
+
+def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
+    corpus documents sharing any normalized 5-gram with the benchmark
+    slice (doc_id % 97 == 0). Benchmark gram set broadcasts; the corpus
+    never shuffles."""
+    from recordmanager_spark.operators import contamination as CT
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    out = CT.flag_contaminated(
+        d, "doc_id", "text", bench, "text", n=5, min_hits=1
+    )
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2583,6 +2707,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirty_hosts_propagation": dirty_hosts_propagation,
         "streaming_hourly_rollup": streaming_hourly_rollup,
         "stateful_skip_unchanged": stateful_skip_unchanged,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "c4_clean_docs": c4_clean_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "contamination_docs": contamination_docs,
     }
 
 
@@ -3811,6 +3940,218 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dup": _simhash_oracle_sql(),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "gopher_repetition_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     'SHARED HEADER' || chr(10) || substr(text,1,40) || chr(10)
+                     || substr(text,1,40) || chr(10) || substr(text,41,40)
+                     || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(t, chr(10)), x -> x <> '')) AS line
+              FROM d
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM l GROUP BY doc_id, line
+            ), lst AS (
+              SELECT doc_id, sum(cnt) AS n,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup,
+                     sum(cnt * len) AS chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dup_chars
+              FROM lc GROUP BY doc_id
+            ), tk AS (
+              SELECT doc_id, length(text) AS tlen,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id, tlen, unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> array_to_string(w[i:i+1], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS g
+              FROM tk
+            ), g2c AS (
+              SELECT doc_id, any_value(tlen) AS tlen, g, count(*) AS cnt
+              FROM g2 GROUP BY doc_id, g
+            ), t2 AS (
+              SELECT doc_id, cnt * length(g) / tlen AS frac
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn FROM g2c)
+              WHERE rn = 1
+            ), g3 AS (
+              SELECT doc_id, tlen, unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> array_to_string(w[i:i+2], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS g
+              FROM tk
+            ), g3c AS (
+              SELECT doc_id, any_value(tlen) AS tlen, g, count(*) AS cnt
+              FROM g3 GROUP BY doc_id, g
+            ), t3 AS (
+              SELECT doc_id, cnt * length(g) / tlen AS frac
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn FROM g3c)
+              WHERE rn = 1
+            ), g5 AS (
+              SELECT doc_id, tlen, unnest(CASE WHEN len(w) >= 5
+                THEN list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+                ELSE [array_to_string(w, ' ')] END) AS g
+              FROM tk
+            ), g5c AS (
+              SELECT doc_id, any_value(tlen) AS tlen, g, count(*) AS cnt
+              FROM g5 GROUP BY doc_id, g
+            ), d5 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+                       / any_value(tlen) AS frac
+              FROM g5c GROUP BY doc_id
+            )
+            SELECT lst.doc_id,
+                   round(lst.n_dup / lst.n, 6) AS dup_line_frac,
+                   round(lst.dup_chars / lst.chars, 6) AS dup_line_char_frac,
+                   round(t2.frac, 6) AS top2_char_frac,
+                   round(t3.frac, 6) AS top3_char_frac,
+                   round(d5.frac, 6) AS dup5_char_frac,
+                   (lst.n_dup / lst.n <= 0.30 AND lst.dup_chars / lst.chars <= 0.20
+                    AND t2.frac <= 0.20 AND t3.frac <= 0.18
+                    AND d5.frac <= 0.15) AS passes_repetition
+            FROM lst JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+                     JOIN d5 USING (doc_id)
+        """,
+        "gopher_quality_docs": """
+            WITH tk AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), st AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                     COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                       AS total_len,
+                     CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS BIGINT) AS n_sym,
+                     CAST(len(list_filter(
+                            ['the','be','to','of','and','that','have','with'],
+                            s -> list_contains(list_transform(w, x -> lower(x)), s)))
+                          AS BIGINT) AS stop_hits
+              FROM tk
+            )
+            SELECT doc_id, n_words,
+                   round(CASE WHEN n_words > 0 THEN total_len / n_words
+                              ELSE 0 END, 6) AS mean_word_len,
+                   round(CASE WHEN n_words > 0 THEN n_alpha / n_words
+                              ELSE 0 END, 6) AS frac_alpha_words,
+                   round(CASE WHEN n_words > 0 THEN n_sym / n_words
+                              ELSE 0 END, 6) AS symbol_word_ratio,
+                   stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND total_len / n_words >= 3.0
+                    AND total_len / n_words <= 10.0
+                    AND n_alpha / n_words >= 0.8
+                    AND n_sym / n_words <= 0.1
+                    AND stop_hits >= 2) AS passes
+            FROM st
+        """,
+        "c4_clean_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text,1,40) || '.' || chr(10) || 'Short line'
+                     || chr(10) || 'This page uses cookie tracking.' || chr(10)
+                     || substr(text,41,40) || chr(10) || 'Doc '
+                     || CAST(doc_id AS VARCHAR) || ' closing sentence.' AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+              FROM d
+            ), k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, x ->
+                       regexp_matches(x, '[.!?"]$')
+                       AND len(list_filter(string_split_regex(x, '\\s+'),
+                                           y -> y <> '')) >= 3
+                       AND NOT regexp_matches(lower(x),
+                                              'cookie|javascript|lorem ipsum')
+                     ) AS kept
+              FROM l
+            )
+            SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_total,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS cleaned
+            FROM k
+        """,
+        "pii_scrub_docs": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text,1,40) || ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 123 '
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789'
+                             ELSE '' END AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t0, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                     AS BIGINT) AS n_ssn,
+                regexp_replace(t0, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t1
+              FROM p
+            ), s2 AS (
+              SELECT doc_id, n_ssn,
+                CAST(len(regexp_extract_all(t1,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_email,
+                regexp_replace(t1,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_ssn, n_email,
+                CAST(len(regexp_extract_all(t2,
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+                regexp_replace(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                               '<IP>', 'g') AS t3
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, n_ssn, n_email, n_ip,
+                CAST(len(regexp_extract_all(t3, '\\+?\\d[\\d -]{7,}\\d'))
+                     AS BIGINT) AS n_phone,
+                regexp_replace(t3, '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS t4
+              FROM s3
+            )
+            SELECT doc_id, n_ssn, n_email, n_ip, n_phone, t4 AS redacted
+            FROM s4
+        """,
+        "contamination_docs": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex({_NORM.format(c='text')},
+                                                    '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), gs AS (
+              SELECT doc_id, CASE WHEN len(w) >= 5
+                THEN list_distinct(list_transform(range(1, len(w) - 3),
+                       i -> array_to_string(w[i:i+4], ' ')))
+                ELSE [array_to_string(w, ' ')] END AS g
+              FROM tk
+            ), dg AS (
+              SELECT doc_id, unnest(g) AS g FROM gs
+            ), bench AS (
+              SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT dg.doc_id, count(*) AS n_hits
+              FROM dg JOIN bench USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
     }
 
 

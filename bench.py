@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "knn_ivf_full",
     "text_quality",
     "multimodal_features",
+    "gopher_repetition_docs",
+    "pii_scrub_docs",
+    "contamination_docs",
 ]
 
 
