@@ -724,17 +724,30 @@ def marc_geographic_locations(marc: Column) -> Column:
     Marc.php:2422-2487): DMS-or-decimal coordinates decoded, out-of-range
     values discarded, degenerate boxes collapse to POINT, and weird
     coordinate order is coped with by swapping (ENVELOPE is minX, maxX,
-    maxY, minY)."""
+    maxY, minY).
+
+    Two chained ``transform``s: the first DECODES each 034 into a struct of
+    four decimals, the second formats WKT from the struct's lambda-bound
+    fields. Column trees duplicate per reference — the DMS cascade is ~20k
+    chars and the WKT step reads each coordinate ~8 times, so inlining it
+    made this single column a 650k-char expression (seconds of analyzer
+    time per query). Binding through the lambda variable keeps each decode
+    in the tree exactly once."""
     from ..functions import geo as GEOF
 
-    def one(field):
+    def decode(field):
         sub = lambda c: F.coalesce(  # noqa: E731
             try_element_at(_sub_values(field, [c]), 1), F.lit("")
         )
-        w = GEOF.coordinate_to_decimal(sub("d"))
-        e = GEOF.coordinate_to_decimal(sub("e"))
-        n = GEOF.coordinate_to_decimal(sub("f"))
-        s = GEOF.coordinate_to_decimal(sub("g"))
+        return F.struct(
+            GEOF.coordinate_to_decimal(sub("d")).alias("w"),
+            GEOF.coordinate_to_decimal(sub("e")).alias("e"),
+            GEOF.coordinate_to_decimal(sub("f")).alias("n"),
+            GEOF.coordinate_to_decimal(sub("g")).alias("s"),
+        )
+
+    def one(d):
+        w, e, n, s = d["w"], d["e"], d["n"], d["s"]
         w_ok = ~F.isnan(w) & (w >= -180) & (w <= 180)
         n_ok = ~F.isnan(n) & (n >= -90) & (n <= 90)
         e_ok = ~F.isnan(e) & (e >= -180) & (e <= 180)
@@ -754,7 +767,7 @@ def marc_geographic_locations(marc: Column) -> Column:
             F.when(has_box, F.when(e_ok & s_ok, env)).otherwise(point),
         )
 
-    vals = F.transform(fields_by_tag(marc, "034"), one)
+    vals = F.transform(F.transform(fields_by_tag(marc, "034"), decode), one)
     return F.filter(vals, lambda v: v.isNotNull())
 
 

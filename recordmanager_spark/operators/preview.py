@@ -36,35 +36,24 @@ def preview_record(
     non_indexed: list[str] | None = None,
 ) -> dict[str, Any]:
     """One serialized record → its final field map (the preview payload)."""
-    df = spark.createDataFrame([(raw,)], "raw string")
+    # coalesce(1): createDataFrame spreads even one row over
+    # defaultParallelism partitions, and EVERY task re-initializes the
+    # full interpreted projection (~25s of duplicated per-task setup for
+    # the ~60-column MARC tree). One row -> one task.
+    df = spark.createDataFrame([(raw,)], "raw string").coalesce(1)
     if fmt in ("marc", "linemarc"):
         parse = (
             MARC.parse_marc_in_json if fmt == "marc" else LM.parse_line_based_marc
         )
-        parsed = df.select(parse("raw").alias("m"))
-        post_steps = any(
-            (field_rules, mappings, hierarchical_facets, institution)
-        )
-        if not post_steps:
-            # Optimizer + codegen cost over the full ~60-column expression
-            # tree is superlinear in tree size and dominates a 1-row run
-            # (minutes for one record). Without cross-column post steps the
-            # field map can be collected in COLUMN CHUNKS — each chunk's
-            # plan is small, and the parse is shared.
-            parsed = parsed.cache()
-            names = list(MARC._solr_col_builders(F.col("m"), None, {}))
-            out: dict[str, Any] = {}
-            for i in range(0, len(names), 8):
-                chunk = names[i : i + 8]
-                part = MARC.to_solr_columns(parsed, "m", only=chunk).drop("m")
-                part = NZ.normalize_fields(
-                    part, limits=limits, non_indexed=non_indexed, barrier=True
-                )
-                out.update(part.collect()[0].asDict())
-            parsed.unpersist()
-            return {k: v for k, v in out.items() if v not in (None, "", [])}
+        # The cache is a PLAN BARRIER, not a perf cache: without it
+        # CollapseProject inlines the parse expression into each of the
+        # ~60 downstream columns and the optimizer walks a 60x tree.
+        parsed = df.select(parse("raw").alias("m")).cache()
+        parsed.count()
+        barrier_frame = parsed
         wide = MARC.to_solr_columns(parsed, "m").drop("m")
     elif fmt == "dc":
+        barrier_frame = None
         wide = DC.to_solr_columns(df, "raw").drop("raw")
     else:
         raise ValueError(f"unknown preview format: {fmt!r}")
@@ -85,8 +74,38 @@ def preview_record(
     wide = NZ.normalize_fields(
         wide, limits=limits, non_indexed=non_indexed, barrier=True
     )
-    row = wide.collect()[0]
+    row = _collect_interpreted(spark, wide)
+    if barrier_frame is not None:
+        barrier_frame.unpersist()
     return {k: v for k, v in row.asDict().items() if v not in (None, "", [])}
+
+
+def _collect_interpreted(spark: SparkSession, wide: DataFrame):
+    """Collect a 1-row frame with whole-stage codegen disabled.
+
+    The full ~60-column MARC expression tree is hundreds of kilobytes of
+    expression nodes; Janino compiling that into bytecode dominates a
+    single-record run (it is pure fixed cost — there is one row to
+    evaluate). Interpreted expression eval answers the same plan in a
+    fraction of the time, so flip codegen off just for this collect and
+    restore the session confs afterwards.
+    """
+    conf = spark.conf
+    saved = {
+        "spark.sql.codegen.wholeStage": conf.get(
+            "spark.sql.codegen.wholeStage", "true"
+        ),
+        "spark.sql.codegen.factoryMode": conf.get(
+            "spark.sql.codegen.factoryMode", "FALLBACK"
+        ),
+    }
+    try:
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        return wide.collect()[0]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 def preview_df(wide: DataFrame) -> dict[str, Any]:
