@@ -2603,6 +2603,57 @@ def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: whitespace token
+    counts, 4 shards (pmod of doc_id so the oracle can replicate the
+    sharding), 512-token bins; per-document stream offset and bin span.
+    The only shuffle is the hash partition by shard + in-shard sort."""
+    from recordmanager_spark.functions import text as TX
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(4)).cast("long").alias("shard"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    out = PK.pack_sequences(
+        d, id_col="doc_id", tokens_col="n_tokens", budget=512,
+        shard_col="shard",
+    )
+    return out.select(
+        "doc_id", "shard", "n_tokens", "pack_offset", "bin_start",
+        "bin_end", "n_bins",
+    )
+
+
+def mix_sources_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-weighted source mixing (The Pile / LLaMA recipe): src0 gets
+    2.4 epochs (2 copies + a deterministic 40% third), src1 is halved,
+    everything else stays at 1.0. Row multiplication is map-side explode;
+    the fractional choice is an md5 unit hash, so reruns are identical."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = PK.mix_sources(
+        d, {"src0": 2.4, "src1": 0.5}, source_col="source",
+        id_col="doc_id", salt="mix",
+    )
+    return out.select("doc_id", "source", "rep")
+
+
+def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language Bernoulli downsampling: keep 30% of en,
+    70% of zh, all the rest — scan-stage filter on a salted md5 unit
+    hash, reproducible across runs/engines/partitionings."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return PK.stratified_sample(
+        d, {"en": 0.3, "zh": 0.7}, stratum_col="lang", id_col="doc_id",
+        salt="sample",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2712,6 +2763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": c4_clean_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "contamination_docs": contamination_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mix_sources_docs": mix_sources_docs,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -4152,7 +4206,65 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
+        "pack_sequences_docs": """
+            WITH tk AS (
+              SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+                     CAST(len(list_filter(
+                            string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS pack_offset
+              FROM tk
+            )
+            SELECT doc_id, shard, n_tokens, pack_offset,
+                   CAST(floor(pack_offset / 512) AS BIGINT) AS bin_start,
+                   CAST(floor((pack_offset + greatest(n_tokens, 1) - 1)
+                              / 512) AS BIGINT) AS bin_end,
+                   CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
+                        - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
+            FROM c
+        """,
+        "mix_sources_docs": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE WHEN source = 'src0' THEN CAST(2.4 AS DOUBLE)
+                          WHEN source = 'src1' THEN CAST(0.5 AS DOUBLE)
+                          ELSE CAST(1.0 AS DOUBLE) END AS wt,
+                     {_HEX8.format(h="md5('mix' || CAST(doc_id AS VARCHAR))")}
+                       / 4294967296.0 AS u
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                     CAST(floor(wt) AS INT)
+                     + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n_rep
+              FROM w
+            )
+            SELECT doc_id, source, CAST(unnest(range(n_rep)) AS INT) AS rep
+            FROM n WHERE n_rep > 0
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_HEX8.format(h="md5('sample' || CAST(doc_id AS VARCHAR))")}
+                    / 4294967296.0
+                  < CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
+                         WHEN lang = 'zh' THEN CAST(0.7 AS DOUBLE)
+                         ELSE CAST(1.0 AS DOUBLE) END
+        """,
     }
+
+
+# 32-bit value of the first 8 hex chars of an md5 hex string {h}
+# (the DuckDB twin of recordmanager_spark.operators.packing.unit_hash)
+_HEX8 = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)::BIGINT"
+    " * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)"
+)
 
 
 # 60-bit value of the first 15 hex chars of an md5 hex string {h}

@@ -1,0 +1,180 @@
+"""Training-batch assembly: sequence packing, source mixing, stratified
+sampling.
+
+These are the operators a pre-training data pipeline runs AFTER
+filtering/dedup: pack documents into fixed-token-budget sequences
+(GPT-style concat-and-chunk), repeat sources by epoch weights (data
+mixing a la The Pile / LLaMA recipes), and downsample strata at
+per-stratum rates — all deterministic, so runs are reproducible and
+resumable.
+
+No counterpart in the reference (it stops at the Solr sink); this module
+extends the engine toward LLM-corpus preparation the same way
+text_dedup/similarity do.
+
+Scale notes
+-----------
+- ``pack_sequences`` orders documents within a SHARD, not globally: a
+  global pack is a single-partition window sort (driver-killing at
+  100 TB). Sharding first means each shard packs independently — the
+  shuffle is a hash partition by shard plus an in-partition sort, and
+  shards are independent training streams, which is what loaders consume
+  anyway. Bin ids are (shard, bin) pairs so they never collide.
+- ``mix_sources`` emits repeats via ``explode(sequence(...))`` — a
+  map-side row multiplication, no shuffle, no driver involvement.
+- ``stratified_sample`` is a pure scan-stage filter on a deterministic
+  md5-derived unit hash: no shuffle, restartable, and the same rows
+  survive on every engine/run (unlike ``rand()``-based sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def unit_hash(col: Column | str, salt: str = "") -> Column:
+    """Deterministic hash of a column into [0, 1).
+
+    First 8 hex chars of md5 → 32-bit int → /2^32. Engine-portable (the
+    DuckDB oracle replicates it digit-by-digit) and salted so independent
+    decisions (sampling vs mixing) do not correlate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        float(2**32)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    shard_col: str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-2/3 appendix-style).
+
+    Documents are laid end-to-end in deterministic ``id`` order within a
+    shard and the stream is cut every ``budget`` tokens. Each document
+    row gains:
+
+    - ``shard``       — pack shard id
+    - ``pack_offset`` — token offset of the document within the stream
+    - ``bin_start``   — id of the bin where the document begins
+    - ``bin_end``     — id of the bin where it ends
+    - ``n_bins``      — how many bins it spans (crosses a cut when > 1)
+
+    Exact-first-fit packing needs a sequential scan; concat-and-chunk is
+    what large pipelines actually use because it is a pure prefix sum —
+    one window aggregation, fully parallel across shards.
+
+    Pass ``shard_col`` to use an existing shard assignment, or
+    ``num_shards`` to derive one as ``pmod(hash, n)`` of the id. With
+    neither, everything packs in one shard (fine for tests; a global
+    single-partition sort at scale — don't).
+    """
+    if shard_col is None:
+        if num_shards:
+            df = df.withColumn(
+                "shard",
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(num_shards),
+                ),
+            )
+        else:
+            df = df.withColumn("shard", F.lit(0))
+        shard_col = "shard"
+    elif shard_col != "shard":
+        df = df.withColumn("shard", F.col(shard_col))
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(tokens_col).cast("long")
+    cum_before = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    bin_start = F.floor(cum_before / budget)
+    # a 0-token document occupies no bin span; clamp its end to its start
+    bin_end = F.floor((cum_before + F.greatest(toks, F.lit(1)) - 1) / budget)
+    return df.select(
+        "*",
+        cum_before.alias("pack_offset"),
+        bin_start.alias("bin_start"),
+        bin_end.alias("bin_end"),
+        (bin_end - bin_start + 1).alias("n_bins"),
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-weighted source mixing with deterministic fractional repeats.
+
+    A weight of 2.4 means every document of that source appears twice and
+    a deterministic 40% of them (by unit hash of the id) a third time —
+    the standard "epochs per source" recipe. Output rows carry ``rep``
+    (0-based repeat ordinal) so downstream shuffling can interleave.
+
+    Plan shape: the weight table is a literal CASE (a handful of
+    sources), the repeat expansion is ``explode(sequence())`` — map-side
+    only, rows never shuffle.
+    """
+    w_expr: Column = F.lit(float(default_weight))
+    for src, w in weights.items():
+        w_expr = (
+            F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(w_expr)
+        )
+    whole = F.floor(w_expr).cast("int")
+    frac = w_expr - F.floor(w_expr)
+    extra = (unit_hash(F.col(id_col), salt) < frac).cast("int")
+    n_rep = whole + extra
+    out = df.withColumn("__n_rep", n_rep).where(F.col("__n_rep") > 0)
+    return (
+        out.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.col("__n_rep") - 1))
+        )
+        .drop("__n_rep")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling.
+
+    Keeps a row iff ``unit_hash(id) < rate(stratum)``. Unlike
+    ``DataFrame.sample`` this is reproducible across runs, engines, and
+    repartitioning — a requirement for auditable corpus construction —
+    and it composes with incremental reruns (the same document always
+    gets the same verdict).
+    """
+    r_expr: Column = F.lit(float(default_rate))
+    for stratum, r in rates.items():
+        r_expr = (
+            F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(
+                r_expr
+            )
+        )
+    return df.where(unit_hash(F.col(id_col), salt) < r_expr)

@@ -1,0 +1,132 @@
+"""Sequence packing, source mixing, stratified sampling.
+
+Each operator is checked against the obvious sequential Python model:
+lay documents end-to-end per shard and cut every `budget` tokens;
+repeat each doc floor(w) (+1 for the deterministic fractional slice);
+keep iff unit_hash < rate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from recordmanager_spark.operators import packing as PK
+
+
+def _unit(salt: str, key) -> float:
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:8], 16) / 2**32
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, i % 3, 10 + (i * 7) % 90) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+
+
+def test_pack_sequences_model(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in PK.pack_sequences(
+            docs, id_col="doc_id", tokens_col="n_tokens", budget=100,
+            shard_col="shard",
+        ).collect()
+    }
+    # sequential model per shard
+    rows = sorted(docs.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    cum: dict[int, int] = {}
+    for r in rows:
+        before = cum.get(r["shard"], 0)
+        cum[r["shard"]] = before + r["n_tokens"]
+        got = out[r["doc_id"]]
+        assert got["pack_offset"] == before
+        assert got["bin_start"] == before // 100
+        assert got["bin_end"] == (before + max(r["n_tokens"], 1) - 1) // 100
+        assert got["n_bins"] == got["bin_end"] - got["bin_start"] + 1
+
+
+def test_pack_sequences_bins_are_dense(spark, docs):
+    out = PK.pack_sequences(
+        docs, id_col="doc_id", tokens_col="n_tokens", budget=100,
+        shard_col="shard",
+    )
+    # every bin from 0..max must be touched by some document (the stream
+    # has no holes) and no document may claim more tokens than it spans
+    per_shard = (
+        out.groupBy("shard")
+        .agg(
+            F.max("bin_end").alias("hi"),
+            F.count_distinct("bin_start").alias("starts"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        assert r["hi"] == (r["total"] - 1) // 100
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 100), (3, 0)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in PK.pack_sequences(
+            df, id_col="doc_id", tokens_col="n_tokens", budget=100
+        ).collect()
+    }
+    # zero-token docs occupy no span: start == end, and the following doc
+    # starts where the previous real doc ended
+    assert out[1]["n_bins"] == 1 and out[1]["bin_start"] == out[1]["bin_end"]
+    assert out[2]["pack_offset"] == 0
+    assert out[3]["pack_offset"] == 100
+    assert out[3]["bin_start"] == 1
+
+
+def test_mix_sources_model(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = PK.mix_sources(
+        df, {"a": 2.5, "b": 0.25}, source_col="source", id_col="doc_id",
+        salt="t",
+    ).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["rep"])
+    for i in range(100):
+        w = 2.5 if i % 2 == 0 else 0.25
+        expect = int(w) + (1 if _unit("t", i) < w - int(w) else 0)
+        got = sorted(by_doc.get(i, []))
+        assert got == list(range(expect)), (i, w, got)
+
+
+def test_stratified_sample_model(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fi") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in PK.stratified_sample(
+            df, {"en": 0.5}, stratum_col="lang", id_col="doc_id", salt="s"
+        ).collect()
+    }
+    for i in range(200):
+        rate = 0.5 if i % 2 == 0 else 1.0
+        assert (i in kept) == (_unit("s", i) < rate)
+
+
+def test_stratified_sample_deterministic_across_partitionings(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id long, lang string"
+    )
+    a = PK.stratified_sample(df, {"en": 0.37}, id_col="doc_id")
+    b = PK.stratified_sample(df.repartition(7), {"en": 0.37}, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
