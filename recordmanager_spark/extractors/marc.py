@@ -107,6 +107,65 @@ def parse_marc_in_json(raw: pd.Series) -> pd.DataFrame:
     )
 
 
+def _parse_one_xml(raw: str | None):
+    """One MARCXML <record> (LOC slim schema) → the normalized struct.
+
+    Accepts a bare <record> or a <collection> wrapper (first record).
+    Namespace-agnostic: tests and real harvests mix the MARC21/slim
+    namespace with none at all.
+    """
+    if not raw:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return None
+
+    def local(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    rec = root
+    if local(root) != "record":
+        rec = next((el for el in root.iter() if local(el) == "record"), None)
+        if rec is None:
+            return None
+    leader = None
+    out = []
+    for el in rec:
+        name = local(el)
+        if name == "leader":
+            leader = el.text or ""
+        elif name == "controlfield":
+            out.append((el.get("tag", ""), None, None, el.text or "", None))
+        elif name == "datafield":
+            subs = [
+                (sf.get("code", ""), sf.text or "")
+                for sf in el
+                if local(sf) == "subfield"
+            ]
+            out.append(
+                (el.get("tag", ""), el.get("ind1"), el.get("ind2"), None, subs)
+            )
+    return (leader, out)
+
+
+@pandas_udf(MARC_SCHEMA)
+def parse_marcxml(raw: pd.Series) -> pd.DataFrame:
+    """MARCXML → the same parsed struct as :func:`parse_marc_in_json`,
+    so every downstream fieldspec/Solr-column expression applies
+    unchanged (the reference's primary record serialization;
+    tests/fixtures/Base/record/marc*.xml are this format)."""
+    parsed = raw.map(_parse_one_xml)
+    return pd.DataFrame(
+        {
+            "leader": parsed.map(lambda p: p[0] if p else None),
+            "fields": parsed.map(lambda p: p[1] if p else None),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fieldspec engine — pure JVM expressions over the parsed struct
 # ---------------------------------------------------------------------------
@@ -327,7 +386,12 @@ def marc_title(marc: Column, for_filing: bool = False) -> Column:
 
 
 def marc_languages(marc: Column) -> Column:
-    """008/35-37 plus 041 $a/$d/$h/$j, 3-char lowercase codes (getLanguages)."""
+    """008/35-37 plus 041 $a/$d/$h/$j split values, trimmed + lowercased,
+    empties dropped — and NOT deduplicated: the reference keeps the 008
+    code and an identical 041 code as separate entries (getLanguages,
+    Marc.php:2188-2205 → normalizeLanguageStrings, MetadataUtils.php:
+    1056-1069; per-field dedup happens downstream in normalize_fields,
+    as in SolrUpdater)."""
     base = F.lower(F.trim(F.substring(control_value(marc, "008"), 36, 3)))
     extra = F.transform(
         get_fields_subfields(
@@ -340,12 +404,46 @@ def marc_languages(marc: Column) -> Column:
             ],
             split_subfields=True,
         ),
-        F.lower,
+        lambda v: F.lower(F.trim(v)),
     )
     all_codes = F.concat(
-        F.when(base.rlike("^[a-z]{3}$"), F.array(base)).otherwise(F.array()), extra
+        F.when(base.isNotNull() & (base != ""), F.array(base)).otherwise(
+            F.array()
+        ),
+        extra,
     )
-    return F.array_distinct(F.filter(all_codes, lambda c: c.rlike("^[a-z]{3}$")))
+    return F.filter(all_codes, lambda c: c.isNotNull() & (c != ""))
+
+
+def marc_full_title(marc: Column) -> Column:
+    """245 $a-$s join with trailing punctuation stripped; the original
+    string wins if stripping leaves nothing (getFullTitle, Marc.php:
+    1756-1766 — stripTrailingPunctuation's preservePunctuationOnly)."""
+    full = get_field_subfields(
+        marc, "245", ["a", "b", "c", "f", "g", "h", "k", "n", "p", "s"]
+    )
+    stripped = K.strip_trailing_punctuation(full)
+    return F.when(stripped == "", full).otherwise(stripped)
+
+
+def marc_publishers(marc: Column) -> Column:
+    """260 $b (with linked 880, trailing punctuation stripped); when that
+    yields nothing, the first 264 with ind2=1 contributes its $b
+    (Marc.php:430-450)."""
+    p260 = _stripped(get_fields_subfields(marc, [(GET_BOTH, "260", ["b"])]))
+    f264 = F.filter(
+        marc["fields"],
+        lambda f: (f["tag"] == "264")
+        & (F.coalesce(f["ind2"], F.lit("")) == "1"),
+    )
+    first_b = try_element_at(
+        F.flatten(F.transform(f264, lambda f: _sub_values(f, ["b"]))), 1
+    )
+    p264 = F.when(
+        first_b.isNotNull(),
+        F.array(K.strip_trailing_punctuation(first_b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(p260) > 0, p260).otherwise(p264)
 
 
 def marc_isbns(marc: Column) -> Column:
@@ -378,14 +476,50 @@ def marc_page_count(marc: Column) -> Column:
 
 
 def marc_allfields(marc: Column) -> Column:
-    """All data-field subfield values, control tags excluded (getAllFields)."""
-    data_fields = F.filter(
+    """Search-field union (getAllFields, Marc.php:1946-1974): data fields
+    with 100 <= tag < 841 plus 856/880; control subfields excluded per tag
+    (650: $0$2$6$8, 773: $6$7$8$w, 856: $6$8$q, default: $0$6$8); each
+    value stripped of leading then trailing punctuation; first-occurrence
+    unique, empties dropped."""
+
+    def tagn(f):
+        return f["tag"].cast("int")
+
+    fields = F.filter(
         marc["fields"],
-        lambda f: ~f["tag"].isin("000", "001", "003", "005", "006", "007", "008")
-        & f["subfields"].isNotNull(),
+        lambda f: f["subfields"].isNotNull()
+        & (
+            ((tagn(f) >= 100) & (tagn(f) < 841))
+            | f["tag"].isin("856", "880")
+        ),
     )
-    vals = F.flatten(F.transform(data_fields, lambda f: _sub_values(f, None)))
-    return F.filter(vals, lambda v: v != "")
+
+    def keep(f, s):
+        return ~(
+            F.when(f["tag"] == "650", s["code"].isin("0", "2", "6", "8"))
+            .when(f["tag"] == "773", s["code"].isin("6", "7", "8", "w"))
+            .when(f["tag"] == "856", s["code"].isin("6", "8", "q"))
+            .otherwise(s["code"].isin("0", "6", "8"))
+        )
+
+    vals = F.flatten(
+        F.transform(
+            fields,
+            lambda f: F.transform(
+                F.filter(f["subfields"], lambda s: keep(f, s)),
+                lambda s: s["value"],
+            ),
+        )
+    )
+    cleaned = F.transform(
+        vals,
+        lambda v: K.strip_trailing_punctuation(
+            K.strip_leading_punctuation(v, preserve_punctuation_only=False)
+        ),
+    )
+    return F.array_distinct(
+        F.filter(cleaned, lambda v: v.isNotNull() & (v != ""))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -790,11 +924,13 @@ def marc_callnumber_columns(
     """
     from ..functions import callnumbers as CN
 
+    # '' (not NULL) when absent — toSolrArray assigns these unconditionally
     cn_first = F.coalesce(
         *[
             F.nullif(get_field_subfields(marc, t, ["a"]), F.lit(""))
             for t in ("099", "090", "050")
-        ]
+        ],
+        F.lit(""),
     )
     subj_src = F.coalesce(
         F.nullif(get_field_subfields(marc, "090", ["a"]), F.lit("")),
@@ -819,11 +955,15 @@ def marc_callnumber_columns(
     )
     # pandas UDF over the whole array (UDFs cannot run inside transform
     # lambdas): first valid CN's sort key, else first non-empty key
-    cn_sort = F.nullif(CN.lc_sort_key_first_valid(cn_raw), F.lit(""))
-    dewey = get_fields_subfields(
-        marc,
-        [(GET_NORMAL, "082", ["a"]), (GET_NORMAL, "083", ["a"])],
-        split_subfields=True,
+    cn_sort = CN.lc_sort_key_first_valid(cn_raw)
+    # getFieldsSubfields strips trailing punctuation by default, so the
+    # dewey values feeding DeweyCallNumber are period-less ('330.903')
+    dewey = _stripped(
+        get_fields_subfields(
+            marc,
+            [(GET_NORMAL, "082", ["a"]), (GET_NORMAL, "083", ["a"])],
+            split_subfields=True,
+        )
     )
     dewey_last = try_element_at(dewey, -1)
     dewey_first = try_element_at(dewey, 1)
@@ -968,33 +1108,53 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
         "title_short": lambda: K.strip_trailing_punctuation(
             get_field_subfields(m, "245", ["a"])
         ),
-        "title_sub": lambda: get_field_subfields(m, "245", ["b", "n", "p"]),
-        "title_full": lambda: get_field_subfields(m, "245", None),
-        "title_alt": lambda: get_fields_subfields(
-            m,
-            [
-                (GET_BOTH, "130", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
-                (GET_BOTH, "240", ["a"]),
-                (GET_BOTH, "246", ["g"]),
-                (GET_BOTH, "730", ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"]),
-            ],
+        "title_sub": lambda: K.strip_trailing_punctuation(
+            get_field_subfields(m, "245", ["b", "n", "p"])
+        ),
+        "title_full": lambda: marc_full_title(m),
+        # getAltTitles (Marc.php:1670-1690): alt-script 245ab first, then
+        # 130/240/246/730/740, trailing-stripped, first-occurrence unique
+        "title_alt": lambda: F.array_distinct(
+            _stripped(
+                get_fields_subfields(
+                    m,
+                    [
+                        (GET_ALT, "245", ["a", "b"]),
+                        (
+                            GET_BOTH,
+                            "130",
+                            ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"],
+                        ),
+                        (GET_BOTH, "240", ["a"]),
+                        (GET_BOTH, "246", ["a", "b", "n", "p"]),
+                        (
+                            GET_BOTH,
+                            "730",
+                            ["a", "d", "f", "g", "k", "l", "n", "p", "s", "t"],
+                        ),
+                        (GET_BOTH, "740", ["a"]),
+                    ],
+                )
+            )
         ),
         # getTitle(true): non-filing ind2 chars dropped, punctuation
         # stripped, lowercased (the reference does NOT article-strip here —
         # records carry the non-filing count)
         "title_sort": lambda: marc_title(m, for_filing=True),
-        "publisher": lambda: get_fields_subfields(
-            m, [(GET_NORMAL, "260", ["b"]), (GET_NORMAL, "264", ["b"])]
-        ),
+        "publisher": lambda: marc_publishers(m),
         "publish_year": pubyear,
         "publishDate": lambda: F.when(
             pubyear().isNotNull(), F.array(pubyear())
         ).otherwise(F.array()),
-        "physical": lambda: get_fields_subfields(
-            m, [(GET_NORMAL, "300", ["a", "b", "c", "e", "f", "g"])]
+        "physical": lambda: _stripped(
+            get_fields_subfields(
+                m, [(GET_NORMAL, "300", ["a", "b", "c", "e", "f", "g"])]
+            )
         ),
         "page_count": lambda: marc_page_count(m),
-        "edition": lambda: get_field_subfields(m, "250", ["a"]),
+        "edition": lambda: K.strip_trailing_punctuation(
+            get_field_subfields(m, "250", ["a"])
+        ),
         "series": lambda: get_fields_subfields(
             m,
             [
@@ -1004,27 +1164,40 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
                 (GET_BOTH, "830", ["a", "p"]),
             ],
         ),
-        "topic": lambda: get_fields_subfields(
-            m,
-            [
-                (GET_BOTH, "600", list("abcdefghjklmnopqrstuvxyz")),
-                (GET_BOTH, "610", list("abcdefghklmnoprstuvxyz")),
-                (GET_BOTH, "611", list("acdefghjklnpqstuvxyz")),
-                (GET_BOTH, "630", list("adefghklmnoprstvxyz")),
-                (GET_BOTH, "650", list("abcdevxyz")),
-            ],
+        # getFieldsSubfields strips trailing punctuation by default —
+        # subject chains end period-less ('Capitalisme Histoire', not
+        # 'Capitalisme Histoire.')
+        "topic": lambda: _stripped(
+            get_fields_subfields(
+                m,
+                [
+                    (GET_BOTH, "600", list("abcdefghjklmnopqrstuvxyz")),
+                    (GET_BOTH, "610", list("abcdefghklmnoprstuvxyz")),
+                    (GET_BOTH, "611", list("acdefghjklnpqstuvxyz")),
+                    (GET_BOTH, "630", list("adefghklmnoprstvxyz")),
+                    (GET_BOTH, "650", list("abcdevxyz")),
+                ],
+            )
         ),
-        "genre": lambda: get_fields_subfields(m, [(GET_BOTH, "655", list("abcvxyz"))]),
-        "geographic": lambda: get_fields_subfields(
-            m, [(GET_BOTH, "651", list("aevxyz"))]
+        "genre": lambda: _stripped(
+            get_fields_subfields(m, [(GET_BOTH, "655", list("abcvxyz"))])
         ),
-        "era": lambda: get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))]),
+        "geographic": lambda: _stripped(
+            get_fields_subfields(m, [(GET_BOTH, "651", list("aevxyz"))])
+        ),
+        "era": lambda: _stripped(
+            get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))])
+        ),
         "topic_facet": lambda: marc_topic_facets(m),
         "genre_facet": lambda: marc_genre_facets(m),
         "geographic_facet": lambda: marc_geographic_facets(m),
         "era_facet": lambda: marc_era_facets(m),
-        "title_old": lambda: get_fields_subfields(m, [(GET_BOTH, "780", ["a", "s", "t"])]),
-        "title_new": lambda: get_fields_subfields(m, [(GET_BOTH, "785", ["a", "s", "t"])]),
+        "title_old": lambda: _stripped(
+            get_fields_subfields(m, [(GET_BOTH, "780", ["a", "s", "t"])])
+        ),
+        "title_new": lambda: _stripped(
+            get_fields_subfields(m, [(GET_BOTH, "785", ["a", "s", "t"])])
+        ),
         "contents": lambda: get_fields_subfields(
             m, [(GET_BOTH, "505", ["a"]), (GET_BOTH, "505", ["t"])]
         ),

@@ -121,7 +121,11 @@ class DeweyCallNumber:
             if result:
                 result += " "
             result += self.cutter
-        if self.suffix:
+        # PHP's suffix is ALWAYS a string ('' when absent), so a non-empty
+        # key always gains the separator — '330.903' sorts as '3330.903 '
+        # with a trailing space (DeweyCallNumber.php:165-189; the golden
+        # dewey-sort in tests/.../MarcTest.php testMarcDewey shows it)
+        if self.suffix is not None:
             if result:
                 result += " "
             result += _sortable(self.suffix)

@@ -72,10 +72,19 @@ _POINT_RE = "(?i)^POINT\\s*\\(\\s*(-?[\\d\\.]+)\\s+(-?[\\d\\.]+)\\s*\\)"
 
 
 def _fmt(c: Column) -> Column:
-    # PHP float-to-string: integral floats print without a trailing .0
+    # PHP float-to-string: precision=14 significant digits (ini default),
+    # integral floats print without a trailing .0. Coordinates are bounded
+    # by ±180, so 14 significant digits = 11-13 decimal places by integer
+    # width (60.666666666666664 prints as '60.666666666667' in PHP).
+    a = F.abs(c)
+    r = (
+        F.when(a >= 100, F.round(c, 11))
+        .when(a >= 10, F.round(c, 12))
+        .otherwise(F.round(c, 13))
+    )
     return F.when(
-        c == c.cast("long"), c.cast("long").cast("string")
-    ).otherwise(c.cast("string"))
+        r == r.cast("long"), r.cast("long").cast("string")
+    ).otherwise(r.cast("string"))
 
 
 def _poly_centroid(wkt: str) -> str:

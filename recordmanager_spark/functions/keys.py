@@ -247,9 +247,14 @@ def author_initials(col: Column | str) -> Column:
     return F.trim(out)
 
 
-def strip_leading_punctuation(col: Column | str) -> Column:
+def strip_leading_punctuation(
+    col: Column | str, preserve_punctuation_only: bool = True
+) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, _LEADING_PUNCT_RE, "")
+    if not preserve_punctuation_only:
+        # getAllFields passes false: an all-punctuation value strips to ''
+        return stripped
     # preservePunctuationOnly: return original if nothing remains
     return F.when(stripped == "", c).otherwise(stripped)
 

@@ -96,10 +96,10 @@ def test_marc_basic_fields(spark):
     assert r.ctrlnum == ["(OCoLC)999999"]
     assert r.title == "A grand title : subtitle of grandeur"
     assert r.title_short == "A grand title"
-    assert r.title_sub == "subtitle of grandeur /"
+    assert r.title_sub == "subtitle of grandeur"  # trailing / stripped
     assert r.author == ["Author, Alice 1970-"]
     assert r.author2 == ["Helper, Bob"]
-    assert r.publisher == ["PubHouse,"]
+    assert r.publisher == ["PubHouse"]  # 260$b strips trailing punctuation
     assert r.publish_year == "2011"
     assert r.page_count == 345  # first digit run in "xii, 345 pages"
     assert r.url == ["http://example.com/x"]
@@ -113,7 +113,9 @@ def test_marc_isbn_normalized_to_13(spark):
 
 def test_marc_languages(spark):
     r = _solr_row(spark, MARC1)
-    assert r.language == ["eng", "fin"]
+    # 008 language + each 041 value, NOT deduplicated (the reference
+    # keeps both; normalize_fields dedups downstream as SolrUpdater does)
+    assert r.language == ["eng", "eng", "fin"]
 
 
 def test_marc_allfields_excludes_control(spark):

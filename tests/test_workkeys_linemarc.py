@@ -81,7 +81,7 @@ def test_line_marc_dollar(spark):
     assert out.title_short == "Some title"
     assert out.author == ["Writer, Wendy 1950-"]
     assert out.publish_year == "1997"
-    assert out.topic == ["Testing."]
+    assert out.topic == ["Testing"]  # subject chain strips trailing period
 
 
 def test_line_marc_pipe_delimiter(spark):
