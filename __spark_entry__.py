@@ -775,7 +775,8 @@ def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
         "<eventActor><actorInRole><actor><nameActorSet><appellationValue>Owner, O%s</appellationValue></nameActorSet></actor></actorInRole></eventActor>"
         "<eventPlace><displayPlace>City %s.</displayPlace></eventPlace>"
         "</event></eventSet></eventWrap>"
-        "<recordWrap><recordID>L%s</recordID></recordWrap></lido>",
+        '<recordWrap><recordInfoSet><recordInfoID type="local">L%s'
+        "</recordInfoID></recordInfoSet></recordWrap></lido>",
         F.col("p_name"), F.col("p_type"), F.col("p_brand"),
         F.col("p_partkey").cast("string"), year, F.col("p_brand"),
         F.col("p_partkey").cast("string"),
@@ -795,7 +796,8 @@ def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
         try_element_at("material", 1).alias("material1"),
         # usage-event place, trailing period stripped
         try_element_at("geographic", 1).alias("place1"),
-        "ctrlnum",
+        # getRecordInfoIDs formats "(type)value"
+        try_element_at("ctrlnum", 1).alias("ctrlnum1"),
     )
 
 
@@ -2603,6 +2605,62 @@ def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+def forward_film_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward (EN15907) film extraction: main-element scoping (the
+    sibling work and its agent must NOT leak in), IDTypeName-prefixed
+    ctrlnum, directors-first author ordering, relator classification,
+    unfiltered corporate list, Synopsis-then-contents description with
+    language fallback."""
+    from recordmanager_spark.extractors import forward as FWF
+
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey").cast("string")
+    xml = F.format_string(
+        "<ExchangeSet><ProductionWork>"
+        '<Identifier IDTypeName="elonet">%s</Identifier>'
+        "<IdentifyingTitle>%s</IdentifyingTitle>"
+        "<Title><TitleText>%s</TitleText></Title>"
+        "<Title><TitleText>Alt %s</TitleText></Title>"
+        "<YearOfReference>%s</YearOfReference>"
+        "<HasAgent><AgentName>Actor A%s</AgentName><Activity>E01</Activity></HasAgent>"
+        "<HasAgent><AgentName>Producer P%s</AgentName><Activity>A00</Activity></HasAgent>"
+        "<HasAgent><AgentName>Director D%s</AgentName><Activity>D02</Activity></HasAgent>"
+        "<ContentDescription><DescriptionType>Synopsis</DescriptionType>"
+        "<Language>en</Language><DescriptionText>Synopsis %s</DescriptionText>"
+        "</ContentDescription>"
+        "<ContentDescription><DescriptionType>Content description</DescriptionType>"
+        "<Language>fi</Language><DescriptionText>Sisalto %s</DescriptionText>"
+        "</ContentDescription>"
+        "<CountryOfReference><Country><RegionName>Region %s</RegionName></Country>"
+        "</CountryOfReference>"
+        "</ProductionWork>"
+        "<ProductionWork><IdentifyingTitle>Sibling</IdentifyingTitle>"
+        "<HasAgent><AgentName>Ghost</AgentName><Activity>D02</Activity></HasAgent>"
+        "</ProductionWork></ExchangeSet>",
+        k, F.col("p_name"), F.col("p_name"), k,
+        (F.lit(1900) + F.pmod(F.col("p_partkey"), F.lit(100))).cast("string"),
+        k, k, k, k, k,
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("string"),
+    )
+    out = FWF.to_solr_columns(p.select("p_partkey", xml.alias("xml")), "xml")
+    return out.select(
+        "p_partkey",
+        "ctrlnum",
+        "title",
+        try_element_at("title_alt", 1).alias("alt1"),
+        F.size("title_alt").alias("n_alt"),
+        "publishDate",
+        F.array_join("author", "|").alias("authors"),
+        F.array_join("author_role", "|").alias("author_roles"),
+        F.array_join("author2", "|").alias("authors2"),
+        F.size("author_corporate").alias("n_agents"),
+        "author_sort",
+        "description",
+        try_element_at("geographic", 1).alias("region1"),
+        "format",
+    )
+
+
 def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: whitespace token
     counts, 4 shards (pmod of doc_id so the oracle can replicate the
@@ -2763,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": c4_clean_docs,
         "pii_scrub_docs": pii_scrub_docs,
         "contamination_docs": contamination_docs,
+        "forward_film_extract": forward_film_extract,
         "pack_sequences_docs": pack_sequences_docs,
         "mix_sources_docs": mix_sources_docs,
         "stratified_sample_docs": stratified_sample_docs,
@@ -3048,7 +3107,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1800 + p_partkey % 200 AS VARCHAR) AS display_date,
                    p_brand AS material1,
                    'City ' || CAST(p_partkey % 77 AS VARCHAR) AS place1,
-                   'L' || CAST(p_partkey AS VARCHAR) AS ctrlnum
+                   '(local)L' || CAST(p_partkey AS VARCHAR) AS ctrlnum1
             FROM part
         """,
         "upsert_orders": """
@@ -4205,6 +4264,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "forward_film_extract": """
+            SELECT p_partkey,
+                   'elonet_' || CAST(p_partkey AS VARCHAR) AS ctrlnum,
+                   p_name AS title,
+                   'Alt ' || CAST(p_partkey AS VARCHAR) AS alt1,
+                   1 AS n_alt,
+                   CAST(1900 + p_partkey % 100 AS VARCHAR) AS publishDate,
+                   'Director D' || CAST(p_partkey AS VARCHAR) || '|Producer P'
+                     || CAST(p_partkey AS VARCHAR) AS authors,
+                   'd02|a00' AS author_roles,
+                   'Actor A' || CAST(p_partkey AS VARCHAR) AS authors2,
+                   3 AS n_agents,
+                   'Director D' || CAST(p_partkey AS VARCHAR) AS author_sort,
+                   'Synopsis ' || CAST(p_partkey AS VARCHAR) || ' Sisalto '
+                     || CAST(p_partkey AS VARCHAR) AS description,
+                   'Region ' || CAST(p_partkey % 7 AS VARCHAR) AS region1,
+                   'MotionPicture' AS format
+            FROM part
         """,
         "pack_sequences_docs": """
             WITH tk AS (

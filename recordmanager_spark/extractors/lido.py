@@ -27,8 +27,10 @@ per type, concatenated in priority order.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions import keys as K
 from .dc import well_formed_xml
@@ -108,11 +110,200 @@ def _stripped(arr: Column) -> Column:
     )
 
 
-def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) -> DataFrame:
+# getAllFields skips these subtrees entirely (Lido.php:982-1005)
+_ALLFIELDS_IGNORED = (
+    "conceptID", "eventType", "legalBodyWeblink", "linkResource",
+    "objectMeasurementsWrap", "recordMetadataDate", "recordType",
+    "resourceWrap", "relatedWorksWrap", "rightsType", "roleActor",
+)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _lido_titles_one(
+    raw: str | None,
+    merge_values: bool,
+    merge_sets: bool,
+    fmt_in_title: bool,
+    default_lang: str,
+):
+    """getTitles + getAltTitles + getDescription (Lido.php:442-594,
+    651-669): per-titleSet, per-language appellation grouping with pref
+    and inherited lang attributes, optional value/set merging with '; ',
+    work-type fallback to the description, and the description column's
+    don't-repeat-the-title rule. Genuinely nested grouped state — the one
+    LIDO computation that is not a relational expression, so it runs as
+    an Arrow-batched UDF over the (small) record XML."""
+    empty = ("", [], "")
+    if not raw:
+        return empty
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return empty
+
+    parent = {c: p for p in root.iter() for c in p}
+
+    def inherited(node, attr, default):
+        cur = node
+        while cur is not None:
+            v = cur.get(attr)
+            if v:
+                return v
+            cur = parent.get(cur)
+        return default
+
+    def find_all(path_locals):
+        """All elements matching a local-name path anywhere in the doc."""
+        hits = [root] if _local(root.tag) == path_locals[0] else [
+            el for el in root.iter() if _local(el.tag) == path_locals[0]
+        ]
+        for name in path_locals[1:]:
+            hits = [c for h in hits for c in h if _local(c.tag) == name]
+        return hits
+
+    preferred_titles: dict[str, list[str]] = {}
+    alternate_titles: dict[str, list[str]] = {}
+    for tset in find_all(["titleWrap", "titleSet"]):
+        pref_parts: dict[str, list[str]] = {}
+        alt_parts: dict[str, list[str]] = {}
+        for av in (c for c in tset if _local(c.tag) == "appellationValue"):
+            title = (av.text or "").strip()
+            if not title:
+                continue
+            pref = av.get("pref") or "preferred"
+            lang = inherited(av, "lang", default_lang)
+            (pref_parts if pref == "preferred" else alt_parts).setdefault(
+                lang, []
+            ).append(title)
+        for lang, parts in pref_parts.items():
+            if merge_values and lang in alt_parts:
+                parts = parts + alt_parts.pop(lang)
+            preferred_titles.setdefault(lang, []).append("; ".join(parts))
+        for lang, parts in alt_parts.items():
+            alternate_titles.setdefault(lang, []).append("; ".join(parts))
+
+    if merge_sets:
+        for lang in preferred_titles:
+            preferred_titles[lang] = [
+                "; ".join(dict.fromkeys(preferred_titles[lang]))
+            ]
+        for lang in alternate_titles:
+            alternate_titles[lang] = [
+                "; ".join(dict.fromkeys(alternate_titles[lang]))
+            ]
+
+    if default_lang in preferred_titles:
+        preferred = preferred_titles[default_lang].pop(0)
+        if not preferred_titles[default_lang]:
+            del preferred_titles[default_lang]
+    elif preferred_titles:
+        first = next(iter(preferred_titles))
+        preferred = preferred_titles[first].pop(0)
+        if not preferred_titles[first]:
+            del preferred_titles[first]
+    elif default_lang in alternate_titles:
+        preferred = alternate_titles[default_lang].pop(0)
+    elif alternate_titles:
+        first = next(iter(alternate_titles))
+        preferred = alternate_titles[first].pop(0)
+    else:
+        preferred = ""
+
+    for lang, titles in preferred_titles.items():
+        for title in titles:
+            alternate_titles.setdefault(lang, []).insert(0, title)
+    alternate = list(
+        dict.fromkeys(v[0] for v in alternate_titles.values() if v)
+    )
+
+    work_type = ""
+    for wt in find_all(["objectWorkTypeWrap", "objectWorkType", "term"]):
+        if (wt.text or "").strip():
+            work_type = (wt.text or "").strip()
+            break
+
+    def descriptions(exclude_types=()):
+        out = []
+        for dset in find_all(["objectDescriptionWrap", "objectDescriptionSet"]):
+            if exclude_types and (dset.get("type") or "") in exclude_types:
+                continue
+            for note in (
+                c for c in dset if _local(c.tag) == "descriptiveNoteValue"
+            ):
+                if (note.text or "").strip():
+                    out.append((note.text or "").strip())
+        return out
+
+    if not fmt_in_title and work_type.casefold() == preferred.casefold():
+        fallback = descriptions(exclude_types=("provenance",))
+        if fallback:
+            preferred = "; ".join(fallback)
+
+    all_descs = descriptions()
+    description = (
+        "" if preferred == "; ".join(all_descs) else " ".join(all_descs).strip()
+    )
+    return (preferred, alternate, description)
+
+
+def lido_titles_udf(
+    merge_title_values: bool = True,
+    merge_title_sets: bool = True,
+    allow_title_to_match_format: bool = False,
+    default_display_language: str = "en",
+):
+    """Factory: driver params (mergeTitleValues/mergeTitleSets/
+    allowTitleToMatchFormat/defaultDisplayLanguage) are bound at plan
+    build like the reference's per-source driverParams."""
+
+    @pandas_udf(
+        "preferred string, alternate array<string>, description string"
+    )
+    def _f(raw: pd.Series) -> pd.DataFrame:
+        vals = raw.map(
+            lambda r: _lido_titles_one(
+                r,
+                merge_title_values,
+                merge_title_sets,
+                allow_title_to_match_format,
+                default_display_language,
+            )
+        )
+        return pd.DataFrame(
+            {
+                "preferred": vals.map(lambda v: v[0]),
+                "alternate": vals.map(lambda v: v[1]),
+                "description": vals.map(lambda v: v[2]),
+            }
+        )
+
+    return _f
+
+
+def to_solr_columns(
+    df: DataFrame,
+    xml_col: str = "xml",
+    validate: bool = True,
+    merge_title_values: bool = True,
+    merge_title_sets: bool = True,
+    allow_title_to_match_format: bool = False,
+    default_display_language: str = "en",
+) -> DataFrame:
     x = F.col(xml_col)
     if validate:
         x = F.when(well_formed_xml(x), F.col(xml_col))
-    title = F.trim(_el(x, "titleWrap/titleSet/appellationValue"))
+    titles = lido_titles_udf(
+        merge_title_values=merge_title_values,
+        merge_title_sets=merge_title_sets,
+        allow_title_to_match_format=allow_title_to_match_format,
+        default_display_language=default_display_language,
+    )(F.coalesce(x, F.lit("")))
+    title = titles["preferred"]
     urls = _trimmed(_els(x, "linkResource"))
     subj_dates = _stripped(_subject_els(x, "subjectDate/displayDate"))
     main_date = F.coalesce(
@@ -164,18 +355,57 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
         ),
         F.lit(""),
     )
+    # repositoryWrap workID identifiers by @type (getIdentifiersByType,
+    # Lido.php:1282-1303)
+    def work_ids(id_type: str) -> Column:
+        return _trimmed(
+            F.xpath(
+                x,
+                F.lit(
+                    '//*[local-name()="repositoryWrap"]'
+                    '/*[local-name()="repositorySet"]'
+                    f'/*[local-name()="workID"][@type="{id_type}"]/text()'
+                ),
+            )
+        )
+
+    isbn_raw = F.transform(
+        work_ids("isbn"),
+        lambda v: K.normalize_isbn(
+            F.regexp_extract(
+                F.regexp_replace(v, "-", ""), "^([0-9]{9,12}[0-9xX])", 1
+            )
+        ),
+    )
+    # recordInfoID @type → "(type)value" (getRecordInfoIDs, :1258-1272)
+    info_sets = F.xpath(
+        x,
+        F.lit(
+            '//*[local-name()="recordInfoSet"]'
+            '/*[local-name()="recordInfoID"][@type]/text()'
+        ),
+    )
+    info_types = F.xpath(
+        x,
+        F.lit(
+            '//*[local-name()="recordInfoSet"]'
+            '/*[local-name()="recordInfoID"]/@type'
+        ),
+    )
+    ctrlnum = F.zip_with(
+        info_types,
+        info_sets,
+        lambda t, v: F.concat(F.lit("("), t, F.lit(")"), F.trim(v)),
+    )
+    topics = _trimmed(_subject_els(x, "subjectConcept/term", exclude_types=True))
     cols: dict[str, Column] = {
         "record_format": F.lit("lido"),
         "title": title,
         "title_short": title,
         "title_full": title,
         "title_sort": K.create_sort_title(title),
-        "title_alt": F.slice(
-            _trimmed(_els(x, "titleWrap/titleSet/appellationValue")), 2, 100
-        ),
-        "description": F.trim(
-            _el(x, "objectDescriptionWrap/objectDescriptionSet/descriptiveNoteValue")
-        ),
+        "title_alt": titles["alternate"],
+        "description": titles["description"],
         "format": F.trim(_el(x, "objectWorkTypeWrap/objectWorkType/term")),
         "institution": F.trim(_el(x, "legalBodyName/appellationValue")),
         # actors of MAIN events only; first appellation value per role node
@@ -186,10 +416,12 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
                 "eventActor/actorInRole/actor/nameActorSet/appellationValue[1]",
             )
         ),
-        "topic": _trimmed(
-            _subject_els(x, "subjectConcept/term", exclude_types=True)
-        ),
+        "topic": topics,
+        "topic_facet": topics,
         "material": F.when(F.size(materials) > 0, materials).otherwise(
+            display_materials
+        ),
+        "material_str_mv": F.when(F.size(materials) > 0, materials).otherwise(
             display_materials
         ),
         "era": era,
@@ -197,12 +429,28 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
         "geographic": geographic,
         "geographic_facet": F.concat(geographic, subj_places),
         "collection": collection,
-        "ctrlnum": F.trim(_el(x, "recordWrap/recordID")),
+        "ctrlnum": ctrlnum,
+        "isbn": F.array_distinct(
+            F.filter(isbn_raw, lambda v: v.isNotNull() & (v != ""))
+        ),
+        "issn": work_ids("issn"),
         "url": urls,
         "thumbnail": F.coalesce(try_element_at(urls, 1), F.lit("")),
+        # leaf text outside the ignored subtrees, document order
+        # (getAllFields, Lido.php:982-1005)
         "allfields": F.filter(
             F.transform(
-                F.xpath(x, F.lit("//*[not(*)]/text()")), lambda v: F.trim(v)
+                F.xpath(
+                    x,
+                    F.lit(
+                        "//*[not(*)][not(ancestor-or-self::*["
+                        + " or ".join(
+                            f'local-name()="{t}"' for t in _ALLFIELDS_IGNORED
+                        )
+                        + "])]/text()"
+                    ),
+                ),
+                lambda v: F.trim(v),
             ),
             lambda v: v != "",
         ),

@@ -71,15 +71,24 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
         ),
         lambda v: F.regexp_replace(v, "^https?://", "http://"),
     )
+    topics = F.filter(
+        F.transform(_path(x, "about", "thing", "name"), lambda v: F.trim(v)),
+        lambda v: v != "",
+    )
     return out.withColumns(
         {
             "record_format": F.lit("lrmi"),
+            # Lrmi.php:100-103: constant format
+            "format": F.lit("LearningMaterial"),
             "title": title,
             "title_full": title,
             "title_short": title,
             "title_sort": K.create_sort_title(title),
             "language": lrmi_languages(x),
             "author": F.slice(person_names, 1, 1),
+            "author_sort": F.coalesce(
+                try_element_at(person_names, 1), F.lit("")
+            ),
             "author2": person_names,
             "author_corporate": F.filter(
                 F.transform(
@@ -88,10 +97,8 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
                 ),
                 lambda v: v != "",
             ),
-            "topic": F.filter(
-                F.transform(_path(x, "about", "thing", "name"), lambda v: F.trim(v)),
-                lambda v: v != "",
-            ),
+            "topic": topics,
+            "topic_facet": topics,
             "topic_ids": topic_ids,
             "url": F.array().cast("array<string>"),
         }

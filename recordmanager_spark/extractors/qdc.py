@@ -26,7 +26,53 @@ def _typed(xml: Column, name: str, type_test: str) -> Column:
     )
 
 
-def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) -> DataFrame:
+_DOI_RE = "(urn:doi:|https?://doi.org/|https?://dx.doi.org/)([^?#]+)"
+
+# getFormat examines each <type> in document order; unrolled to a fixed
+# probe depth (records carry a handful of types; 8 covers the corpus)
+_MAX_TYPE_NODES = 8
+
+
+def _format_column(x: Column, preferred_format_types) -> Column:
+    """First value per @type attribute ('no_type' when absent); a
+    preferred attribute list wins in order, else the first attribute seen;
+    'Unknown' when no types (getFormat, Qdc.php:338-368)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.xpath_string(
+                    x, F.lit(f'(//*[local-name()="type"])[{i}]')
+                ).alias("v"),
+                F.xpath_string(
+                    x, F.lit(f'(//*[local-name()="type"])[{i}]/@type')
+                ).alias("t"),
+            )
+            for i in range(1, _MAX_TYPE_NODES + 1)
+        ]
+    )
+    norm = F.transform(
+        F.filter(pairs, lambda p: F.trim(p["v"]) != ""),
+        lambda p: F.struct(
+            F.trim(p["v"]).alias("v"),
+            F.coalesce(
+                F.nullif(F.trim(p["t"]), F.lit("")), F.lit("no_type")
+            ).alias("t"),
+        ),
+    )
+    choices = [
+        try_element_at(F.filter(norm, lambda p: p["t"] == pref), 1)["v"]
+        for pref in preferred_format_types
+    ]
+    return F.coalesce(*choices, try_element_at(norm, 1)["v"], F.lit("Unknown"))
+
+
+def to_solr_columns(
+    df: DataFrame,
+    xml_col: str = "xml",
+    validate: bool = True,
+    preferred_format_types: tuple[str, ...] = (),
+    default_display_language: str = "en",
+) -> DataFrame:
     x = F.col(xml_col)
     if validate:
         x = F.when(well_formed_xml(x), F.col(xml_col))
@@ -40,18 +86,72 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
     )
     identifiers = F.transform(_els(x, "identifier"), lambda v: F.trim(v))
     isbn_digits = F.transform(identifiers, lambda v: K.normalize_isbn(v))
-    descriptions = F.transform(_els(x, "description"), lambda v: F.trim(v))
+    # getDescriptions (Qdc.php:415-435): URL-shaped and bare-decimal
+    # entries are excluded from contents/description
+    descriptions = F.filter(
+        F.transform(_els(x, "description"), lambda v: F.trim(v)),
+        lambda v: ~v.rlike("(^https?)|(^\\d+\\.\\d+$)"),
+    )
+
+    # primary description: the first filtered one in the configured
+    # display language, else the first filtered one (Qdc.php:415-441)
+    desc_lang = F.filter(
+        F.transform(
+            F.xpath(
+                x,
+                F.lit(
+                    '//*[local-name()="description" and @lang="'
+                    + default_display_language
+                    + '"]/text()'
+                ),
+            ),
+            lambda v: F.trim(v),
+        ),
+        lambda v: ~v.rlike("(^https?)|(^\\d+\\.\\d+$)"),
+    )
+
+    def _year_of(name: str) -> Column:
+        # getPublicationYear (Qdc.php:369-388): first value shaped
+        # YYYY or YYYY- / YYYY/ wins; date elements before issued
+        cand = F.filter(
+            F.transform(_els(x, name), lambda v: F.trim(v)),
+            lambda v: v.rlike("^\\d{4}($|[-/])"),
+        )
+        return F.substring(try_element_at(cand, 1), 1, 4)
+    authors = F.filter(
+        F.transform(
+            _els(x, "creator"),
+            lambda v: K.strip_trailing_punctuation(F.trim(v)),
+        ),
+        lambda v: v != "",
+    )
+    topics = F.filter(
+        F.transform(_els(x, "subject"), lambda v: F.trim(v)), lambda v: v != ""
+    )
+    # getDOIs (Qdc.php:528-546): type=doi identifiers, the path after a
+    # doi-resolver prefix url-decoded, verbatim value when no prefix
+    dois = F.transform(
+        _typed(x, "identifier", '@type="doi"'),
+        lambda v: F.when(
+            F.regexp_extract(F.trim(v), _DOI_RE, 2) != "",
+            F.url_decode(F.regexp_extract(F.trim(v), _DOI_RE, 2)),
+        ).otherwise(F.trim(v)),
+    )
     return df.withColumns(
         {
             "id": F.trim(_el(x, "recordID")),
             "record_format": F.lit("qdc"),
             "ctrlnum": F.trim(_el(x, "recordID")),
-            "language": dc_languages(x),
-            "format": F.trim(_el(x, "type")),
-            "author": F.filter(
-                F.transform(_els(x, "creator"), lambda v: K.strip_trailing_punctuation(F.trim(v))),
-                lambda v: v != "",
+            # getAllFields (Qdc.php:493-500): every direct child element's
+            # text, trimmed, in document order
+            "allfields": F.transform(
+                F.xpath(x, F.lit("/*/*//text()")), lambda v: F.trim(v)
             ),
+            "language": dc_languages(x),
+            "format": _format_column(x, preferred_format_types),
+            "author": authors,
+            "author_sort": F.coalesce(try_element_at(authors, 1), F.lit("")),
+            "author_corporate": F.array().cast("array<string>"),
             "author2": F.filter(
                 F.transform(_els(x, "contributor"), lambda v: K.strip_trailing_punctuation(F.trim(v))),
                 lambda v: v != "",
@@ -65,7 +165,10 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
             "title_alt": F.filter(alt, lambda v: v != ""),
             "title_sort": K.create_sort_title(title),
             "publisher": F.array(F.trim(_el(x, "publisher"))),
-            "publishDate": F.regexp_extract(_el(x, "date"), "(\\d{4})", 1),
+            "publishDate": F.coalesce(
+                _year_of("date"), _year_of("issued"), F.lit("")
+            ),
+            "series": F.array().cast("array<string>"),
             "isbn": F.array_distinct(
                 F.filter(isbn_digits, lambda v: v.isNotNull() & (v != ""))
             ),
@@ -75,11 +178,16 @@ def to_solr_columns(df: DataFrame, xml_col: str = "xml", validate: bool = True) 
                 ),
                 lambda v: v != "",
             ),
-            "topic": F.filter(
-                F.transform(_els(x, "subject"), lambda v: F.trim(v)), lambda v: v != ""
-            ),
+            "topic": topics,
+            "topic_facet": topics,
+            "doi_str_mv": dois,
             "url": F.filter(identifiers, lambda v: v.rlike("^https?")),
             "contents": F.filter(descriptions, lambda v: v != ""),
-            "description": F.coalesce(try_element_at(descriptions, 1), F.lit("")),
+            "page_count": F.lit(""),
+            "description": F.coalesce(
+                try_element_at(desc_lang, 1),
+                try_element_at(descriptions, 1),
+                F.lit(""),
+            ),
         }
     )

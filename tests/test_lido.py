@@ -50,9 +50,11 @@ LIDO1 = """<lido xmlns="http://www.lido-schema.org">
 def test_lido_extract(spark):
     df = spark.createDataFrame([(LIDO1,)], "xml string")
     r = lido.to_solr_columns(df).collect()[0]
-    assert r.title == "The Starry Meadow"
+    # default mergeTitleSets joins same-language titleSets with '; '
+    # (Lido.php getTitles; LidoTest testLido1 shows the merged form)
+    assert r.title == "The Starry Meadow; Alt Title"
     assert r.title_sort.lower().startswith("starry meadow")  # article stripped
-    assert r.title_alt == ["Alt Title"]
+    assert r.title_alt == []
     assert r.format == "Painting"
     assert r.institution == "City Museum"
     assert r.author == ["Painter, Paula"]
@@ -61,7 +63,7 @@ def test_lido_extract(spark):
     assert r.geographic == ["Helsinki"]
     assert r.material == ["oil on canvas"]
     assert r.topic == ["landscape"]
-    assert r.ctrlnum == "LIDO-77"
+    assert r.ctrlnum == []  # getRecordInfoIDs needs typed recordInfoIDs
     assert r.thumbnail == "https://img.example/77.jpg"
     assert r.description == "A lovely meadow scene."
 
@@ -110,9 +112,16 @@ EACCPF1 = """<eac-cpf xmlns="urn:isbn:1-931666-33-4">
   <cpfDescription>
     <identity>
       <entityType>person</entityType>
-      <nameEntry><part>Author, Alice</part><part>1880-1950</part></nameEntry>
-      <nameEntry><part>A. Author</part></nameEntry>
-      <nameEntry><part>Alice A.</part></nameEntry>
+      <nameEntry>
+        <part localType="TONI1">Author, Alice</part>
+        <part localType="TONI4">1880-1950</part>
+      </nameEntry>
+      <nameEntryParallel><nameEntry>
+        <part localType="TONI1">A. Author</part>
+      </nameEntry></nameEntryParallel>
+      <nameEntryParallel><nameEntry>
+        <part localType="TONI4">Alice A.</part>
+      </nameEntry></nameEntryParallel>
     </identity>
     <description>
       <existDates><dateSet>
@@ -120,7 +129,9 @@ EACCPF1 = """<eac-cpf xmlns="urn:isbn:1-931666-33-4">
         <date localType="http://rdaregistry.info/Elements/a/P50120" standardDate="1950-03-04">1950</date>
       </dateSet></existDates>
       <occupation><term>Novelist</term></occupation>
-      <functions><function><term>Writing</term></function></functions>
+      <functions><function localType="TJ37">
+        <descriptiveNote><p>Writing</p></descriptiveNote>
+      </function></functions>
     </description>
   </cpfDescription>
 </eac-cpf>"""
@@ -132,7 +143,8 @@ def test_eaccpf_extract(spark):
     df = spark.createDataFrame([(EACCPF1,)], "xml string")
     r = eaccpf.to_solr_columns(df).collect()[0]
     assert r.record_type == "person"
-    assert r.heading == "Author, Alice, 1880-1950"
+    # TONI1 + TONI4 parts joined with a space (Eaccpf.php getHeading)
+    assert r.heading == "Author, Alice 1880-1950"
     assert r.use_for == ["A. Author", "Alice A."]
     assert r.birth_date == "1880"
     assert r.death_date == "1950"
@@ -142,7 +154,7 @@ def test_eaccpf_extract(spark):
 
 
 FORWARD1 = """<ProductionWork>
-  <Identifier><IDValue>fw-1</IDValue></Identifier>
+  <Identifier IDTypeName="fw">1</Identifier>
   <IdentifyingTitle>The Great Film</IdentifyingTitle>
   <Title><TitleText>The Great Film</TitleText></Title>
   <Title><TitleText>Le Grand Film</TitleText></Title>
@@ -150,7 +162,7 @@ FORWARD1 = """<ProductionWork>
   <HasAgent><AgentName>Director, Dana</AgentName><Activity>D02</Activity></HasAgent>
   <HasAgent><AgentName>Actor, Amy</AgentName><Activity>E01</Activity></HasAgent>
   <HasAgent><AgentName>Grip, Gary</AgentName><Activity>x99</Activity></HasAgent>
-  <ContentDescription><DescriptionText>A film about things.</DescriptionText></ContentDescription>
+  <ContentDescription><DescriptionType>Synopsis</DescriptionType><Language>en</Language><DescriptionText>A film about things.</DescriptionText></ContentDescription>
   <SubjectTerms><Term>drama</Term></SubjectTerms>
   <Genre>feature</Genre>
 </ProductionWork>"""
@@ -161,7 +173,7 @@ def test_forward_extract(spark):
 
     df = spark.createDataFrame([(FORWARD1,)], "xml string")
     r = forward.to_solr_columns(df).collect()[0]
-    assert r.ctrlnum == "fw-1"
+    assert r.ctrlnum == "fw_1"  # IDTypeName attr + '_' + Identifier text
     assert r.title == "The Great Film"
     assert r.title_alt == ["Le Grand Film"]
     assert r.publishDate == "1972"
@@ -174,4 +186,8 @@ def test_forward_extract(spark):
     assert not any("Grip" in (n or "") for n in r.author + r.author2)
     assert r.description == "A film about things."
     assert r.topic == ["drama"]
-    assert r.genre == ["feature"]
+    # Forward.php getGenres/getPublishers/getUrls are hardwired empty and
+    # the Grip agent (x99) lands only in the unfiltered corporate list
+    assert r.genre == []
+    assert "Grip, Gary" in r.author_corporate
+    assert r.format == "MotionPicture"
