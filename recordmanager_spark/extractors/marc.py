@@ -73,27 +73,99 @@ MARC_SCHEMA = StructType(
 
 
 def _parse_one(raw: str | None):
+    """MARC-in-JSON or any of the reference's legacy storage formats →
+    the normalized struct (Marc/Serialization/MarcInJson.php plus the
+    legacy v1/v2/v3 readers exercised by
+    tests/RecordManagerTest/Base/Marc/MarcTest.php::testLegacySerialization)."""
     if not raw:
         return None
     try:
         doc = json.loads(raw)
     except (ValueError, TypeError):
         return None
-    out = []
-    for fld in doc.get("fields") or []:
-        if not isinstance(fld, dict) or not fld:
-            continue
-        tag, val = next(iter(fld.items()))
-        if isinstance(val, dict):
-            subs = []
-            for sf in val.get("subfields") or []:
-                if isinstance(sf, dict) and sf:
-                    code, sval = next(iter(sf.items()))
-                    subs.append((str(code), None if sval is None else str(sval)))
-            out.append((str(tag), val.get("ind1"), val.get("ind2"), None, subs))
-        else:
-            out.append((str(tag), None, None, None if val is None else str(val), None))
-    return (doc.get("leader"), out)
+    if not isinstance(doc, dict):
+        return None
+    if "leader" in doc or "fields" in doc:
+        out = []
+        for fld in doc.get("fields") or []:
+            if not isinstance(fld, dict) or not fld:
+                continue
+            tag, val = next(iter(fld.items()))
+            if isinstance(val, dict):
+                subs = []
+                for sf in val.get("subfields") or []:
+                    if isinstance(sf, dict) and sf:
+                        code, sval = next(iter(sf.items()))
+                        subs.append(
+                            (str(code), None if sval is None else str(sval))
+                        )
+                out.append((str(tag), val.get("ind1"), val.get("ind2"), None, subs))
+            else:
+                out.append(
+                    (str(tag), None, None, None if val is None else str(val), None)
+                )
+        return (doc.get("leader"), out)
+    if doc.get("v") in (2, 3):
+        # legacy v2/v3: {'v': N, 'f': {tag: ...}}; '000' carries the
+        # leader; data fields are {'i1','i2','s': [...]} with v2
+        # subfields {'c': code, 'v': value} and v3 {code: value}
+        fdict = doc.get("f") or {}
+        leader = fdict.get("000")
+        if isinstance(leader, list):
+            leader = leader[0] if leader else None
+        out = []
+        for tag, vals in fdict.items():
+            if tag == "000":
+                continue
+            if not isinstance(vals, list):
+                vals = [vals]
+            for val in vals:
+                if isinstance(val, dict):
+                    subs = []
+                    for sf in val.get("s") or []:
+                        if not isinstance(sf, dict) or not sf:
+                            continue
+                        if "c" in sf and "v" in sf:
+                            subs.append((str(sf["c"]), str(sf["v"])))
+                        else:
+                            code, sval = next(iter(sf.items()))
+                            subs.append(
+                                (str(code), None if sval is None else str(sval))
+                            )
+                    out.append(
+                        (str(tag), val.get("i1"), val.get("i2"), None, subs)
+                    )
+                else:
+                    out.append((str(tag), None, None, str(val), None))
+        return (leader, out)
+    if doc and all(
+        isinstance(k, str) and len(k) == 3 for k in doc
+    ):
+        # legacy v1: {tag: ['<i1><i2>\x1fa...', ...]}; '000' = leader
+        leader_vals = doc.get("000")
+        leader = (
+            leader_vals[0]
+            if isinstance(leader_vals, list) and leader_vals
+            else (leader_vals if isinstance(leader_vals, str) else None)
+        )
+        out = []
+        for tag, vals in doc.items():
+            if tag == "000":
+                continue
+            if not isinstance(vals, list):
+                vals = [vals]
+            for val in vals:
+                val = "" if val is None else str(val)
+                if "\x1f" in val:
+                    head, *pieces = val.split("\x1f")
+                    ind1 = head[0] if len(head) > 0 else " "
+                    ind2 = head[1] if len(head) > 1 else " "
+                    subs = [(p[:1], p[1:]) for p in pieces if p]
+                    out.append((str(tag), ind1, ind2, None, subs))
+                else:
+                    out.append((str(tag), None, None, val, None))
+        return (leader, out)
+    return None
 
 
 @pandas_udf(MARC_SCHEMA)

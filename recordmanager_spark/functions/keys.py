@@ -198,7 +198,14 @@ _TRAILING_BASIC_RE = "[ /:;,=\\(\\[]+\\z"
 
 # Default leading-article list (reference ships these via config; the PHP
 # default articles cover English/French/German/Scandinavian determiners).
-ARTICLES = ["the ", "a ", "an ", "la ", "le ", "les ", "el ", "der ", "die ", "das "]
+# The reference's shipped articles.lst.sample, lowercased, in file order
+# (first match wins): English/Spanish/French articles plus the French
+# elided forms ("L'Avion" sorts as 'avion').
+ARTICLES = [
+    "the ", "a ", "an ", "el ", "le ",
+    "l'", "m'", "t'", "qu'", "n'", "s'", "j'", "d'", "c'",
+    "jusqu'", "quoiqu'", "lorsqu'", "puisqu",
+]
 
 
 def author_initials(col: Column | str) -> Column:

@@ -65,7 +65,13 @@ def parse_map_file(name: str, text: str, type: str = "normal") -> Mapping:
             continue
         if "=" not in line:
             continue
-        key, _, value = line.partition("=")
+        # ' = ' splits first so keys may themselves contain '='
+        # ('fi=val4 = c' → key 'fi=val4'); bare '=' is the fallback
+        # (FieldMapper.php readMappingFile)
+        if " = " in line:
+            key, _, value = line.partition(" = ")
+        else:
+            key, _, value = line.partition("=")
         key = key.strip()
         value = value.strip()
         if key.endswith("[]"):

@@ -411,6 +411,82 @@ def test_golden_work_id_analytical_excluded(spark):
     }
 
 
+def test_legacy_marc_json_formats():
+    """Base/Marc/MarcTest.php testLegacySerialization: the v1 ('$ind\\x1f'
+    packed strings), v2 ({'c','v'} subfields), and v3 ({code: value})
+    legacy storage formats parse to the same record as MARC-in-JSON.
+    Leader length/base-address bytes (0-4, 12-16) are recomputed by the
+    reference's serializer, so only the rest of the leader is compared."""
+    fmtdir = "/root/reference/tests/fixtures/Base/marc_formats"
+    base = MARC._parse_one(open(f"{fmtdir}/marc_in_json.json").read())
+    for legacy in ("legacy_v1", "legacy_v2", "legacy_v3"):
+        got = MARC._parse_one(open(f"{fmtdir}/{legacy}.json").read())
+        assert got is not None, legacy
+        assert got[1] == base[1], legacy
+        assert got[0][5:12] == base[0][5:12], legacy
+        assert got[0][17:] == base[0][17:], legacy
+
+
+def test_golden_solr_updater_single_record(spark):
+    """SolrUpdaterTest.php testProcessSingleRecord: the 280 KB
+    marc-broken.xml through extraction + normalizeFields with the test's
+    field-limit config — wildcard limit patterns ('*_keys_*', 'title_sh*',
+    '*sort'), the 1024 default, and ctrlnum/id extraction."""
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.operators import normalize as NZ
+    from recordmanager_spark.operators.preview import _collect_interpreted
+
+    raw = open(f"{FIXDIR}/marc-broken.xml").read()
+    df = spark.createDataFrame([(raw,)], "raw string").coalesce(1)
+    parsed = df.select(MARC.parse_marcxml("raw").alias("m")).cache()
+    parsed.count()
+    limits = {
+        "__default__": 1024, "fullrecord": 32766, "fulltext": 0,
+        "fulltext_unstemmed": 0, "long_lat": 0, "*_keys_*": 20,
+        "title_sh*": 30, "*sort": 40,
+    }
+    wide = MARC.to_solr_columns(
+        parsed, "m",
+        only=["id", "record_format", "ctrlnum", "allfields", "topic_facet",
+              "title_short", "title_sort"],
+    ).drop("m")
+    wide = NZ.normalize_fields(wide, limits=limits, barrier=True)
+    work = NZ.normalize_fields(
+        parsed.select(MARC.work_keys(F.col("m")).alias("work_keys_str_mv")),
+        limits=limits, barrier=True,
+    )
+    r = _collect_interpreted(spark, wide).asDict()
+    wk = _collect_interpreted(spark, work).asDict()
+    parsed.unpersist()
+    assert r["id"] == "63"
+    assert r["record_format"] == "marc"
+    assert r["ctrlnum"] == ["FCC004782937", "63"]
+    assert max(len(s) for s in r["allfields"]) == 1024
+    assert max(len(s) for s in r["topic_facet"]) == 1024
+    assert len(r["title_short"]) == 30
+    assert len(r["title_sort"]) == 40
+    assert max(len(s) for s in wk["work_keys_str_mv"]) == 20
+
+
+def test_golden_line_based_marc_formats():
+    """LineBasedMarcFormatterTest.php testConversion: the Alma tagged
+    dump (default configs) and the GeniePlus export (custom offsets,
+    '^' end-of-line markers, one with illegal XML characters) parse to
+    exactly the record in the expected-output MARCXML fixture."""
+    from recordmanager_spark.extractors import linemarc as LM
+
+    fixdir = "/root/reference/tests/fixtures/Base/utils/LineBasedMarcFormatter"
+    for name, fmts in (
+        ("alma", None),
+        ("genieplus", LM.GENIEPLUS_FORMATS),
+        ("bad", LM.GENIEPLUS_FORMATS),
+    ):
+        txt = open(f"{fixdir}/{name}.txt").read()
+        xml = open(f"{fixdir}/{name}.xml").read()
+        assert LM.parse_line_marc(txt, fmts) == MARC._parse_one_xml(xml), name
+
+
 def test_marcxml_parse_roundtrip(spark):
     """Bare <record> and <collection> wrappers both parse; broken XML
     yields NULL rather than an error (harvest streams contain both)."""

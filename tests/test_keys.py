@@ -131,6 +131,24 @@ def test_strip_leading_article_and_sort_title(spark):
 
 @pytest.mark.parametrize(
     "raw,expected",
+    # MetadataUtilsTest.php createSortTitleProvider (stripArticle=true):
+    # quoted articles strip on the second pass, French elided articles
+    # ("l'") come from the shipped articles list
+    [
+        ("", ""),
+        ("Theme is this", "theme is this"),
+        ("The Me", "me"),
+        ('"The Others"', "others"),
+        ("L'Avion", "avion"),
+        ("Ll'Avion", "ll avion"),
+    ],
+)
+def test_create_sort_title_golden(spark, raw, expected):
+    assert one(spark, K.create_sort_title(F.col("v")), raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
     # PHP `^\w*(\d+)$` is greedy: capture = last digit only (verified vs PCRE)
     [("rec000123", "3"), ("Customer#7", "Customer#7"), ("42", "2"), ("abc", "abc")],
 )
