@@ -34,30 +34,54 @@ def preview_record(
     institution: str | None = None,
     limits: dict[str, int] | None = None,
     non_indexed: list[str] | None = None,
+    source_id: str | None = None,
+    institution_field: str | None = None,
 ) -> dict[str, Any]:
-    """One serialized record → its final field map (the preview payload)."""
+    """One serialized record → its final field map (the preview payload).
+
+    ``source_id`` mirrors CreatePreview's source argument: the id gains
+    the '<source>.' prefix, an ``institution`` scalar rides along when
+    given, work keys are computed, and the preview carries the epoch
+    first/last_indexed timestamps (Controller/CreatePreview.php +
+    PreviewCreator; golden-replayed in tests/test_golden_marc.py).
+    """
     # coalesce(1): createDataFrame spreads even one row over
     # defaultParallelism partitions, and EVERY task re-initializes the
     # full interpreted projection (~25s of duplicated per-task setup for
     # the ~60-column MARC tree). One row -> one task.
     df = spark.createDataFrame([(raw,)], "raw string").coalesce(1)
-    if fmt in ("marc", "linemarc"):
-        parse = (
-            MARC.parse_marc_in_json if fmt == "marc" else LM.parse_line_based_marc
-        )
+    if fmt in ("marc", "marcxml", "linemarc"):
+        parse = {
+            "marc": MARC.parse_marc_in_json,
+            "marcxml": MARC.parse_marcxml,
+            "linemarc": LM.parse_line_based_marc,
+        }[fmt]
         # The cache is a PLAN BARRIER, not a perf cache: without it
         # CollapseProject inlines the parse expression into each of the
         # ~60 downstream columns and the optimizer walks a 60x tree.
         parsed = df.select(parse("raw").alias("m")).cache()
         parsed.count()
         barrier_frame = parsed
-        wide = MARC.to_solr_columns(parsed, "m").drop("m")
+        wide = MARC.to_solr_columns(parsed, "m", id_prefix=source_id)
+        wide = wide.withColumn(
+            "work_keys_str_mv", MARC.work_keys(F.col("m"))
+        ).drop("m")
     elif fmt == "dc":
         barrier_frame = None
         wide = DC.to_solr_columns(df, "raw").drop("raw")
     else:
         raise ValueError(f"unknown preview format: {fmt!r}")
 
+    if source_id:
+        # previews stamp the epoch, like PreviewCreator's fake timestamps
+        wide = wide.withColumn(
+            "first_indexed", F.lit("1970-01-01T00:00:00Z")
+        ).withColumn("last_indexed", F.lit("1970-01-01T00:00:00Z"))
+    if institution_field:
+        # the data source's institution setting becomes a scalar field
+        # (SolrUpdater copies it onto every record); distinct from the
+        # institution-in-building PREFIXING driven by `institution`
+        wide = wide.withColumn("institution", F.lit(institution_field))
     if field_rules:
         wide = MP.apply_field_rules(wide, field_rules)
     for field, mapping in (mappings or {}).items():
@@ -77,7 +101,18 @@ def preview_record(
     row = _collect_interpreted(spark, wide)
     if barrier_frame is not None:
         barrier_frame.unpersist()
-    return {k: v for k, v in row.asDict().items() if v not in (None, "", [])}
+    return {k: v for k, v in row.asDict().items() if not _empty(v)}
+
+
+def _empty(v) -> bool:
+    """Fields absent from a preview: null/'' scalars, empty arrays, and
+    arrays whose every element is empty (the reference's preview omits
+    e.g. an author_role of [''])."""
+    if v is None or v == "" or v == []:
+        return True
+    if isinstance(v, list):
+        return all(x in (None, "") for x in v)
+    return False
 
 
 def _collect_interpreted(spark: SparkSession, wide: DataFrame):

@@ -469,6 +469,72 @@ def test_golden_solr_updater_single_record(spark):
     assert max(len(s) for s in wk["work_keys_str_mv"]) == 20
 
 
+def test_golden_create_preview(spark):
+    """CreatePreviewTest.php testCreatePreview: the MARCXML paste through
+    the full preview pipeline with source 'test' / institution 'Test'
+    equals preview_result.json — id prefixing, institution field, work
+    keys, epoch indexed timestamps, empty-field omission. fullrecord is
+    excluded: this engine serializes the typed struct where the
+    reference re-emits MARC-in-JSON (equivalent content, different
+    shape); publishDateSort is this engine's publish_year."""
+    import json
+
+    from recordmanager_spark.operators.preview import preview_record
+
+    fixdir = "/root/reference/tests/fixtures/Base/Controller/CreatePreview"
+    raw = open(f"{fixdir}/preview_marc.xml").read()
+    want = json.load(open(f"{fixdir}/preview_result.json"))
+    got = dict(
+        preview_record(
+            spark, raw, fmt="marcxml", source_id="test",
+            institution_field="Test",
+        )
+    )
+    got["publishDateSort"] = got.pop("publish_year")
+    mism = {
+        k: (got.get(k), v)
+        for k, v in want.items()
+        if k != "fullrecord" and got.get(k) != v
+    }
+    assert not mism, mism
+
+
+def test_golden_preview_creator_building(spark):
+    """PreviewCreatorTest.php testBuilding: holdings_record.xml with
+    subLocationInBuilding=c and the multilevel building mapping
+    (building.map normal + building_sub.map regexp) — locations become
+    [loc, sub] level arrays, a location mapping to '' drops the whole
+    entry, an empty-mapped sub-location truncates to the location alone,
+    and unmapped locations take the ##default."""
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.plans import mapping as MP
+
+    mapdir = "/root/reference/tests/fixtures/Base/config/fieldmappertest/mappings"
+    main = MP.parse_map_file(
+        "building.map", open(f"{mapdir}/building.map").read(), type="normal"
+    )
+    main.sub_maps = [
+        MP.parse_map_file(
+            "building_sub.map",
+            open(f"{mapdir}/building_sub.map").read(),
+            type="regexp",
+        )
+    ]
+    raw = open(
+        "/root/reference/tests/fixtures/Base/Solr/holdings_record.xml"
+    ).read()
+    df = spark.createDataFrame([(raw,)], "raw string").coalesce(1)
+    parsed = df.select(MARC.parse_marcxml("raw").alias("m"))
+    hier = MARC.marc_building_hierarchy(F.col("m"), sub="c")
+    mapped = F.filter(
+        F.transform(hier, lambda lv: MP.map_hierarchy_value(lv, main)),
+        lambda v: v != "",
+    )
+    out = parsed.select(mapped.alias("building")).collect()[0]["building"]
+    assert out == ["B", "A/2", "A", "DEF/2"]
+
+
 def test_golden_line_based_marc_formats():
     """LineBasedMarcFormatterTest.php testConversion: the Alma tagged
     dump (default configs) and the GeniePlus export (custom offsets,
