@@ -692,13 +692,23 @@ def authors_by_relator(
             )
         )
     entries = F.concat(*per_tag) if len(per_tag) > 1 else per_tag[0]
-    return F.struct(
-        F.transform(entries, lambda s: s["name"]).alias("names"),
-        F.transform(entries, lambda s: s["rel"]).alias("relators"),
-        F.filter(
-            F.transform(entries, lambda s: K.author_initials(s["a"])),
-            lambda v: v != "",
-        ).alias("variants"),
+    # bind `entries` ONCE through a lambda variable: the struct below reads
+    # it three times, and Column trees duplicate per reference — inlined,
+    # each author column carried a 3x copy of the whole per-tag match tree
+    # (tens of kB of expression nodes per column; measurable analyzer time)
+    return try_element_at(
+        F.transform(
+            F.array(entries),
+            lambda e: F.struct(
+                F.transform(e, lambda s: s["name"]).alias("names"),
+                F.transform(e, lambda s: s["rel"]).alias("relators"),
+                F.filter(
+                    F.transform(e, lambda s: K.author_initials(s["a"])),
+                    lambda v: v != "",
+                ).alias("variants"),
+            ),
+        ),
+        1,
     )
 
 
