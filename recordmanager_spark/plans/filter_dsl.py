@@ -83,13 +83,26 @@ def _field_ops(field: str, ops: Mapping[str, Any], df: DataFrame | None) -> Colu
                 else:
                     c = col.isin(vals)
             if None in v:  # $in with null member (PDODatabase.php:1062-1096)
-                c = col.isNull() if c is None else (c | col.isNull())
+                # Array attrs live as EAV rows in the reference; "null" there
+                # means the record has NO rows for the attr (PDODatabaseTest
+                # 'params with null in $in'), i.e. an EMPTY array here.
+                absent = (col.isNull() | (F.size(col) == 0)) if arr else col.isNull()
+                c = absent if c is None else (c | absent)
             conds.append(c if c is not None else F.lit(False))
         elif op == "$nin":
             vals = [x for x in v if x is not None]
-            c = ~col.isin(vals) if vals else F.lit(True)
+            if arr:
+                c = (
+                    ~F.arrays_overlap(col, F.array(*[F.lit(x) for x in vals]))
+                    if vals
+                    else F.lit(True)
+                )
+            else:
+                c = ~col.isin(vals) if vals else F.lit(True)
             if None in v:
-                c = c & col.isNotNull()
+                c = c & (
+                    (col.isNotNull() & (F.size(col) > 0)) if arr else col.isNotNull()
+                )
             else:
                 # SQL NOT IN semantics would null out; DSL keeps rows with null
                 c = c | col.isNull()

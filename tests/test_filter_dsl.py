@@ -80,3 +80,27 @@ def test_apply_query_pagination(records):
     )
     assert [r["_id"] for r in out.collect()] == ["b.1"]
     assert out.columns == ["_id"]
+
+
+def test_array_in_null_matches_empty(records):
+    # PDODatabaseTest 'params with null in $in': a null member over an EAV
+    # array attr matches records with NO attr rows — i.e. empty OR null
+    # arrays here, not just null ones.
+    flt = {"tags": {"$in": [None]}}
+    assert ids(records.filter(compile_filter(flt, records))) == ["b.1", "b.2"]
+
+
+def test_array_in_null_and_values(records):
+    # 'params with null and other values in $in': union of absent-attr and
+    # value matches.
+    flt = {"tags": {"$in": [None, "x"]}}
+    assert ids(records.filter(compile_filter(flt, records))) == ["a.1", "b.1", "b.2"]
+
+
+def test_array_nin(records):
+    # $nin over an array attr: no member may match; with a null member the
+    # attr must also be present (non-empty).
+    flt = {"tags": {"$nin": ["x"]}}
+    assert ids(records.filter(compile_filter(flt, records))) == ["a.2", "b.1", "b.2"]
+    flt = {"tags": {"$nin": ["x", None]}}
+    assert ids(records.filter(compile_filter(flt, records))) == ["a.2"]
