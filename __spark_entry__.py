@@ -2723,6 +2723,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver oracle window (first 50): 2 regression canaries +
+        # 48 queries never yet recorded in a CORRECTNESS_r*.json.
+        # Rotated each round so every contract query gets a driver-
+        # recorded oracle row (VERDICT r2, next-round item 1).
+        "dedup_er": dedup_er,
+        "marc_rich_extract": marc_rich_extract,
+        "xslt_normalize_orders": xslt_normalize_orders,
+        "multimodal_features": multimodal_features,
+        "allfields_customer": allfields_customer,
+        "normalize_fields_docs": normalize_fields_docs,
+        "regexp_mapping_orders": regexp_mapping_orders,
+        "field_rules_orders": field_rules_orders,
+        "title_keys_docs": title_keys_docs,
+        "id_sort_keys": id_sort_keys,
+        "text_quality": text_quality,
+        "lang_id_pred": lang_id_pred,
+        "token_stats": token_stats,
+        "exact_dup_docs": exact_dup_docs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "minhash_near_dup": minhash_near_dup,
+        "winnow_neardup_pairs": winnow_neardup_pairs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "line_dedup_docs": line_dedup_docs,
+        "simhash_near_dup": simhash_near_dup,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_ivf_full": knn_ivf_full,
+        "knn_lsh": knn_lsh,
+        "embedding_neardup": embedding_neardup,
+        "solr_batch_sizes": solr_batch_sizes,
+        "export_filtered_orders": export_filtered_orders,
+        "preview_marc_record": preview_marc_record,
+        "linemarc_extract": linemarc_extract,
+        "ead_split_extract": ead_split_extract,
+        "music_enrich_orders": music_enrich_orders,
+        "authority_enrich_customers": authority_enrich_customers,
+        "scalar_functions_grid": scalar_functions_grid,
+        "scalar_functions_grid2": scalar_functions_grid2,
+        "copy_down_parent": copy_down_parent,
+        "geocode_simplify_customers": geocode_simplify_customers,
+        "sfx_harvest_files": sfx_harvest_files,
+        "oai_provider_serve": oai_provider_serve,
+        "once_per_group_orders": once_per_group_orders,
+        "dirty_hosts_propagation": dirty_hosts_propagation,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "stateful_skip_unchanged": stateful_skip_unchanged,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "c4_clean_docs": c4_clean_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "contamination_docs": contamination_docs,
+        "forward_film_extract": forward_film_extract,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mix_sources_docs": mix_sources_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        # --- previously driver-verified (r1/r2 green) + 2 deferred to r4 ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2740,12 +2795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_component_merge": host_component_merge,
         "component_parts_policy": component_parts_policy,
         "group_merge_orders": group_merge_orders,
-        "dedup_er": dedup_er,
         "dedup_incremental": dedup_incremental,
         "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
-        "marc_rich_extract": marc_rich_extract,
         "ead_extract": ead_extract,
         "lido_extract": lido_extract,
         "qdc_extract": qdc_extract,
@@ -2775,56 +2828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resolution_lineitem": link_resolution_lineitem,
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
-        "xslt_normalize_orders": xslt_normalize_orders,
-        "multimodal_features": multimodal_features,
-        "allfields_customer": allfields_customer,
-        "normalize_fields_docs": normalize_fields_docs,
-        "regexp_mapping_orders": regexp_mapping_orders,
-        "field_rules_orders": field_rules_orders,
-        "title_keys_docs": title_keys_docs,
-        "id_sort_keys": id_sort_keys,
-        "text_quality": text_quality,
-        "lang_id_pred": lang_id_pred,
-        "token_stats": token_stats,
-        "exact_dup_docs": exact_dup_docs,
-        "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "minhash_near_dup": minhash_near_dup,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "winnow_neardup_pairs": winnow_neardup_pairs,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "line_dedup_docs": line_dedup_docs,
-        "simhash_near_dup": simhash_near_dup,
-        "knn_bruteforce": knn_bruteforce,
-        "knn_ivf_full": knn_ivf_full,
-        "knn_lsh": knn_lsh,
-        "embedding_neardup": embedding_neardup,
-        "solr_batch_sizes": solr_batch_sizes,
-        "export_filtered_orders": export_filtered_orders,
-        "preview_marc_record": preview_marc_record,
-        "linemarc_extract": linemarc_extract,
-        "ead_split_extract": ead_split_extract,
-        "music_enrich_orders": music_enrich_orders,
-        "authority_enrich_customers": authority_enrich_customers,
-        "scalar_functions_grid": scalar_functions_grid,
-        "scalar_functions_grid2": scalar_functions_grid2,
-        "copy_down_parent": copy_down_parent,
         "fulltext_trait_docs": fulltext_trait_docs,
-        "geocode_simplify_customers": geocode_simplify_customers,
-        "sfx_harvest_files": sfx_harvest_files,
-        "oai_provider_serve": oai_provider_serve,
-        "once_per_group_orders": once_per_group_orders,
-        "dirty_hosts_propagation": dirty_hosts_propagation,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "stateful_skip_unchanged": stateful_skip_unchanged,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "gopher_quality_docs": gopher_quality_docs,
-        "c4_clean_docs": c4_clean_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "contamination_docs": contamination_docs,
-        "forward_film_extract": forward_film_extract,
-        "pack_sequences_docs": pack_sequences_docs,
-        "mix_sources_docs": mix_sources_docs,
-        "stratified_sample_docs": stratified_sample_docs,
     }
 
 

@@ -98,3 +98,29 @@ def test_golden_forward1(spark):
         "Marcelin asuinkorttelit aiottiin purkaa kesken elokuvan kuvausten."
         " Talot purettiin heti kun elokuva oli kuvattu[...]"
     )
+
+
+def test_forward_engines_agree(spark):
+    """The single-parse struct engine (default, scale path) and the xpath
+    engine produce identical rows on the reference golden fixture and on
+    degenerate inputs (malformed XML, no main element)."""
+    from recordmanager_spark.extractors import forward as FW
+
+    raw = open(f"{FIXDIR}/forward1.xml").read()
+    df = spark.createDataFrame(
+        [(raw,), ("<broken",), ("<Empty/>",)], "xml string"
+    ).coalesce(1)
+    cols = sorted(
+        c for c in FW.to_solr_columns(df, "xml").columns if c != "xml"
+    )
+    a = [
+        tuple(r)
+        for r in FW.to_solr_columns(df, "xml", engine="struct")
+        .select(cols).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in FW.to_solr_columns(df, "xml", engine="xpath")
+        .select(cols).collect()
+    ]
+    assert a == b
