@@ -44,6 +44,25 @@ from ..functions.keys import (
 # ---------------------------------------------------------------------------
 
 
+def _local_string_df(spark, rows, cols: list[str]) -> DataFrame:
+    """Driver rows -> DataFrame via Arrow (one bulk conversion).
+
+    ``createDataFrame(list_of_tuples)`` parallelizes the rows and re-runs
+    the Python-side row conversion in workers on EVERY downstream job
+    (~4s per action for a 28k-row assignment); the pandas/Arrow path
+    converts once and lands a JVM-side relation, so later counts/joins
+    never touch Python again.
+    """
+    import pandas as pd
+
+    schema = ", ".join(f"{c} string" for c in cols)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema=schema
+    )
+
+
 def with_dedup_keys(
     df: DataFrame,
     title_col: str = "title",
@@ -448,7 +467,7 @@ def connected_components(
             members.add(r.id_a)
             members.add(r.id_b)
         rows = [(m, _uf_find(parent, m)) for m in members]
-        return edges.sparkSession.createDataFrame(rows, "id string, component string")
+        return _local_string_df(edges.sparkSession, rows, ["id", "component"])
     # distributed fallback: materialize the edge set once — the iterative
     # propagation reads it every round and must not re-run verification
     return _cc_distributed(edges.localCheckpoint(eager=True), max_iterations)
@@ -528,8 +547,8 @@ def _assign_components(
     if not rows:
         return spark.createDataFrame([], "id string, component string")
     if len(rows) <= driver_threshold:
-        return spark.createDataFrame(
-            _driver_assignment(rows), "id string, component string"
+        return _local_string_df(
+            spark, _driver_assignment(rows), ["id", "component"]
         )
     # distributed fallback: materialize the edge set once (the iterative
     # propagation reads it every round and must not re-run verification),

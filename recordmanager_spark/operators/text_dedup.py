@@ -462,21 +462,25 @@ def line_level_dedup(
     """(id, text) with every line that appears in more than ``max_docs``
     distinct documents removed, line order otherwise preserved.
 
-    Scale shape: posexplode -> one map-side-combinable count per distinct
-    line (boilerplate lines collapse before the shuffle) -> broadcast-size
-    join only for lines that pass, -> one groupBy(id) reassembly. The
-    line-count table is corpus-distinct-lines big; the join stays an
-    equi-join on the line hash, never a cross product.
+    Scale shape: posexplode -> count per distinct line hash (map-side
+    combine collapses boilerplate before the shuffle) -> sort-merge
+    equi-join of the exploded corpus against the count table -> one
+    groupBy(id) reassembly. Counting and joining run on ``xxhash64(line)``
+    (8 bytes) rather than the raw line string, so the count shuffle and
+    the join's build side never carry text; only the reassembly side does
+    (it has to — the surviving lines are the output). A 64-bit collision
+    merges two distinct lines' counts (~n^2/2^65: a handful of lines in
+    10^10 distinct — noise for boilerplate thresholds).
     """
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    )
-    counts = lines.groupBy("line").agg(
+    ).withColumn("__lh", F.xxhash64("line"))
+    counts = lines.groupBy("__lh").agg(
         F.count_distinct("id").alias("__docs")
     )
     kept = (
-        lines.join(counts, "line")
+        lines.join(counts, "__lh")
         .where(F.col("__docs") <= max_docs)
         .groupBy("id")
         .agg(

@@ -53,6 +53,11 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); read as long and convert
         # in the loader (Spark's timestamp is micros).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # local[N] has no data locality, but the scheduler still honors the
+        # default 3s locality wait — a single-task job over a coalesced
+        # parallelize() RDD (the preview/1-row shape) stalls the full 3s
+        # before running. Zero it; on a real cluster tune per topology.
+        "spark.locality.wait": "0s",
     }
     if extra_conf:
         conf.update(extra_conf)
