@@ -21,6 +21,8 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
 from recordmanager_spark.sparkcompat import try_element_at
 
 # Common Latin accent folding (lowercase side; input is lowercased first).
@@ -79,6 +81,61 @@ def normalize_key(col: Column | str) -> Column:
         c = F.replace(c, F.lit(src), F.lit(dst))
     c = F.translate(c, _ONE_FOLD_SRC, _ONE_FOLD_DST)
     return F.regexp_replace(c, _KEY_STRIP_RE, "")
+
+
+# --- optional ICU key folding ----------------------------------------------
+# The reference's production path folds keys through an ICU transliterator
+# (MetadataUtils.php:416-433; default rules recordmanager.ini.sample:19-25),
+# which also romanizes Han/Kana — beyond the data-driven tables above.
+# PyICU is not part of this engine's base runtime, so the ICU fold is an
+# explicit opt-in (pass ``key_fold=normalize_key_icu`` to the dedup
+# operators) that raises when PyICU is absent. It is NOT auto-selected:
+# key folding feeds dedup keys, and silently switching engines per
+# environment would make the same corpus dedup differently on different
+# machines.
+
+_ICU_KEY_FOLDING_RULES = (
+    ":: NFD; :: lower; :: Latin; :: [^[:letter:] [:number:]] Remove; :: NFKC;"
+)
+
+
+def icu_available() -> bool:
+    try:
+        import icu  # noqa: F401  (PyICU)
+
+        return True
+    except Exception:
+        return False
+
+
+def normalize_key_icu(col: Column | str) -> Column:
+    """normalizeKey via an ICU transliterator — the reference's exact
+    production rules, including Han/Kana romanization.
+
+    Arrow-batched pandas UDF (the only Python hop in key generation when
+    enabled); executors must also have PyICU importable. Divergence from
+    the JVM path to be aware of: ICU's ``[^letter number] Remove`` strips
+    non-ASCII punctuation (e.g. en dash) that the JVM path's ASCII strip
+    ranges keep — matching the reference, which has the same difference
+    from this engine's fallback tables.
+    """
+    if not icu_available():
+        raise RuntimeError(
+            "normalize_key_icu requires PyICU; install it or use the "
+            "default normalize_key (data-driven Latin/Cyrillic/Greek fold)"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+    return _icu_fold_udf(c)
+
+
+@pandas_udf(StringType())
+def _icu_fold_udf(s):
+    import icu
+
+    tr = icu.Transliterator.createFromRules(
+        "rm_key_folding", _ICU_KEY_FOLDING_RULES, icu.UTransDirection.FORWARD
+    )
+    return s.map(lambda v: tr.transliterate(v) if v is not None else None)
 
 
 def title_key_prefix(col: Column | str) -> Column:

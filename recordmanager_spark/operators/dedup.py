@@ -69,12 +69,19 @@ def with_dedup_keys(
     author_col: str = "author",
     isbn_col: str | None = "isbn",
     ignore_keys: list[str] | None = None,
+    key_fold=None,
 ) -> DataFrame:
     """Add title_keys / isbn_keys columns. title key = createTitleKey(title)
     + normalizeKey(author), capped at 200 chars; poison keys from the
-    configurable ignore list are dropped (DedupHandler.php:1036-1079)."""
+    configurable ignore list are dropped (DedupHandler.php:1036-1079).
+
+    ``key_fold`` overrides the author-key folding function (e.g.
+    ``keys.normalize_key_icu`` for ICU Any-Latin including Han/Kana);
+    default is the JVM-side ``normalize_key``.
+    """
+    fold = key_fold or normalize_key
     tk = F.substring(
-        F.concat(create_title_key(F.col(title_col)), normalize_key(F.col(author_col))),
+        F.concat(create_title_key(F.col(title_col)), fold(F.col(author_col))),
         1,
         200,
     )
@@ -290,6 +297,7 @@ def blocking_verified_edges(
     source_col: str = "source_id",
     candidates_per_key: int = 101,
     verify_fields: list[str] | None = None,
+    key_fold=None,
 ) -> DataFrame:
     """Blocking + pairwise verification fused into ONE key shuffle.
 
@@ -310,12 +318,13 @@ def blocking_verified_edges(
     ~5000 pairs per group at 100 TB.
     """
     fields = verify_fields or _VERIFY_FIELDS
+    fold = key_fold or normalize_key
     member = F.struct(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
         *[F.col(f) for f in fields if f not in ("title", "author")],
-        normalize_key(F.col("title")).alias("__nk_title"),
-        normalize_key(F.col("author")).alias("__nk_author"),
+        fold(F.col("title")).alias("__nk_title"),
+        fold(F.col("author")).alias("__nk_author"),
     )
     # one corpus scan: concatenate the key arrays before the explode (a
     # union of per-column explodes re-scans the records — and re-runs the
@@ -638,6 +647,7 @@ def deduplicate(
     key_cols: list[str] | None = None,
     verify_fields: list[str] | None = None,
     candidates_per_key: int = 101,
+    key_fold=None,
 ) -> DataFrame:
     """End-to-end dedup: records (with key columns) -> (id, dedup_id).
 
@@ -662,6 +672,7 @@ def deduplicate(
         source_col,
         candidates_per_key,
         verify_fields,
+        key_fold,
     )
     comps = _assign_components(edges, records, id_col, source_col)
     return comps.withColumnRenamed("component", "dedup_id")

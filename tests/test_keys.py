@@ -266,3 +266,55 @@ def test_array_trim(spark):
     df = spark.createDataFrame([Row(v=[" a ", "b\t", "\n c\x0b"])])
     out = df.select(K.array_trim(F.col("v")).alias("out")).first()["out"]
     assert out == ["a", "b", "c"]
+
+
+# --- optional ICU key folding (MetadataUtils.php:416-433) -------------------
+
+
+def test_normalize_key_icu_raises_without_pyicu():
+    if K.icu_available():
+        pytest.skip("PyICU present; covered by the parity test below")
+    with pytest.raises(RuntimeError, match="PyICU"):
+        K.normalize_key_icu(F.lit("x"))
+
+
+@pytest.mark.skipif(not K.icu_available(), reason="PyICU not installed")
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # MetadataUtilsTest.php testNormalizeKey, default rules
+        ("A -.*B  C", "abc"),
+        ("ÖÄÅöäåüïé", "oaaoaauie"),
+        ("AaÖÄÅöäåüï", "aaoaaoaaui"),
+    ],
+)
+def test_normalize_key_icu_reference_goldens(spark, raw, expected):
+    assert one(spark, K.normalize_key_icu(F.col("v")), raw) == expected
+
+
+@pytest.mark.skipif(not K.icu_available(), reason="PyICU not installed")
+def test_normalize_key_icu_cjk_stable(spark):
+    # Han/Kana romanize to stable non-empty keys — the capability the
+    # data-driven fallback tables lack
+    for cjk in ("北京", "とうきょう", "漱石"):
+        out = one(spark, K.normalize_key_icu(F.col("v")), cjk)
+        assert out and out == one(spark, K.normalize_key_icu(F.col("v")), cjk)
+
+
+def test_dedup_key_fold_override(spark):
+    """The dedup operators accept a custom key-fold function; outputs with
+    the explicit default match the implicit default (threading check that
+    runs without PyICU)."""
+    from recordmanager_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [("a.1", "a", "Война и мир", "Толстой"), ("b.1", "b", "Война и мир", "Tolstoï")],
+        "_id string, source_id string, title string, author string",
+    )
+    default = DD.with_dedup_keys(df, "title", "author", isbn_col=None)
+    explicit = DD.with_dedup_keys(
+        df, "title", "author", isbn_col=None, key_fold=K.normalize_key
+    )
+    assert [r.asDict() for r in default.collect()] == [
+        r.asDict() for r in explicit.collect()
+    ]

@@ -70,11 +70,59 @@ AUDITS = [
 ]
 
 
+# Plan-size ratchet for the extractor queries: (query, max MB of
+# optimizedPlan().toJSON(), max per-row XPath evaluator objects).
+# Caps are ~1.3x the value measured when frozen (2026-08). Two regression
+# classes trip them: a megaplan from inlining a generated-XML expression
+# into every consumer (the forward_film class — 0.36 MB after its
+# single-parse rewrite, >10 MB before), and re-introducing one-DOM-parse-
+# per-column xpath extraction. MARC/linemarc plans are big by nature
+# (fieldspec trees, no xpath) — their caps only catch growth.
+SIZE_AUDITS = [
+    ("marc_extract", 7.0, 0),
+    ("marc_rich_extract", 16.0, 0),
+    ("linemarc_extract", 4.5, 0),
+    ("forward_film_extract", 1.0, 0),
+    ("dc_extract", 0.5, 10),
+    ("dc_extract_struct", 0.5, 0),
+    ("lido_extract", 0.5, 38),
+    ("ead_extract", 0.5, 34),
+    ("ead3_split_extract", 1.0, 115),  # multi-xpath; candidate for struct
+    ("qdc_extract", 0.5, 10),
+    ("lrmi_extract", 0.5, 15),
+    ("ese_extract", 0.5, 12),
+    ("doaj_extract", 0.5, 20),
+    ("forward_authority_extract", 0.5, 75),  # multi-xpath; candidate
+    ("marc_authority_extract", 1.0, 0),
+    ("sierra_harvest_extract", 0.7, 0),
+    ("genieplus_harvest_extract", 1.0, 0),
+]
+
+_XPATH_EVAL_MARKS = (
+    "XPathListEvaluator", "XPathStringEvaluator", "XPathBooleanEvaluator"
+)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit", shuffle_partitions=16)
     qs = entry_mod.queries()
     failures = []
+    for name, max_mb, max_xpath in SIZE_AUDITS:
+        df = qs[name](spark, sf_dir)
+        j = df._jdf.queryExecution().optimizedPlan().toJSON()
+        mb = len(j) / 1e6
+        n_xpath = sum(j.count(m) for m in _XPATH_EVAL_MARKS)
+        problems = []
+        if mb > max_mb:
+            problems.append(f"plan json {mb:.2f}MB > {max_mb}MB")
+        if n_xpath > max_xpath:
+            problems.append(f"xpath evaluators {n_xpath} > {max_xpath}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: plan={mb:.2f}MB xpath_evals={n_xpath}")
     for name, max_ex, need_bcast, allow_cart, note in AUDITS:
         df = qs[name](spark, sf_dir)
         plan = plan_of(df)
