@@ -138,3 +138,29 @@ def test_forward_authority_occupation_position_only(spark):
     df = spark.createDataFrame([(xml,)], "xml string")
     r = forward_authority.to_solr_columns(df).collect()[0]
     assert r.occupation == ["Director"]
+
+
+def test_forward_authority_engines_agree(spark):
+    """Struct (default, single-parse) and xpath engines produce identical
+    rows, including malformed XML and an empty envelope."""
+    df = spark.createDataFrame(
+        [(FWD,), ("<broken",), ("<envelope/>",)], "xml string"
+    ).coalesce(1)
+    cols = sorted(
+        c
+        for c in forward_authority.to_solr_columns(df, source="fwa").columns
+        if c != "xml"
+    )
+    a = [
+        tuple(r)
+        for r in forward_authority.to_solr_columns(
+            df, source="fwa", engine="struct"
+        ).select(cols).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in forward_authority.to_solr_columns(
+            df, source="fwa", engine="xpath"
+        ).select(cols).collect()
+    ]
+    assert a == b

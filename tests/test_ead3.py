@@ -108,3 +108,30 @@ def test_ead3_series_suppressed_for_series_level(spark):
     assert r.format == "series"
     assert r.series == ""  # series-level records never get a series field
     assert r.title == "S1 Correspondence"
+
+
+def test_ead3_engines_agree(spark):
+    """Struct (default) and xpath engines agree on the golden document's
+    components and on malformed input. (Known, intended divergences —
+    nested-element `//` matches, multi-scopecontent — don't occur in
+    well-formed split output; see the module docstring.)"""
+    parts = _parts(spark)
+    bad = spark.createDataFrame(
+        [("<broken", "x", 1, "p", "t", "a", "at", "l", [])],
+        "part_xml string, part_id string, sequence int, parent_id string,"
+        " parent_title string, archive_id string, archive_title string,"
+        " level string, inherited_titles array<string>",
+    )
+    for df in (parts, bad):
+        cols = sorted(ead3.to_solr_columns(df).columns)
+        a = [
+            tuple(r)
+            for r in ead3.to_solr_columns(df, engine="struct")
+            .select(cols).orderBy("part_id").collect()
+        ]
+        b = [
+            tuple(r)
+            for r in ead3.to_solr_columns(df, engine="xpath")
+            .select(cols).orderBy("part_id").collect()
+        ]
+        assert a == b

@@ -87,12 +87,12 @@ SIZE_AUDITS = [
     ("dc_extract_struct", 0.5, 0),
     ("lido_extract", 0.5, 38),
     ("ead_extract", 0.5, 34),
-    ("ead3_split_extract", 1.0, 115),  # multi-xpath; candidate for struct
+    ("ead3_split_extract", 2.0, 4),  # struct engine; 1 gated allfields xpath
     ("qdc_extract", 0.5, 10),
     ("lrmi_extract", 0.5, 15),
     ("ese_extract", 0.5, 12),
     ("doaj_extract", 0.5, 20),
-    ("forward_authority_extract", 0.5, 75),  # multi-xpath; candidate
+    ("forward_authority_extract", 0.6, 0),  # struct engine
     ("marc_authority_extract", 1.0, 0),
     ("sierra_harvest_extract", 0.7, 0),
     ("genieplus_harvest_extract", 1.0, 0),
