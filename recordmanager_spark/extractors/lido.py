@@ -145,7 +145,14 @@ def _lido_titles_one(
         root = ET.fromstring(raw)
     except ET.ParseError:
         return empty
+    return _lido_titles_from_root(
+        root, merge_values, merge_sets, fmt_in_title, default_lang
+    )
 
+
+def _lido_titles_from_root(
+    root, merge_values, merge_sets, fmt_in_title, default_lang
+):
     parent = {c: p for p in root.iter() for c in p}
 
     def inherited(node, attr, default):
@@ -285,6 +292,330 @@ def lido_titles_udf(
     return _f
 
 
+# --- single-parse engine (the scale path, and the default) ------------------
+#
+# The xpath engine issues ~20 XPath calls per record (29 evaluator
+# objects in the optimized plan), each re-parsing the XML — ON TOP of the
+# Python parse the titles UDF already pays (title grouping is genuinely
+# non-relational). The single-parse engine folds every per-record
+# extraction into that one existing Python pass: ONE ElementTree parse
+# per record total. All array post-processing (trim/strip/isbn
+# normalization/fallback whens) stays JVM-side, unchanged. Semantics
+# mirror the xpath engine exactly (`//` descendant chains, [1]
+# positional steps, ASCII-only case folds); parity-tested in
+# tests/test_lido.py.
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _norm_space(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _chain(bases, names):
+    """Child chain by local names; a name suffixed [1] takes the first
+    matching child per parent (xpath positional predicate)."""
+    cur = list(bases)
+    for name in names:
+        first_only = name.endswith("[1]")
+        if first_only:
+            name = name[:-3]
+        nxt = []
+        for el in cur:
+            kids = [c for c in el if _local(c.tag) == name]
+            nxt.extend(kids[:1] if first_only else kids)
+        cur = nxt
+    return cur
+
+
+def _texts(els):
+    return [el.text for el in els if el.text]
+
+
+def _string_value(el) -> str:
+    return "".join(el.itertext())
+
+
+def _lido_extract_one(raw, merge_values, merge_sets, fmt_in_title, default_lang):
+    nulls = (None,) * (len(_LIDO_FIELDS) - 3)
+    empty_titles = ("", [], "")
+    if not raw:
+        return empty_titles + nulls
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return empty_titles + nulls
+
+    titles = _lido_titles_from_root(
+        root, merge_values, merge_sets, fmt_in_title, default_lang
+    )
+
+    def anywhere(name):
+        return [el for el in root.iter() if _local(el.tag) == name]
+
+    def search(path):
+        """//a/b/c equivalent: chain rooted at every <a> in the doc."""
+        names = path.split("/")
+        return _chain(anywhere(names[0]), names[1:])
+
+    def first_text(path) -> str:
+        vals = _texts(search(path))
+        return vals[0] if vals else ""
+
+    # events by type, priority order (one pass per type keeps ordering)
+    events = anywhere("event")
+
+    def ev_of(et):
+        out = []
+        for ev in events:
+            for term in _chain([ev], ["eventType", "term"]):
+                if _norm_space(_string_value(term)).translate(_ASCII_LOWER) == et:
+                    out.append(ev)
+                    break
+        return out
+
+    def ev_values(types, subpath):
+        vals = []
+        for et in types:
+            for ev in ev_of(et):
+                vals.extend(_texts(_chain([ev], subpath.split("/"))))
+        return vals
+
+    subjects = anywhere("subject")
+    subjects_unclassified = [
+        s
+        for s in subjects
+        if not s.get("type")
+        or s.get("type").translate(_ASCII_LOWER) != "iconclass"
+    ]
+
+    def subj_values(base, subpath):
+        return _texts(_chain(base, subpath.split("/")))
+
+    # collection: first displayObject of a relatedWorkSet whose relType
+    # term's normalized string value matches (case-sensitive)
+    coll = ""
+    for rws in anywhere("relatedWorkSet"):
+        if any(
+            _norm_space(_string_value(t)) in RELATED_WORK_RELATION_TYPES
+            for t in _chain([rws], ["relatedWorkRelType", "term"])
+        ):
+            vals = _texts(_chain([rws], ["relatedWork", "displayObject"]))
+            if vals:
+                coll = vals[0]
+                break
+
+    def work_ids(id_type):
+        return [
+            el.text
+            for el in _chain(
+                anywhere("repositoryWrap"), ["repositorySet", "workID"]
+            )
+            if el.get("type") == id_type and el.text
+        ]
+
+    # ctrlnum: xpath zips @type attrs of ALL typed recordInfoIDs with the
+    # text of typed recordInfoIDs THAT HAVE text — reproduce the zip
+    # including its null-padding on pathological docs
+    info_ids = _chain(anywhere("recordInfoSet"), ["recordInfoID"])
+    types_list = [el.get("type") for el in info_ids if el.get("type")]
+    vals_list = [el.text for el in info_ids if el.get("type") and el.text]
+    ctrlnum = [
+        None if (t is None or v is None) else f"({t}){v.strip()}"
+        for t, v in __import__("itertools").zip_longest(types_list, vals_list)
+    ]
+
+    ignored = set(_ALLFIELDS_IGNORED)
+    allfields = []
+
+    def walk(el, ig):
+        ig = ig or _local(el.tag) in ignored
+        kids = list(el)
+        if not kids and not ig and el.text:
+            allfields.append(el.text)
+        for c in kids:
+            walk(c, ig)
+
+    walk(root, False)
+
+    return titles + (
+        _texts(search("linkResource")),
+        subj_values(subjects, "subjectDate/displayDate"),
+        ev_values(MAIN_EVENTS, "eventDate/displayDate"),
+        ev_values(PLACE_EVENTS, "eventPlace/displayPlace"),
+        subj_values(subjects, "subjectPlace/displayPlace"),
+        _texts(
+            search("repositorySet/repositoryLocation/namePlaceSet/appellationValue")
+        ),
+        subj_values(subjects, "subjectPlace/place/namePlaceSet/appellationValue"),
+        ev_values(
+            MAIN_EVENTS,
+            "eventMaterialsTech/materialsTech/termMaterialsTech/term",
+        ),
+        ev_values(MAIN_EVENTS, "eventMaterialsTech/displayMaterialsTech"),
+        ev_values(
+            MAIN_EVENTS,
+            "eventActor/actorInRole/actor/nameActorSet/appellationValue[1]",
+        ),
+        coll,
+        work_ids("isbn"),
+        work_ids("issn"),
+        ctrlnum,
+        first_text("objectWorkTypeWrap/objectWorkType/term"),
+        first_text("legalBodyName/appellationValue"),
+        subj_values(subjects_unclassified, "subjectConcept/term"),
+        allfields,
+    )
+
+
+_LIDO_FIELDS = [
+    ("preferred", "string"),
+    ("alternate", "array<string>"),
+    ("description", "string"),
+    ("urls", "array<string>"),
+    ("subj_dates", "array<string>"),
+    ("main_dates", "array<string>"),
+    ("event_places", "array<string>"),
+    ("subj_display_places", "array<string>"),
+    ("repo_locations", "array<string>"),
+    ("subj_places", "array<string>"),
+    ("materials", "array<string>"),
+    ("display_materials", "array<string>"),
+    ("authors", "array<string>"),
+    ("collection", "string"),
+    ("isbn_raw", "array<string>"),
+    ("issn_raw", "array<string>"),
+    ("ctrlnum", "array<string>"),
+    ("format_raw", "string"),
+    ("institution_raw", "string"),
+    ("topics", "array<string>"),
+    ("allfields_raw", "array<string>"),
+]
+
+
+def lido_extract_udf(
+    merge_title_values: bool = True,
+    merge_title_sets: bool = True,
+    allow_title_to_match_format: bool = False,
+    default_display_language: str = "en",
+):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                n,
+                T.ArrayType(T.StringType()) if t.startswith("array") else T.StringType(),
+            )
+            for n, t in _LIDO_FIELDS
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _f(raw: pd.Series) -> pd.DataFrame:
+        vals = raw.map(
+            lambda r: _lido_extract_one(
+                r,
+                merge_title_values,
+                merge_title_sets,
+                allow_title_to_match_format,
+                default_display_language,
+            )
+        )
+        return pd.DataFrame(
+            {n: vals.map(lambda v, i=i: v[i]) for i, (n, _) in enumerate(_LIDO_FIELDS)}
+        )
+
+    return _f
+
+
+def _to_solr_columns_python(
+    df: DataFrame,
+    xml_col: str,
+    merge_title_values: bool,
+    merge_title_sets: bool,
+    allow_title_to_match_format: bool,
+    default_display_language: str,
+) -> DataFrame:
+    df = df.withColumn(
+        "__lido",
+        lido_extract_udf(
+            merge_title_values=merge_title_values,
+            merge_title_sets=merge_title_sets,
+            allow_title_to_match_format=allow_title_to_match_format,
+            default_display_language=default_display_language,
+        )(F.col(xml_col)),
+    )
+    p = F.col("__lido")
+    title = F.coalesce(p["preferred"], F.lit(""))
+    urls = _trimmed(p["urls"])
+    subj_dates = _stripped(p["subj_dates"])
+    main_date = F.coalesce(try_element_at(_trimmed(p["main_dates"]), 1), F.lit(""))
+    era = F.when(F.size(subj_dates) > 0, subj_dates).otherwise(
+        F.filter(F.array(main_date), lambda v: v != "")
+    )
+    geographic = F.concat(
+        _stripped(p["event_places"]),
+        _stripped(p["subj_display_places"]),
+        _trimmed(p["repo_locations"]),
+    )
+    materials = _trimmed(p["materials"])
+    display_materials = _trimmed(p["display_materials"])
+    isbn_norm = F.transform(
+        _trimmed(p["isbn_raw"]),
+        lambda v: K.normalize_isbn(
+            F.regexp_extract(
+                F.regexp_replace(v, "-", ""), "^([0-9]{9,12}[0-9xX])", 1
+            )
+        ),
+    )
+    topics = _trimmed(p["topics"])
+    cols: dict[str, Column] = {
+        "record_format": F.lit("lido"),
+        "title": title,
+        "title_short": title,
+        "title_full": title,
+        "title_sort": K.create_sort_title(title),
+        "title_alt": p["alternate"],
+        "description": p["description"],
+        "format": F.trim(F.coalesce(p["format_raw"], F.lit(""))),
+        "institution": F.trim(F.coalesce(p["institution_raw"], F.lit(""))),
+        "author": _trimmed(p["authors"]),
+        "topic": topics,
+        "topic_facet": topics,
+        "material": F.when(F.size(materials) > 0, materials).otherwise(
+            display_materials
+        ),
+        "material_str_mv": F.when(F.size(materials) > 0, materials).otherwise(
+            display_materials
+        ),
+        "era": era,
+        "era_facet": era,
+        "geographic": geographic,
+        "geographic_facet": F.concat(geographic, _stripped(p["subj_places"])),
+        "collection": F.coalesce(p["collection"], F.lit("")),
+        "ctrlnum": p["ctrlnum"],
+        "isbn": F.array_distinct(
+            F.filter(isbn_norm, lambda v: v.isNotNull() & (v != ""))
+        ),
+        "issn": _trimmed(p["issn_raw"]),
+        "url": urls,
+        "thumbnail": F.coalesce(try_element_at(urls, 1), F.lit("")),
+        "allfields": F.filter(
+            F.transform(p["allfields_raw"], lambda v: F.trim(v)),
+            lambda v: v != "",
+        ),
+    }
+    out = df.withColumns(cols).drop("__lido")
+    return out.withColumn(
+        "author_sort", F.coalesce(try_element_at(F.col("author"), 1), F.lit(""))
+    )
+
+
 def to_solr_columns(
     df: DataFrame,
     xml_col: str = "xml",
@@ -293,7 +624,17 @@ def to_solr_columns(
     merge_title_sets: bool = True,
     allow_title_to_match_format: bool = False,
     default_display_language: str = "en",
+    engine: str = "single",
 ) -> DataFrame:
+    if engine == "single":
+        return _to_solr_columns_python(
+            df,
+            xml_col,
+            merge_title_values,
+            merge_title_sets,
+            allow_title_to_match_format,
+            default_display_language,
+        )
     x = F.col(xml_col)
     if validate:
         x = F.when(well_formed_xml(x), F.col(xml_col))

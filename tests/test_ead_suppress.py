@@ -84,3 +84,28 @@ def test_suppression_missing_field_never_suppresses(spark):
     df = spark.createDataFrame([("r1",)], ["id"])
     cond = suppressed_condition(df, {"nosuch": "a|b"})
     assert df.where(~cond).count() == 1
+
+
+def test_ead_engines_agree(spark):
+    """Struct (default, single from_xml parse) and xpath engines produce
+    identical rows, including malformed input."""
+    df = spark.createDataFrame(
+        [
+            (EAD_COMPONENT, "ARCH-9", "Grand Archive", "0000002"),
+            ("<broken", "A", "T", "0000001"),
+            ("<c01/>", "A", "T", "0000003"),
+        ],
+        ["part_xml", "archive_id", "archive_title", "sequence"],
+    ).coalesce(1)
+    cols = sorted(ead.to_solr_columns(df).columns)
+    a = [
+        tuple(r)
+        for r in ead.to_solr_columns(df, engine="struct")
+        .select(cols).orderBy("sequence").collect()
+    ]
+    b = [
+        tuple(r)
+        for r in ead.to_solr_columns(df, engine="xpath")
+        .select(cols).orderBy("sequence").collect()
+    ]
+    assert a == b

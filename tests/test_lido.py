@@ -191,3 +191,23 @@ def test_forward_extract(spark):
     assert r.genre == []
     assert "Grip, Gary" in r.author_corporate
     assert r.format == "MotionPicture"
+
+
+def test_lido_engines_agree(spark):
+    """Single-parse (default) and xpath engines produce identical rows on
+    the golden record, a malformed record, and an empty-ish record."""
+    from recordmanager_spark.extractors import lido as LD
+
+    df = spark.createDataFrame(
+        [(LIDO1,), ("<broken",), ("<lido/>",)], "xml string"
+    ).coalesce(1)
+    cols = sorted(c for c in LD.to_solr_columns(df).columns if c != "xml")
+    a = [
+        tuple(r)
+        for r in LD.to_solr_columns(df, engine="single").select(cols).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in LD.to_solr_columns(df, engine="xpath").select(cols).collect()
+    ]
+    assert a == b

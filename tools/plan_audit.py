@@ -85,8 +85,8 @@ SIZE_AUDITS = [
     ("forward_film_extract", 1.0, 0),
     ("dc_extract", 0.5, 10),
     ("dc_extract_struct", 0.5, 0),
-    ("lido_extract", 0.5, 38),
-    ("ead_extract", 0.5, 34),
+    ("lido_extract", 0.5, 0),  # single-parse engine
+    ("ead_extract", 0.5, 2),  # struct engine; 1 gated allfields xpath
     ("ead3_split_extract", 2.0, 4),  # struct engine; 1 gated allfields xpath
     ("qdc_extract", 0.5, 10),
     ("lrmi_extract", 0.5, 15),
