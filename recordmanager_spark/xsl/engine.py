@@ -5,15 +5,19 @@ per-source stylesheets with ini-configured global parameters applied to
 record XML. The supported instruction set is exactly what the reference's
 shipped ``transformations/*.xsl`` use:
 
-    template (match/name/mode), apply-templates (select/mode/with-param),
-    call-template, param, variable (select or RTF body), value-of, text,
-    element, attribute, copy, copy-of, if, choose/when/otherwise,
-    for-each, message, import, output — plus literal result elements with
-    attribute value templates.
+    template (match/name/mode), apply-templates (select/mode/with-param/
+    sort), call-template, param, variable (select or RTF body), value-of,
+    text, element, attribute, copy, copy-of, if, choose/when/otherwise,
+    for-each (with sort), sort (text/number, asc/desc, multi-key),
+    key + the key()/current() functions, number (value or level
+    single/any/multiple with count/from; formats 1/01/a/A/i/I),
+    strip-space/preserve-space, message, import, include, output — plus
+    literal result elements with attribute value templates.
 
-Not implemented (and absent from the corpus): keys, sort, number,
-strip-space, attribute-set, fallback, namespace-alias, extension
-functions. Using one raises :class:`XsltError` at compile time.
+Not implemented (and absent from the corpus): attribute-set,
+namespace-alias, decimal-format, fallback, apply-imports, xsl:sort
+case-order/lang, document(). Using one raises :class:`XsltError` at
+compile time.
 """
 
 from __future__ import annotations
@@ -142,9 +146,8 @@ def _default_priority(pattern: str) -> float:
 
 
 _UNSUPPORTED = {
-    "key", "sort", "number", "strip-space", "preserve-space",
     "attribute-set", "namespace-alias", "decimal-format", "fallback",
-    "apply-imports", "include",
+    "apply-imports",
 }
 
 
@@ -156,6 +159,12 @@ class MiniXSLT:
         self.resolver = resolver
         self.templates: list[Template] = []
         self.globals: list[tuple[str, str | None, ET.Element, dict, bool]] = []
+        # xsl:key definitions: (name, [pattern asts], use expr, nsmap)
+        self.keys: list[tuple[str, list, str, dict]] = []
+        # xsl:strip-space / preserve-space element name tests: (ns, local)
+        # with '*' wildcards, resolved against the stylesheet nsmap
+        self.strip_names: set[tuple[str, str]] = set()
+        self.preserve_names: set[tuple[str, str]] = set()
         self.output_method = "xml"
         self.default_ns_hint: str | None = None
         self._counter = [0]
@@ -188,11 +197,41 @@ class MiniXSLT:
             if not tag.startswith(f"{{{XSL_NS}}}"):
                 continue
             local = tag.split("}", 1)[1]
-            if local == "import":
+            if local in ("import", "include"):
                 href = child.get("href")
                 if not self.resolver:
-                    raise XsltError(f"xsl:import {href!r} needs a resolver")
-                self._compile(self.resolver(href), depth + 1)
+                    raise XsltError(f"xsl:{local} {href!r} needs a resolver")
+                # include keeps the including sheet's precedence level
+                self._compile(
+                    self.resolver(href), depth + (1 if local == "import" else 0)
+                )
+            elif local == "key":
+                name = child.get("name")
+                match = child.get("match")
+                use = child.get("use")
+                if not (name and match and use):
+                    raise XsltError("xsl:key needs name, match and use")
+                nsmap = nsmaps[id(child)]
+                asts = [
+                    XPath(alt, nsmap).ast
+                    for alt in Template._split_union(match)
+                ]
+                self.keys.append((name, asts, use, nsmap))
+            elif local in ("strip-space", "preserve-space"):
+                target = (
+                    self.strip_names
+                    if local == "strip-space"
+                    else self.preserve_names
+                )
+                nsmap = nsmaps[id(child)]
+                for name in (child.get("elements") or "").split():
+                    if name == "*":
+                        target.add(("*", "*"))
+                    elif ":" in name:
+                        prefix, loc = name.split(":", 1)
+                        target.add((nsmap.get(prefix, ""), loc))
+                    else:
+                        target.add(("", name))
             elif local == "template":
                 self._counter[0] += 1
                 self.templates.append(
@@ -224,6 +263,8 @@ class MiniXSLT:
         from .xpath1 import parse_xml
 
         doc = parse_xml(xml)
+        if self.strip_names:
+            _strip_space(doc, self.strip_names, self.preserve_names)
         run = _Run(self, params or {})
         out: list[ONode] = []
         run.apply_templates([doc], None, Context(doc, 1, 1, run.globals,
@@ -279,11 +320,40 @@ def _parse_stylesheet(source: str):
 _AVT_RE = re.compile(r"\{([^{}]*)\}|\{\{|\}\}")
 
 
+def _strip_space(doc: XNode, strip, preserve) -> None:
+    """Remove whitespace-only text children of elements named by
+    xsl:strip-space (minus preserve-space exceptions)."""
+
+    def matches(el, names) -> bool:
+        return (
+            ("*", "*") in names
+            or (el.ns, el.name) in names
+            or ("", el.name) in names
+        )
+
+    stack = [doc]
+    while stack:
+        el = stack.pop()
+        if el.kind == ELEM and matches(el, strip) and not matches(el, preserve):
+            el.children = [
+                c
+                for c in el.children
+                if not (c.kind == TEXT and not c.value.strip())
+            ]
+        stack.extend(c for c in el.children if c.kind in (ELEM, ROOT))
+
+
 class _Run:
     def __init__(self, sheet: MiniXSLT, params: dict[str, object]):
         self.sheet = sheet
         self.nsmaps = sheet._nsmaps
-        self.extra = {"default_ns_hint": sheet.default_ns_hint}
+        self.extra = {
+            "default_ns_hint": sheet.default_ns_hint,
+            "functions": {"key": self._fn_key, "current": self._fn_current},
+        }
+        # xsl:key indexes built lazily per (document root, key name)
+        self._key_indexes: dict[tuple[int, str], dict[str, list]] = {}
+        self._current_node = None
         self.messages: list[str] = []
         self._xpath_cache: dict[tuple[str, int], XPath] = {}
         # global params/variables evaluate lazily against the document? The
@@ -315,6 +385,94 @@ class _Run:
             xp = XPath(expr, nsmap)
             self._xpath_cache[key] = xp
         return xp
+
+    # key() / current() extension functions ----------------------------------
+    def _fn_current(self, ctx: Context, args):
+        node = self.extra.get("current_node") or ctx.node
+        return [node]
+
+    def _fn_key(self, ctx: Context, args):
+        if len(args) != 2:
+            raise XsltError("key() takes exactly 2 arguments")
+        name = xp_string(args[0])
+        root = ctx.node
+        while root.parent is not None:
+            root = root.parent
+        idx = self._key_index(root, name)
+        values = (
+            [n.string_value() for n in args[1]]
+            if isinstance(args[1], list)
+            else [_rtf_aware_string(args[1])]
+        )
+        out, seen = [], set()
+        for v in values:
+            for n in idx.get(v, ()):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    out.append(n)
+        out.sort(key=lambda n: n.order)
+        return out
+
+    def _key_index(self, root, name: str) -> dict[str, list]:
+        ck = (id(root), name)
+        cached = self._key_indexes.get(ck)
+        if cached is not None:
+            return cached
+        defs = [d for d in self.sheet.keys if d[0] == name]
+        if not defs:
+            raise XsltError(f"key() references undeclared key {name!r}")
+        idx: dict[str, list] = {}
+
+        def walk(n):
+            yield n
+            for a in n.attrs:
+                yield a
+            for c in n.children:
+                yield from walk(c)
+
+        for node in walk(root):
+            for _, asts, use, nsmap in defs:
+                if not any(self.matches(node, a, nsmap) for a in asts):
+                    continue
+                v = self._xp(use, nsmap).evaluate(
+                    Context(node, 1, 1, self.globals, nsmap, self.extra)
+                )
+                vals = (
+                    [n.string_value() for n in v]
+                    if isinstance(v, list)
+                    else [_rtf_aware_string(v)]
+                )
+                for s in vals:
+                    idx.setdefault(s, []).append(node)
+        self._key_indexes[ck] = idx
+        return idx
+
+    # xsl:sort ---------------------------------------------------------------
+    def _sorted(self, elem, nodes, ctx: Context):
+        """Apply child xsl:sort specs (multi-key, text/number, asc/desc)."""
+        specs = [c for c in elem if c.tag == f"{{{XSL_NS}}}sort"]
+        if not specs or not nodes:
+            return nodes
+        size = len(nodes)
+        keyed = []
+        for i, node in enumerate(nodes):
+            sub = ctx.with_node(node, i + 1, size)
+            keys = []
+            for s in specs:
+                v = self._eval(s, s.get("select") or ".", sub)
+                sv = _rtf_aware_string(v)
+                if s.get("data-type") == "number":
+                    num = xp_number(sv)
+                    # NaN sorts before every number in ascending order
+                    keys.append((-1, 0.0) if num != num else (0, num))
+                else:
+                    keys.append(sv)
+            keyed.append((keys, node))
+        # stable multi-key: apply specs last-to-first
+        for si in range(len(specs) - 1, -1, -1):
+            desc = specs[si].get("order") == "descending"
+            keyed.sort(key=lambda t, si=si: t[0][si], reverse=desc)
+        return [t[1] for t in keyed]
 
     # template dispatch -----------------------------------------------------
     def find_template(self, node: XNode, mode: str | None) -> Template | None:
@@ -408,6 +566,7 @@ class _Run:
                 return "{"
             if m.group(0) == "}}":
                 return "}"
+            self.extra["current_node"] = ctx.node
             v = self._xp(m.group(1), nsmap).evaluate(
                 Context(ctx.node, ctx.pos, ctx.size, ctx.vars, nsmap, self.extra)
             )
@@ -417,6 +576,9 @@ class _Run:
 
     def _eval(self, elem, expr: str, ctx: Context):
         nsmap = self.nsmaps.get(id(elem), {})
+        # XSLT current(): the node the innermost template/for-each is
+        # processing — stays fixed while predicates rebind the context node
+        self.extra["current_node"] = ctx.node
         v = self._xp(expr, nsmap).evaluate(
             Context(ctx.node, ctx.pos, ctx.size, ctx.vars, nsmap, self.extra)
         )
@@ -441,6 +603,7 @@ class _Run:
             nodes = self._select_nodes(elem, sel, ctx)
         else:
             nodes = list(ctx.node.children)
+        nodes = self._sorted(elem, nodes, ctx)
         passed = self._with_params(elem, ctx)
         self.apply_templates(nodes, mode, ctx, out, passed)
 
@@ -619,8 +782,12 @@ class _Run:
                     self.one(cc, ctx, out, inner)
                 return
 
+    def i_sort(self, elem, ctx, out, params):
+        pass  # consumed by the parent for-each / apply-templates
+
     def i_for_each(self, elem, ctx, out, params):
         nodes = self._select_nodes(elem, elem.get("select"), ctx)
+        nodes = self._sorted(elem, nodes, ctx)
         size = len(nodes)
         for i, n in enumerate(nodes):
             sub = ctx.with_node(n, i + 1, size)
@@ -650,6 +817,150 @@ class _Run:
 
     def i_output(self, elem, ctx, out, params):
         pass
+
+    def i_number(self, elem, ctx, out, params):
+        """xsl:number — value expr, or level single/any/multiple with
+        count/from patterns; format tokens 1, 01, a, A, i, I."""
+        fmt = elem.get("format", "1")
+        if elem.get("value") is not None:
+            n = xp_number(
+                _rtf_aware_string(self._eval(elem, elem.get("value"), ctx))
+            )
+            if n != n:  # NaN
+                out.append(ONode("text", value="NaN"))
+            else:
+                out.append(
+                    ONode(
+                        "text",
+                        value=_format_number_list([int(n + 0.5)], fmt),
+                    )
+                )
+            return
+        level = elem.get("level", "single")
+        nsmap = self.nsmaps.get(id(elem), {})
+        node = ctx.node
+
+        def compile_pattern(pat):
+            asts = [
+                XPath(alt, nsmap).ast for alt in Template._split_union(pat)
+            ]
+            return lambda n: any(self.matches(n, a, nsmap) for a in asts)
+
+        if elem.get("count"):
+            cmatch = compile_pattern(elem.get("count"))
+        else:
+            kind, name, ns = node.kind, node.name, node.ns
+
+            def cmatch(n):
+                return n.kind == kind and n.name == name and n.ns == ns
+
+        fmatch = compile_pattern(elem.get("from")) if elem.get("from") else None
+
+        if level == "any":
+            root = node
+            while root.parent is not None:
+                root = root.parent
+
+            def walk(n):
+                yield n
+                for c in n.children:
+                    yield from walk(c)
+
+            cnt = 0
+            for n in walk(root):
+                if fmatch is not None and fmatch(n):
+                    cnt = 0
+                if cmatch(n):
+                    cnt += 1
+                if n is node:
+                    break
+            nums = [cnt] if cnt else []
+        else:
+            levels: list[int] = []
+            anc = node
+            while anc is not None and not (fmatch is not None and fmatch(anc)):
+                if cmatch(anc):
+                    c = 1
+                    if anc.parent is not None:
+                        for sib in anc.parent.children:
+                            if sib is anc:
+                                break
+                            if cmatch(sib):
+                                c += 1
+                    levels.append(c)
+                    if level == "single":
+                        break
+                anc = anc.parent
+            nums = list(reversed(levels)) if level == "multiple" else levels[:1]
+        out.append(ONode("text", value=_format_number_list(nums, fmt)))
+
+
+def _to_alpha(n: int, upper: bool) -> str:
+    # 1 -> a, 26 -> z, 27 -> aa (bijective base 26)
+    s = ""
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        s = chr(ord("a") + r) + s
+    return s.upper() if upper else s
+
+
+_ROMAN = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+    (5, "v"), (4, "iv"), (1, "i"),
+)
+
+
+def _to_roman(n: int, upper: bool) -> str:
+    if n <= 0:
+        return str(n)
+    s = ""
+    for val, sym in _ROMAN:
+        while n >= val:
+            s += sym
+            n -= val
+    return s.upper() if upper else s
+
+
+def _format_one(n: int, token: str) -> str:
+    if token == "a":
+        return _to_alpha(n, False)
+    if token == "A":
+        return _to_alpha(n, True)
+    if token == "i":
+        return _to_roman(n, False)
+    if token == "I":
+        return _to_roman(n, True)
+    if token.isdigit():  # '1', '01', '001' -> zero-padded width
+        return str(n).zfill(len(token))
+    return str(n)
+
+
+def _format_number_list(nums: list[int], fmt: str) -> str:
+    if not nums:
+        return ""
+    parts = re.findall(r"[0-9A-Za-z]+|[^0-9A-Za-z]+", fmt)
+    tokens: list[str] = []
+    seps: list[str] = []  # seps[i] precedes tokens[i]
+    prefix = suffix = ""
+    if parts and not parts[0][0].isalnum():
+        prefix = parts.pop(0)
+    if parts and not parts[-1][0].isalnum():
+        suffix = parts.pop()
+    for p in parts:
+        if p[0].isalnum():
+            tokens.append(p)
+        else:
+            seps.append(p)
+    if not tokens:
+        tokens = ["1"]
+    out = [prefix]
+    for i, n in enumerate(nums):
+        if i > 0:
+            out.append(seps[i - 1] if i - 1 < len(seps) else (seps[-1] if seps else "."))
+        out.append(_format_one(n, tokens[min(i, len(tokens) - 1)]))
+    out.append(suffix)
+    return "".join(out)
 
 
 def _fold_attr_markers(node: ONode) -> None:

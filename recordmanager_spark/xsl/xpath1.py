@@ -922,6 +922,11 @@ class XPath:
                         return val == want or val.startswith(want + "-")
                 node = node.parent
             return False
+        # host-provided extension functions (the XSLT engine registers
+        # key() and current() here via Context.extra)
+        fns = ctx.extra.get("functions") if ctx.extra else None
+        if fns and name in fns:
+            return fns[name](ctx, [self._eval(a, ctx) for a in args])
         raise XPathError(f"unsupported function {name}() in {self.expr!r}")
 
     def _first_or_ctx(self, args, ctx: Context) -> XNode | None:

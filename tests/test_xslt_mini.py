@@ -193,7 +193,7 @@ class TestEngineCore:
     def test_unsupported_instruction_raises(self):
         xsl = """<xsl:stylesheet version="1.0"
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-          <xsl:key name="k" match="x" use="@id"/>
+          <xsl:attribute-set name="s"/>
           <xsl:template match="/"><o/></xsl:template>
         </xsl:stylesheet>"""
         with pytest.raises(XsltError):
@@ -374,3 +374,119 @@ def test_spark_xslt_udf(spark):
     got = apply_xslt(df, "xml", xsl, out_column="res", backend="mini")
     rows = {r.res for r in got.collect()}
     assert "<out>7!</out>" in rows and len(rows) == 50
+
+
+# --- xsl:sort / xsl:key / xsl:number / strip-space / include -----------------
+
+_SHEET = """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">{body}</xsl:stylesheet>"""
+
+
+def _t(body: str, xml: str, **params) -> str:
+    return MiniXSLT(_SHEET.format(body=body)).transform(xml, params or None)
+
+
+def test_sort_text_ascending_descending():
+    xml = "<r><i>banana</i><i>apple</i><i>cherry</i></r>"
+    body = """<xsl:template match="/">
+      <xsl:for-each select="r/i"><xsl:sort select="."/>
+        <o><xsl:value-of select="."/></o></xsl:for-each></xsl:template>"""
+    assert _t(body, xml) == "<o>apple</o><o>banana</o><o>cherry</o>"
+    body_d = body.replace('<xsl:sort select="."/>',
+                          '<xsl:sort select="." order="descending"/>')
+    assert _t(body_d, xml) == "<o>cherry</o><o>banana</o><o>apple</o>"
+
+
+def test_sort_numeric_and_multi_key():
+    xml = ('<r><p><n>10</n><g>b</g></p><p><n>9</n><g>a</g></p>'
+           '<p><n>10</n><g>a</g></p></r>')
+    body = """<xsl:template match="/">
+      <xsl:for-each select="r/p">
+        <xsl:sort select="n" data-type="number"/>
+        <xsl:sort select="g"/>
+        <o><xsl:value-of select="n"/><xsl:value-of select="g"/></o>
+      </xsl:for-each></xsl:template>"""
+    # text sort would give 10,10,9; numeric gives 9 first; g breaks the tie
+    assert _t(body, xml) == "<o>9a</o><o>10a</o><o>10b</o>"
+
+
+def test_sort_in_apply_templates():
+    xml = "<r><i>b</i><i>a</i></r>"
+    body = """<xsl:template match="/">
+        <xsl:apply-templates select="r/i"><xsl:sort select="."/>
+        </xsl:apply-templates></xsl:template>
+      <xsl:template match="i"><v><xsl:value-of select="."/></v></xsl:template>"""
+    assert _t(body, xml) == "<v>a</v><v>b</v>"
+
+
+def test_key_and_current():
+    xml = ('<lib><book author="a1">B1</book><book author="a2">B2</book>'
+           '<book author="a1">B3</book>'
+           '<author id="a1">Alice</author><author id="a2">Bob</author></lib>')
+    body = """<xsl:key name="auth" match="author" use="@id"/>
+      <xsl:template match="/">
+        <xsl:for-each select="lib/book">
+          <o><xsl:value-of select="key('auth', current()/@author)"/>
+             <xsl:text>:</xsl:text><xsl:value-of select="."/></o>
+        </xsl:for-each></xsl:template>"""
+    assert _t(body, xml) == "<o>Alice:B1</o><o>Bob:B2</o><o>Alice:B3</o>"
+
+
+def test_key_grouping_muenchian():
+    xml = ('<r><e c="x">1</e><e c="y">2</e><e c="x">3</e></r>')
+    body = """<xsl:key name="byc" match="e" use="@c"/>
+      <xsl:template match="/">
+        <xsl:for-each select="r/e[generate-id() =
+                               generate-id(key('byc', @c)[1])]">
+          <g><xsl:attribute name="c"><xsl:value-of select="@c"/></xsl:attribute>
+             <xsl:for-each select="key('byc', @c)">
+               <xsl:value-of select="."/></xsl:for-each></g>
+        </xsl:for-each></xsl:template>"""
+    assert _t(body, xml) == '<g c="x">13</g><g c="y">2</g>'
+
+
+def test_number_value_and_formats():
+    xml = "<r/>"
+    body = """<xsl:template match="/">
+      <a><xsl:number value="4" format="i"/></a>
+      <b><xsl:number value="28" format="A"/></b>
+      <c><xsl:number value="7" format="01"/></c></xsl:template>"""
+    assert _t(body, xml) == "<a>iv</a><b>AB</b><c>07</c>"
+
+
+def test_number_level_single_and_multiple():
+    xml = ('<doc><ch><s/><s/></ch><ch><s/></ch></doc>')
+    body = """<xsl:template match="/">
+        <xsl:for-each select="//s">
+          <n><xsl:number level="multiple" count="ch|s" format="1.1"/></n>
+        </xsl:for-each></xsl:template>"""
+    assert _t(body, xml) == "<n>1.1</n><n>1.2</n><n>2.1</n>"
+    body_any = """<xsl:template match="/">
+        <xsl:for-each select="//s">
+          <n><xsl:number level="any" count="s"/></n>
+        </xsl:for-each></xsl:template>"""
+    assert _t(body_any, xml) == "<n>1</n><n>2</n><n>3</n>"
+
+
+def test_strip_space():
+    xml = "<r>\n  <i>a</i>\n  <i>b</i>\n</r>"
+    body = """<xsl:strip-space elements="r"/>
+      <xsl:template match="/"><o><xsl:apply-templates/></o></xsl:template>
+      <xsl:template match="i"><xsl:value-of select="."/></xsl:template>"""
+    assert _t(body, xml) == "<o>ab</o>"
+    # without strip-space the whitespace text nodes pass through builtin
+    body_ns = body.replace('<xsl:strip-space elements="r"/>', "")
+    assert "\n" in _t(body_ns, xml)
+
+
+def test_include_same_precedence():
+    inc = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="i"><inc/></xsl:template></xsl:stylesheet>"""
+    main = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:include href="inc.xsl"/>
+      <xsl:template match="/"><xsl:apply-templates select="r/i"/></xsl:template>
+    </xsl:stylesheet>"""
+    sheet = MiniXSLT(main, resolver=lambda href: inc)
+    assert sheet.transform("<r><i/></r>") == "<inc/>"
