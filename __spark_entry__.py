@@ -2715,6 +2715,43 @@ def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def uri_cache_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """uriCache TTL semantics (AbstractEnrichment.getExternalData): split
+    requests into fresh-cache hits vs misses at a deterministic `now`,
+    fetch the misses through the (network-free, injectable) fetch
+    boundary, and upsert them back — returns the resulting cache table."""
+    from recordmanager_spark.operators import enrich as EN
+
+    c = _t(spark, sf, "customer")
+    key = F.col("c_custkey")
+    requests = c.select(
+        F.concat(F.lit("c"), key.cast("string")).alias("_id"),
+        F.concat(F.lit("https://geo/c"), key.cast("string")).alias("url"),
+    )
+    cache = c.where(key % 3 != 2).select(
+        F.concat(F.lit("c"), key.cast("string")).alias("_id"),
+        (F.pmod(key, F.lit(5)) * 100000).cast("double").alias("timestamp"),
+        F.concat(F.lit("https://geo/c"), key.cast("string")).alias("url"),
+        F.concat(F.lit("cached:"), key.cast("string")).alias("data"),
+    )
+    now = 350000.0
+    hits, misses = EN.uri_cache_split(
+        requests, cache, now=now, max_age_minutes=2500
+    )
+    fetched = EN.fetch_uris(
+        misses, lambda url: "fetched:" + url, now=now
+    )
+    final = EN.uri_cache_upsert(cache, fetched)
+    return final.select(
+        "_id",
+        F.col("timestamp").alias("ts"),
+        "data",
+    ).orderBy("_id")
+
+
+# ---------------------------------------------------------------------------
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full §3 lifecycle — OAI harvest parse → extraction →
     cross-source dedup → group merge — at sf0.001."""
@@ -2830,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_split_customers": xml_split_customers,
         "winnow_fingerprint_docs": winnow_fingerprint_docs,
         "fulltext_trait_docs": fulltext_trait_docs,
+        # new in r3 — rotates into the driver window next round
+        "uri_cache_ttl": uri_cache_ttl,
     }
 
 
@@ -4337,6 +4376,39 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)
                          WHEN lang = 'zh' THEN CAST(0.7 AS DOUBLE)
                          ELSE CAST(1.0 AS DOUBLE) END
+        """,
+        "uri_cache_ttl": """
+            WITH req AS (
+                SELECT 'c' || CAST(c_custkey AS VARCHAR) AS _id,
+                       'https://geo/c' || CAST(c_custkey AS VARCHAR) AS url
+                FROM customer
+            ),
+            cache AS (
+                SELECT 'c' || CAST(c_custkey AS VARCHAR) AS _id,
+                       CAST((c_custkey % 5) * 100000 AS DOUBLE) AS ts0,
+                       'https://geo/c' || CAST(c_custkey AS VARCHAR) AS url,
+                       'cached:' || CAST(c_custkey AS VARCHAR) AS data
+                FROM customer WHERE c_custkey % 3 <> 2
+            ),
+            fresh AS (
+                SELECT * FROM cache WHERE ts0 > 350000.0 - 2500 * 60
+            ),
+            misses AS (
+                SELECT r._id, r.url FROM req r
+                LEFT JOIN fresh f ON r._id = f._id WHERE f._id IS NULL
+            ),
+            fetched AS (
+                SELECT _id, CAST(350000 AS DOUBLE) AS ts0, url,
+                       'fetched:' || url AS data
+                FROM misses
+            ),
+            final AS (
+                SELECT c.* FROM cache c
+                LEFT JOIN fetched f ON c._id = f._id WHERE f._id IS NULL
+                UNION ALL
+                SELECT * FROM fetched
+            )
+            SELECT _id, ts0 AS ts, data FROM final ORDER BY _id
         """,
     }
 

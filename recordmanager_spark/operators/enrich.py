@@ -450,3 +450,147 @@ def enrich_music_ids(
     return records.join(
         gathered.withColumnRenamed("__rid", id_col), id_col, "left"
     ).withColumn(out_col, F.coalesce(F.col(out_col), F.array()))
+
+
+# ---------------------------------------------------------------------------
+# uriCache: TTL cache semantics for external enrichment fetches
+# ---------------------------------------------------------------------------
+#
+# Behavioral spec (reference, NOT code):
+# Enrichment/AbstractEnrichment.php getExternalData (:206-330) — a cached
+# row answers when its timestamp is newer than now - maxCacheAge (default
+# cache_expiration = 10080 minutes = 7 days, :186-189); a miss or expired
+# row is fetched with progressive retry (retry_wait doubling, capped at
+# 30 s, max_tries, :243-305) and upserted with a fresh timestamp (:317-326).
+#
+# Spark-first: the cache is a DataFrame keyed by _id; the TTL split is one
+# LEFT join (cache side broadcast when it fits), the upsert is an
+# anti-join + union. The ONLY network-touching piece is the caller-supplied
+# fetcher function, applied to the (small) miss list via mapInPandas — the
+# engine itself stays network-free, mirroring how the geocode operator
+# treats its cache table as the source of truth.
+
+DEFAULT_CACHE_EXPIRATION_MINUTES = 10080  # 7 days, recordmanager.ini.sample
+
+
+def uri_cache_split(
+    requests: DataFrame,
+    cache: DataFrame,
+    now: "int | float",
+    max_age_minutes: int = DEFAULT_CACHE_EXPIRATION_MINUTES,
+    id_col: str = "_id",
+    broadcast_cache: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Split enrichment requests into (hits, misses) against the uriCache.
+
+    ``requests`` carries one row per needed URI with an ``id_col`` cache
+    key; ``cache`` is the uriCache table (``_id``, ``timestamp`` unix
+    seconds, ``url``, ``data``). Hits get a ``data`` column; misses are
+    the fetch worklist (absent OR expired rows — the reference's
+    ``timestamp > now - maxCacheAge`` filter, AbstractEnrichment.php:217).
+    ``now`` is explicit so runs are deterministic and retryable.
+    """
+    cutoff = float(now) - max_age_minutes * 60
+    fresh = cache.where(F.col("timestamp") > cutoff).select(
+        F.col("_id").alias("__uc_id"),
+        F.col("data").alias("data"),
+    )
+    joined = requests.join(
+        _maybe_broadcast(fresh, broadcast_cache),
+        requests[id_col] == F.col("__uc_id"),
+        "left",
+    )
+    hits = joined.where(F.col("__uc_id").isNotNull()).drop("__uc_id")
+    misses = joined.where(F.col("__uc_id").isNull()).drop("__uc_id", "data")
+    return hits, misses
+
+
+def uri_cache_upsert(
+    cache: DataFrame, fetched: DataFrame, id_col: str = "_id"
+) -> DataFrame:
+    """Upsert fetched rows into the cache (same-id rows are replaced —
+    saveUriCache overwrites by _id, AbstractEnrichment.php:317-326)."""
+    keep = cache.join(
+        fetched.select(F.col(id_col).alias("__new_id")),
+        cache[id_col] == F.col("__new_id"),
+        "left_anti",
+    )
+    return keep.unionByName(fetched.select(*keep.columns))
+
+
+def retrying_fetcher(
+    fetch,
+    max_tries: int = 90,
+    retry_wait: float = 5.0,
+    ignore_errors: tuple[int, ...] = (),
+    sleep=None,
+):
+    """Wrap a ``fetch(url) -> (status, body)`` callable with the
+    reference's retry discipline: on exception or a retryable status
+    (>=300, except 404 and ``ignore_errors``), wait ``retry_wait`` seconds
+    — doubling progressively, capped at 30 — and retry up to ``max_tries``
+    (AbstractEnrichment.php:243-305). Returns ``fetch2(url) -> str``: body
+    for 2xx, '' for 404/ignored statuses, raises after the last try.
+
+    ``sleep`` is injectable for tests; the default is time.sleep.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def fetch2(url: str) -> str:
+        wait = retry_wait
+        last_exc = None
+        for attempt in range(1, max_tries + 1):
+            try:
+                status, body = fetch(url)
+            except Exception as e:  # noqa: BLE001 — reference retries any error
+                last_exc = e
+                if attempt < max_tries:
+                    if wait < 30:
+                        wait *= 2
+                    do_sleep(min(wait, 30))
+                    continue
+                raise
+            if status >= 300 and status != 404 and status not in ignore_errors:
+                if attempt < max_tries:
+                    do_sleep(retry_wait)
+                    continue
+                raise RuntimeError(f"enrichment fetch failed for {url!r}: {status}")
+            return body if status < 300 else ""
+        raise last_exc  # pragma: no cover — loop always returns or raises
+
+    return fetch2
+
+
+def fetch_uris(
+    misses: DataFrame,
+    fetcher,
+    now: "int | float",
+    id_col: str = "_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply a fetcher to the miss worklist, producing uriCache rows.
+
+    ``fetcher(url) -> str`` runs inside an Arrow-batched mapInPandas over
+    the miss list ONLY (bounded by cache misses, not corpus size). This is
+    the single network boundary; pass a deterministic fake for tests or a
+    ``retrying_fetcher``-wrapped HTTP client in a connected deployment.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    ts = float(now)
+    out_schema = f"{id_col} string, timestamp double, {url_col} string, data string"
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "timestamp": ts,
+                    url_col: pdf[url_col],
+                    "data": pdf[url_col].map(fetcher),
+                }
+            )
+
+    return misses.select(id_col, url_col).mapInPandas(run, out_schema)

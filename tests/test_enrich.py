@@ -251,3 +251,64 @@ def test_geocode_with_simplification(spark):
     assert out["r3"].geocoded_term == "kumpula, helsinki"
     assert out["r4"].location_geo is None
     assert out["r5"].location_geo is None
+
+
+# --- uriCache TTL (AbstractEnrichment.getExternalData) ----------------------
+
+
+def test_uri_cache_split_and_upsert(spark):
+    from recordmanager_spark.operators import enrich as EN
+
+    requests = spark.createDataFrame(
+        [("a", "u/a"), ("b", "u/b"), ("c", "u/c")], "_id string, url string"
+    )
+    cache = spark.createDataFrame(
+        # a fresh, b expired, c absent
+        [("a", 900.0, "u/a", "DA"), ("b", 100.0, "u/b", "DB")],
+        "_id string, timestamp double, url string, data string",
+    )
+    hits, misses = EN.uri_cache_split(
+        requests, cache, now=1000, max_age_minutes=5
+    )  # cutoff = 700
+    assert {(r._id, r.data) for r in hits.collect()} == {("a", "DA")}
+    assert {r._id for r in misses.collect()} == {"b", "c"}
+
+    fetched = EN.fetch_uris(misses, lambda u: "F:" + u, now=1000)
+    final = EN.uri_cache_upsert(cache, fetched)
+    rows = {r._id: (r.timestamp, r.data) for r in final.collect()}
+    assert rows["a"] == (900.0, "DA")  # untouched
+    assert rows["b"] == (1000.0, "F:u/b")  # replaced
+    assert rows["c"] == (1000.0, "F:u/c")  # inserted
+
+
+def test_retrying_fetcher_backoff_and_statuses():
+    from recordmanager_spark.operators.enrich import retrying_fetcher
+
+    waits: list[float] = []
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise OSError("conn reset")
+        return 200, "BODY"
+
+    f = retrying_fetcher(flaky, max_tries=10, retry_wait=5, sleep=waits.append)
+    assert f("u") == "BODY"
+    # progressive doubling capped at 30 (AbstractEnrichment.php:243-258)
+    assert waits == [10, 20, 30]
+
+    # 404 yields '' without retrying
+    f2 = retrying_fetcher(lambda u: (404, "ignored"), sleep=waits.append)
+    assert f2("u") == ""
+
+    # retryable status exhausts tries then raises
+    import pytest as _pytest
+
+    f3 = retrying_fetcher(lambda u: (500, ""), max_tries=2, sleep=lambda s: None)
+    with _pytest.raises(RuntimeError, match="500"):
+        f3("u")
+
+    # ignore_errors statuses return '' like 404
+    f4 = retrying_fetcher(lambda u: (503, "x"), ignore_errors=(503,))
+    assert f4("u") == ""
