@@ -2715,6 +2715,73 @@ def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def eaccpf_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """EAC-CPF authority extraction: TONI1+TONI4 heading composition,
+    nameEntryParallel use_for, RDA-typed birth/death dates and places,
+    TJ37 field-of-activity notes, occupations, agency/biogHist allfields."""
+    from recordmanager_spark.extractors import eaccpf as EC
+
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey").cast("string")
+    xml = F.format_string(
+        "<eac-cpf><control>"
+        "<maintenanceAgency><agencyName>Agency %s</agencyName>"
+        "</maintenanceAgency>"
+        '<languageDeclaration><language languageCode="fin">Finnish'
+        "</language></languageDeclaration></control>"
+        "<cpfDescription><identity>"
+        "<entityType>person</entityType>"
+        '<nameEntry><part localType="TONI1">%s</part>'
+        '<part localType="TONI4">F%s</part></nameEntry>'
+        "<nameEntryParallel><nameEntry>"
+        '<part localType="TONI1">Alt %s</part>'
+        "</nameEntry></nameEntryParallel>"
+        "</identity><description>"
+        "<existDates><dateSet>"
+        '<date localType="http://rdaregistry.info/Elements/a/P50121"'
+        ' standardDate="%s-01-02">b</date>'
+        '<date localType="http://rdaregistry.info/Elements/a/P50120"'
+        ' standardDate="%s-12-31">d</date>'
+        "</dateSet></existDates>"
+        "<places>"
+        '<place localType="http://rdaregistry.info/Elements/a/P50119">'
+        "<placeEntry>Town %s</placeEntry></place>"
+        "<place><placeEntry>Rel %s</placeEntry></place>"
+        "</places>"
+        '<functions><function localType="TJ37"><descriptiveNote>'
+        "<p>Act %s</p><p>More</p></descriptiveNote></function></functions>"
+        "<occupations><occupation><term>Occ %s</term></occupation>"
+        "</occupations>"
+        "<biogHist><p>Bio %s</p></biogHist>"
+        "</description></cpfDescription></eac-cpf>",
+        F.pmod(F.col("s_suppkey"), F.lit(3)).cast("string"),
+        F.col("s_name"), k, k,
+        (F.lit(1880) + F.pmod(F.col("s_suppkey"), F.lit(60))).cast("string"),
+        (F.lit(1940) + F.pmod(F.col("s_suppkey"), F.lit(50))).cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(7)).cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(5)).cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(4)).cast("string"),
+        F.pmod(F.col("s_suppkey"), F.lit(6)).cast("string"),
+        k,
+    )
+    out = EC.to_solr_columns(s.select("s_suppkey", xml.alias("xml")), "xml")
+    return out.select(
+        "s_suppkey",
+        "record_type",
+        "heading",
+        F.array_join("use_for", "|").alias("use_for_all"),
+        "birth_date",
+        "death_date",
+        "birth_place",
+        try_element_at("related_place", 1).alias("related1"),
+        F.array_join("occupation", "|").alias("occupations"),
+        F.array_join("field_of_activity", "|").alias("activity"),
+        "language",
+        "source",
+        F.size("allfields").alias("n_allfields"),
+    )
+
+
 def uri_cache_ttl(spark: SparkSession, sf: str) -> DataFrame:
     """uriCache TTL semantics (AbstractEnrichment.getExternalData): split
     requests into fresh-cache hits vs misses at a deterministic `now`,
@@ -2869,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_trait_docs": fulltext_trait_docs,
         # new in r3 — rotates into the driver window next round
         "uri_cache_ttl": uri_cache_ttl,
+        "eaccpf_extract": eaccpf_extract,
     }
 
 
@@ -4409,6 +4477,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM fetched
             )
             SELECT _id, ts0 AS ts, data FROM final ORDER BY _id
+        """,
+        "eaccpf_extract": """
+            SELECT s_suppkey,
+                   'person' AS record_type,
+                   s_name || ' F' || CAST(s_suppkey AS VARCHAR) AS heading,
+                   'Alt ' || CAST(s_suppkey AS VARCHAR) AS use_for_all,
+                   CAST(1880 + s_suppkey % 60 AS VARCHAR) AS birth_date,
+                   CAST(1940 + s_suppkey % 50 AS VARCHAR) AS death_date,
+                   'Town ' || CAST(s_suppkey % 7 AS VARCHAR) AS birth_place,
+                   'Rel ' || CAST(s_suppkey % 5 AS VARCHAR) AS related1,
+                   'Occ ' || CAST(s_suppkey % 6 AS VARCHAR) AS occupations,
+                   'Act ' || CAST(s_suppkey % 4 AS VARCHAR) || '. More'
+                       AS activity,
+                   'fin' AS language,
+                   'Agency ' || CAST(s_suppkey % 3 AS VARCHAR) AS source,
+                   4 AS n_allfields
+            FROM supplier
         """,
     }
 

@@ -211,3 +211,23 @@ def test_lido_engines_agree(spark):
         for r in LD.to_solr_columns(df, engine="xpath").select(cols).collect()
     ]
     assert a == b
+
+
+def test_eaccpf_engines_agree(spark):
+    """Struct (default, single from_xml parse) and xpath engines produce
+    identical rows on the fixture, malformed input, and an empty doc."""
+    from recordmanager_spark.extractors import eaccpf
+
+    df = spark.createDataFrame(
+        [(EACCPF1,), ("<broken",), ("<eac-cpf/>",)], "xml string"
+    ).coalesce(1)
+    cols = sorted(c for c in eaccpf.to_solr_columns(df).columns if c != "xml")
+    a = [
+        tuple(r)
+        for r in eaccpf.to_solr_columns(df, engine="struct").select(cols).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in eaccpf.to_solr_columns(df, engine="xpath").select(cols).collect()
+    ]
+    assert a == b
