@@ -178,3 +178,69 @@ def test_lrmi_topic_ids_join_ready(spark):
         F.explode("topic_ids").alias("topic_id")
     )
     assert out.collect()[0].topic_id == "http://ontology.example/math"
+
+
+def test_qdc_lrmi_ese_doaj_engines_agree(spark):
+    """Struct (default, single/double from_xml parse) and xpath engines
+    produce identical rows for every DC-family driver, including
+    malformed input. Fixtures keep multi-valued elements at the root
+    level (the reference's own shape): the struct engines read DIRECT
+    children like the reference's SimpleXML chains, while the xpath
+    engines' // search would also match nested occurrences — an intended
+    faithfulness improvement, not a parity target."""
+    from recordmanager_spark.extractors import doaj, ese, lrmi, qdc
+
+    base = (
+        "<recordID>r1</recordID><title>Main : sub</title>"
+        '<title type="alternative">Alt</title>'
+        '<identifier type="issn">1234-5679</identifier>'
+        "<identifier>urn:isbn:978-0-12-345678-6</identifier>"
+        "<identifier>https://x.example/r1</identifier>"
+        '<description lang="en">Primary one.</description>'
+        "<description>Secondary two.</description>"
+        '<type type="material">Book</type>'
+        "<creator>Author, A.</creator><contributor>Helper, H.</contributor>"
+        "<subject>things</subject><publisher>Pub</publisher>"
+        "<date>1999-05</date><language>en fi</language>"
+    )
+    lrmi_extra = (
+        "<inLanguage>sv</inLanguage>"
+        "<author><person><name>Person, P.</name></person>"
+        "<organization><legalName>Org Oy</legalName></organization></author>"
+        "<about><thing><name>topic A</name>"
+        "<identifier>https://ont/a</identifier></thing></about>"
+    )
+    doaj_extra = (
+        "<authors><author><name>First, F.</name></author>"
+        "<author><name>Second, S.</name></author></authors>"
+        "<keywords><keyword>kw1</keyword><keyword>kw2</keyword></keywords>"
+        "<publicationDate>2001-02-03</publicationDate>"
+        "<fullTextUrl>https://ft/x</fullTextUrl>"
+    )
+    cases = (
+        (qdc, {}, f"<dc>{base}</dc>"),
+        (lrmi, {}, f"<dc>{base}{lrmi_extra}</dc>"),
+        (ese, {}, f"<dc>{base}</dc>"),
+        (doaj, {"oai_id_col": "oai_id"}, f"<dc>{base}{doaj_extra}</dc>"),
+    )
+    for mod, kwargs, xml in cases:
+        df = spark.createDataFrame(
+            [(xml, "oai:x:loc1"), ("<broken", "oai:x:loc2")],
+            "xml string, oai_id string",
+        ).coalesce(1)
+        cols = sorted(
+            c
+            for c in mod.to_solr_columns(df, "xml", **kwargs).columns
+            if c not in ("xml", "oai_id")
+        )
+        a = [
+            tuple(r)
+            for r in mod.to_solr_columns(df, "xml", engine="struct", **kwargs)
+            .select(cols).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in mod.to_solr_columns(df, "xml", engine="xpath", **kwargs)
+            .select(cols).collect()
+        ]
+        assert a == b, mod.__name__

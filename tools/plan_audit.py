@@ -88,10 +88,10 @@ SIZE_AUDITS = [
     ("lido_extract", 0.5, 0),  # single-parse engine
     ("ead_extract", 0.5, 2),  # struct engine; 1 gated allfields xpath
     ("ead3_split_extract", 2.0, 4),  # struct engine; 1 gated allfields xpath
-    ("qdc_extract", 0.5, 10),
-    ("lrmi_extract", 0.5, 15),
-    ("ese_extract", 0.5, 12),
-    ("doaj_extract", 0.5, 20),
+    ("qdc_extract", 0.5, 2),  # struct engine; 1 gated allfields xpath
+    ("lrmi_extract", 0.5, 2),  # struct engine (QDC base + overlay)
+    ("ese_extract", 0.6, 2),  # struct engine; 1 gated allfields xpath
+    ("doaj_extract", 0.5, 4),  # struct engine; gated allfields + fulltext
     ("forward_authority_extract", 0.6, 0),  # struct engine
     ("marc_authority_extract", 1.0, 0),
     ("sierra_harvest_extract", 0.7, 0),
