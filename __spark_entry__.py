@@ -1373,12 +1373,18 @@ def lrmi_extract(spark: SparkSession, sf: str) -> DataFrame:
         "<author><person><name>Teacher, T%s</name></person>"
         "<person><name>Aide, A.</name></person>"
         "<organization><legalName>Edu Org</legalName></organization></author>"
-        "<material><inLanguage>FI</inLanguage></material>"
+        "%s"
         "<inLanguage>sv</inLanguage>"
         "<about><thing><name>Topic %s</name>"
         "<identifier>https://example.org/t/%s</identifier></thing></about>"
         "<about><thing><notname>skipped</notname></thing></about></lrmi>",
         k, F.col("c_name"), k,
+        # every 3rd record has NO <material> element: languages must
+        # still flow from the top-level inLanguage (the r3 null-concat
+        # bug this fixture previously masked)
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(3)) == 0, F.lit("")
+        ).otherwise(F.lit("<material><inLanguage>FI</inLanguage></material>")),
         F.pmod(F.col("c_custkey"), F.lit(9)).cast("string"), k,
     )
     out = LRMI.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
@@ -1939,7 +1945,15 @@ def preview_marc_record(spark: SparkSession, sf: str) -> DataFrame:
         '{"260":{"ind1":" ","ind2":" ","subfields":[{"b":"Press,"},{"c":"c1999."}]}}'
         "]}"
     )
-    d = preview_record(spark, raw, fmt="marc")
+    d = preview_record(
+        spark,
+        raw,
+        fmt="marc",
+        # the fields this preview surface shows — the cached plan and the
+        # per-job task binary carry only these expressions (sub-second
+        # warm path; the full ~60-column map remains the default)
+        fields=["id", "title", "title_short", "author", "publish_year", "format"],
+    )
     return spark.createDataFrame(
         [
             (
@@ -2827,12 +2841,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver oracle window (first 50): 2 regression canaries +
-        # 48 queries never yet recorded in a CORRECTNESS_r*.json.
-        # Rotated each round so every contract query gets a driver-
-        # recorded oracle row (VERDICT r2, next-round item 1).
+        # --- driver oracle window (first 50), rotated per round so
+        # every contract query gets a driver-recorded oracle row.
+        # r4: 3 canaries + the 4 queries never yet in any
+        # CORRECTNESS_r*.json + 43 r1/r2-era refreshes (VERDICT r3,
+        # next-round item 3).
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
+        "lrmi_extract": lrmi_extract,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "fulltext_trait_docs": fulltext_trait_docs,
+        "uri_cache_ttl": uri_cache_ttl,
+        "eaccpf_extract": eaccpf_extract,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "filter_dsl_orders": filter_dsl_orders,
+        "filter_dsl_events_page": filter_dsl_events_page,
+        "range_scan_page": range_scan_page,
+        "count_values_lang": count_values_lang,
+        "count_values_event_type": count_values_event_type,
+        "count_values_tokens": count_values_tokens,
+        "count_values_mapped": count_values_mapped,
+        "deletion_antijoin": deletion_antijoin,
+        "incremental_changed": incremental_changed,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_json_extract": events_json_extract,
+        "host_component_merge": host_component_merge,
+        "component_parts_policy": component_parts_policy,
+        "group_merge_orders": group_merge_orders,
+        "dedup_incremental": dedup_incremental,
+        "dedup_check": dedup_check,
+        "component_dedup": component_dedup,
+        "marc_extract": marc_extract,
+        "ead_extract": ead_extract,
+        "lido_extract": lido_extract,
+        "qdc_extract": qdc_extract,
+        "upsert_orders": upsert_orders,
+        "copy_down_merged": copy_down_merged,
+        "suppression_filter": suppression_filter,
+        "work_keys_marc": work_keys_marc,
+        "dc_extract": dc_extract,
+        "dc_extract_struct": dc_extract_struct,
+        "marc_holdings_normalize": marc_holdings_normalize,
+        "oai_harvest_parse": oai_harvest_parse,
+        "sierra_harvest_extract": sierra_harvest_extract,
+        "genieplus_harvest_extract": genieplus_harvest_extract,
+        "rdf_import_entities": rdf_import_entities,
+        "pipeline_end_to_end": pipeline_end_to_end,
+        "ese_extract": ese_extract,
+        "doaj_extract": doaj_extract,
+        "marc_authority_extract": marc_authority_extract,
+        "forward_authority_extract": forward_authority_extract,
+        "ead3_split_extract": ead3_split_extract,
+        "value_mapping_orders": value_mapping_orders,
+        "hierarchical_facets_geo": hierarchical_facets_geo,
+        # --- driver-verified in r2/r3; rotate back as needed ---
         "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
@@ -2881,62 +2945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "mix_sources_docs": mix_sources_docs,
         "stratified_sample_docs": stratified_sample_docs,
-        # --- previously driver-verified (r1/r2 green) + 2 deferred to r4 ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "filter_dsl_orders": filter_dsl_orders,
-        "filter_dsl_events_page": filter_dsl_events_page,
-        "range_scan_page": range_scan_page,
-        "count_values_lang": count_values_lang,
-        "count_values_event_type": count_values_event_type,
-        "count_values_tokens": count_values_tokens,
-        "count_values_mapped": count_values_mapped,
-        "deletion_antijoin": deletion_antijoin,
-        "incremental_changed": incremental_changed,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_json_extract": events_json_extract,
-        "host_component_merge": host_component_merge,
-        "component_parts_policy": component_parts_policy,
-        "group_merge_orders": group_merge_orders,
-        "dedup_incremental": dedup_incremental,
-        "dedup_check": dedup_check,
-        "component_dedup": component_dedup,
-        "marc_extract": marc_extract,
-        "ead_extract": ead_extract,
-        "lido_extract": lido_extract,
-        "qdc_extract": qdc_extract,
-        "upsert_orders": upsert_orders,
-        "copy_down_merged": copy_down_merged,
-        "suppression_filter": suppression_filter,
-        "work_keys_marc": work_keys_marc,
-        "dc_extract": dc_extract,
-        "dc_extract_struct": dc_extract_struct,
-        "marc_holdings_normalize": marc_holdings_normalize,
-        "oai_harvest_parse": oai_harvest_parse,
-        "sierra_harvest_extract": sierra_harvest_extract,
-        "genieplus_harvest_extract": genieplus_harvest_extract,
-        "rdf_import_entities": rdf_import_entities,
-        "pipeline_end_to_end": pipeline_end_to_end,
-        "ese_extract": ese_extract,
-        "doaj_extract": doaj_extract,
-        "lrmi_extract": lrmi_extract,
-        "marc_authority_extract": marc_authority_extract,
-        "forward_authority_extract": forward_authority_extract,
-        "ead3_split_extract": ead3_split_extract,
-        "value_mapping_orders": value_mapping_orders,
-        "hierarchical_facets_geo": hierarchical_facets_geo,
         "callnumber_sort_keys": callnumber_sort_keys,
         "geo_centers": geo_centers,
         "enrich_topics_nation": enrich_topics_nation,
         "link_resolution_lineitem": link_resolution_lineitem,
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "fulltext_trait_docs": fulltext_trait_docs,
-        # new in r3 — rotates into the driver window next round
-        "uri_cache_ttl": uri_cache_ttl,
-        "eaccpf_extract": eaccpf_extract,
     }
 
 
@@ -3402,7 +3416,7 @@ def oracle_sql() -> dict[str, str]:
                    'lr' || CAST(c_custkey AS VARCHAR) AS id,
                    c_name || ' : learning unit' AS title,
                    c_name || ' : learning unit' AS title_short,
-                   'fi,sv' AS langs,
+                   CASE WHEN c_custkey % 3 = 0 THEN 'sv' ELSE 'fi,sv' END AS langs,
                    'Teacher, T' || CAST(c_custkey AS VARCHAR) AS author1,
                    2 AS n_author2,
                    'Edu Org' AS corp1,

@@ -73,8 +73,11 @@ def _empty(typ: str) -> Column:
 
 
 def _seg(arr: Column, name: str, typ: str) -> Column:
-    return F.flatten(
-        F.transform(arr, lambda c: F.coalesce(c[name], _empty(typ)))
+    # Null-safe on the outer array: flatten(transform(NULL,…)) is NULL and
+    # would null-propagate through downstream F.concat chains.
+    return F.coalesce(
+        F.flatten(F.transform(arr, lambda c: F.coalesce(c[name], _empty(typ)))),
+        _empty(typ),
     )
 
 

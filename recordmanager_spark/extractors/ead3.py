@@ -97,9 +97,17 @@ def _empty(typ: str) -> Column:
 
 
 def _seg(arr: Column, name: str, typ: str) -> Column:
-    """Flattened <name> children across an array of structs."""
-    return F.flatten(
-        F.transform(arr, lambda c: F.coalesce(c[name], _empty(typ)))
+    """Flattened <name> children across an array of structs.
+
+    Null-safe on the OUTER array too: when the enclosing element is absent
+    entirely, ``arr`` is NULL and flatten(transform(NULL,…)) would be NULL,
+    which then null-propagates through F.concat chains (e.g. authors from
+    controlaccess+origination must survive a missing controlaccess —
+    Ead3.php:337-382 iterates each source independently).
+    """
+    return F.coalesce(
+        F.flatten(F.transform(arr, lambda c: F.coalesce(c[name], _empty(typ)))),
+        _empty(typ),
     )
 
 

@@ -82,10 +82,18 @@ def _overlay_struct(df: DataFrame, xml_col: str) -> DataFrame:
         return F.when(ok, F.coalesce(col, es))
 
     def seg(arr: Column, name: str, typ: str) -> Column:
-        return F.flatten(
-            F.transform(
-                arr, lambda c: F.coalesce(c[name], F.expr(f"cast(array() as {typ})"))
-            )
+        # Null-safe: when the outer element is absent entirely, ``arr`` is
+        # NULL and flatten(transform(NULL,…)) would be NULL — which then
+        # null-propagates through any F.concat chain (Lrmi.php:251-262
+        # takes inLanguage regardless of whether <material> exists).
+        return F.coalesce(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda c: F.coalesce(c[name], F.expr(f"cast(array() as {typ})")),
+                )
+            ),
+            F.expr(f"cast(array() as {typ})"),
         )
 
     def texts(arr: Column) -> Column:

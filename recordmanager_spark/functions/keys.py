@@ -68,13 +68,27 @@ assert len(_GREEK_1) == len(_GREEK_1_TO), (len(_GREEK_1), len(_GREEK_1_TO))
 _KEY_STRIP_RE = r"[\x00-\x20\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f̀-ͯ]"
 
 
-def normalize_key(col: Column | str) -> Column:
+def normalize_key(col: Column | str, engine: str | None = None) -> Column:
     """Lowercase + fold to Latin + strip punctuation/whitespace/marks.
 
     The comparison key used everywhere the reference builds dedup keys.
-    Folding covers precomposed Latin accents, decomposed combining marks,
-    and Cyrillic/Greek romanization (see _MULTI_FOLD note).
+
+    ``engine``:
+    - ``None`` (default): auto — the ICU transliterator when PyICU is
+      importable (the reference's always-ICU production path,
+      MetadataUtils.php:416-433, including Han/Kana romanization), else
+      the JVM-side data-driven fold. Both paths are pinned by the
+      MetadataUtilsTest.php normalizeKey goldens in tests/test_keys.py.
+    - ``"table"``: force the JVM fold (precomposed Latin accents,
+      decomposed combining marks, Cyrillic/Greek romanization — see
+      _MULTI_FOLD note). Zero Python hops; use when key throughput
+      matters more than CJK coverage and the corpus is ICU-free.
+    - ``"icu"``: force ICU (raises when PyICU is absent).
     """
+    if engine is None:
+        engine = "icu" if icu_available() else "table"
+    if engine == "icu":
+        return normalize_key_icu(col)
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     c = F.translate(c, _ACCENTS, _FOLDED)
     for src, dst in _MULTI_FOLD:
@@ -83,29 +97,35 @@ def normalize_key(col: Column | str) -> Column:
     return F.regexp_replace(c, _KEY_STRIP_RE, "")
 
 
-# --- optional ICU key folding ----------------------------------------------
+# --- ICU key folding --------------------------------------------------------
 # The reference's production path folds keys through an ICU transliterator
 # (MetadataUtils.php:416-433; default rules recordmanager.ini.sample:19-25),
 # which also romanizes Han/Kana — beyond the data-driven tables above.
-# PyICU is not part of this engine's base runtime, so the ICU fold is an
-# explicit opt-in (pass ``key_fold=normalize_key_icu`` to the dedup
-# operators) that raises when PyICU is absent. It is NOT auto-selected:
-# key folding feeds dedup keys, and silently switching engines per
-# environment would make the same corpus dedup differently on different
-# machines.
+# ``normalize_key`` AUTO-SELECTS this path when PyICU is importable (the
+# reference is always-ICU, so Han/Kana titles key identically across
+# sources by default); environments without PyICU fall back to the JVM
+# tables. Deployments that need one fixed engine regardless of what is
+# installed pin it via ``engine="table"``/``engine="icu"`` (a mixed fleet
+# where only some nodes have PyICU would otherwise key differently —
+# install PyICU everywhere or pin the table engine).
 
 _ICU_KEY_FOLDING_RULES = (
     ":: NFD; :: lower; :: Latin; :: [^[:letter:] [:number:]] Remove; :: NFKC;"
 )
 
+_ICU_AVAILABLE: bool | None = None
+
 
 def icu_available() -> bool:
-    try:
-        import icu  # noqa: F401  (PyICU)
+    global _ICU_AVAILABLE
+    if _ICU_AVAILABLE is None:
+        try:
+            import icu  # noqa: F401  (PyICU)
 
-        return True
-    except Exception:
-        return False
+            _ICU_AVAILABLE = True
+        except Exception:
+            _ICU_AVAILABLE = False
+    return _ICU_AVAILABLE
 
 
 def normalize_key_icu(col: Column | str) -> Column:

@@ -21,13 +21,27 @@ time. Each preview overwrites the file and re-collects the same
 DataFrame — zero plan work, one 1-row job. (The scratch file must be
 visible to executors: trivially true on local[N]; use a shared scratch
 dir if the preview service ever runs on a distributed master.)
+
+The remaining warm cost is java-serializing the task binary of the full
+~60-column tree (~7.6 MiB) on every job. A UI that shows a known field
+subset should pass ``fields=[...]``: the cached plan then carries only
+those expressions, the task binary shrinks ~50x, and repeat calls answer
+sub-second. The full field map stays the default.
+
+The plan cache is a bounded LRU (``_CACHE_MAX`` configurations); evicted
+entries unlink their scratch files, and all scratch files are removed at
+interpreter exit. The global lock covers only cache bookkeeping — the
+scratch-file write + collect serialize per ENTRY, so previews of
+different configurations run concurrently.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import threading
+from collections import OrderedDict
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,9 +53,27 @@ from ..extractors import marc as MARC
 from ..operators import normalize as NZ
 from ..plans import mapping as MP
 
-# (session id, config signature) -> (wide DataFrame, scratch file path)
-_PLAN_CACHE: dict[tuple, tuple[DataFrame, str]] = {}
+# (session id, config signature) -> (wide DataFrame, scratch path, entry lock)
+_CACHE_MAX = 16
+_PLAN_CACHE: "OrderedDict[tuple, tuple[DataFrame, str, threading.Lock]]" = (
+    OrderedDict()
+)
 _CACHE_LOCK = threading.Lock()
+
+
+def _evict(entry: tuple) -> None:
+    try:
+        os.unlink(entry[1])
+    except OSError:
+        pass
+
+
+@atexit.register
+def _cleanup_scratch_files() -> None:
+    with _CACHE_LOCK:
+        for entry in _PLAN_CACHE.values():
+            _evict(entry)
+        _PLAN_CACHE.clear()
 
 
 def _input_df(spark: SparkSession, path: str) -> DataFrame:
@@ -78,6 +110,7 @@ def _build_wide(
     non_indexed: list[str] | None,
     source_id: str | None,
     institution_field: str | None,
+    fields: list[str] | None,
 ) -> DataFrame:
     df = _input_df(spark, path)
     if fmt in ("marc", "marcxml", "linemarc"):
@@ -93,21 +126,26 @@ def _build_wide(
         # record's bytes forever now that the input re-reads a file.)
         parsed = df.select(parse("raw").alias("m"))
         parsed = parsed.mapInArrow(lambda batches: batches, parsed.schema)
-        wide = MARC.to_solr_columns(parsed, "m", id_prefix=source_id)
-        wide = wide.withColumn(
-            "work_keys_str_mv", MARC.work_keys(F.col("m"))
-        ).drop("m")
+        wide = MARC.to_solr_columns(parsed, "m", id_prefix=source_id, only=fields)
+        if fields is None or "work_keys_str_mv" in fields:
+            wide = wide.withColumn(
+                "work_keys_str_mv", MARC.work_keys(F.col("m"))
+            )
+        wide = wide.drop("m")
     elif fmt == "dc":
         wide = DC.to_solr_columns(df, "raw").drop("raw")
+        if fields:
+            wide = wide.select(*[c for c in wide.columns if c in set(fields)])
     else:
         raise ValueError(f"unknown preview format: {fmt!r}")
 
     if source_id:
         # previews stamp the epoch, like PreviewCreator's fake timestamps
-        wide = wide.withColumn(
-            "first_indexed", F.lit("1970-01-01T00:00:00Z")
-        ).withColumn("last_indexed", F.lit("1970-01-01T00:00:00Z"))
-    if institution_field:
+        if fields is None or "first_indexed" in fields:
+            wide = wide.withColumn("first_indexed", F.lit("1970-01-01T00:00:00Z"))
+        if fields is None or "last_indexed" in fields:
+            wide = wide.withColumn("last_indexed", F.lit("1970-01-01T00:00:00Z"))
+    if institution_field and (fields is None or "institution" in fields):
         # the data source's institution setting becomes a scalar field
         # (SolrUpdater copies it onto every record); distinct from the
         # institution-in-building PREFIXING driven by `institution`
@@ -142,6 +180,7 @@ def preview_record(
     non_indexed: list[str] | None = None,
     source_id: str | None = None,
     institution_field: str | None = None,
+    fields: list[str] | None = None,
 ) -> dict[str, Any]:
     """One serialized record → its final field map (the preview payload).
 
@@ -151,8 +190,13 @@ def preview_record(
     first/last_indexed timestamps (Controller/CreatePreview.php +
     PreviewCreator; golden-replayed in tests/test_golden_marc.py).
 
+    ``fields`` limits the preview to the named output columns (a UI that
+    shows a fixed subset should pass it — the cached plan, and the task
+    binary serialized per job, shrink accordingly). Fields consumed by
+    ``field_rules``/``mappings``/``hierarchical_facets`` must be listed.
+
     The first call per configuration builds and caches the plan; repeat
-    calls only overwrite the scratch file and re-collect (sub-second).
+    calls only overwrite the scratch file and re-collect.
     """
     key = (
         id(spark),
@@ -165,21 +209,38 @@ def preview_record(
         tuple(non_indexed or ()),
         source_id,
         institution_field,
+        tuple(fields) if fields is not None else None,
     )
     with _CACHE_LOCK:
         entry = _PLAN_CACHE.get(key)
-        if entry is None:
-            fd, path = tempfile.mkstemp(
-                prefix="rm_preview_", suffix=".rec", text=True
-            )
-            os.close(fd)
-            wide = _build_wide(
-                spark, path, fmt, field_rules, mappings,
-                hierarchical_facets, institution, limits, non_indexed,
-                source_id, institution_field,
-            )
-            entry = _PLAN_CACHE[key] = (wide, path)
-        wide, path = entry
+        if entry is not None:
+            _PLAN_CACHE.move_to_end(key)
+    if entry is None:
+        # build OUTSIDE the global lock (tens of seconds of py4j work);
+        # losing a build race costs one redundant build, never corruption
+        fd, path = tempfile.mkstemp(
+            prefix="rm_preview_", suffix=".rec", text=True
+        )
+        os.close(fd)
+        wide = _build_wide(
+            spark, path, fmt, field_rules, mappings,
+            hierarchical_facets, institution, limits, non_indexed,
+            source_id, institution_field, fields,
+        )
+        with _CACHE_LOCK:
+            winner = _PLAN_CACHE.get(key)
+            if winner is not None:
+                os.unlink(path)
+                entry = winner
+                _PLAN_CACHE.move_to_end(key)
+            else:
+                entry = _PLAN_CACHE[key] = (wide, path, threading.Lock())
+                while len(_PLAN_CACHE) > _CACHE_MAX:
+                    _evict(_PLAN_CACHE.popitem(last=False)[1])
+    wide, path, entry_lock = entry
+    # per-entry lock: scratch write + collect must not interleave for the
+    # SAME configuration; different configurations preview concurrently
+    with entry_lock:
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(raw)
         row = _collect_interpreted(spark, wide)
@@ -197,6 +258,15 @@ def _empty(v) -> bool:
     return False
 
 
+# first-in saves + flips the codegen confs, last-out restores them: with
+# concurrent interpreted collects a plain save/restore pair could persist
+# the flipped value (A saves true, B "saves" A's false, A restores, B
+# restores false).
+_CONF_LOCK = threading.Lock()
+_CONF_DEPTH = 0
+_CONF_SAVED: dict[str, str] = {}
+
+
 def _collect_interpreted(spark: SparkSession, wide: DataFrame):
     """Collect a 1-row frame with whole-stage codegen disabled.
 
@@ -207,22 +277,32 @@ def _collect_interpreted(spark: SparkSession, wide: DataFrame):
     fraction of the time, so flip codegen off just for this collect and
     restore the session confs afterwards.
     """
+    global _CONF_DEPTH
     conf = spark.conf
-    saved = {
-        "spark.sql.codegen.wholeStage": conf.get(
-            "spark.sql.codegen.wholeStage", "true"
-        ),
-        "spark.sql.codegen.factoryMode": conf.get(
-            "spark.sql.codegen.factoryMode", "FALLBACK"
-        ),
-    }
+    with _CONF_LOCK:
+        if _CONF_DEPTH == 0:
+            _CONF_SAVED.clear()
+            _CONF_SAVED.update(
+                {
+                    "spark.sql.codegen.wholeStage": conf.get(
+                        "spark.sql.codegen.wholeStage", "true"
+                    ),
+                    "spark.sql.codegen.factoryMode": conf.get(
+                        "spark.sql.codegen.factoryMode", "FALLBACK"
+                    ),
+                }
+            )
+            conf.set("spark.sql.codegen.wholeStage", "false")
+            conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        _CONF_DEPTH += 1
     try:
-        conf.set("spark.sql.codegen.wholeStage", "false")
-        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
         return wide.collect()[0]
     finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+        with _CONF_LOCK:
+            _CONF_DEPTH -= 1
+            if _CONF_DEPTH == 0:
+                for k, v in _CONF_SAVED.items():
+                    conf.set(k, v)
 
 
 def preview_df(wide: DataFrame) -> dict[str, Any]:

@@ -12,12 +12,14 @@ shipped ``transformations/*.xsl`` use:
     key + the key()/current() functions, number (value or level
     single/any/multiple with count/from; formats 1/01/a/A/i/I),
     strip-space/preserve-space, message, import, include, output — plus
-    literal result elements with attribute value templates.
+    literal result elements with attribute value templates, and
+    document() through a caller-injected resolver (the engine stays
+    network/filesystem-free by default; see MiniXSLT.__init__).
 
 Not implemented (and absent from the corpus): attribute-set,
 namespace-alias, decimal-format, fallback, apply-imports, xsl:sort
-case-order/lang, document(). Using one raises :class:`XsltError` at
-compile time.
+case-order/lang, document()'s two-argument base-URI form. Using one
+raises :class:`XsltError` at compile time.
 """
 
 from __future__ import annotations
@@ -154,9 +156,20 @@ _UNSUPPORTED = {
 class MiniXSLT:
     """Compile once, transform many — mirrors XSLTProcessor's lifecycle."""
 
-    def __init__(self, source: str, resolver=None, _depth: int = 0):
-        """``resolver(href) -> str`` loads imported stylesheets."""
+    def __init__(
+        self, source: str, resolver=None, document_resolver=None, _depth: int = 0
+    ):
+        """``resolver(href) -> str`` loads imported stylesheets.
+
+        ``document_resolver(href) -> str`` serves ``document()`` calls —
+        the same injectable fetch-boundary pattern as the uriCache
+        enrichment (operators/enrich.py): the engine itself never touches
+        the network or filesystem; the caller decides what an href means
+        (including XSLT's ``document('')`` = the stylesheet itself).
+        Without one, evaluating ``document()`` raises :class:`XsltError`.
+        """
         self.resolver = resolver
+        self.document_resolver = document_resolver
         self.templates: list[Template] = []
         self.globals: list[tuple[str, str | None, ET.Element, dict, bool]] = []
         # xsl:key definitions: (name, [pattern asts], use expr, nsmap)
@@ -325,10 +338,15 @@ def _strip_space(doc: XNode, strip, preserve) -> None:
     xsl:strip-space (minus preserve-space exceptions)."""
 
     def matches(el, names) -> bool:
+        # XSLT 1.0 NameTest semantics: `*`, `prefix:*` (any local name in
+        # that namespace), `prefix:local`, or unprefixed `local` — which
+        # matches NULL-namespace elements only (XPath 1.0 NameTests never
+        # apply the default namespace), so ('', name) entries compare
+        # against (el.ns, el.name) like any other.
         return (
             ("*", "*") in names
             or (el.ns, el.name) in names
-            or ("", el.name) in names
+            or (el.ns, "*") in names
         )
 
     stack = [doc]
@@ -349,8 +367,14 @@ class _Run:
         self.nsmaps = sheet._nsmaps
         self.extra = {
             "default_ns_hint": sheet.default_ns_hint,
-            "functions": {"key": self._fn_key, "current": self._fn_current},
+            "functions": {
+                "key": self._fn_key,
+                "current": self._fn_current,
+                "document": self._fn_document,
+            },
         }
+        # document() cache: href -> parsed XNode root (per run)
+        self._documents: dict[str, object] = {}
         # xsl:key indexes built lazily per (document root, key name)
         self._key_indexes: dict[tuple[int, str], dict[str, list]] = {}
         self._current_node = None
@@ -386,7 +410,43 @@ class _Run:
             self._xpath_cache[key] = xp
         return xp
 
-    # key() / current() extension functions ----------------------------------
+    # key() / current() / document() extension functions ---------------------
+    def _fn_document(self, ctx: Context, args):
+        """XSLT 1.0 ``document()`` — single-argument subset: the href (a
+        string, or a node-set whose each node's string value is an href)
+        is resolved through the injected ``document_resolver``; returns
+        the root node(s) of the parsed document(s). The two-argument
+        base-URI form is not supported (absent from the corpus)."""
+        from .xpath1 import parse_xml
+
+        if len(args) != 1:
+            raise XsltError(
+                "document() with a base-URI node-set argument is not supported"
+            )
+        hrefs = (
+            [n.string_value() for n in args[0]]
+            if isinstance(args[0], list)
+            else [_rtf_aware_string(args[0])]
+        )
+        out = []
+        for href in hrefs:
+            root = self._documents.get(href)
+            if root is None:
+                resolve = self.sheet.document_resolver
+                if resolve is None:
+                    raise XsltError(
+                        "document() requires a document_resolver "
+                        "(MiniXSLT(source, document_resolver=...))"
+                    )
+                root = parse_xml(resolve(href))
+                if self.sheet.strip_names:
+                    _strip_space(
+                        root, self.sheet.strip_names, self.sheet.preserve_names
+                    )
+                self._documents[href] = root
+            out.append(root)
+        return out
+
     def _fn_current(self, ctx: Context, args):
         node = self.extra.get("current_node") or ctx.node
         return [node]

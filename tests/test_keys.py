@@ -318,3 +318,25 @@ def test_dedup_key_fold_override(spark):
     assert [r.asDict() for r in default.collect()] == [
         r.asDict() for r in explicit.collect()
     ]
+
+
+def test_normalize_key_auto_selects_icu(monkeypatch):
+    """Default engine resolution: ICU when PyICU is importable (the
+    reference's always-ICU production path), table fold otherwise; the
+    explicit engines stay pinnable either way."""
+    calls = []
+    monkeypatch.setattr(K, "normalize_key_icu", lambda c: calls.append(c) or F.lit("icu"))
+    monkeypatch.setattr(K, "_ICU_AVAILABLE", True)
+    K.normalize_key(F.lit("x"))
+    assert len(calls) == 1  # auto routed to ICU
+    K.normalize_key(F.lit("x"), engine="table")
+    assert len(calls) == 1  # forced table never touches ICU
+    monkeypatch.setattr(K, "_ICU_AVAILABLE", False)
+    K.normalize_key(F.lit("x"))
+    assert len(calls) == 1  # auto without PyICU = table
+
+
+def test_normalize_key_table_engine_goldens(spark):
+    # the JVM fold stays pinned regardless of what auto resolves to
+    for raw, expected in [("A -.*B  C", "abc"), ("ÖÄÅöäåüïé", "oaaoaauie")]:
+        assert one(spark, K.normalize_key(F.col("v"), engine="table"), raw) == expected

@@ -490,3 +490,74 @@ def test_include_same_precedence():
     </xsl:stylesheet>"""
     sheet = MiniXSLT(main, resolver=lambda href: inc)
     assert sheet.transform("<r><i/></r>") == "<inc/>"
+
+
+def test_document_function_with_resolver():
+    """document() loads a secondary document through the injected
+    resolver; repeated calls hit the per-run cache (resolver called once
+    per href)."""
+    lookup = """<codes><code id="a">Alpha</code><code id="b">Beta</code></codes>"""
+    calls = []
+
+    def resolve(href):
+        calls.append(href)
+        assert href == "codes.xml"
+        return lookup
+
+    body = """<xsl:template match="/">
+      <o><xsl:for-each select="r/i">
+        <v><xsl:value-of
+          select="document('codes.xml')/codes/code[@id=current()/@ref]"/></v>
+      </xsl:for-each></o></xsl:template>"""
+    sheet = MiniXSLT(_SHEET.format(body=body), document_resolver=resolve)
+    out = sheet.transform('<r><i ref="b"/><i ref="a"/></r>')
+    assert out == "<o><v>Beta</v><v>Alpha</v></o>"
+    assert calls == ["codes.xml"]
+
+
+def test_document_function_without_resolver_raises():
+    body = """<xsl:template match="/">
+      <xsl:value-of select="document('x.xml')"/></xsl:template>"""
+    with pytest.raises(XsltError, match="document_resolver"):
+        MiniXSLT(_SHEET.format(body=body)).transform("<r/>")
+
+
+def test_document_href_from_nodeset():
+    docs = {"d1.xml": "<d>one</d>", "d2.xml": "<d>two</d>"}
+    body = """<xsl:template match="/">
+      <o><xsl:for-each select="document(r/f/@href)">
+        <v><xsl:value-of select="d"/></v>
+      </xsl:for-each></o></xsl:template>"""
+    sheet = MiniXSLT(_SHEET.format(body=body), document_resolver=docs.__getitem__)
+    out = sheet.transform('<r><f href="d1.xml"/><f href="d2.xml"/></r>')
+    assert out == "<o><v>one</v><v>two</v></o>"
+
+
+def test_strip_space_namespace_nametest_forms():
+    # prefix:* strips every element in that namespace; unprefixed names
+    # match NULL-namespace elements only (XPath 1.0 NameTest rules)
+    xml = ('<r xmlns:x="urn:x">\n'
+           "  <x:i>\n  <x:j>a</x:j>\n  </x:i>\n"
+           "  <i>\n  <j>b</j>\n  </i>\n</r>")
+    body = (
+        '<xsl:template match="/"><o><xsl:copy-of select="r"/></o>'
+        "</xsl:template>"
+    )
+    sheet_ns = MiniXSLT(
+        """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform" xmlns:x="urn:x">
+          <xsl:strip-space elements="x:*"/>{body}</xsl:stylesheet>""".format(body=body)
+    )
+    assert sheet_ns.transform(xml) == (
+        '<o><r>\n  <i xmlns="urn:x"><j>a</j></i>\n'
+        "  <i>\n  <j>b</j>\n  </i>\n</r></o>"
+    )
+    sheet_plain = MiniXSLT(
+        """<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:strip-space elements="i"/>{body}</xsl:stylesheet>""".format(body=body)
+    )
+    assert sheet_plain.transform(xml) == (
+        '<o><r>\n  <i xmlns="urn:x">\n  <j>a</j>\n  </i>\n'
+        "  <i><j>b</j></i>\n</r></o>"
+    )
