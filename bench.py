@@ -3,8 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized via a count-ish action so the full plan runs;
-timings exclude session startup (warm-up query runs first).
+Each query is materialized through the ``noop`` batch sink so EVERY
+output column is actually computed. Rounds 1-3 timed ``df.count()``,
+which lets Catalyst prune deterministic projections entirely — xpath-
+engine extraction queries were measuring XML *generation*, while
+from_xml struct engines (whose corrupt-record marker defeats pruning)
+paid full price. That asymmetry reported the r3 struct migrations as
+regressions when honest materialization shows them several times FASTER
+(see PERFORMANCE.md "bench methodology"). Timings exclude session
+startup (warm-up query runs first).
 """
 
 from __future__ import annotations
@@ -85,8 +92,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # noop sink: every output column materializes; nothing is written
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        n = df.count()  # row count for the log line only — untimed
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     print(
