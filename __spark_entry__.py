@@ -63,12 +63,27 @@ from recordmanager_spark.operators import (
 _NANO_TS = ("o_orderdate", "l_shipdate", "ts")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The toy-scale parquet files are single-row-group, so Spark reads
+    # them as ONE partition — a per-row-heavy stage (Python UDF
+    # extractor, interpreted HOF lambdas) then runs on one core of N,
+    # where a real corpus would arrive in thousands of natural splits.
+    # Queries whose cost is per-row CPU pass spread=True to mimic that
+    # with a round-robin repartition (REPARTITION_BY_NUM is exempt from
+    # AQE coalescing; plan_audit counts key shuffles net of round-robin
+    # spreads). Scan-narrow JVM queries skip it: on toy data the shuffle
+    # costs more than the parallelism returns.
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     for c in _NANO_TS:
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # integer div: truncate nanos -> micros exactly like DuckDB
@@ -494,7 +509,7 @@ def id_sort_keys(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
@@ -505,12 +520,12 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
 
 
 def token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     per = d.select(
         TX.token_count("text").alias("nt"),
         TX.bpe_ish_token_count("text").alias("bt"),
@@ -759,7 +774,7 @@ def qdc_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 def lido_extract(spark: SparkSession, sf: str) -> DataFrame:
     """LIDO museum-object extraction via xpath expressions."""
-    p = _t(spark, sf, "part")
+    p = _t(spark, sf, "part", spread=True)
     year = (F.lit(1800) + F.pmod(F.col("p_partkey"), F.lit(200))).cast("string")
     xml = F.format_string(
         "<lido><titleWrap><titleSet><appellationValue>%s</appellationValue></titleSet></titleWrap>"
@@ -983,7 +998,11 @@ def dc_extract(spark: SparkSession, sf: str) -> DataFrame:
         "<type>Text</type></dc>",
         F.col("c_custkey").cast("string"), F.col("c_name"), year,
     )
-    out = DC.to_solr_columns(c.select("c_custkey", xml.alias("xml")), "xml")
+    # pins the XPATH engine: this query is the parity/fallback baseline;
+    # dc_extract_struct covers the struct default (10x faster honest)
+    out = DC.to_solr_columns(
+        c.select("c_custkey", xml.alias("xml")), "xml", engine="xpath"
+    )
     return out.select(
         "c_custkey",
         "id",
@@ -1638,7 +1657,7 @@ def allfields_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 def normalize_fields_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Length trim + non-indexed removal + per-field dedup over documents."""
-    d = _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.col("text").alias("title"),
         F.array(F.col("lang"), F.col("source"), F.lit("n/a")).alias("tags"),
@@ -2502,7 +2521,7 @@ def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     fractions over the raw text; single linear scan per row, no shuffle."""
     from recordmanager_spark.functions import quality as QL
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     t = F.concat_ws(
         "\n",
         F.lit("SHARED HEADER"),
@@ -2538,7 +2557,7 @@ def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     hits — one struct-valued scan-stage expression per document."""
     from recordmanager_spark.functions import quality as QL
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     q = QL.gopher_quality_stats("text")
     return d.select(
         "doc_id",
@@ -2557,7 +2576,7 @@ def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
     known-good and known-bad cases per document."""
     from recordmanager_spark.functions import quality as QL
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     t = F.concat_ws(
         "\n",
         F.concat(F.substring("text", 1, 40), F.lit(".")),
@@ -2611,7 +2630,7 @@ def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     never shuffles."""
     from recordmanager_spark.operators import contamination as CT
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     bench = d.filter(F.pmod("doc_id", F.lit(97)) == 0)
     out = CT.flag_contaminated(
         d, "doc_id", "text", bench, "text", n=5, min_hits=1

@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "dedup_er",
     "events_hourly_rollup",
     # extraction / mapping / enrichment / split
-    "dc_extract",
+    # (dc_extract pins the xpath FALLBACK engine — ~10x the struct cost
+    # honestly materialized; the headline tracks the production engines,
+    # so only the struct twin is benched)
     "dc_extract_struct",
     "ead_extract",
     "lido_extract",

@@ -142,7 +142,7 @@ def to_solr_columns(
     xml_col: str = "xml",
     id_prefix: str | None = None,
     validate: bool = True,
-    engine: str = "xpath",
+    engine: str = "struct",
 ) -> DataFrame:
     if engine == "struct":
         return _to_solr_columns_struct(df, xml_col, id_prefix)

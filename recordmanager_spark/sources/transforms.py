@@ -39,7 +39,9 @@ def xslt_available() -> bool:
 
 
 def make_xslt_udf(xsl: str, params: dict[str, object] | None = None,
-                  backend: str = "auto"):
+                  backend: str = "auto",
+                  documents: dict[str, str] | None = None,
+                  extensions: dict | None = None):
     """Build a pandas UDF applying the stylesheet to an XML string column.
 
     ``backend``: ``"auto"`` (lxml if installed, else mini), ``"lxml"``
@@ -47,6 +49,15 @@ def make_xslt_udf(xsl: str, params: dict[str, object] | None = None,
     Unparseable records map to NULL, mirroring the reference's
     per-record error handling (bad records are logged and skipped, not
     fatal to the batch).
+
+    ``documents`` feeds the stylesheet's ``document()`` calls: a
+    {href: xml-string} mapping serialized into the executor closure, so
+    the engine never touches network or filesystem (mini backend only —
+    lxml resolves document() through its own loaders).
+
+    ``extensions`` registers Python callables as stylesheet XPath
+    functions (the reference's ``php_function`` analogue; mini backend
+    only) — cloudpickled into the executor closure.
     """
     if backend == "lxml" and not HAVE_LXML:
         raise RuntimeError(
@@ -92,7 +103,10 @@ def make_xslt_udf(xsl: str, params: dict[str, object] | None = None,
         if "t" not in state:
             from recordmanager_spark.xsl import MiniXSLT
 
-            state["t"] = MiniXSLT(xsl)
+            doc_resolver = documents.__getitem__ if documents else None
+            state["t"] = MiniXSLT(
+                xsl, document_resolver=doc_resolver, extensions=extensions
+            )
 
         import xml.etree.ElementTree as ET
 
@@ -110,8 +124,13 @@ def make_xslt_udf(xsl: str, params: dict[str, object] | None = None,
 
 
 def apply_xslt(df, column: str, xsl: str, out_column: str | None = None,
-               params: dict[str, object] | None = None, backend: str = "auto"):
+               params: dict[str, object] | None = None, backend: str = "auto",
+               documents: dict[str, str] | None = None,
+               extensions: dict | None = None):
     """Apply a stylesheet to ``column``, writing ``out_column`` (default:
     in place). Pure projection — no shuffle; scales with the scan."""
-    udf = make_xslt_udf(xsl, params=params, backend=backend)
+    udf = make_xslt_udf(
+        xsl, params=params, backend=backend, documents=documents,
+        extensions=extensions,
+    )
     return df.withColumn(out_column or column, udf(df[column]))

@@ -16,10 +16,14 @@ shipped ``transformations/*.xsl`` use:
     document() through a caller-injected resolver (the engine stays
     network/filesystem-free by default; see MiniXSLT.__init__).
 
-Not implemented (and absent from the corpus): attribute-set,
-namespace-alias, decimal-format, fallback, apply-imports, xsl:sort
-case-order/lang, document()'s two-argument base-URI form. Using one
-raises :class:`XsltError` at compile time.
+    Round-4 additions beyond the corpus: attribute-set /
+    use-attribute-sets, decimal-format + format-number(), fallback
+    (no-op under supported instructions), apply-imports, and
+    namespace-alias.
+
+Not implemented (and absent from the corpus): xsl:sort case-order/lang,
+document()'s two-argument base-URI form. Using one raises
+:class:`XsltError`.
 """
 
 from __future__ import annotations
@@ -147,19 +151,26 @@ def _default_priority(pattern: str) -> float:
     return 0.5
 
 
-_UNSUPPORTED = {
-    "attribute-set", "namespace-alias", "decimal-format", "fallback",
-    "apply-imports",
-}
+# every top-level element the corpus and the XSLT 1.0 core use is now
+# handled; unknown xsl:* top-level elements are ignored like real
+# processors ignore future-version elements
+_UNSUPPORTED: set = set()
 
 
 class MiniXSLT:
     """Compile once, transform many — mirrors XSLTProcessor's lifecycle."""
 
     def __init__(
-        self, source: str, resolver=None, document_resolver=None, _depth: int = 0
+        self, source: str, resolver=None, document_resolver=None,
+        extensions=None, _depth: int = 0
     ):
         """``resolver(href) -> str`` loads imported stylesheets.
+
+        ``extensions`` maps function NAMES to Python callables exposed to
+        the stylesheet's XPath expressions — the analogue of the
+        reference's ``php_function`` registration
+        (Utils/XslTransformation.php:86-109). Each callable receives its
+        arguments converted to strings and returns a string.
 
         ``document_resolver(href) -> str`` serves ``document()`` calls —
         the same injectable fetch-boundary pattern as the uriCache
@@ -170,6 +181,7 @@ class MiniXSLT:
         """
         self.resolver = resolver
         self.document_resolver = document_resolver
+        self.extensions = dict(extensions or {})
         self.templates: list[Template] = []
         self.globals: list[tuple[str, str | None, ET.Element, dict, bool]] = []
         # xsl:key definitions: (name, [pattern asts], use expr, nsmap)
@@ -178,6 +190,13 @@ class MiniXSLT:
         # with '*' wildcards, resolved against the stylesheet nsmap
         self.strip_names: set[tuple[str, str]] = set()
         self.preserve_names: set[tuple[str, str]] = set()
+        # xsl:attribute-set name -> [definition elements] (merged in
+        # declaration order; later definitions win per XSLT 1.0)
+        self.attr_sets: dict[str, list] = {}
+        # xsl:decimal-format name ('' = default) -> attribute dict
+        self.decimal_formats: dict[str, dict] = {}
+        # xsl:namespace-alias stylesheet URI -> result URI
+        self.ns_alias: dict[str, str] = {}
         self.output_method = "xml"
         self.default_ns_hint: str | None = None
         self._counter = [0]
@@ -257,6 +276,26 @@ class MiniXSLT:
                 self.globals.append(
                     (name, child.get("select"), child, nsmaps[id(child)], local == "param")
                 )
+            elif local == "attribute-set":
+                name = child.get("name")
+                if not name:
+                    raise XsltError("xsl:attribute-set without name")
+                self.attr_sets.setdefault(name, []).append(
+                    (child, nsmaps[id(child)])
+                )
+            elif local == "decimal-format":
+                self.decimal_formats[child.get("name") or ""] = dict(
+                    child.attrib
+                )
+            elif local == "namespace-alias":
+                nsmap = nsmaps[id(child)]
+
+                def _uri_of(prefix):
+                    return nsmap.get("" if prefix == "#default" else prefix, "")
+
+                self.ns_alias[_uri_of(child.get("stylesheet-prefix"))] = (
+                    _uri_of(child.get("result-prefix"))
+                )
             elif local == "output":
                 self.output_method = child.get("method", "xml")
             elif local == "message":
@@ -333,6 +372,87 @@ def _parse_stylesheet(source: str):
 _AVT_RE = re.compile(r"\{([^{}]*)\}|\{\{|\}\}")
 
 
+def _format_number(value: float, picture: str, fmt: dict) -> str:
+    """XSLT 1.0 format-number(): the JDK DecimalFormat subset real
+    stylesheets use — grouping, min/max fraction digits, min integer
+    digits, prefix/suffix, percent/per-mille, a negative subpattern, and
+    xsl:decimal-format overrides for every special character."""
+    import math
+
+    dec = fmt.get("decimal-separator", ".")
+    grp = fmt.get("grouping-separator", ",")
+    minus = fmt.get("minus-sign", "-")
+    nan = fmt.get("NaN", "NaN")
+    inf = fmt.get("infinity", "Infinity")
+    percent = fmt.get("percent", "%")
+    permille = fmt.get("per-mille", "\u2030")
+    zero = fmt.get("zero-digit", "0")
+    digit = fmt.get("digit", "#")
+    patsep = fmt.get("pattern-separator", ";")
+
+    if math.isnan(value):
+        return nan
+
+    subs = picture.split(patsep, 1)
+    neg = value < 0 or (value == 0 and math.copysign(1, value) < 0)
+    if neg and len(subs) == 2:
+        sub, prefix_sign = subs[1], ""
+    else:
+        sub, prefix_sign = subs[0], (minus if neg else "")
+    value = abs(value)
+
+    mult = 1
+    if percent in sub:
+        mult = 100
+    elif permille in sub:
+        mult = 1000
+
+    # split prefix / number pattern / suffix
+    special = set(zero + digit + dec + grp)
+    i = 0
+    while i < len(sub) and sub[i] not in special:
+        i += 1
+    j = len(sub)
+    while j > i and sub[j - 1] not in special:
+        j -= 1
+    prefix, num_pat, suffix = sub[:i], sub[i:j], sub[j:]
+
+    int_pat, _, frac_pat = num_pat.partition(dec)
+    min_int = int_pat.count(zero) or (0 if frac_pat else 1)
+    min_frac = frac_pat.count(zero)
+    max_frac = min_frac + frac_pat.count(digit)
+    # grouping size: digits right of the LAST grouping separator
+    group_size = 0
+    if grp in int_pat:
+        group_size = len(int_pat) - int_pat.rindex(grp) - 1
+
+    if math.isinf(value):
+        return prefix_sign + prefix + inf + suffix
+
+    scaled = value * mult
+    q = round(scaled, max_frac)  # bankers' rounding, like DecimalFormat
+    int_part = int(q)
+    int_str = str(int_part).rjust(min_int, "0") if int_part or min_int else ""
+    if group_size:
+        out = []
+        for k, ch in enumerate(reversed(int_str)):
+            if k and k % group_size == 0:
+                out.append(grp)
+            out.append(ch)
+        int_str = "".join(reversed(out))
+    frac_str = ""
+    if max_frac:
+        frac_str = f"{q - int_part:.{max_frac}f}"[2:].rstrip("0")
+        frac_str = frac_str.ljust(min_frac, "0")
+    if zero != "0":
+        delta = ord(zero) - ord("0")
+        tr = {ord(str(d)): chr(ord(str(d)) + delta) for d in range(10)}
+        int_str = int_str.translate(tr)
+        frac_str = frac_str.translate(tr)
+    body = int_str + (dec + frac_str if frac_str else "")
+    return prefix_sign + prefix + body + suffix
+
+
 def _strip_space(doc: XNode, strip, preserve) -> None:
     """Remove whitespace-only text children of elements named by
     xsl:strip-space (minus preserve-space exceptions)."""
@@ -368,13 +488,20 @@ class _Run:
         self.extra = {
             "default_ns_hint": sheet.default_ns_hint,
             "functions": {
+                **{
+                    name: self._wrap_extension(fn)
+                    for name, fn in sheet.extensions.items()
+                },
                 "key": self._fn_key,
                 "current": self._fn_current,
                 "document": self._fn_document,
+                "format-number": self._fn_format_number,
             },
         }
         # document() cache: href -> parsed XNode root (per run)
         self._documents: dict[str, object] = {}
+        # (template, mode) frames for xsl:apply-imports
+        self._tmpl_stack: list[tuple] = []
         # xsl:key indexes built lazily per (document root, key name)
         self._key_indexes: dict[tuple[int, str], dict[str, list]] = {}
         self._current_node = None
@@ -446,6 +573,28 @@ class _Run:
                 self._documents[href] = root
             out.append(root)
         return out
+
+    @staticmethod
+    def _wrap_extension(fn):
+        # registered extension functions see string arguments and return
+        # strings, like the reference's registerPHPFunctions surface
+        def call(ctx, args):
+            return str(fn(*[_rtf_aware_string(a) for a in args]))
+
+        return call
+
+    def _fn_format_number(self, ctx: Context, args):
+        if len(args) not in (2, 3):
+            raise XsltError("format-number() takes 2 or 3 arguments")
+        value = xp_number(args[0])
+        picture = _rtf_aware_string(args[1])
+        name = _rtf_aware_string(args[2]) if len(args) == 3 else ""
+        fmt = self.sheet.decimal_formats.get(name)
+        if fmt is None and name:
+            raise XsltError(
+                f"format-number() references undeclared decimal-format {name!r}"
+            )
+        return _format_number(value, picture, fmt or {})
 
     def _fn_current(self, ctx: Context, args):
         node = self.extra.get("current_node") or ctx.node
@@ -535,11 +684,15 @@ class _Run:
         return [t[1] for t in keyed]
 
     # template dispatch -----------------------------------------------------
-    def find_template(self, node: XNode, mode: str | None) -> Template | None:
+    def find_template(
+        self, node: XNode, mode: str | None, min_depth: int = 0
+    ) -> Template | None:
         best = None
         best_key = None
         for t in self.sheet.templates:
             if t.pattern is None or t.mode != mode:
+                continue
+            if t.import_depth < min_depth:
                 continue
             for ast, prio in t.alternatives:
                 if self.matches(node, ast, t.nsmap):
@@ -557,7 +710,7 @@ class _Run:
             sub = ctx.with_node(node, i + 1, size)
             t = self.find_template(node, mode)
             if t is not None:
-                self.invoke(t, sub, out, _params)
+                self.invoke(t, sub, out, _params, mode)
             else:
                 self.builtin(node, mode, sub, out)
 
@@ -570,11 +723,15 @@ class _Run:
                 out.append(ONode("text", value=node.value))
         # comments/PIs: nothing
 
-    def invoke(self, t: Template, ctx: Context, out, params: dict):
+    def invoke(self, t: Template, ctx: Context, out, params: dict, mode=None):
         # template-local frame starts from globals; xsl:param picks passed-in
         frame = dict(self.globals)
         body_ctx = Context(ctx.node, ctx.pos, ctx.size, frame, t.nsmap, self.extra)
-        self.instructions(t.body, body_ctx, out, params)
+        self._tmpl_stack.append((t, mode))
+        try:
+            self.instructions(t.body, body_ctx, out, params)
+        finally:
+            self._tmpl_stack.pop()
 
     # instruction interpreter ----------------------------------------------
     def instructions(self, parent_elem, ctx: Context, out, params: dict):
@@ -601,10 +758,18 @@ class _Run:
             return
         # literal result element
         uri, local = _split(tag)
+        uri = self.sheet.ns_alias.get(uri, uri)
         nsmap = self.nsmaps.get(id(elem), {})
         node = ONode("elem", local, uri)
+        use = elem.attrib.get(f"{{{XSL_NS}}}use-attribute-sets")
+        if use:
+            # set attrs land first so the element's OWN attributes win
+            node.attrs.extend(self._attr_set_attrs(use, ctx))
         for aname, aval in elem.attrib.items():
+            if aname == f"{{{XSL_NS}}}use-attribute-sets":
+                continue
             auri, alocal = _split(aname)
+            auri = self.sheet.ns_alias.get(auri, auri)
             node.attrs.append((auri, alocal, self.avt(aval, ctx, nsmap)))
         if elem.text and elem.text.strip():
             node.children.append(ONode("text", value=elem.text))
@@ -673,7 +838,8 @@ class _Run:
         if t is None:
             raise XsltError(f"call-template: no template named {name!r}")
         passed = self._with_params(elem, ctx)
-        self.invoke(t, ctx, out, passed)
+        cur_mode = self._tmpl_stack[-1][1] if self._tmpl_stack else None
+        self.invoke(t, ctx, out, passed, cur_mode)
 
     def _with_params(self, elem, ctx) -> dict:
         passed = {}
@@ -730,6 +896,49 @@ class _Run:
         if elem.text:
             out.append(ONode("text", value=elem.text))
 
+    def i_fallback(self, elem, ctx, out, params):
+        # xsl:fallback executes only when its PARENT instruction is
+        # unsupported; every instruction this engine dispatches is
+        # supported, so fallback bodies are skipped (XSLT 1.0 §15)
+        return
+
+    def i_apply_imports(self, elem, ctx, out, params):
+        if not self._tmpl_stack:
+            raise XsltError("xsl:apply-imports outside a template")
+        cur_t, mode = self._tmpl_stack[-1]
+        t = self.find_template(
+            ctx.node, mode, min_depth=cur_t.import_depth + 1
+        )
+        if t is not None:
+            self.invoke(t, ctx, out, {}, mode)
+        else:
+            self.builtin(ctx.node, mode, ctx, out)
+
+    def _attr_set_attrs(self, names: str, ctx, _seen=frozenset()):
+        """Evaluate the named xsl:attribute-set definitions (recursively
+        honoring their use-attribute-sets) into (ns, name, value) attrs."""
+        tmp = ONode("elem")
+        for name in names.split():
+            if name in _seen:
+                raise XsltError(f"attribute-set {name!r} is circular")
+            defs = self.sheet.attr_sets.get(name)
+            if defs is None:
+                raise XsltError(
+                    f"use-attribute-sets references undeclared "
+                    f"attribute-set {name!r}"
+                )
+            for d, _nsmap in defs:
+                nested = d.get("use-attribute-sets")
+                if nested:
+                    tmp.attrs.extend(
+                        self._attr_set_attrs(nested, ctx, _seen | {name})
+                    )
+                for c in d:
+                    if c.tag == f"{{{XSL_NS}}}attribute":
+                        self.one(c, ctx, tmp.children, {})
+        _fold_attr_markers(tmp)
+        return tmp.attrs
+
     def i_element(self, elem, ctx, out, params):
         nsmap = self.nsmaps.get(id(elem), {})
         qname = self.avt(elem.get("name", ""), ctx, nsmap)
@@ -744,6 +953,9 @@ class _Run:
             local = qname
             uri = nsmap.get("", "")
         node = ONode("elem", local, uri)
+        use = elem.get("use-attribute-sets")
+        if use:
+            node.attrs.extend(self._attr_set_attrs(use, ctx))
         if elem.text and elem.text.strip():
             node.children.append(ONode("text", value=elem.text))
         inner: dict = {}
@@ -780,6 +992,9 @@ class _Run:
         node = ctx.node
         if node.kind == ELEM:
             o = ONode("elem", node.name, node.ns)
+            use = elem.get("use-attribute-sets")
+            if use:
+                o.attrs.extend(self._attr_set_attrs(use, ctx))
             inner: dict = {}
             if elem.text and elem.text.strip():
                 o.children.append(ONode("text", value=elem.text))

@@ -164,7 +164,7 @@ def test_dc_engines_agree(spark):
         "title_full", "title_short", "title_sub", "title_sort", "publisher",
         "publishDate", "isbn", "topic", "url", "contents",
     ]
-    a = dc.to_solr_columns(df, "xml").select(*cols).collect()
+    a = dc.to_solr_columns(df, "xml", engine="xpath").select(*cols).collect()
     b = dc.to_solr_columns(df, "xml", engine="struct").select(*cols).collect()
     for ra, rb in zip(a, b):
         for c in cols:

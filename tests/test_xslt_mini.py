@@ -191,13 +191,14 @@ class TestEngineCore:
         assert MiniXSLT(xsl).transform("<r><i>a</i></r>") == "<o>[a](a)</o>"
 
     def test_unsupported_instruction_raises(self):
+        # attribute-set is supported since round 4; an unknown BODY
+        # instruction still raises
         xsl = """<xsl:stylesheet version="1.0"
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-          <xsl:attribute-set name="s"/>
-          <xsl:template match="/"><o/></xsl:template>
+          <xsl:template match="/"><o><xsl:no-such-thing/></o></xsl:template>
         </xsl:stylesheet>"""
         with pytest.raises(XsltError):
-            MiniXSLT(xsl)
+            MiniXSLT(xsl).transform("<r/>")
 
     def test_transform_to_fields(self):
         xsl = """<xsl:stylesheet version="1.0"
@@ -561,3 +562,127 @@ def test_strip_space_namespace_nametest_forms():
         '<o><r>\n  <i xmlns="urn:x">\n  <j>a</j>\n  </i>\n'
         "  <i><j>b</j></i>\n</r></o>"
     )
+
+
+def test_fallback_is_noop_under_supported_instructions():
+    body = """<xsl:template match="/">
+      <o><xsl:value-of select="'x'"/><xsl:fallback><bad/></xsl:fallback></o>
+    </xsl:template>"""
+    assert _t(body, "<r/>") == "<o>x</o>"
+
+
+def test_apply_imports():
+    imported = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="i"><base><xsl:value-of select="."/></base></xsl:template>
+    </xsl:stylesheet>"""
+    main = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:import href="base.xsl"/>
+      <xsl:template match="/"><xsl:apply-templates select="r/i"/></xsl:template>
+      <xsl:template match="i"><wrap><xsl:apply-imports/></wrap></xsl:template>
+    </xsl:stylesheet>"""
+    sheet = MiniXSLT(main, resolver=lambda href: imported)
+    assert sheet.transform("<r><i>v</i></r>") == "<wrap><base>v</base></wrap>"
+
+
+def test_attribute_sets():
+    body = """<xsl:attribute-set name="std">
+        <xsl:attribute name="class">c1</xsl:attribute>
+        <xsl:attribute name="id"><xsl:value-of select="r/@id"/></xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:attribute-set name="more" use-attribute-sets="std">
+        <xsl:attribute name="role">x</xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:template match="/">
+        <a xsl:use-attribute-sets="more" class="own"/>
+        <xsl:element name="b" use-attribute-sets="std"/>
+        <xsl:copy use-attribute-sets="std"/>
+      </xsl:template>"""
+    out = _t(body, '<r id="r7"/>')
+    # literal element's OWN class overrides the set's
+    assert '<a class="own" id="r7" role="x"/>' in out
+    assert '<b class="c1" id="r7"/>' in out
+
+
+def test_format_number():
+    body = """<xsl:template match="/">
+      <o>
+        <a><xsl:value-of select="format-number(1234.567, '#,##0.00')"/></a>
+        <b><xsl:value-of select="format-number(-3.5, '0.0')"/></b>
+        <c><xsl:value-of select="format-number(0.25, '0%')"/></c>
+        <d><xsl:value-of select="format-number(-7, '0;(0)')"/></d>
+        <e><xsl:value-of select="format-number(42, '000')"/></e>
+        <f><xsl:value-of select="format-number(0 div 0, '0')"/></f>
+      </o></xsl:template>"""
+    out = _t(body, "<r/>")
+    assert "<a>1,234.57</a>" in out
+    assert "<b>-3.5</b>" in out
+    assert "<c>25%</c>" in out
+    assert "<d>(7)</d>" in out
+    assert "<e>042</e>" in out
+    assert "<f>NaN</f>" in out
+
+
+def test_format_number_decimal_format_decl():
+    body = """<xsl:decimal-format name="eu" decimal-separator=","
+        grouping-separator="." minus-sign="~" NaN="n/a"/>
+      <xsl:template match="/">
+        <o><xsl:value-of select="format-number(-1234.5, '#.##0,0', 'eu')"/>
+        |<xsl:value-of select="format-number(0 div 0, '0', 'eu')"/></o>
+      </xsl:template>"""
+    out = _t(body, "<r/>")
+    assert "~1.234,5" in out
+    assert "n/a" in out
+
+
+def test_namespace_alias():
+    main = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      xmlns:axsl="urn:alias-xsl">
+      <xsl:namespace-alias stylesheet-prefix="axsl" result-prefix="xsl"/>
+      <xsl:template match="/">
+        <axsl:template match="x"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXSLT(main).transform("<r/>")
+    assert 'xmlns="http://www.w3.org/1999/XSL/Transform"' in out
+    assert "template" in out and "urn:alias-xsl" not in out
+
+
+def test_apply_xslt_document_resolver_on_spark(spark):
+    """document() works through the executor closure: the {href: xml}
+    mapping ships with the UDF, no filesystem/network access."""
+    from recordmanager_spark.sources.transforms import apply_xslt
+
+    xsl = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <o><xsl:value-of
+          select="document('lut.xml')/codes/code[@id=current()/r/@ref]"/></o>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    lut = '<codes><code id="a">Alpha</code><code id="b">Beta</code></codes>'
+    df = spark.createDataFrame(
+        [('<r ref="a"/>',), ('<r ref="b"/>',)], "xml string"
+    )
+    rows = apply_xslt(
+        df, "xml", xsl, out_column="out", backend="mini",
+        documents={"lut.xml": lut},
+    ).orderBy("xml").collect()
+    assert [r.out for r in rows] == ["<o>Alpha</o>", "<o>Beta</o>"]
+
+
+def test_registered_extension_functions():
+    """php_function analogue: caller-registered Python callables are
+    visible to stylesheet XPath (args and result as strings)."""
+    sheet = MiniXSLT(
+        _SHEET.format(
+            body="""<xsl:template match="/">
+              <o><xsl:value-of select="rot13(r/t)"/></o></xsl:template>"""
+        ),
+        extensions={
+            "rot13": lambda s: __import__("codecs").encode(s, "rot13")
+        },
+    )
+    assert sheet.transform("<r><t>uryyb</t></r>") == "<o>hello</o>"

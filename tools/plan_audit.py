@@ -127,7 +127,17 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         plan = plan_of(df)
         problems = []
-        n_ex = count(r"\bExchange\b", plan)
+        # key shuffles only: the harness's _t() spreads single-row-group
+        # toy parquet over the cores with a round-robin repartition (a
+        # real corpus arrives in thousands of natural splits) — those
+        # input spreads are not operator shuffles and don't count against
+        # the contract.
+        # (formatted plans print each node twice — tree line + detail
+        # block — so a round-robin exchange contributes 2 "Exchange"
+        # hits and 1 "RoundRobinPartitioning" Arguments line)
+        n_ex = count(r"\bExchange\b", plan) - 2 * count(
+            r"RoundRobinPartitioning", plan
+        )
         if n_ex > max_ex:
             problems.append(f"exchanges {n_ex} > {max_ex}")
         if need_bcast and count(r"Broadcast(HashJoin|NestedLoopJoin|Exchange)", plan) == 0:
