@@ -847,6 +847,39 @@ _SCN_RE = (
 )
 
 
+def create_linking_id(
+    marc: Column, id_col: Column, prepend_003: bool = False
+) -> Column:
+    """createLinkingId (Record/Marc.php:1561-1578): under the
+    ``003InLinkingID`` driver param a non-empty id gains the record's 003
+    agency wrapped in parentheses — "(FI-NL)961827"."""
+    if not prepend_003:
+        return id_col
+    src = K.strip_trailing_punctuation(F.trim(control_value(marc, "003")))
+    return F.when(
+        (id_col != "") & (src != ""),
+        F.concat(F.lit("("), src, F.lit(")"), id_col),
+    ).otherwise(id_col)
+
+
+def linking_ids(
+    marc: Column, prepend_003: bool = False, id_in_999: bool = False
+) -> Column:
+    """getLinkingIDs (Record/Marc.php:619-640): the record's own id (001,
+    with a Koha-style 999$c fallback under ``idIn999``), run through
+    createLinkingId, followed by every 035$a system control number —
+    the array other records' $w links resolve against
+    (resolve_links(..., target_linking=...) explodes it)."""
+    rid = F.trim(control_value(marc, "001"))
+    if id_in_999:
+        f999 = try_element_at(fields_by_tag(marc, "999"), 1)
+        c999 = F.coalesce(try_element_at(_sub_values(f999, ["c"]), 1), F.lit(""))
+        rid = F.when(rid != "", rid).otherwise(F.trim(c999))
+    rid = create_linking_id(marc, rid, prepend_003)
+    cns = get_fields_subfields(marc, [(GET_NORMAL, "035", ["a"])])
+    return F.concat(F.array(rid), cns)
+
+
 def marc_unique_ids(marc: Column) -> Column:
     """getUniqueIDs (Record/Marc.php:887-985): dedup hard-accept ids from
     010 (lccn/nucmc), 015/016 ($2-qualified national numbers), the first

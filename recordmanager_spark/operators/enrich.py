@@ -285,11 +285,19 @@ def resolve_links(
     target_id: str = "_id",
     out_col: str = "resolved_id",
     broadcast_lookup: bool = True,
+    alt_link_col: str | None = None,
 ) -> DataFrame:
     """MARC $w resolution: (source_id, link) → stored id, else prefixed id.
 
     targets[target_linking] may be array<string> (a record's alternative
     linking ids) or a scalar; arrays are exploded into the lookup.
+
+    ``alt_link_col`` names a per-record FALLBACK candidate tried when
+    ``link_col`` misses — the reference's createLinkingId ladder
+    (Record/Marc.php:284-303): under ``003InLinkingID`` the primary
+    candidate is the "(003)id"-wrapped form and the fallback is the raw
+    $w. Unresolved links are prefixed from the RAW id (the fallback
+    column when given), mirroring ``$this->idPrefix . '.' . $targetId``.
     """
     t = targets
     from pyspark.sql import types as T
@@ -312,15 +320,30 @@ def resolve_links(
         (F.col(source_col) == F.col("__tsrc")) & (F.col(link_col) == F.col("__tlink")),
         "left",
     )
+    resolved = F.col("__tid")
+    raw = F.col(alt_link_col) if alt_link_col else F.col(link_col)
+    if alt_link_col:
+        t2 = t.select(
+            F.col("__tsrc").alias("__tsrc2"),
+            F.col("__tlink").alias("__tlink2"),
+            F.col("__tid").alias("__tid2"),
+        )
+        joined = joined.join(
+            _maybe_broadcast(t2, broadcast_lookup),
+            (F.col(source_col) == F.col("__tsrc2"))
+            & (F.col(alt_link_col) == F.col("__tlink2")),
+            "left",
+        )
+        resolved = F.coalesce(resolved, F.col("__tid2"))
     prefix = (
         F.col(id_prefix_col)
         if id_prefix_col
         else F.col(source_col)
     )
-    return joined.withColumn(
-        out_col,
-        F.coalesce(F.col("__tid"), F.concat(prefix, F.lit("."), F.col(link_col))),
+    out = joined.withColumn(
+        out_col, F.coalesce(resolved, F.concat(prefix, F.lit("."), raw))
     ).drop("__tsrc", "__tlink", "__tid")
+    return out.drop("__tsrc2", "__tlink2", "__tid2") if alt_link_col else out
 
 
 def enrich_authors(

@@ -312,3 +312,79 @@ def test_retrying_fetcher_backoff_and_statuses():
     # ignore_errors statuses return '' like 404
     f4 = retrying_fetcher(lambda u: (503, "x"), ignore_errors=(503,))
     assert f4("u") == ""
+
+
+def test_resolve_links_003_ladder_reference_golden(spark):
+    """Replays Record/MarcTest.php testLinking with the marc_links.xml
+    fixture semantics: a 776$w resolves through the createLinkingId
+    ladder — "(003)id" primary under 003InLinkingID with the raw $w as
+    fallback — and unresolved links still gain the source prefix
+    (Record/Marc.php:273-318, 1561-1578)."""
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.extractors import marc as M
+    from recordmanager_spark.operators.enrich import resolve_links
+
+    src = "__unit_test_no_source__"
+    raw = open(
+        "/root/reference/tests/fixtures/Base/record/marc_links.xml"
+    ).read()
+    rec = spark.createDataFrame([(raw,)], "xml string").select(
+        M.parse_marcxml("xml").alias("m")
+    )
+    # requester side: each 776$w with both linking-id candidates
+    links = rec.select(
+        F.explode(
+            M.get_fields_subfields(F.col("m"), [(M.GET_NORMAL, "776", ["w"])])
+        ).alias("w"),
+        F.col("m"),
+    ).select(
+        F.lit(src).alias("source_id"),
+        M.create_linking_id(F.col("m"), F.col("w"), True).alias("wrapped"),
+        F.col("w").alias("raw"),
+    )
+    # stored records: the db map from the reference test — '961827' is a
+    # linking id of .4112121, '(FI-NL)961827' of .4132317; xyzzy unknown
+    targets = spark.createDataFrame(
+        [
+            (src, ["961827"], f"{src}.4112121"),
+            (src, ["(FI-NL)961827"], f"{src}.4132317"),
+        ],
+        "source_id string, linking_id array<string>, _id string",
+    )
+
+    # without 003InLinkingID: candidate is the raw $w only
+    plain = resolve_links(
+        links.select("source_id", "raw"), targets, link_col="raw"
+    )
+    got = sorted(r.resolved_id for r in plain.collect())
+    assert got == [f"{src}.4112121", f"{src}.xyzzy"]
+
+    # with 003InLinkingID: "(FI-NL)w" primary, raw $w fallback
+    ladder = resolve_links(
+        links, targets, link_col="wrapped", alt_link_col="raw"
+    )
+    got = sorted(r.resolved_id for r in ladder.collect())
+    assert got == [f"{src}.4132317", f"{src}.xyzzy"]
+
+
+def test_linking_ids_own_side(spark):
+    """getLinkingIDs: 001 (003-wrapped under the param; 999c Koha
+    fallback) + every 035$a (Record/Marc.php:619-640)."""
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.extractors import marc as M
+
+    raw = open(
+        "/root/reference/tests/fixtures/Base/record/marc_links.xml"
+    ).read()
+    rec = spark.createDataFrame([(raw,)], "xml string").select(
+        M.parse_marcxml("xml").alias("m")
+    )
+    plain = rec.select(M.linking_ids(F.col("m")).alias("ids")).collect()[0].ids
+    assert plain == ["1013809", "FCC006141444", "1013809"]
+    wrapped = (
+        rec.select(M.linking_ids(F.col("m"), prepend_003=True).alias("ids"))
+        .collect()[0].ids
+    )
+    assert wrapped == ["(FI-NL)1013809", "FCC006141444", "1013809"]
