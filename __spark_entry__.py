@@ -2530,11 +2530,22 @@ def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", 41, 40),
         F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
     )
-    ls = QL.duplicate_line_stats(t)
-    top2 = QL.top_ngram_char_fraction("text", 2)
-    top3 = QL.top_ngram_char_fraction("text", 3)
-    dup5 = QL.dup_ngram_char_fraction("text", 5)
-    return d.select(
+    # two-stage select: each interpreted-HOF aggregate is aliased ONCE in
+    # the lower projection and referenced by name above — CollapseProject
+    # keeps non-cheap aliases with multiple uses in their own project, so
+    # every scan runs once per row instead of once per reference (HOF
+    # aggregates are CodegenFallback and get no subexpression elimination)
+    stats = d.select(
+        "doc_id",
+        QL.duplicate_line_stats(t).alias("__ls"),
+        QL.top_ngram_char_fraction("text", 2).alias("__top2"),
+        QL.top_ngram_char_fraction("text", 3).alias("__top3"),
+        QL.dup_ngram_char_fraction("text", 5).alias("__dup5"),
+    )
+    ls, top2, top3, dup5 = (
+        F.col("__ls"), F.col("__top2"), F.col("__top3"), F.col("__dup5")
+    )
+    return stats.select(
         "doc_id",
         F.round(ls["dup_line_frac"], 6).alias("dup_line_frac"),
         F.round(ls["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
@@ -2558,8 +2569,14 @@ def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     from recordmanager_spark.functions import quality as QL
 
     d = _t(spark, sf, "documents", spread=True)
-    q = QL.gopher_quality_stats("text")
-    return d.select(
+    # alias the struct once; 6 field reads on an inlined non-codegen
+    # expression would re-run the whole scan per field (see
+    # gopher_repetition_docs)
+    stats = d.select(
+        "doc_id", QL.gopher_quality_stats("text").alias("__q")
+    )
+    q = F.col("__q")
+    return stats.select(
         "doc_id",
         q["n_words"].alias("n_words"),
         F.round(q["mean_word_len"], 6).alias("mean_word_len"),
@@ -2586,8 +2603,9 @@ def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
                  F.lit(" closing sentence.")),
     )
-    c = QL.c4_clean_lines(t)
-    return d.select(
+    cleaned = d.select("doc_id", QL.c4_clean_lines(t).alias("__c"))
+    c = F.col("__c")
+    return cleaned.select(
         "doc_id",
         c["n_total"].alias("n_total"),
         c["n_kept"].alias("n_kept"),

@@ -40,6 +40,16 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    feed it to ``body`` as a lambda variable. Column trees have no
+    sharing — every reference re-embeds (and re-evaluates) the whole
+    subtree, and higher-order aggregates are CodegenFallback so no
+    subexpression elimination rescues them. A single-element array
+    transform is the cheapest binder Spark offers."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def lines_of(col: Column | str) -> Column:
     """Non-empty lines of the document (split on newline)."""
     return F.filter(F.split(_c(col), "\n"), lambda l: l != "")
@@ -67,7 +77,6 @@ def _dup_scan(arr: Column) -> Column:
     value occurs more than once — the run-length scan charges 2 when a
     run reaches length 2 and 1 per further repeat, which totals exactly
     count·len per duplicated value."""
-    s = F.array_sort(arr)
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -94,16 +103,21 @@ def _dup_scan(arr: Column) -> Column:
             (acc["dup_chars"] + add_n * F.length(x)).alias("dup_chars"),
         )
 
-    st = F.aggregate(s, init, step)
-    chars = F.aggregate(
-        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    return F.struct(
-        F.size(arr).cast("long").alias("n"),
-        st["n_dup"].alias("n_dup"),
-        chars.alias("chars"),
-        st["dup_chars"].alias("dup_chars"),
-    )
+    def of(a: Column) -> Column:
+        st = F.aggregate(F.array_sort(a), init, step)
+        chars = F.aggregate(
+            a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return F.struct(
+            F.size(a).cast("long").alias("n"),
+            st["n_dup"].alias("n_dup"),
+            chars.alias("chars"),
+            st["dup_chars"].alias("dup_chars"),
+        )
+
+    # the input array is often an n-gram construction chain — bind it so
+    # the sort/scan and the char total read the SAME evaluated array
+    return _let(arr, of)
 
 
 def _top_scan(arr: Column) -> Column:
@@ -148,14 +162,16 @@ def duplicate_line_stats(col: Column | str) -> Column:
 
     Gopher thresholds: duplicate line fraction > 0.30 or duplicate line
     character fraction > 0.20 rejects the document."""
-    st = _dup_scan(lines_of(col))
-    return F.struct(
-        F.when(st["n"] > 0, st["n_dup"] / st["n"])
-        .otherwise(F.lit(0.0))
-        .alias("dup_line_frac"),
-        F.when(st["chars"] > 0, st["dup_chars"] / st["chars"])
-        .otherwise(F.lit(0.0))
-        .alias("dup_line_char_frac"),
+    return _let(
+        _dup_scan(lines_of(col)),
+        lambda st: F.struct(
+            F.when(st["n"] > 0, st["n_dup"] / st["n"])
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
+            F.when(st["chars"] > 0, st["dup_chars"] / st["chars"])
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_char_frac"),
+        ),
     )
 
 
@@ -164,10 +180,12 @@ def top_ngram_char_fraction(col: Column | str, n: int) -> Column:
     word n-gram (count · gram length / total chars). Gopher applies this
     for n=2,3,4 with thresholds 0.20/0.18/0.16."""
     c = _c(col)
-    top = _top_scan(all_ngrams(tokenize(c), n))
-    return F.when(
-        F.length(c) > 0, top["cnt"] * F.length(top["g"]) / F.length(c)
-    ).otherwise(F.lit(0.0))
+    return _let(
+        _top_scan(all_ngrams(tokenize(c), n)),
+        lambda top: F.when(
+            F.length(c) > 0, top["cnt"] * F.length(top["g"]) / F.length(c)
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def dup_ngram_char_fraction(col: Column | str, n: int) -> Column:
@@ -191,7 +209,10 @@ def gopher_quality_stats(col: Column | str) -> Column:
     frac_alpha_words >= 0.80, symbol_word_ratio <= 0.10, stop_hits >= 2.
     """
     c = _c(col)
-    toks = tokenize(c)
+    return _let(tokenize(c), lambda toks: _gopher_quality_of(c, toks))
+
+
+def _gopher_quality_of(c: Column, toks: Column) -> Column:
     n_words = F.size(toks).cast("long")
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
