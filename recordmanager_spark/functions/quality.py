@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import tokenize
+from .text import let, tokenize
 
 # The 8-word "required stop words" battery from Gopher §A.1.1: a document
 # must contain at least 2 of these to pass the quality rules.
@@ -40,14 +40,7 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _let(bound: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
-    feed it to ``body`` as a lambda variable. Column trees have no
-    sharing — every reference re-embeds (and re-evaluates) the whole
-    subtree, and higher-order aggregates are CodegenFallback so no
-    subexpression elimination rescues them. A single-element array
-    transform is the cheapest binder Spark offers."""
-    return F.transform(F.array(bound), body)[0]
+_let = let  # shared binder (see text.let)
 
 
 def lines_of(col: Column | str) -> Column:

@@ -23,6 +23,15 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    feed it to ``body`` as a lambda variable (single-element array
+    transform). Column trees have no sharing — each reference re-embeds
+    and re-evaluates the subtree, and higher-order functions are
+    CodegenFallback so subexpression elimination never applies."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal."""
     c = F.col(col) if isinstance(col, str) else col
@@ -64,17 +73,27 @@ def uppercase_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
     sw = stopwords or LANG_PROFILES["en"]
     lit_sw = F.array(*[F.lit(s) for s in sw])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return let(
+        tokenize(F.lower(F.col(col) if isinstance(col, str) else col)),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(lit_sw, t)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def mean_word_length(col: Column | str) -> Column:
-    toks = tokenize(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    return let(
+        tokenize(col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -82,32 +101,43 @@ def quality_score(col: Column | str) -> Column:
     sane word length + low punctuation. Mirrors the C4/Gopher-style rule
     filters used in LLM data pipelines, as a single scan-stage expression."""
     c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-    sw = stopword_ratio(c)
-    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.0)
-    mwl = mean_word_length(c)
-    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
-    pr = punct_ratio(c)
-    pr_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    len_ok = let(
+        token_count(c),
+        lambda n: F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0),
+    )
+    sw_ok = let(
+        stopword_ratio(c), lambda sw: F.when(sw >= 0.05, 1.0).otherwise(0.0)
+    )
+    mwl_ok = let(
+        mean_word_length(c),
+        lambda m: F.when((m >= 2.0) & (m <= 12.0), 1.0).otherwise(0.0),
+    )
+    pr_ok = let(
+        punct_ratio(c), lambda p: F.when(p <= 0.2, 1.0).otherwise(0.0)
+    )
     return (len_ok + sw_ok + mwl_ok + pr_ok) / 4.0
 
 
 def lang_scores(col: Column | str) -> Column:
     """Map of language -> stopword-hit count."""
-    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
-    pairs = []
-    for lang, words in LANG_PROFILES.items():
-        lit_sw = F.array(*[F.lit(s) for s in words])
-        pairs.append(
-            F.struct(
-                F.lit(lang).alias("lang"),
-                F.size(F.filter(toks, lambda t: F.array_contains(lit_sw, t))).alias(
-                    "hits"
-                ),
+    def scores_of(toks: Column) -> Column:
+        pairs = []
+        for lang, words in LANG_PROFILES.items():
+            lit_sw = F.array(*[F.lit(s) for s in words])
+            pairs.append(
+                F.struct(
+                    F.lit(lang).alias("lang"),
+                    F.size(
+                        F.filter(toks, lambda t: F.array_contains(lit_sw, t))
+                    ).alias("hits"),
+                )
             )
-        )
-    return F.array(*pairs)
+        return F.array(*pairs)
+
+    return let(
+        tokenize(F.lower(F.col(col) if isinstance(col, str) else col)),
+        scores_of,
+    )
 
 
 def lang_id(col: Column | str, default: str = "und") -> Column:
