@@ -544,6 +544,30 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def exact_substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): corpus-wide duplicated token
+    spans of >= 8 tokens are located via rolling md5 8-grams, merged into
+    intervals per document, and removed. Every doc gains a planted
+    8+-token tail shared within its doc_id%3 group, so each group's tail
+    duplicates across ~1/3 of the corpus on top of any natural repeats."""
+    from recordmanager_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    d = _t(spark, sf, "documents", spread=True)
+    t2 = F.concat(
+        F.trim(F.col("text")),
+        F.lit(" sh1 sh2 sh3 sh4 sh5 sh6 sh7 sh8 grp"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+    )
+    out = exact_substring_dedup(
+        d.select("doc_id", t2.alias("text")), window=8
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_dup_grams", "removed_tokens", "kept_tokens"
+    )
+
+
 def exact_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return TD.exact_duplicates(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -2890,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_trait_docs": fulltext_trait_docs,
         "uri_cache_ttl": uri_cache_ttl,
         "eaccpf_extract": eaccpf_extract,
+        "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2932,8 +2957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_authority_extract": forward_authority_extract,
         "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
-        "hierarchical_facets_geo": hierarchical_facets_geo,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "hierarchical_facets_geo": hierarchical_facets_geo,
         "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
@@ -3447,6 +3472,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1990 + s_suppkey % 30 AS VARCHAR) AS publish_year,
                    'https://doaj.example/' || CAST(s_suppkey AS VARCHAR) AS url
             FROM supplier
+        """,
+        "exact_substring_dedup_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       trim(text) || ' sh1 sh2 sh3 sh4 sh5 sh6 sh7 sh8 grp'
+                           || CAST(doc_id % 3 AS VARCHAR) AS t2
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(t2), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM base
+            ),
+            grams AS (
+                SELECT doc_id, CAST(pos AS INT) AS pos,
+                       md5(array_to_string(t[pos:pos+7], ' ')) AS h
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS pos
+                    FROM toks
+                )
+            ),
+            dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+            hits AS (
+                SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w >= 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl
+            ),
+            spans AS (
+                SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e,
+                       COUNT(*) AS ng
+                FROM isl2 GROUP BY 1, 2
+            ),
+            per_doc AS (
+                SELECT doc_id, SUM(e - s) AS removed, SUM(ng) AS ndup
+                FROM spans GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(COALESCE(p.removed, 0) AS BIGINT) AS removed_tokens,
+                   CAST(len(t.t) - COALESCE(p.removed, 0) AS BIGINT) AS kept_tokens
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
         "lrmi_extract": """
             SELECT c_custkey,

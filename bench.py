@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "normalize_fields_docs",
     # training-data extensions
     "exact_dup_docs",
+    "exact_substring_dedup_docs",
     "minhash_near_dup",
     "simhash_near_dup",
     "knn_bruteforce",

@@ -67,6 +67,9 @@ AUDITS = [
      "exact oracle: broadcast nested loop IS the plan (query side tiny)"),
     ("embedding_neardup", 2, True, True,
      "exact oracle variant (broadcast right side)"),
+    ("exact_substring_dedup_docs", 6, True, False,
+     "gram-hash groupBy + dup-hash join + per-doc position groupBy; the "
+     "position lists broadcast back to the records — text never shuffles"),
 ]
 
 
