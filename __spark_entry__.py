@@ -2774,6 +2774,22 @@ def mix_sources_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "rep")
 
 
+def temperature_mix_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened source mixing (p_s ∝ f_s^(1/τ), τ=2 — the
+    exponent-smoothed multilingual sampling rule): per-source epoch
+    weights derive from the corpus's own frequency table so small
+    sources upsample and dominant ones downsample; expansion is the same
+    deterministic md5 fractional-epoch machinery as mix_sources."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = PK.temperature_mix(
+        d, source_col="source", id_col="doc_id", temperature=2.0,
+        salt="tmix",
+    )
+    return out.select("doc_id", "source", "rep")
+
+
 def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language Bernoulli downsampling: keep 30% of en,
     70% of zh, all the rest — scan-stage filter on a salted md5 unit
@@ -2915,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uri_cache_ttl": uri_cache_ttl,
         "eaccpf_extract": eaccpf_extract,
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
+        "temperature_mix_docs": temperature_mix_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2956,8 +2973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
         "ead3_split_extract": ead3_split_extract,
-        "value_mapping_orders": value_mapping_orders,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
@@ -4548,6 +4565,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "temperature_mix_docs": f"""
+            WITH c AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+            pw AS (
+                SELECT source, n, power(n / t, 0.5) AS p FROM c, tot
+            ),
+            z AS (SELECT SUM(p) AS z FROM pw),
+            w2 AS (
+                SELECT source, (p / z.z) * tot.t / n AS wt
+                FROM pw, z, tot
+            ),
+            w AS (
+              SELECT d.doc_id, d.source, w2.wt,
+                     CAST(list_sum(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents d JOIN w2 USING (source)
+            ), n AS (
+              SELECT doc_id, source,
+                     CAST(floor(wt) AS INT)
+                     + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n_rep
+              FROM w
+            )
+            SELECT doc_id, source, CAST(unnest(range(n_rep)) AS INT) AS rep
+            FROM n WHERE n_rep > 0
         """,
         "mix_sources_docs": f"""
             WITH w AS (

@@ -153,6 +153,47 @@ def mix_sources(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    target_rows: int | None = None,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened source mixing: p_s ∝ f_s^(1/τ).
+
+    The standard multilingual/multi-source sampling rule (e.g. mBERT /
+    XLM-R exponent-smoothed sampling): raw source frequencies are raised
+    to 1/temperature and renormalized, so τ>1 upsamples small sources
+    and downsamples dominant ones; τ=1 is proportional passthrough.
+    Per-source epoch weights are derived so expected output rows ≈
+    ``target_rows`` (default: the corpus size) under the flattened
+    distribution, then applied with mix_sources' deterministic
+    fractional-epoch expansion (``rep`` ordinal column).
+
+    Plan shape: ONE count groupBy collects a few-row per-source table to
+    the driver for the weight arithmetic; the expansion itself is
+    map-side only — rows never shuffle.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return df.withColumn("rep", F.lit(0)).where(F.lit(False))
+    target = target_rows if target_rows is not None else total
+    powered = {
+        s: (n / total) ** (1.0 / temperature) for s, n in counts.items()
+    }
+    z = sum(powered.values())
+    weights = {s: (powered[s] / z) * target / counts[s] for s in counts}
+    return mix_sources(
+        df, weights, source_col=source_col, id_col=id_col, salt=salt
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -130,3 +130,44 @@ def test_stratified_sample_deterministic_across_partitionings(spark):
     assert sorted(r["doc_id"] for r in a.collect()) == sorted(
         r["doc_id"] for r in b.collect()
     )
+
+
+def test_temperature_mix_flattens(spark):
+    """τ>1 upsamples the minority source and downsamples the majority;
+    τ=1 is (expected-value) passthrough; repeats are deterministic."""
+    from recordmanager_spark.operators import packing as PK
+
+    rows = [(f"d{i}", "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = PK.temperature_mix(
+        df, source_col="source", id_col="doc_id", temperature=2.0
+    )
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    # flattened shares: sqrt(.9)=.9487, sqrt(.1)=.3162 -> z=1.2649
+    # big: .75*100/90=.833 epochs, small: .25*100/10=2.5 epochs
+    assert by_src["small"] > 10  # upsampled
+    assert by_src["big"] < 90  # downsampled
+    # expected totals: big ~75, small ~25 (within Bernoulli slack)
+    assert 60 <= by_src["big"] <= 90
+    assert 20 <= by_src["small"] <= 30
+    # deterministic
+    again = PK.temperature_mix(
+        df, source_col="source", id_col="doc_id", temperature=2.0
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_temperature_one_is_proportional(spark):
+    from recordmanager_spark.operators import packing as PK
+
+    rows = [(f"d{i}", "a" if i < 7 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = PK.temperature_mix(
+        df, source_col="source", id_col="doc_id", temperature=1.0
+    )
+    # τ=1 -> every weight is exactly 1.0 -> identity with rep=0
+    got = sorted((r.doc_id, r.rep) for r in out.collect())
+    assert got == sorted((f"d{i}", 0) for i in range(10))
