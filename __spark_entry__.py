@@ -2665,6 +2665,42 @@ def pii_scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def url_blocklist_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style URL/domain + bad-words filtering: hosts synthesized per
+    doc_id%5 include exact blocked domains and subdomains of them; the
+    blocklist matches exact-or-dot-suffix only (no substring hits), and
+    the bad-words counter plants 'badword' in every 7th document."""
+    from recordmanager_spark.functions import quality as QL
+
+    d = _t(spark, sf, "documents")
+    host_pick = F.element_at(
+        F.array(
+            F.lit("ads.tracker.example"),
+            F.lit("sub.spam.example"),
+            F.lit("ok.example"),
+            F.lit("notspam.example"),
+            F.lit("spam.example"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host_pick, F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    text2 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.col("text"), F.lit(" badword tail")),
+    ).otherwise(F.col("text"))
+    blocked = ["spam.example", "ads.tracker.example"]
+    host = QL.url_host(url)
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        QL.host_blocked(host, blocked).alias("domain_blocked"),
+        QL.blocklist_hits(text2, ["badword", "verboten"]).alias("bad_hits"),
+    )
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -2932,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eaccpf_extract": eaccpf_extract,
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "temperature_mix_docs": temperature_mix_docs,
+        "url_blocklist_docs": url_blocklist_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2972,8 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
-        "ead3_split_extract": ead3_split_extract,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
         "xslt_normalize_orders": xslt_normalize_orders,
@@ -4565,6 +4602,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "url_blocklist_docs": """
+            WITH b AS (
+                SELECT doc_id,
+                       ['ads.tracker.example','sub.spam.example','ok.example',
+                        'notspam.example','spam.example'][CAST(doc_id % 5 AS INT) + 1]
+                           AS host,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' badword tail' ELSE text END AS t2
+                FROM documents
+            )
+            SELECT doc_id, host,
+                   (host = 'spam.example' OR host LIKE '%.spam.example'
+                    OR host = 'ads.tracker.example'
+                    OR host LIKE '%.ads.tracker.example') AS domain_blocked,
+                   CAST(len(list_filter(['badword', 'verboten'],
+                        w -> list_contains(
+                            list_transform(
+                                list_filter(
+                                    string_split_regex(trim(t2), '\\s+'),
+                                    x -> x <> ''),
+                                x -> lower(x)),
+                            w))) AS INT) AS bad_hits
+            FROM b
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

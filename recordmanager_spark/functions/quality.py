@@ -292,6 +292,40 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL ('' when no scheme+host shape matches)."""
+    return F.lower(
+        F.regexp_extract(_c(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def host_blocked(host: Column | str, blocked_domains: list[str]) -> Column:
+    """True when the host IS a blocked domain or a subdomain of one —
+    the C4-style domain blocklist membership test (exact or dot-suffix
+    match, never substring: 'spam.example' must not catch
+    'notspam.example'). The list compiles to a literal array; a list too
+    large for a plan literal should go through a broadcast join
+    instead."""
+    h = _c(host)
+    doms = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    return F.exists(
+        doms, lambda d: (h == d) | h.endswith(F.concat(F.lit("."), d))
+    )
+
+
+def blocklist_hits(col: Column | str, words: list[str]) -> Column:
+    """Count of DISTINCT blocklist words present as whole tokens
+    (case-insensitive) — the C4 bad-words filter's decision input."""
+    lowered = [w.lower() for w in words]
+    lits = F.array(*[F.lit(w) for w in lowered])
+    return let(
+        F.transform(tokenize(_c(col)), F.lower),
+        lambda toks: F.size(
+            F.filter(lits, lambda w: F.array_contains(toks, w))
+        ),
+    )
+
+
 def pii_scrub(col: Column | str) -> Column:
     """struct(text, n_ssn, n_email, n_ip, n_phone): redacted text plus the
     per-category redaction counts (sequential attribution, see above)."""

@@ -199,3 +199,49 @@ class TestContamination:
             docs, "id", "text", bench, "text", n=5
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+def test_url_host_and_domain_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.functions import quality as QL
+
+    df = spark.createDataFrame(
+        [
+            ("https://spam.example/x", 1),
+            ("http://sub.spam.example:8080/y?q=1", 1),
+            ("https://notspam.example/z", 0),  # substring must NOT match
+            ("https://ok.example/", 0),
+            ("ftp://SPAM.example/mixed-case", 1),
+            ("no-scheme.example/path", 0),  # not a URL -> host ''
+        ],
+        "url string, want int",
+    )
+    host = QL.url_host("url")
+    got = df.select(
+        host.alias("h"),
+        QL.host_blocked(host, ["spam.example"]).alias("b"),
+        "want",
+    ).collect()
+    for r in got:
+        assert r.b == bool(r.want), r
+    assert got[5].h == ""
+
+
+def test_blocklist_hits_token_boundaries(spark):
+    from recordmanager_spark.functions import quality as QL
+
+    df = spark.createDataFrame(
+        [
+            ("clean words only", 0),
+            ("has BADWORD inside", 1),
+            ("badwordish is not a hit", 0),  # whole-token only
+            ("badword verboten badword", 2),  # distinct words, not counts
+        ],
+        "text string, want int",
+    )
+    got = df.select(
+        QL.blocklist_hits("text", ["badword", "verboten"]).alias("n"), "want"
+    ).collect()
+    for r in got:
+        assert r.n == r.want, r
