@@ -2538,6 +2538,64 @@ def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact content dedup: first-seen fingerprint wins across
+    two micro-batches over one checkpoint. Batch 1 delivers docs with
+    duplicated fingerprints (doc_id%100 buckets); batch 2 re-delivers a
+    subset plus new content — only genuinely unseen fingerprints emit in
+    run 1."""
+    import tempfile
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import streaming_first_seen
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    batch1 = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("fp"), F.pmod(F.col("doc_id"), F.lit(100)).cast("string")
+        ).alias("fingerprint"),
+    )
+    # second delivery: the first 50 re-arrive (suppressed), plus brand-new
+    # contents fp-new-<k> for doc_id in [300, 350)
+    batch2 = batch1.where(F.col("doc_id").cast("long") < 50).unionByName(
+        _t(spark, sf, "documents")
+        .where((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("fp-new-"), F.col("doc_id").cast("string")).alias(
+                "fingerprint"
+            ),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="rm_sdedup_")
+    schema = "doc_id string, fingerprint string"
+    rows = []
+    for i, batch in enumerate((batch1, batch2)):
+        batch.coalesce(1).write.mode("append").json(f"{base}/in")
+        stream = spark.readStream.schema(schema).json(f"{base}/in")
+        out = streaming_first_seen(stream)
+
+        def gather(bdf, _epoch, run=i):
+            rows.extend(
+                (r["fingerprint"], r["doc_id"], r["n_seen"], run)
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("stream_sdedup_" + uuid.uuid4().hex[:10])
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        rows, "fingerprint string, doc_id string, n_seen long, run int"
+    )
+
+
 def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition-filter battery (Rae et al. 2021 §A.1.1):
     duplicate-line fractions over a synthesized multi-line rendering (the
@@ -2969,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "url_blocklist_docs": url_blocklist_docs,
+        "streaming_content_dedup": streaming_content_dedup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3008,8 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
-        "forward_authority_extract": forward_authority_extract,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "forward_authority_extract": forward_authority_extract,
         "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
@@ -4602,6 +4661,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "streaming_content_dedup": """
+            WITH b1 AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       'fp' || CAST(doc_id % 100 AS VARCHAR) AS fingerprint
+                FROM documents WHERE doc_id < 300
+            ),
+            b2_new AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       'fp-new-' || CAST(doc_id AS VARCHAR) AS fingerprint
+                FROM documents WHERE doc_id >= 300 AND doc_id < 350
+            ),
+            -- run 0 emits one row per batch-1 fingerprint: winner = min
+            -- doc_id (numeric order of the string ids matches numeric
+            -- here only by luck, so order by the STRING like the
+            -- operator), n_seen = batch-1 arrivals
+            r0 AS (
+                SELECT fingerprint, MIN(doc_id) AS doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_seen, 0 AS run
+                FROM b1 GROUP BY fingerprint
+            ),
+            -- run 1 emits only the brand-new fingerprints (each once)
+            r1 AS (
+                SELECT fingerprint, doc_id, CAST(1 AS BIGINT) AS n_seen,
+                       1 AS run
+                FROM b2_new
+            )
+            SELECT * FROM r0 UNION ALL SELECT * FROM r1
         """,
         "url_blocklist_docs": """
             WITH b AS (

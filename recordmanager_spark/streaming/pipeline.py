@@ -147,3 +147,61 @@ def dedup_new_or_changed(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    fingerprint_col: str = "fingerprint",
+    id_col: str = "doc_id",
+):
+    """Streaming exact content dedup: the FIRST document per content
+    fingerprint passes; every later arrival with the same fingerprint is
+    suppressed, across micro-batches and restarts.
+
+    ``applyInPandasWithState`` keyed by the FINGERPRINT (not the record
+    id — dedup_new_or_changed's complement): state holds the winning
+    document id and an occurrence counter. Emitted rows carry
+    (fingerprint, doc_id, n_seen) where doc_id is the winner and n_seen
+    the arrivals so far, so a sink can both keep the deduped stream and
+    audit suppression rates. Within-batch ties break to the smallest
+    id; across batches strictly first-seen wins. State cardinality =
+    distinct contents,
+    hash-partitioned across executors like every keyed-state operator.
+    """
+    out_schema = f"{fingerprint_col} string, {id_col} string, n_seen long"
+    state_schema = f"winner string, n long"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            winner, n = state.get
+        else:
+            winner, n = None, 0
+        first_emit = winner is None
+        for pdf in pdfs:
+            for doc in pdf[id_col]:
+                n += 1
+                if winner is None or (first_emit and doc < winner):
+                    # within one micro-batch "first" must be defined
+                    # deterministically (pandas order is partition-
+                    # dependent): smallest id wins the tie; across
+                    # batches strictly first-seen wins
+                    winner = doc
+        state.update((winner, n))
+        if first_emit and winner is not None:
+            yield pd.DataFrame(
+                [(key[0], winner, n)],
+                columns=[fingerprint_col, id_col, "n_seen"],
+            )
+
+    return (
+        stream.groupBy(fingerprint_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

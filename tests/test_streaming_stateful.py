@@ -58,3 +58,44 @@ def test_streaming_dedup_new_or_changed(spark, tmp_path):
         assert sum(1 for r in rows if r[0] == "A") == 1
     finally:
         q.stop()
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """First fingerprint arrival emits once (smallest id wins within a
+    batch); re-deliveries and duplicates are suppressed across batches
+    over one checkpoint."""
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import streaming_first_seen
+
+    base = str(tmp_path)
+    schema = "doc_id string, fingerprint string"
+    batches = [
+        [("b", "f1"), ("a", "f1"), ("c", "f2")],  # f1 ties -> 'a' wins
+        [("a", "f1"), ("d", "f3")],  # f1 suppressed, f3 new
+    ]
+    rows = []
+    for i, data in enumerate(batches):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).json(f"{base}/in")
+        out = streaming_first_seen(
+            spark.readStream.schema(schema).json(f"{base}/in")
+        )
+
+        def gather(bdf, _epoch, run=i):
+            rows.extend(
+                (r["fingerprint"], r["doc_id"], r["n_seen"], run)
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("t_first_seen_" + uuid.uuid4().hex[:8])
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert sorted(rows) == [("f1", "a", 2, 0), ("f2", "c", 1, 0), ("f3", "d", 1, 1)]
