@@ -2538,6 +2538,49 @@ def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def config_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """datasources.ini-driven pipeline tail: a source config parsed from
+    the reference's ini dialect (fieldRules copy + format mapping with
+    ##default + extraFields + institution-in-building over hierarchical
+    building facets), applied in SolrUpdater's processing order."""
+    from recordmanager_spark import config as CF
+
+    ini = """
+[lib]
+institution = Inst
+format = marc
+fieldRules[] = "copy format genre"
+format_mapping = formats.map
+extraFields[] = sector_str_mv:library
+"""
+    maps = {
+        "formats.map": "1-URGENT = Urgent\n2-HIGH = High\n##default = Routine\n"
+    }
+    compiled = CF.compile_source(
+        CF.parse_datasources_ini(ini)["lib"], maps.__getitem__
+    )
+    o = _t(spark, sf, "orders")
+    wide = o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.array(F.trim("o_orderpriority")).alias("format"),
+        F.array(
+            F.when(F.pmod("o_orderkey", F.lit(2)) == 0, F.lit("MAIN")).otherwise(
+                F.lit("SUB")
+            )
+        ).alias("building"),
+    )
+    out = CF.apply_source_pipeline(
+        wide, compiled, hierarchical_facets=["building"]
+    )
+    return out.select(
+        "id",
+        try_element_at("genre", 1).alias("genre1"),
+        try_element_at("format", 1).alias("format1"),
+        F.array_join("building", "|").alias("building_str"),
+        try_element_at("sector_str_mv", 1).alias("sector"),
+    )
+
+
 def streaming_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact content dedup: first-seen fingerprint wins across
     two micro-batches over one checkpoint. Batch 1 delivers docs with
@@ -3028,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": temperature_mix_docs,
         "url_blocklist_docs": url_blocklist_docs,
         "streaming_content_dedup": streaming_content_dedup,
+        "config_pipeline_orders": config_pipeline_orders,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3066,8 +3110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_end_to_end": pipeline_end_to_end,
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
-        "marc_authority_extract": marc_authority_extract,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
         "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
@@ -4661,6 +4705,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "config_pipeline_orders": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                   trim(o_orderpriority) AS genre1,
+                   CASE trim(o_orderpriority)
+                        WHEN '1-URGENT' THEN 'Urgent'
+                        WHEN '2-HIGH' THEN 'High'
+                        ELSE 'Routine' END AS format1,
+                   '0/Inst/' || '|' || '1/Inst/'
+                       || CASE WHEN o_orderkey % 2 = 0
+                               THEN 'MAIN' ELSE 'SUB' END
+                       || '/' AS building_str,
+                   'library' AS sector
+            FROM orders
         """,
         "streaming_content_dedup": """
             WITH b1 AS (
