@@ -1,0 +1,365 @@
+"""Console command surface — the reference's ``records`` / ``solr``
+commands over parquet record stores.
+
+Behavioral spec (reference, NOT code): ``Base/Command/Records/{Import,
+Deduplicate,Export,CountValues}.php``, ``Base/Command/Solr/
+UpdateIndex.php``, ``Base/Controller/CreatePreview.php``. The reference
+stores records in MongoDB/MySQL and serves Solr over HTTP; the Spark
+shape stores the record table as parquet and writes Solr update batches
+as JSON-lines files (``sinks/solr.py`` enforces the reference's batch
+caps) — the networking tail is peripheral, the data processing is the
+same.
+
+    python -m recordmanager_spark import --config datasources.ini \\
+        --source lib --file dump.xml --records /data/records
+    python -m recordmanager_spark deduplicate --records /data/records \\
+        --out /data/dedup
+    python -m recordmanager_spark update-index --records /data/records \\
+        --config datasources.ini --source lib --out /data/solr-batches
+    python -m recordmanager_spark export --records /data/records \\
+        --out /data/export [--xpath-predicate ...] [--skip N]
+    python -m recordmanager_spark count-values --records /data/records \\
+        --field format [--top 20]
+    python -m recordmanager_spark preview --file rec.xml --format marc
+
+Record-table schema (SURVEY §1.5 subset): _id, source_id, format,
+original_data, deleted, created, updated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import os
+import re
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config as CF
+
+__all__ = ["main"]
+
+
+def _spark(app: str) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def _load_config(path: str, source: str) -> CF.SourceConfig:
+    cfgs = CF.parse_datasources_ini(open(path).read())
+    if source not in cfgs:
+        raise SystemExit(
+            f"source {source!r} not in {path} (has: {sorted(cfgs)})"
+        )
+    return cfgs[source]
+
+
+def _php_regex(pat: str) -> tuple[str, bool]:
+    """'/expr/flags' → (expr, case_insensitive) — the idSearch shape."""
+    m = re.fullmatch(r"/(.*)/([a-zA-Z]*)", pat, re.S)
+    if not m:
+        return pat, False
+    return m.group(1), "i" in m.group(2)
+
+
+def extract_wide(
+    df: DataFrame, fmt: str, xml_col: str = "original_data", **kwargs
+) -> DataFrame:
+    """Route a record frame to its format driver (Record/PluginManager
+    analogue). ``marc`` sniffs MARC-in-JSON vs MARCXML from the payload's
+    first byte; the rest dispatch on the reference's format names."""
+    fmt = (fmt or "").lower()
+    if fmt in ("marc", "marcxml"):
+        from .extractors import marc as M
+
+        probe = df.select(xml_col).first()
+        is_json = bool(probe and (probe[0] or "").lstrip().startswith("{"))
+        parse = M.parse_marc_in_json if is_json else M.parse_marcxml
+        parsed = df.withColumn("__m", parse(F.col(xml_col)))
+        wide = M.to_solr_columns(parsed, "__m", **kwargs)
+        return wide.drop("__m")
+    from .extractors import (  # noqa: PLC0415
+        dc, doaj, eaccpf, ead, ead3, ese, forward, forward_authority,
+        lido, linemarc, lrmi, marc_authority, qdc,
+    )
+
+    table = {
+        "dc": dc, "qdc": qdc, "lrmi": lrmi, "ese": ese, "doaj": doaj,
+        "lido": lido, "forward": forward,
+        "forwardauthority": forward_authority, "eaccpf": eaccpf,
+        "marcauthority": marc_authority, "linemarc": linemarc,
+        "ead": ead, "ead3": ead3,
+    }
+    mod = table.get(fmt)
+    if mod is None:
+        raise SystemExit(f"unknown format {fmt!r} (have: {sorted(table)})")
+    if fmt in ("ead", "ead3"):
+        return mod.to_solr_columns(
+            df, xml_col, archive_id_col=None, archive_title_col=None,
+            sequence_col=None, **kwargs,
+        )
+    return mod.to_solr_columns(df, xml_col, **kwargs)
+
+
+def cmd_import(args) -> None:
+    spark = _spark("rm-import")
+    cfg = _load_config(args.config, args.source)
+    from .sources.splitter import make_tag_splitter
+
+    record_tag = args.record_tag
+    if not record_tag and cfg.record_xpath:
+        record_tag = cfg.record_xpath.rstrip("/").rsplit("/", 1)[-1]
+    if not record_tag:
+        record_tag = "record"
+    raw = spark.read.text(args.file, wholetext=True).withColumnRenamed(
+        "value", "doc"
+    )
+    split = make_tag_splitter(record_tag, args.id_tag)
+    parts = raw.select(F.explode(split(F.col("doc"))).alias("p")).select(
+        F.col("p.part_id").alias("__local_id"),
+        F.col("p.part_xml").alias("original_data"),
+    )
+    local_id = F.col("__local_id")
+    for pat, repl in cfg.id_search_replace:
+        expr, ci = _php_regex(pat)
+        local_id = F.regexp_replace(local_id, ("(?i)" if ci else "") + expr, repl)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    batch = parts.select(
+        F.concat(
+            F.lit(cfg.effective_id_prefix + "."), local_id
+        ).alias("_id"),
+        F.lit(cfg.id).alias("source_id"),
+        F.lit(cfg.format).alias("format"),
+        "original_data",
+        F.lit(False).alias("deleted"),
+        F.lit(now).alias("created"),
+        F.lit(now).alias("updated"),
+    )
+    if os.path.exists(args.records):
+        from .sources.upsert import upsert_records
+
+        existing = spark.read.parquet(args.records)
+        merged = upsert_records(existing, batch, now)
+        # parquet cannot overwrite its own scan input in place
+        merged.write.mode("overwrite").parquet(args.records + ".tmp")
+        merged = spark.read.parquet(args.records + ".tmp")
+        merged.write.mode("overwrite").parquet(args.records)
+        n = merged.count()
+    else:
+        batch.write.mode("overwrite").parquet(args.records)
+        n = batch.count()
+    print(f"imported {args.file}: records table now {n} rows")
+
+
+def cmd_deduplicate(args) -> None:
+    spark = _spark("rm-dedup")
+    from .operators.dedup import deduplicate, with_dedup_keys
+
+    records = spark.read.parquet(args.records)
+    if not args.format:
+        fmts = [r[0] for r in records.select("format").distinct().collect()]
+        if len(fmts) != 1:
+            raise SystemExit(f"--format required (table has {sorted(fmts)})")
+        args.format = fmts[0]
+    wide = extract_wide(records, args.format)
+    types = dict(wide.dtypes)
+
+    def scalar(name, *alts):
+        for n in (name, *alts):
+            if n in types:
+                c = F.col(n)
+                if types[n].startswith("array"):
+                    c = F.element_at(c, 1)
+                return F.nullif(F.trim(c.cast("string")), F.lit(""))
+        return F.lit(None).cast("string")
+
+    def arr(name):
+        if name in types and types[name].startswith("array"):
+            return F.col(name)
+        return F.array().cast("array<string>")
+
+    # the matchRecords verifier reads a fixed field battery
+    # (operators/dedup._VERIFY_FIELDS); normalize whatever the driver
+    # produced into that shape, with absent fields as null/empty
+    verify = wide.select(
+        "_id",
+        "source_id",
+        F.coalesce(scalar("format"), F.lit("")).alias("format"),
+        scalar("access_restrictions").alias("access_restrictions"),
+        arr("isbn").alias("isbn"),
+        arr("unique_ids").alias("unique_ids"),
+        arr("issn").alias("issn"),
+        scalar("publish_year", "publishDate").alias("publish_year"),
+        scalar("page_count").alias("page_count"),
+        scalar("series_issn").alias("series_issn"),
+        scalar("series_numbering").alias("series_numbering"),
+        F.coalesce(scalar("title"), F.lit("")).alias("title"),
+        F.coalesce(scalar("author"), F.lit("")).alias("author"),
+    )
+    keyed = with_dedup_keys(
+        verify, title_col="title", author_col="author", isbn_col="isbn"
+    )
+    out = deduplicate(
+        keyed,
+        id_col="_id",
+        source_col="source_id",
+        key_cols=[c for c in ("isbn_keys", "title_keys") if c in keyed.columns],
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n_grouped = out.where(F.col("dedup_id").isNotNull()).count()
+    print(f"deduplicated: {n_grouped} records in groups -> {args.out}")
+
+
+def cmd_update_index(args) -> None:
+    spark = _spark("rm-update-index")
+    cfg = _load_config(args.config, args.source)
+    mapdir = args.mappings or os.path.join(
+        os.path.dirname(os.path.abspath(args.config)), "..", "mappings"
+    )
+    compiled = CF.compile_source(
+        cfg, lambda name: open(os.path.join(mapdir, name)).read()
+    )
+    records = spark.read.parquet(args.records).where(
+        (F.col("source_id") == cfg.id) & (~F.col("deleted"))
+    )
+    wide = extract_wide(records, cfg.format)
+    # the indexed id is the STORE's id — already source-prefixed at import
+    # (SolrUpdater indexes $record['_id'], not the driver's local id)
+    wide = wide.withColumn("id", F.col("_id"))
+    if cfg.institution and "institution" not in wide.columns:
+        wide = wide.withColumn("institution", F.lit(cfg.institution))
+    out = CF.apply_source_pipeline(
+        wide, compiled, hierarchical_facets=args.hierarchical_facet or []
+    )
+    from .operators.normalize import normalize_fields
+    from .sinks.solr import write_update_batches
+
+    payload_cols = [
+        c for c in out.columns if c not in ("original_data", "__m")
+    ]
+    final = normalize_fields(out.select(*payload_cols))
+    write_update_batches(final, args.out, max_update_records=args.batch_size)
+    print(f"wrote update batches for {cfg.id} -> {args.out}")
+
+
+def cmd_export(args) -> None:
+    spark = _spark("rm-export")
+    from .sinks.export import export_records, write_export
+
+    records = spark.read.parquet(args.records)
+    out = export_records(
+        records,
+        skip=args.skip,
+        xpath_predicate=args.xpath_predicate,
+    )
+    write_export(
+        out.select("_id", "original_data"), args.out,
+        batch_size=args.batch_size,
+    )
+    print(f"exported -> {args.out}")
+
+
+def cmd_count_values(args) -> None:
+    spark = _spark("rm-count-values")
+    from .operators.count_values import count_values
+
+    records = spark.read.parquet(args.records)
+    if args.field in records.columns:
+        df = records
+    else:
+        if not args.format:
+            fmts = [
+                r[0] for r in records.select("format").distinct().collect()
+            ]
+            args.format = fmts[0] if len(fmts) == 1 else None
+        if not args.format:
+            raise SystemExit("--format required to extract a driver field")
+        df = extract_wide(records, args.format)
+    for row in count_values(df, args.field).take(args.top):
+        print(f"{row['count']:8d}  {row['value']}")
+
+
+def cmd_preview(args) -> None:
+    spark = _spark("rm-preview")
+    from .operators.preview import preview_record
+
+    raw = open(args.file).read()
+    kwargs = {}
+    if args.config and args.source:
+        cfg = _load_config(args.config, args.source)
+        kwargs["source_id"] = cfg.id
+        if cfg.institution:
+            kwargs["institution_field"] = cfg.institution
+        if cfg.field_rules:
+            kwargs["field_rules"] = cfg.field_rules
+    out = preview_record(spark, raw, fmt=args.format, **kwargs)
+    json.dump(out, sys.stdout, indent=2, sort_keys=True, default=str)
+    print()
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="recordmanager_spark",
+        description=__doc__.splitlines()[0],
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("import", help="file(s) -> records table")
+    s.add_argument("--config", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--file", required=True)
+    s.add_argument("--records", required=True)
+    s.add_argument("--record-tag")
+    s.add_argument("--id-tag")
+    s.set_defaults(fn=cmd_import)
+
+    s = sub.add_parser("deduplicate", help="records table -> (id, dedup_id)")
+    s.add_argument("--records", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--format")
+    s.set_defaults(fn=cmd_deduplicate)
+
+    s = sub.add_parser(
+        "update-index", help="records table -> Solr JSON update batches"
+    )
+    s.add_argument("--records", required=True)
+    s.add_argument("--config", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--mappings", help="mapping-file directory")
+    s.add_argument("--batch-size", type=int, default=5000)
+    s.add_argument("--hierarchical-facet", action="append")
+    s.set_defaults(fn=cmd_update_index)
+
+    s = sub.add_parser("export", help="records table -> export files")
+    s.add_argument("--records", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--skip", type=int, default=0)
+    s.add_argument("--xpath-predicate")
+    s.add_argument("--batch-size", type=int)
+    s.set_defaults(fn=cmd_export)
+
+    s = sub.add_parser("count-values", help="field histogram")
+    s.add_argument("--records", required=True)
+    s.add_argument("--field", required=True)
+    s.add_argument("--format")
+    s.add_argument("--top", type=int, default=20)
+    s.set_defaults(fn=cmd_count_values)
+
+    s = sub.add_parser("preview", help="one record -> field map JSON")
+    s.add_argument("--file", required=True)
+    s.add_argument("--format", default="marc")
+    s.add_argument("--config")
+    s.add_argument("--source")
+    s.set_defaults(fn=cmd_preview)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -212,7 +212,20 @@ def apply_source_pipeline(
         out = MP.apply_field_rules(out, cfg.field_rules)
     for fld, mapping in compiled.mappings.items():
         if fld in out.columns:
-            out = out.withColumn(fld, MP.map_array_column(F.col(fld), mapping))
+            if dict(out.dtypes)[fld].startswith("array"):
+                out = out.withColumn(
+                    fld, MP.map_array_column(F.col(fld), mapping)
+                )
+            else:
+                # scalar field: mapValue of the single value; a multi-
+                # valued mapping result keeps its first entry (the
+                # reference's scalar fields stay scalar)
+                out = out.withColumn(
+                    fld,
+                    F.element_at(
+                        MP.map_value_expr(F.col(fld), mapping), 1
+                    ),
+                )
     if cfg.institution and "building" in out.columns:
         if cfg.institution_in_building == "institution":
             out = NZ.add_institution_to_building(out, cfg.institution)

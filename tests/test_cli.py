@@ -1,0 +1,111 @@
+"""End-to-end console-command tests: import → deduplicate →
+update-index → export → count-values → preview over a temp record
+store, mirroring the reference's command lifecycle (§3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from recordmanager_spark.cli import main
+
+
+def _dc(rec_id: str, title: str, creator: str) -> str:
+    return (
+        f"<record><recordID>{rec_id}</recordID><title>{title}</title>"
+        f"<creator>{creator}</creator><type>Text</type></record>"
+    )
+
+
+@pytest.fixture()
+def workspace(tmp_path, spark):
+    conf = tmp_path / "conf"
+    maps = tmp_path / "mappings"
+    conf.mkdir()
+    maps.mkdir()
+    (conf / "datasources.ini").write_text(
+        """
+[libA]
+institution = InstA
+format = dc
+recordXPath = //record
+fieldRules[] = "copy format genre_facet"
+format_mapping = formats.map
+extraFields[] = sector_str_mv:library
+
+[libB]
+institution = InstB
+format = dc
+idPrefix = B
+"""
+    )
+    (maps / "formats.map").write_text("Text = Book\n##default = Other\n")
+    (tmp_path / "a.xml").write_text(
+        "<collection>"
+        + _dc("a1", "Shared Chronicle", "Chronicler, C.")
+        + _dc("a2", "Only In A", "Author, A.")
+        + "</collection>"
+    )
+    (tmp_path / "b.xml").write_text(
+        "<collection>"
+        + _dc("b1", "Shared Chronicle", "Chronicler, C.")
+        + _dc("b2", "Only In B", "Writer, W.")
+        + "</collection>"
+    )
+    return tmp_path
+
+
+def test_cli_lifecycle(workspace, spark, capsys):
+    ws = str(workspace)
+    cfg = f"{ws}/conf/datasources.ini"
+    records = f"{ws}/records"
+
+    main(["import", "--config", cfg, "--source", "libA",
+          "--file", f"{ws}/a.xml", "--records", records,
+          "--id-tag", "recordID"])
+    main(["import", "--config", cfg, "--source", "libB",
+          "--file", f"{ws}/b.xml", "--records", records,
+          "--id-tag", "recordID"])
+    stored = spark.read.parquet(records)
+    ids = sorted(r._id for r in stored.collect())
+    # libA uses the section name as prefix; libB overrides with idPrefix
+    assert ids == ["B.b1", "B.b2", "libA.a1", "libA.a2"]
+
+    # re-import of the same file upserts, not duplicates
+    main(["import", "--config", cfg, "--source", "libA",
+          "--file", f"{ws}/a.xml", "--records", records,
+          "--id-tag", "recordID"])
+    assert spark.read.parquet(records).count() == 4
+
+    main(["deduplicate", "--records", records, "--out", f"{ws}/dedup"])
+    dd = {r.id: r.dedup_id for r in spark.read.parquet(f"{ws}/dedup").collect()}
+    # the shared title+author pair groups across sources; group id = min id
+    assert dd.get("B.b1") == dd.get("libA.a1") is not None
+
+    main(["update-index", "--records", records, "--config", cfg,
+          "--source", "libA", "--out", f"{ws}/solr",
+          "--mappings", f"{ws}/mappings"])
+    docs = {r["id"]: r.asDict() for r in spark.read.json(f"{ws}/solr").collect()}
+    assert set(docs) == {"libA.a1", "libA.a2"}
+    d = docs["libA.a1"]
+    assert d["genre_facet"] == ["Text"]  # copied before the mapping ran
+    assert d["format"] == "Book"  # mapped (scalar format column for dc)
+    assert d["sector_str_mv"] == ["library"]
+    assert d["institution"] == "InstA"
+
+    main(["export", "--records", records, "--out", f"{ws}/export"])
+    exported = spark.read.json(f"{ws}/export")
+    assert exported.count() == 4
+    assert set(exported.columns) == {"_id", "original_data"}
+
+    main(["count-values", "--records", records, "--field", "format"])
+    out = capsys.readouterr().out
+    assert "dc" in out  # the stored format column histogram
+
+    rec = f"{ws}/one.xml"
+    open(rec, "w").write(_dc("p1", "Preview Me", "Previewer, P."))
+    main(["preview", "--file", rec, "--format", "dc"])
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["title"] == "Preview Me"
