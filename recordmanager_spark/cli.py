@@ -155,6 +155,51 @@ def cmd_import(args) -> None:
     print(f"imported {args.file}: records table now {n} rows")
 
 
+def cmd_harvest(args) -> None:
+    """OAI-PMH response pages (already fetched — networking is the
+    caller's; Command/Records/Harvest.php drives the same parse) →
+    records table. Deleted-status headers mark rows deleted."""
+    spark = _spark("rm-harvest")
+    cfg = _load_config(args.config, args.source)
+    from .sources.oaipmh import harvest_records
+    from .sources.upsert import upsert_records
+
+    pages = spark.read.text(args.pages, wholetext=True).withColumnRenamed(
+        "value", "xml"
+    )
+    id_search = id_replace = None
+    if cfg.id_search_replace:
+        id_search, _ = _php_regex(cfg.id_search_replace[0][0])
+        id_replace = cfg.id_search_replace[0][1]
+    recs = harvest_records(
+        pages,
+        id_search=id_search,
+        id_replace=id_replace,
+        id_prefix=cfg.effective_id_prefix,
+    )
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    batch = recs.select(
+        "_id",
+        F.lit(cfg.id).alias("source_id"),
+        F.lit(cfg.format).alias("format"),
+        F.col("metadata_xml").alias("original_data"),
+        F.col("deleted"),
+        F.lit(now).alias("created"),
+        F.lit(now).alias("updated"),
+    )
+    if os.path.exists(args.records):
+        existing = spark.read.parquet(args.records)
+        merged = upsert_records(existing, batch, now)
+        merged.write.mode("overwrite").parquet(args.records + ".tmp")
+        merged = spark.read.parquet(args.records + ".tmp")
+        merged.write.mode("overwrite").parquet(args.records)
+        n = merged.count()
+    else:
+        batch.write.mode("overwrite").parquet(args.records)
+        n = batch.count()
+    print(f"harvested {args.pages}: records table now {n} rows")
+
+
 def cmd_deduplicate(args) -> None:
     spark = _spark("rm-dedup")
     from .operators.dedup import deduplicate, with_dedup_keys
@@ -236,13 +281,19 @@ def cmd_update_index(args) -> None:
         wide, compiled, hierarchical_facets=args.hierarchical_facet or []
     )
     from .operators.normalize import normalize_fields
-    from .sinks.solr import write_update_batches
+    from .sinks.solr import write_delete_batches, write_update_batches
 
     payload_cols = [
         c for c in out.columns if c not in ("original_data", "__m")
     ]
-    final = normalize_fields(out.select(*payload_cols))
+    # barrier: the wide frame is raw extractor expressions here, and
+    # Python UDF extraction cannot cross lambda-bearing subtrees
+    final = normalize_fields(out.select(*payload_cols), barrier=True)
     write_update_batches(final, args.out, max_update_records=args.batch_size)
+    deleted = spark.read.parquet(args.records).where(
+        (F.col("source_id") == cfg.id) & F.col("deleted")
+    )
+    write_delete_batches(deleted, "_id", args.out + "-deletes")
     print(f"wrote update batches for {cfg.id} -> {args.out}")
 
 
@@ -316,6 +367,15 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--record-tag")
     s.add_argument("--id-tag")
     s.set_defaults(fn=cmd_import)
+
+    s = sub.add_parser(
+        "harvest", help="fetched OAI-PMH response pages -> records table"
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--pages", required=True, help="response page file(s)")
+    s.add_argument("--records", required=True)
+    s.set_defaults(fn=cmd_harvest)
 
     s = sub.add_parser("deduplicate", help="records table -> (id, dedup_id)")
     s.add_argument("--records", required=True)

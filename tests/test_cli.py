@@ -109,3 +109,38 @@ def test_cli_lifecycle(workspace, spark, capsys):
     main(["preview", "--file", rec, "--format", "dc"])
     payload = json.loads(capsys.readouterr().out)
     assert payload["title"] == "Preview Me"
+
+
+def test_cli_harvest_and_deletions(tmp_path, spark):
+    """harvest: fetched OAI-PMH pages -> records table with deleted
+    headers honored; update-index writes delete batches for them."""
+    (tmp_path / "ds.ini").write_text(
+        "[oai]\ninstitution = I\nformat = dc\n"
+        'idSearch[] = "/^oai:x:rec/"\nidReplace[] = "r-"\n'
+    )
+    page = """<OAI-PMH><ListRecords>
+      <record><header><identifier>oai:x:rec1</identifier>
+        <datestamp>2024-01-01</datestamp></header>
+        <metadata><dc><recordID>rec1</recordID><title>T1</title></dc></metadata>
+      </record>
+      <record><header status="deleted"><identifier>oai:x:rec2</identifier>
+        <datestamp>2024-01-02</datestamp></header>
+      </record>
+    </ListRecords></OAI-PMH>"""
+    (tmp_path / "page1.xml").write_text(page)
+    records = str(tmp_path / "records")
+    main(["harvest", "--config", str(tmp_path / "ds.ini"), "--source", "oai",
+          "--pages", str(tmp_path / "page1.xml"), "--records", records])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert set(rows) == {"oai.r-1", "oai.r-2"}  # idSearch/idReplace applied
+    assert rows["oai.r-2"].deleted is True
+    assert "<title>T1</title>" in rows["oai.r-1"].original_data
+
+    out = str(tmp_path / "solr")
+    main(["update-index", "--records", records,
+          "--config", str(tmp_path / "ds.ini"), "--source", "oai",
+          "--out", out, "--mappings", str(tmp_path)])
+    live = [r["id"] for r in spark.read.json(out).collect()]
+    assert live == ["oai.r-1"]
+    deletes = [r["id"] for r in spark.read.json(out + "-deletes").collect()]
+    assert deletes == ["oai.r-2"]
