@@ -2538,6 +2538,21 @@ def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def quality_buckets_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing per language: exact per-group
+    score percentiles (the deterministic stand-in scorer — a salted md5
+    unit hash standing where a real LM perplexity would plug in),
+    thresholds broadcast back, scan-stage assignment."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    scored = d.withColumn(
+        "score", F.round(PK.perplexity_score_stub(F.col("doc_id")), 9)
+    )
+    out = PK.quality_buckets(scored, "score", by="lang")
+    return out.select("doc_id", "lang", "score", "bucket")
+
+
 def config_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
     """datasources.ini-driven pipeline tail: a source config parsed from
     the reference's ini dialect (fieldRules copy + format mapping with
@@ -3072,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_docs": url_blocklist_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
+        "quality_buckets_docs": quality_buckets_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3109,8 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_import_entities": rdf_import_entities,
         "pipeline_end_to_end": pipeline_end_to_end,
         "ese_extract": ese_extract,
-        "doaj_extract": doaj_extract,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
         "ead3_split_extract": ead3_split_extract,
@@ -4705,6 +4721,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "quality_buckets_docs": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     round(
+                       CAST(list_sum(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5('ppl' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                         / 4294967296.0, 9) AS score
+              FROM documents
+            ),
+            th AS (
+              SELECT lang,
+                     quantile_cont(score, 1.0/3.0) AS q1,
+                     quantile_cont(score, 2.0/3.0) AS q2
+              FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.score,
+                   CASE WHEN s.score <= th.q1 THEN 'head'
+                        WHEN s.score <= th.q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN th USING (lang)
         """,
         "config_pipeline_orders": """
             SELECT CAST(o_orderkey AS VARCHAR) AS id,

@@ -153,6 +153,56 @@ def mix_sources(
     )
 
 
+def perplexity_score_stub(col: Column | str, salt: str = "ppl") -> Column:
+    """DETERMINISTIC STAND-IN for an LM perplexity scorer (no language
+    model ships in this runtime — the honest-stub pattern of
+    operators/multimodal.py). Scores are a salted md5 unit hash of the
+    content, uniform on [0, 1); a real deployment swaps in a
+    ``mapInPandas`` batch scorer with the same (text) -> double shape
+    and everything downstream (per-language thresholds, bucketing) is
+    unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return unit_hash(c, salt)
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): within
+    each ``by`` group (language), EXACT score percentiles at ``cuts``
+    split documents into head / middle / tail — lower score = better =
+    head, like perplexity.
+
+    Plan shape: one groupBy computes the per-group thresholds (exact
+    ``percentile`` — interpolation matches DuckDB's quantile_cont, so
+    the oracle reproduces it bit-for-bit); the few-row threshold table
+    broadcasts back, and assignment is a scan-stage comparison. The
+    corpus never shuffles.
+    """
+    th = (
+        df.groupBy(by)
+        .agg(
+            F.expr(f"percentile({score_col}, {cuts[0]!r})").alias("__q1"),
+            F.expr(f"percentile({score_col}, {cuts[1]!r})").alias("__q2"),
+        )
+        .withColumnRenamed(by, "__qb_grp")
+    )
+    if broadcast_thresholds:
+        th = F.broadcast(th)
+    out = df.join(th, df[by] == th["__qb_grp"], "left").drop("__qb_grp")
+    s = F.col(score_col)
+    return out.withColumn(
+        "bucket",
+        F.when(s <= F.col("__q1"), F.lit("head"))
+        .when(s <= F.col("__q2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("__q1", "__q2")
+
+
 def temperature_mix(
     df: DataFrame,
     *,

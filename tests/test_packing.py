@@ -171,3 +171,27 @@ def test_temperature_one_is_proportional(spark):
     # τ=1 -> every weight is exactly 1.0 -> identity with rep=0
     got = sorted((r.doc_id, r.rep) for r in out.collect())
     assert got == sorted((f"d{i}", 0) for i in range(10))
+
+
+def test_quality_buckets_per_group(spark):
+    """Head/middle/tail by per-group exact percentiles: 9 docs per lang
+    split 3/3/3; groups bucket independently."""
+    from recordmanager_spark.operators import packing as PK
+
+    rows = [(f"{lang}{i}", lang, float(i)) for lang in ("en", "fi") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    out = {r.doc_id: r.bucket for r in PK.quality_buckets(df, "score").collect()}
+    for lang in ("en", "fi"):
+        assert [out[f"{lang}{i}"] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+
+def test_perplexity_stub_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "t string")
+    got = [r.s for r in df.select(PK.perplexity_score_stub("t").alias("s")).collect()]
+    assert got[0] == got[2] and 0.0 <= got[0] < 1.0 and got[0] != got[1]
