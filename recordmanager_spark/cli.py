@@ -334,6 +334,109 @@ def cmd_count_values(args) -> None:
         print(f"{row['count']:8d}  {row['value']}")
 
 
+def _rewrite_records(spark, path: str, df) -> int:
+    """Replace the records table (parquet cannot overwrite its own scan
+    input in place: write tmp, re-read, overwrite)."""
+    df.write.mode("overwrite").parquet(path + ".tmp")
+    out = spark.read.parquet(path + ".tmp")
+    out.write.mode("overwrite").parquet(path)
+    return out.count()
+
+
+def _id_filter(args):
+    cond = None
+    if args.id:
+        cond = F.col("_id").isin(args.id)
+    if getattr(args, "source", None):
+        c2 = F.col("source_id") == args.source
+        cond = c2 if cond is None else (cond & c2)
+    if cond is None:
+        raise SystemExit("give --id and/or --source")
+    return cond
+
+
+def cmd_mark_deleted(args) -> None:
+    """Records/MarkDeleted.php: flip deleted=true (kept in the table so
+    deletions propagate to the index; purge-deleted removes them)."""
+    spark = _spark("rm-mark-deleted")
+    records = spark.read.parquet(args.records)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cond = _id_filter(args)
+    updated = records.withColumns(
+        {
+            "deleted": F.when(cond, F.lit(True)).otherwise(F.col("deleted")),
+            "updated": F.when(cond, F.lit(now)).otherwise(F.col("updated")),
+        }
+    )
+    n = _rewrite_records(spark, args.records, updated)
+    print(f"marked deleted where matched; table {n} rows")
+
+
+def cmd_suppress(args, value: bool = True) -> None:
+    """Records/{Suppress,Unsuppress}.php: set the suppressed flag; the
+    filter DSL's suppressOnField keeps suppressed rows out of serving."""
+    spark = _spark("rm-suppress")
+    records = spark.read.parquet(args.records)
+    if "suppressed" not in records.columns:
+        records = records.withColumn("suppressed", F.lit(False))
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cond = _id_filter(args)
+    updated = records.withColumns(
+        {
+            "suppressed": F.when(cond, F.lit(value)).otherwise(
+                F.col("suppressed")
+            ),
+            "updated": F.when(cond, F.lit(now)).otherwise(F.col("updated")),
+        }
+    )
+    n = _rewrite_records(spark, args.records, updated)
+    print(("suppressed" if value else "unsuppressed") + f"; table {n} rows")
+
+
+def cmd_delete_source(args) -> None:
+    """Sources/Delete.php semantics on the record store: every record of
+    the source is marked deleted (index deletions flow from there)."""
+    spark = _spark("rm-delete-source")
+    records = spark.read.parquet(args.records)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cond = F.col("source_id") == args.source
+    updated = records.withColumns(
+        {
+            "deleted": F.when(cond, F.lit(True)).otherwise(F.col("deleted")),
+            "updated": F.when(cond, F.lit(now)).otherwise(F.col("updated")),
+        }
+    )
+    n = _rewrite_records(spark, args.records, updated)
+    print(f"source {args.source} marked deleted; table {n} rows")
+
+
+def cmd_purge_deleted(args) -> None:
+    """Records/PurgeDeleted.php: physically drop deleted rows, optionally
+    only those deleted before --older-than (ISO date)."""
+    spark = _spark("rm-purge")
+    records = spark.read.parquet(args.records)
+    cond = F.col("deleted")
+    if args.older_than:
+        cond = cond & (
+            F.col("updated") < F.lit(_dt.datetime.fromisoformat(args.older_than))
+        )
+    kept = records.where(~cond)
+    n = _rewrite_records(spark, args.records, kept)
+    print(f"purged; table {n} rows")
+
+
+def cmd_dump(args) -> None:
+    """Records/Dump.php: print a record's stored row(s) as JSON."""
+    spark = _spark("rm-dump")
+    records = spark.read.parquet(args.records).where(F.col("_id").isin(args.id))
+    for r in records.collect():
+        json.dump(
+            {k: v for k, v in r.asDict().items()},
+            sys.stdout, sort_keys=True, default=str,
+        )
+        print()
+
+
 def cmd_preview(args) -> None:
     spark = _spark("rm-preview")
     from .operators.preview import preview_record
@@ -409,6 +512,39 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--format")
     s.add_argument("--top", type=int, default=20)
     s.set_defaults(fn=cmd_count_values)
+
+    s = sub.add_parser("mark-deleted", help="flip deleted=true by id/source")
+    s.add_argument("--records", required=True)
+    s.add_argument("--id", action="append")
+    s.add_argument("--source")
+    s.set_defaults(fn=cmd_mark_deleted)
+
+    s = sub.add_parser("suppress", help="set suppressed=true by id/source")
+    s.add_argument("--records", required=True)
+    s.add_argument("--id", action="append")
+    s.add_argument("--source")
+    s.set_defaults(fn=cmd_suppress)
+
+    s = sub.add_parser("unsuppress", help="set suppressed=false by id/source")
+    s.add_argument("--records", required=True)
+    s.add_argument("--id", action="append")
+    s.add_argument("--source")
+    s.set_defaults(fn=lambda a: cmd_suppress(a, value=False))
+
+    s = sub.add_parser("delete-source", help="mark a whole source deleted")
+    s.add_argument("--records", required=True)
+    s.add_argument("--source", required=True)
+    s.set_defaults(fn=cmd_delete_source)
+
+    s = sub.add_parser("purge-deleted", help="physically drop deleted rows")
+    s.add_argument("--records", required=True)
+    s.add_argument("--older-than", help="ISO date; only older deletions")
+    s.set_defaults(fn=cmd_purge_deleted)
+
+    s = sub.add_parser("dump", help="print stored record rows as JSON")
+    s.add_argument("--records", required=True)
+    s.add_argument("--id", action="append", required=True)
+    s.set_defaults(fn=cmd_dump)
 
     s = sub.add_parser("preview", help="one record -> field map JSON")
     s.add_argument("--file", required=True)

@@ -144,3 +144,50 @@ def test_cli_harvest_and_deletions(tmp_path, spark):
     assert live == ["oai.r-1"]
     deletes = [r["id"] for r in spark.read.json(out + "-deletes").collect()]
     assert deletes == ["oai.r-2"]
+
+
+def test_cli_record_management(tmp_path, spark, capsys):
+    """mark-deleted / suppress / unsuppress / delete-source /
+    purge-deleted / dump over a small store."""
+    (tmp_path / "ds.ini").write_text("[s1]\ninstitution = I\nformat = dc\n"
+                                     "\n[s2]\ninstitution = J\nformat = dc\n")
+    (tmp_path / "a.xml").write_text(
+        "<collection>" + _dc("a1", "T1", "A.") + _dc("a2", "T2", "B.") + "</collection>"
+    )
+    (tmp_path / "b.xml").write_text(
+        "<collection>" + _dc("b1", "T3", "C.") + "</collection>"
+    )
+    records = str(tmp_path / "records")
+    cfg = str(tmp_path / "ds.ini")
+    main(["import", "--config", cfg, "--source", "s1",
+          "--file", str(tmp_path / "a.xml"), "--records", records,
+          "--id-tag", "recordID"])
+    main(["import", "--config", cfg, "--source", "s2",
+          "--file", str(tmp_path / "b.xml"), "--records", records,
+          "--id-tag", "recordID"])
+
+    main(["mark-deleted", "--records", records, "--id", "s1.a1"])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert rows["s1.a1"].deleted is True and rows["s1.a2"].deleted is False
+
+    main(["suppress", "--records", records, "--id", "s1.a2"])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert rows["s1.a2"].suppressed is True
+    main(["unsuppress", "--records", records, "--id", "s1.a2"])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert rows["s1.a2"].suppressed is False
+
+    main(["delete-source", "--records", records, "--source", "s2"])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert rows["s2.b1"].deleted is True
+
+    capsys.readouterr()  # drain prior command chatter
+    main(["dump", "--records", records, "--id", "s1.a2"])
+    import json as _json
+
+    payload = _json.loads(capsys.readouterr().out)
+    assert payload["_id"] == "s1.a2" and "<title>T2</title>" in payload["original_data"]
+
+    main(["purge-deleted", "--records", records])
+    left = sorted(r._id for r in spark.read.parquet(records).collect())
+    assert left == ["s1.a2"]
