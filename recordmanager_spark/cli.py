@@ -425,6 +425,47 @@ def cmd_purge_deleted(args) -> None:
     print(f"purged; table {n} rows")
 
 
+def cmd_mark_for_update(args) -> None:
+    """Records/MarkForUpdate.php + Renormalize.php: stamp ``updated`` so
+    watermark-driven incremental runs (changed-since) reprocess the
+    matched rows; with --set-update-needed also flips the dirty flag the
+    incremental dedup pipeline consumes."""
+    spark = _spark("rm-mark-for-update")
+    records = spark.read.parquet(args.records)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cond = _id_filter(args)
+    updates = {
+        "updated": F.when(cond, F.lit(now)).otherwise(F.col("updated")),
+    }
+    if args.set_update_needed:
+        base = (
+            F.col("update_needed")
+            if "update_needed" in records.columns
+            else F.lit(False)
+        )
+        updates["update_needed"] = F.when(cond, F.lit(True)).otherwise(base)
+    n = _rewrite_records(spark, args.records, records.withColumns(updates))
+    print(f"marked for update; table {n} rows")
+
+
+def cmd_check_dedup(args) -> None:
+    """Records/CheckDedup.php: validate a (id, dedup_id) assignment
+    against the group invariants; prints violations, exit 1 if any."""
+    spark = _spark("rm-check-dedup")
+    from .operators.dedup import check_dedup_consistency
+
+    records = spark.read.parquet(args.records)
+    assignment = spark.read.parquet(args.dedup).withColumnRenamed(
+        "id", "_id"
+    )
+    issues = check_dedup_consistency(assignment, records).collect()
+    for r in issues:
+        print(f"{r['issue']}: {r['id']} (group {r['dedup_id']})")
+    if issues:
+        raise SystemExit(1)
+    print("dedup assignment consistent")
+
+
 def cmd_dump(args) -> None:
     """Records/Dump.php: print a record's stored row(s) as JSON."""
     spark = _spark("rm-dump")
@@ -540,6 +581,20 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--records", required=True)
     s.add_argument("--older-than", help="ISO date; only older deletions")
     s.set_defaults(fn=cmd_purge_deleted)
+
+    s = sub.add_parser(
+        "mark-for-update", help="stamp updated (and optionally the dirty flag)"
+    )
+    s.add_argument("--records", required=True)
+    s.add_argument("--id", action="append")
+    s.add_argument("--source")
+    s.add_argument("--set-update-needed", action="store_true")
+    s.set_defaults(fn=cmd_mark_for_update)
+
+    s = sub.add_parser("check-dedup", help="validate a dedup assignment")
+    s.add_argument("--records", required=True)
+    s.add_argument("--dedup", required=True)
+    s.set_defaults(fn=cmd_check_dedup)
 
     s = sub.add_parser("dump", help="print stored record rows as JSON")
     s.add_argument("--records", required=True)

@@ -191,3 +191,36 @@ def test_cli_record_management(tmp_path, spark, capsys):
     main(["purge-deleted", "--records", records])
     left = sorted(r._id for r in spark.read.parquet(records).collect())
     assert left == ["s1.a2"]
+
+
+def test_cli_mark_for_update_and_check_dedup(tmp_path, spark, capsys):
+    (tmp_path / "ds.ini").write_text("[s1]\ninstitution = I\nformat = dc\n")
+    (tmp_path / "a.xml").write_text(
+        "<collection>"
+        + _dc("a1", "Same Book", "Author, A.")
+        + _dc("a2", "Same Book", "Author, A.")
+        + "</collection>"
+    )
+    records = str(tmp_path / "records")
+    main(["import", "--config", str(tmp_path / "ds.ini"), "--source", "s1",
+          "--file", str(tmp_path / "a.xml"), "--records", records,
+          "--id-tag", "recordID"])
+    before = {r._id: r.updated for r in spark.read.parquet(records).collect()}
+    main(["mark-for-update", "--records", records, "--id", "s1.a1",
+          "--set-update-needed"])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert rows["s1.a1"].updated > before["s1.a1"]
+    assert rows["s1.a1"].update_needed is True
+    assert rows["s1.a2"].update_needed is False
+
+    # a broken assignment: both same-source records in one group
+    spark.createDataFrame(
+        [("s1.a1", "g1"), ("s1.a2", "g1")], "id string, dedup_id string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "dd"))
+    capsys.readouterr()
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["check-dedup", "--records", records,
+              "--dedup", str(tmp_path / "dd")])
+    assert "same_source_collision" in capsys.readouterr().out
