@@ -3073,8 +3073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a driver-recorded oracle row.
         # r4: 3 canaries + the 4 queries never yet in any
-        # CORRECTNESS_r*.json + 43 r1/r2-era refreshes (VERDICT r3,
-        # next-round item 3).
+        # CORRECTNESS_r*.json + the 6 operators new this round + 37
+        # r1/r2-era refreshes (VERDICT r3, next-round item 3).
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,

@@ -21,8 +21,8 @@ shipped ``transformations/*.xsl`` use:
     (no-op under supported instructions), apply-imports, and
     namespace-alias.
 
-Not implemented (and absent from the corpus): xsl:sort case-order/lang,
-document()'s two-argument base-URI form. Using one raises
+Not implemented (and absent from the corpus): xsl:sort lang (locale
+collation), document()'s two-argument base-URI form. Using one raises
 :class:`XsltError`.
 """
 
@@ -674,6 +674,22 @@ class _Run:
                     num = xp_number(sv)
                     # NaN sorts before every number in ascending order
                     keys.append((-1, 0.0) if num != num else (0, num))
+                elif s.get("case-order") in ("upper-first", "lower-first"):
+                    # XSLT 1.0 §10: case is a TIE-BREAK on otherwise
+                    # case-equal strings, in the requested direction
+                    first_upper = s.get("case-order") == "upper-first"
+                    keys.append(
+                        (
+                            sv.casefold(),
+                            tuple(
+                                (0 if ch.isupper() else 1)
+                                if first_upper
+                                else (0 if ch.islower() else 1)
+                                for ch in sv
+                            ),
+                            sv,
+                        )
+                    )
                 else:
                     keys.append(sv)
             keyed.append((keys, node))

@@ -686,3 +686,13 @@ def test_registered_extension_functions():
         },
     )
     assert sheet.transform("<r><t>uryyb</t></r>") == "<o>hello</o>"
+
+
+def test_sort_case_order():
+    xml = "<r><i>apple</i><i>Apple</i><i>banana</i><i>APPLE</i></r>"
+    body_u = """<xsl:template match="/">
+      <xsl:for-each select="r/i"><xsl:sort select="." case-order="upper-first"/>
+        <o><xsl:value-of select="."/></o></xsl:for-each></xsl:template>"""
+    assert _t(body_u, xml) == "<o>APPLE</o><o>Apple</o><o>apple</o><o>banana</o>"
+    body_l = body_u.replace("upper-first", "lower-first")
+    assert _t(body_l, xml) == "<o>apple</o><o>Apple</o><o>APPLE</o><o>banana</o>"
