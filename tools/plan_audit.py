@@ -70,6 +70,16 @@ AUDITS = [
     ("exact_substring_dedup_docs", 6, True, False,
      "gram-hash groupBy + dup-hash join + per-doc position groupBy; the "
      "position lists broadcast back to the records — text never shuffles"),
+    ("quality_buckets_docs", 2, True, False,
+     "one few-row per-language percentile groupBy; thresholds broadcast "
+     "back; assignment is scan-stage — the corpus never shuffles"),
+    ("temperature_mix_docs", 0, False, False,
+     "weight table is driver-computed literals; the epoch expansion is "
+     "map-side explode — zero shuffles"),
+    ("url_blocklist_docs", 0, False, False,
+     "pure scan-stage projection (host regex + literal-array membership)"),
+    ("config_pipeline_orders", 0, False, False,
+     "config-compiled rewrites are withColumn projections — zero shuffles"),
 ]
 
 
