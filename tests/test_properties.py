@@ -229,3 +229,69 @@ def test_array_iunique_case_insensitive_distinct(spark, arrays):
                 seen.add(x.lower())
                 model.append(x)
         assert o == model
+
+
+_WORD = st.text(string.ascii_lowercase, min_size=1, max_size=5)
+_DOC = st.lists(_WORD, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=12))
+def test_exact_substring_dedup_invariants(spark, docs):
+    """removed + kept = n_tokens; cleaned text has exactly kept tokens;
+    never removes more than exists; duplicated whole-doc pairs with
+    >= window tokens lose their entire span."""
+    from recordmanager_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [(f"d{i}", t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = exact_substring_dedup(df, window=3).collect()
+    by_id = {r.doc_id: r for r in out}
+    for i, t in enumerate(docs):
+        r = by_id[f"d{i}"]
+        toks = [x for x in t.split() if x]
+        assert r.n_tokens == len(toks)
+        assert r.removed_tokens + r.kept_tokens == r.n_tokens
+        assert 0 <= r.removed_tokens <= r.n_tokens
+        cleaned = [x for x in r.cleaned_text.split() if x]
+        assert len(cleaned) == r.kept_tokens
+        # kept tokens are a subsequence of the original
+        it = iter(toks)
+        assert all(any(x == y for y in it) for x in cleaned)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "fi", "zh"]), st.integers(0, 10**6)),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_quality_buckets_invariants(spark, rows):
+    """Every row lands in exactly one bucket; per group, head count is
+    within one of n/3 when scores are distinct; buckets are monotone in
+    score within a group."""
+    from recordmanager_spark.operators.packing import quality_buckets
+
+    data = [(f"d{i}", lang, float(sc)) for i, (lang, sc) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id string, lang string, score double")
+    out = quality_buckets(df, "score").collect()
+    assert len(out) == len(data)
+    by_lang: dict = {}
+    for r in out:
+        assert r.bucket in ("head", "middle", "tail")
+        by_lang.setdefault(r.lang, []).append((r.score, r.bucket))
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for members in by_lang.values():
+        members.sort()
+        labels = [order[b] for _, b in members]
+        assert labels == sorted(labels)  # monotone in score
+        n = len(members)
+        heads = labels.count(0)
+        import math
+
+        assert abs(heads - n / 3) <= 1
