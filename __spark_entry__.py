@@ -670,8 +670,9 @@ def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def winnow_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Pairs sharing >= 30 winnowed fingerprints (containment-style
-    near-dup detection). bucket_cap=1000 never binds at this sf (max
-    posting list = doc count); the cap's skew bound is unit-tested."""
+    near-dup detection). bucket_cap=1000 is the deterministic skew guard
+    (lowest ids win); the oracle models the same cap, so the comparison
+    holds at every sf — at sf0.01 it never binds, at sf0.1+ it does."""
     return TD.winnow_near_duplicates(
         _t(spark, sf, "documents"), "doc_id", "text",
         min_shared=30, bucket_cap=1000,
@@ -4459,10 +4460,20 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             ), posts AS (
               SELECT doc_id, unnest(list_distinct(wins)) AS fph FROM wmin
+            ), capped AS (
+              -- the operator caps each fingerprint's posting list at
+              -- 1000 lowest ids (deterministic skew guard); model it so
+              -- the oracle matches at every scale factor
+              SELECT doc_id, fph,
+                     row_number() OVER (PARTITION BY fph ORDER BY doc_id)
+                         AS rn
+              FROM posts
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) AS shared
-            FROM posts a JOIN posts b ON a.fph = b.fph AND a.doc_id < b.doc_id
+            FROM capped a JOIN capped b
+              ON a.fph = b.fph AND a.doc_id < b.doc_id
+            WHERE a.rn <= 1000 AND b.rn <= 1000
             GROUP BY 1, 2
             HAVING count(*) >= 30
         """,
