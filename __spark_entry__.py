@@ -2539,6 +2539,29 @@ def stateful_skip_unchanged(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def near_dup_prune_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster pruning: chain edges link every doc to its
+    doc_id%40 group (transitive clusters the CC must resolve), quality
+    is the deterministic unit-hash score, and exactly one best-quality
+    representative per cluster survives (ties to smallest id)."""
+    from recordmanager_spark.operators import packing as PK
+    from recordmanager_spark.operators.text_dedup import near_dup_prune
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    docs = d.withColumn(
+        "q", F.round(PK.perplexity_score_stub(F.col("doc_id"), salt="ndp"), 9)
+    )
+    pairs = (
+        d.where(F.col("doc_id") >= 40)
+        .select(
+            (F.col("doc_id") - 40).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+    )
+    out = near_dup_prune(docs, pairs, id_col="doc_id", quality_col="q")
+    return out.select("doc_id", "q", "cluster_id", "keep")
+
+
 def quality_buckets_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet head/middle/tail bucketing per language: exact per-group
     score percentiles (the deterministic stand-in scorer — a salted md5
@@ -3089,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
+        "near_dup_prune_docs": near_dup_prune_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -3125,8 +3149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genieplus_harvest_extract": genieplus_harvest_extract,
         "rdf_import_entities": rdf_import_entities,
         "pipeline_end_to_end": pipeline_end_to_end,
-        "ese_extract": ese_extract,
         # --- driver-verified in r2/r3; rotate back as needed ---
+        "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
         "forward_authority_extract": forward_authority_extract,
@@ -4732,6 +4756,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         - floor(pack_offset / 512) + 1 AS BIGINT) AS n_bins
             FROM c
+        """,
+        "near_dup_prune_docs": """
+            WITH scored AS (
+              SELECT doc_id, doc_id % 40 AS grp,
+                     round(
+                       CAST(list_sum(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5('ndp' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                         / 4294967296.0, 9) AS q
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, grp, q,
+                     row_number() OVER (
+                         PARTITION BY grp ORDER BY q DESC, doc_id
+                     ) AS rn,
+                     -- chain edges make each doc_id%40 group one cluster;
+                     -- the CC label is the LEXICOGRAPHICALLY smallest id
+                     -- string (the operator's cluster ids are strings)
+                     min(CAST(doc_id AS VARCHAR)) OVER (PARTITION BY grp)
+                         AS cluster_id
+              FROM scored
+            )
+            SELECT doc_id, q, cluster_id, (rn = 1) AS keep
+            FROM ranked
         """,
         "quality_buckets_docs": """
             WITH scored AS (

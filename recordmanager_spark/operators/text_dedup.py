@@ -497,3 +497,62 @@ def line_level_dedup(
     return df.select(F.col(id_col).alias("id")).join(kept, "id", "left").select(
         "id", F.coalesce("text", F.lit("")).alias("text")
     )
+
+
+def near_dup_prune(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE representative per near-duplicate cluster.
+
+    ``pairs`` are (id_a, id_b) near-dup edges from any of this module's
+    detectors (minhash / simhash / winnowing) or the embedding paths;
+    connected components resolve transitive clusters (operators/dedup's
+    adaptive CC: driver union-find under the 2M-edge threshold,
+    distributed min-label propagation above). Within a cluster the
+    highest ``quality_col`` wins, ties break to the smallest id; with no
+    quality column the smallest id wins outright (the common
+    keep-first-seen policy). Documents in no pair keep themselves.
+
+    Output = input + ``cluster_id`` (own id for singletons) + ``keep``.
+
+    Scale shape: the ranking window shuffles ONLY clustered rows
+    (bounded by the duplicate count, not the corpus); the cluster
+    assignment joins back hash-partitioned on the id.
+    """
+    from .dedup import connected_components
+
+    # the CC landing frame is string-typed (driver union-find path);
+    # compare and emit cluster ids as strings regardless of the id type
+    comps = connected_components(
+        pairs.select(
+            F.col(pairs.columns[0]).cast("string").alias("id_a"),
+            F.col(pairs.columns[1]).cast("string").alias("id_b"),
+        )
+    ).withColumnsRenamed({"id": "__nd_id", "component": "__nd_comp"})
+    sid = F.col(id_col).cast("string")
+    clustered = df.join(comps, sid == F.col("__nd_id"), "inner")
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("__nd_comp").orderBy(*order)
+    flags = clustered.withColumn("__nd_rn", F.row_number().over(w)).select(
+        F.col("__nd_id"),
+        F.col("__nd_comp"),
+        (F.col("__nd_rn") == 1).alias("__nd_keep"),
+    )
+    out = df.join(
+        flags, df[id_col].cast("string") == F.col("__nd_id"), "left"
+    )
+    return (
+        out.withColumn(
+            "cluster_id",
+            F.coalesce(F.col("__nd_comp"), F.col(id_col).cast("string")),
+        )
+        .withColumn("keep", F.coalesce(F.col("__nd_keep"), F.lit(True)))
+        .drop("__nd_id", "__nd_comp", "__nd_keep")
+    )

@@ -175,3 +175,33 @@ def test_line_level_dedup(spark):
         for r in TD.line_level_dedup(df, "doc_id", "text", max_docs=4).collect()
     }
     assert out2[1] == "HEADER\nalpha one\nFOOTER"
+
+
+def test_near_dup_prune_keeps_best_quality(spark):
+    """Transitive cluster {a,b,c} keeps the highest-quality member;
+    singleton d keeps itself; ties break to the smallest id."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from recordmanager_spark.operators.text_dedup import near_dup_prune
+
+    docs = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9), ("d", 0.1)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = {r.doc_id: r for r in near_dup_prune(docs, pairs, quality_col="q").collect()}
+    assert out["a"].cluster_id == out["b"].cluster_id == out["c"].cluster_id == "a"
+    # b and c tie on quality 0.9 -> smallest id b wins
+    assert [out[k].keep for k in ("a", "b", "c", "d")] == [False, True, False, True]
+    assert out["d"].cluster_id == "d"
+
+
+def test_near_dup_prune_no_quality_min_id(spark):
+    from recordmanager_spark.operators.text_dedup import near_dup_prune
+
+    docs = spark.createDataFrame([("x",), ("y",)], "doc_id string")
+    pairs = spark.createDataFrame([("y", "x")], "id_a string, id_b string")
+    out = {r.doc_id: r for r in near_dup_prune(docs, pairs).collect()}
+    assert out["x"].keep is True and out["y"].keep is False
