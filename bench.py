@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # training-data extensions
     "exact_dup_docs",
     "exact_substring_dedup_docs",
+    "near_dup_prune_docs",
+    "quality_buckets_docs",
     "minhash_near_dup",
     "simhash_near_dup",
     "knn_bruteforce",
