@@ -504,6 +504,7 @@ def near_dup_prune(
     pairs: DataFrame,
     id_col: str = "doc_id",
     quality_col: str | None = None,
+    broadcast_flags: bool = True,
 ) -> DataFrame:
     """Keep ONE representative per near-duplicate cluster.
 
@@ -519,8 +520,10 @@ def near_dup_prune(
     Output = input + ``cluster_id`` (own id for singletons) + ``keep``.
 
     Scale shape: the ranking window shuffles ONLY clustered rows
-    (bounded by the duplicate count, not the corpus); the cluster
-    assignment joins back hash-partitioned on the id.
+    (bounded by the duplicate count, not the corpus), and the keep-flag
+    table broadcasts back so the corpus never shuffles for the final
+    join (``broadcast_flags=False`` falls back to a hash join when the
+    duplicate set itself is too large to broadcast).
     """
     from .dedup import connected_components
 
@@ -545,6 +548,8 @@ def near_dup_prune(
         F.col("__nd_comp"),
         (F.col("__nd_rn") == 1).alias("__nd_keep"),
     )
+    if broadcast_flags:
+        flags = F.broadcast(flags)
     out = df.join(
         flags, df[id_col].cast("string") == F.col("__nd_id"), "left"
     )

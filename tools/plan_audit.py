@@ -80,6 +80,11 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("near_dup_prune_docs", 2, True, False,
+     "one window shuffle over clustered rows only (bounded by the "
+     "duplicate count) + its input partitioning; comps and keep-flags "
+     "broadcast, so the corpus never shuffles — the CC resolved "
+     "driver-side during construction"),
 ]
 
 
