@@ -2563,17 +2563,20 @@ def near_dup_prune_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def quality_buckets_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet head/middle/tail bucketing per language: exact per-group
-    score percentiles (the deterministic stand-in scorer — a salted md5
-    unit hash standing where a real LM perplexity would plug in),
-    thresholds broadcast back, scan-stage assignment."""
+    """CCNet head/middle/tail bucketing per language: per-group score
+    percentiles (the deterministic stand-in scorer — a salted md5 unit
+    hash standing where a real LM perplexity would plug in), thresholds
+    broadcast back, scan-stage assignment. Pins ``approach="exact"`` so
+    DuckDB's quantile_cont reproduces the thresholds bit-for-bit; the
+    operator's production default is the bounded-memory
+    ``approach="approx"`` sketch (see quality_buckets docstring)."""
     from recordmanager_spark.operators import packing as PK
 
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     scored = d.withColumn(
         "score", F.round(PK.perplexity_score_stub(F.col("doc_id")), 9)
     )
-    out = PK.quality_buckets(scored, "score", by="lang")
+    out = PK.quality_buckets(scored, "score", by="lang", approach="exact")
     return out.select("doc_id", "lang", "score", "bucket")
 
 

@@ -145,10 +145,7 @@ def cmd_import(args) -> None:
         existing = spark.read.parquet(args.records)
         merged = upsert_records(existing, batch, now)
         # parquet cannot overwrite its own scan input in place
-        merged.write.mode("overwrite").parquet(args.records + ".tmp")
-        merged = spark.read.parquet(args.records + ".tmp")
-        merged.write.mode("overwrite").parquet(args.records)
-        n = merged.count()
+        n = _rewrite_records(spark, args.records, merged)
     else:
         batch.write.mode("overwrite").parquet(args.records)
         n = batch.count()
@@ -190,10 +187,7 @@ def cmd_harvest(args) -> None:
     if os.path.exists(args.records):
         existing = spark.read.parquet(args.records)
         merged = upsert_records(existing, batch, now)
-        merged.write.mode("overwrite").parquet(args.records + ".tmp")
-        merged = spark.read.parquet(args.records + ".tmp")
-        merged.write.mode("overwrite").parquet(args.records)
-        n = merged.count()
+        n = _rewrite_records(spark, args.records, merged)
     else:
         batch.write.mode("overwrite").parquet(args.records)
         n = batch.count()
@@ -336,11 +330,27 @@ def cmd_count_values(args) -> None:
 
 def _rewrite_records(spark, path: str, df) -> int:
     """Replace the records table (parquet cannot overwrite its own scan
-    input in place: write tmp, re-read, overwrite)."""
-    df.write.mode("overwrite").parquet(path + ".tmp")
-    out = spark.read.parquet(path + ".tmp")
-    out.write.mode("overwrite").parquet(path)
-    return out.count()
+    input in place: write tmp, re-read, overwrite, clean up).
+
+    If the process dies between the two writes, the live path may be
+    partially rewritten — ``<path>.tmp`` holds the complete new table and
+    IS the recovery copy; it is removed only after the final overwrite
+    succeeds, so a crash never leaks a stale copy silently AND never
+    leaves the data unrecoverable.
+    """
+    import shutil
+
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    try:
+        out.write.mode("overwrite").parquet(path)
+    except BaseException:
+        print(f"records overwrite failed — recovery copy left at {tmp}")
+        raise
+    n = spark.read.parquet(path).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
 
 
 def _id_filter(args):

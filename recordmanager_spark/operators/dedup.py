@@ -567,6 +567,18 @@ def _assign_components(
 
 
 def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Distributed min-label propagation with pointer jumping.
+
+    Each iteration does (a) one-hop propagation — every node offers its
+    label to its neighbors — and (b) a shortcut step mapping each node's
+    label through that label's OWN label (labels are node ids of the
+    same component, so the composition is sound and monotone
+    decreasing). The shortcut gives O(log diameter) convergence — a
+    chain of length L resolves in ~log2(L) rounds, not L — so
+    ``max_iterations=20`` covers diameters past 10^6. Converged = a
+    fixpoint round with no label change; running out of iterations
+    raises (better a loud error than silently-split dedup groups).
+    """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -585,10 +597,27 @@ def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             neigh.unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component(id) -> min(component(id),
+        # component(component(id))) — least() skips the (impossible)
+        # null from the left join, every label is itself a labeled node
+        new_labels = (
+            hop.alias("l1")
+            .join(
+                hop.alias("l2"),
+                F.col("l1.component") == F.col("l2.id"),
+                "left",
+            )
+            .select(
+                F.col("l1.id").alias("id"),
+                F.least(
+                    F.col("l1.component"), F.col("l2.component")
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -600,8 +629,12 @@ def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_iterations} "
+        "label-propagation iterations — raise max_iterations (diameter "
+        "past ~2^max_iterations) or inspect the edge set"
+    )
 
 
 def enforce_one_per_source(

@@ -171,29 +171,57 @@ def quality_buckets(
     by: str = "lang",
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     broadcast_thresholds: bool = True,
+    approach: str = "approx",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): within
-    each ``by`` group (language), EXACT score percentiles at ``cuts``
-    split documents into head / middle / tail — lower score = better =
-    head, like perplexity.
+    each ``by`` group (language), score percentiles at ``cuts`` split
+    documents into head / middle / tail — lower score = better = head,
+    like perplexity.
 
-    Plan shape: one groupBy computes the per-group thresholds (exact
-    ``percentile`` — interpolation matches DuckDB's quantile_cont, so
-    the oracle reproduces it bit-for-bit); the few-row threshold table
-    broadcasts back, and assignment is a scan-stage comparison. The
+    ``approach`` picks the threshold estimator:
+
+    - ``"approx"`` (default, the 100 TB production path):
+      ``approx_percentile`` with ``accuracy`` — a bounded-memory
+      KLL-style sketch whose per-group aggregation state is O(accuracy)
+      REGARDLESS of group row count. This is the only safe default for
+      an LLM corpus where the dominant language holds billions of
+      near-unique double scores.
+    - ``"exact"`` (oracle/testing mode): Spark's exact ``percentile``,
+      whose interpolation matches DuckDB's quantile_cont bit-for-bit so
+      the correctness oracle reproduces the hash. Its aggregation
+      buffer holds every distinct score per group — fine at test scale,
+      an executor-OOM hazard on a 100 TB corpus. Bucket assignments of
+      the two paths agree except for documents whose score falls inside
+      the sketch's rank-error band around a cut (≤ ~1/accuracy of each
+      group).
+
+    Plan shape (both paths): one groupBy computes the per-group
+    thresholds; the few-row threshold table broadcasts back
+    (null-safe, so NULL-group documents bucket against their own
+    group's percentiles); assignment is a scan-stage comparison. The
     corpus never shuffles.
     """
+    if approach == "exact":
+        q1 = F.expr(f"percentile({score_col}, {cuts[0]!r})")
+        q2 = F.expr(f"percentile({score_col}, {cuts[1]!r})")
+    elif approach == "approx":
+        q1 = F.expr(
+            f"approx_percentile({score_col}, {cuts[0]!r}, {accuracy})"
+        ).cast("double")
+        q2 = F.expr(
+            f"approx_percentile({score_col}, {cuts[1]!r}, {accuracy})"
+        ).cast("double")
+    else:
+        raise ValueError(f"approach must be 'approx' or 'exact': {approach!r}")
     th = (
         df.groupBy(by)
-        .agg(
-            F.expr(f"percentile({score_col}, {cuts[0]!r})").alias("__q1"),
-            F.expr(f"percentile({score_col}, {cuts[1]!r})").alias("__q2"),
-        )
+        .agg(q1.alias("__q1"), q2.alias("__q2"))
         .withColumnRenamed(by, "__qb_grp")
     )
     if broadcast_thresholds:
         th = F.broadcast(th)
-    out = df.join(th, df[by] == th["__qb_grp"], "left").drop("__qb_grp")
+    out = df.join(th, df[by].eqNullSafe(th["__qb_grp"]), "left").drop("__qb_grp")
     s = F.col(score_col)
     return out.withColumn(
         "bucket",

@@ -19,9 +19,13 @@ Scale notes (100 TB): the gram explode is the same volume class as the
 minhash shingle stage and never carries document text — only (hash64,
 doc_id, pos). The duplicated-position lists per document are bounded by
 document length; the final join ships those small lists back to the
-records (broadcast below ``broadcast_threshold`` docs-with-dups,
-shuffle join above). No stage holds more than one document's tokens in
-one lambda.
+records. By default NO broadcast hint is planted — AQE sizes the
+docs-with-dups side at runtime and picks broadcast vs shuffle-hash
+itself, which is the only safe default at LLM-corpus dup rates where
+that side can be a large fraction of the corpus
+(``broadcast_positions=True``/``False`` pin the strategy when the
+caller knows better). No stage holds more than one document's tokens
+in one lambda.
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     window: int = 50,
     min_count: int = 2,
-    broadcast_positions: bool = True,
+    broadcast_positions: bool | None = None,
 ) -> DataFrame:
     """Returns the input plus dedup columns:
 
@@ -65,6 +69,12 @@ def exact_substring_dedup(
     - ``removed_tokens``: tokens covered by the merged duplicate spans;
     - ``kept_tokens``: ``n_tokens - removed_tokens``;
     - ``cleaned_text``: the document with duplicate spans removed.
+
+    ``broadcast_positions``: ``None`` (default) plants no join hint —
+    AQE decides broadcast vs shuffle-hash from the runtime size of the
+    docs-with-dups side (the scale-safe default; see module docstring).
+    ``True`` forces a broadcast hint (small known dup sets), ``False``
+    forces the shuffle path (output is identical either way).
     """
     toks_col = "__es_toks"
     d = df.withColumn(
@@ -87,8 +97,10 @@ def exact_substring_dedup(
         .groupBy("__es_id")
         .agg(F.sort_array(F.collect_list("__es_pos")).alias("__es_dups"))
     )
-    if broadcast_positions:
+    if broadcast_positions is True:
         dup_pos = F.broadcast(dup_pos)
+    elif broadcast_positions is False:
+        dup_pos = dup_pos.hint("shuffle_hash")
     out = d.join(dup_pos, d[id_col] == dup_pos["__es_id"], "left").drop("__es_id")
 
     dups = F.coalesce(

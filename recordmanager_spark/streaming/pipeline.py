@@ -153,6 +153,7 @@ def streaming_first_seen(
     stream: DataFrame,
     fingerprint_col: str = "fingerprint",
     id_col: str = "doc_id",
+    emit_updates: bool = False,
 ):
     """Streaming exact content dedup: the FIRST document per content
     fingerprint passes; every later arrival with the same fingerprint is
@@ -161,11 +162,21 @@ def streaming_first_seen(
     ``applyInPandasWithState`` keyed by the FINGERPRINT (not the record
     id — dedup_new_or_changed's complement): state holds the winning
     document id and an occurrence counter. Emitted rows carry
-    (fingerprint, doc_id, n_seen) where doc_id is the winner and n_seen
-    the arrivals so far, so a sink can both keep the deduped stream and
-    audit suppression rates. Within-batch ties break to the smallest
-    id; across batches strictly first-seen wins. State cardinality =
-    distinct contents,
+    (fingerprint, doc_id, n_seen) where doc_id is the winner. Emission
+    semantics:
+
+    - ``emit_updates=False`` (default): a fingerprint emits exactly ONCE,
+      on its first batch, with ``n_seen`` = arrivals observed BY THE END
+      OF THAT BATCH (within-batch contention). Suppressed arrivals in
+      later batches update state but are NOT re-emitted — the output is
+      the deduped stream, not a running suppression audit.
+    - ``emit_updates=True``: the fingerprint ALSO re-emits an updated
+      (fingerprint, winner, n_seen) row on every later batch it arrives
+      in (outputMode is already ``update``, so upsert sinks see the
+      counter converge) — use this mode to audit suppression rates.
+
+    Within-batch ties break to the smallest id; across batches strictly
+    first-seen wins. State cardinality = distinct contents,
     hash-partitioned across executors like every keyed-state operator.
     """
     out_schema = f"{fingerprint_col} string, {id_col} string, n_seen long"
@@ -179,8 +190,10 @@ def streaming_first_seen(
         else:
             winner, n = None, 0
         first_emit = winner is None
+        arrived = False
         for pdf in pdfs:
             for doc in pdf[id_col]:
+                arrived = True
                 n += 1
                 if winner is None or (first_emit and doc < winner):
                     # within one micro-batch "first" must be defined
@@ -189,7 +202,7 @@ def streaming_first_seen(
                     # batches strictly first-seen wins
                     winner = doc
         state.update((winner, n))
-        if first_emit and winner is not None:
+        if winner is not None and (first_emit or (emit_updates and arrived)):
             yield pd.DataFrame(
                 [(key[0], winner, n)],
                 columns=[fingerprint_col, id_col, "n_seen"],

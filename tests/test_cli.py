@@ -224,3 +224,24 @@ def test_cli_mark_for_update_and_check_dedup(tmp_path, spark, capsys):
         main(["check-dedup", "--records", records,
               "--dedup", str(tmp_path / "dd")])
     assert "same_source_collision" in capsys.readouterr().out
+
+
+def test_cli_rewrite_cleans_tmp(workspace, spark):
+    """Mutating commands clean up the <records>.tmp recovery copy after
+    a successful final write (a crash mid-overwrite would leave it as
+    the recovery copy; success must not leak a stale full table)."""
+    records = str(workspace / "records")
+    base = [
+        "--config", str(workspace / "conf" / "datasources.ini"),
+        "--records", records,
+    ]
+    main(["import", *base, "--source", "libA", "--file",
+          str(workspace / "a.xml")])
+    # second import goes through the upsert + _rewrite_records path
+    main(["import", *base, "--source", "libB", "--file",
+          str(workspace / "b.xml")])
+    assert os.path.exists(records)
+    assert not os.path.exists(records + ".tmp")
+    # a mark-deleted pass also rewrites in place
+    main(["mark-deleted", "--records", records, "--id", "B.b2"])
+    assert not os.path.exists(records + ".tmp")

@@ -204,3 +204,130 @@ def test_check_dedup_consistency_clean(spark):
         [("a.1", "g1"), ("b.1", "g1")], "id string, dedup_id string"
     )
     assert DD.check_dedup_consistency(assignment, records).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected-components fallback (driver_threshold=0 forces it)
+# ---------------------------------------------------------------------------
+
+
+def _cc_both_paths(spark, edges):
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    driver = sorted(
+        map(tuple, DD.connected_components(df).collect())
+    )
+    distributed = sorted(
+        map(tuple, DD.connected_components(df, driver_threshold=0).collect())
+    )
+    return driver, distributed
+
+
+def test_cc_distributed_star_matches_driver(spark):
+    """Skewed star graph (one hub, 300 leaves): the distributed
+    label-propagation fallback must produce component-identical output
+    to the driver union-find."""
+    edges = [("hub", f"leaf{i:03d}") for i in range(300)]
+    driver, distributed = _cc_both_paths(spark, edges)
+    assert driver == distributed
+    assert all(c == "hub" for _, c in distributed)
+
+
+def test_cc_distributed_long_chain_matches_driver(spark):
+    """200-node chain — label propagation's worst case. Pointer jumping
+    must converge within the default max_iterations (one-hop-only
+    propagation would need 200 rounds and fail)."""
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(199)]
+    driver, distributed = _cc_both_paths(spark, edges)
+    assert driver == distributed
+    assert all(c == "n000" for _, c in distributed)
+    assert len(distributed) == 200
+
+
+def test_cc_distributed_mixed_components(spark):
+    """Several disjoint components of mixed shapes resolve identically
+    on both paths."""
+    edges = (
+        [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]  # triangle
+        + [("b1", "b2")]  # pair
+        + [(f"c{i}", f"c{i + 1}") for i in range(10)]  # short chain
+        + [("z9", "z1"), ("z9", "z2"), ("z9", "z3")]  # star, hub not min
+    )
+    driver, distributed = _cc_both_paths(spark, edges)
+    assert driver == distributed
+
+
+def test_cc_distributed_nonconvergence_raises(spark):
+    """Running out of iterations is a loud error, not silent wrong
+    components."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(99)],
+        "id_a string, id_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(edges, max_iterations=1, driver_threshold=0)
+
+
+def test_near_dup_prune_distributed_cc(spark):
+    """near_dup_prune inherits the distributed CC fallback; forcing it
+    (cc_driver_threshold=0) must not change the output."""
+    from recordmanager_spark.operators.text_dedup import near_dup_prune
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", float((i * 7) % 5)) for i in range(20)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 4:02d}") for i in range(16)],
+        "id_a string, id_b string",
+    )
+    default = sorted(
+        map(tuple, near_dup_prune(docs, pairs, quality_col="q").collect())
+    )
+    forced = sorted(
+        map(
+            tuple,
+            near_dup_prune(
+                docs, pairs, quality_col="q", cc_driver_threshold=0
+            ).collect(),
+        )
+    )
+    assert default == forced
+
+
+def test_assign_components_distributed_matches_driver(spark):
+    """_assign_components' distributed branch (CC + windowed
+    one-per-source enforcement) agrees with the driver-side assignment
+    on conflicts and dissolving groups."""
+    edges = spark.createDataFrame(
+        [
+            # component {a1,a2,b1}: a1/a2 share source s1 -> a2 evicted
+            ("a1", "b1", "s1", "s2"),
+            ("a2", "b1", "s1", "s2"),
+            # pair from distinct sources survives
+            ("c1", "c2", "s1", "s2"),
+            # same-source pair dissolves entirely (<2 after eviction)
+            ("e1", "e2", "s3", "s3"),
+        ],
+        "id_a string, id_b string, src_a string, src_b string",
+    )
+    records = spark.createDataFrame(
+        [
+            ("a1", "s1"), ("a2", "s1"), ("b1", "s2"),
+            ("c1", "s1"), ("c2", "s2"), ("e1", "s3"), ("e2", "s3"),
+        ],
+        "_id string, source_id string",
+    )
+    driver = sorted(
+        map(tuple, DD._assign_components(edges, records).collect())
+    )
+    distributed = sorted(
+        map(
+            tuple,
+            DD._assign_components(
+                edges, records, driver_threshold=0
+            ).collect(),
+        )
+    )
+    assert driver == distributed

@@ -187,6 +187,65 @@ def test_quality_buckets_per_group(spark):
         )
 
 
+def test_quality_buckets_approx_exact_parity(spark):
+    """The production approx path and the oracle exact path assign the
+    same buckets on a seeded corpus, except possibly documents whose
+    score falls inside the sketch's rank-error band around a cut
+    (bounded here at 2%)."""
+    from recordmanager_spark.operators import packing as PK
+
+    rows = [
+        (f"d{i}", ["en", "en", "en", "fi", "sv"][i % 5], None)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lang string, score double"
+    ).withColumn("score", PK.perplexity_score_stub("doc_id", salt="parity"))
+    exact = {
+        r.doc_id: r.bucket
+        for r in PK.quality_buckets(df, "score", approach="exact").collect()
+    }
+    approx = {
+        r.doc_id: r.bucket
+        for r in PK.quality_buckets(df, "score", approach="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    mismatches = sum(1 for k in exact if exact[k] != approx[k])
+    assert mismatches <= 0.02 * len(exact), mismatches
+
+
+def test_quality_buckets_null_group(spark):
+    """NULL group values bucket against the NULL group's own
+    percentiles (null-safe threshold join), not silently into tail."""
+    from recordmanager_spark.operators import packing as PK
+
+    rows = [(f"n{i}", None, float(i)) for i in range(9)] + [
+        (f"e{i}", "en", float(i)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    for approach in ("exact", "approx"):
+        out = {
+            r.doc_id: r.bucket
+            for r in PK.quality_buckets(
+                df, "score", approach=approach
+            ).collect()
+        }
+        for pre in ("n", "e"):
+            assert [out[f"{pre}{i}"] for i in range(9)] == (
+                ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+            ), (approach, pre)
+
+
+def test_quality_buckets_bad_approach(spark):
+    import pytest
+
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame([("a", "en", 0.5)], "doc_id string, lang string, score double")
+    with pytest.raises(ValueError):
+        PK.quality_buckets(df, "score", approach="histogram")
+
+
 def test_perplexity_stub_deterministic(spark):
     from pyspark.sql import functions as F
 

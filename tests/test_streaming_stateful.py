@@ -99,3 +99,50 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
         )
         q.awaitTermination()
     assert sorted(rows) == [("f1", "a", 2, 0), ("f2", "c", 1, 0), ("f3", "d", 1, 1)]
+
+
+def test_streaming_first_seen_emit_updates(spark, tmp_path):
+    """emit_updates=True: a suppressed re-arrival in a later batch
+    re-emits the winner with the cumulative n_seen (audit mode);
+    untouched fingerprints stay silent."""
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import streaming_first_seen
+
+    base = str(tmp_path)
+    schema = "doc_id string, fingerprint string"
+    batches = [
+        [("b", "f1"), ("a", "f1"), ("c", "f2")],
+        [("x", "f1"), ("y", "f1"), ("d", "f3")],  # f1 x2 again, f2 silent
+    ]
+    rows = []
+    for i, data in enumerate(batches):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).json(f"{base}/in")
+        out = streaming_first_seen(
+            spark.readStream.schema(schema).json(f"{base}/in"),
+            emit_updates=True,
+        )
+
+        def gather(bdf, _epoch, run=i):
+            rows.extend(
+                (r["fingerprint"], r["doc_id"], r["n_seen"], run)
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("t_fs_upd_" + uuid.uuid4().hex[:8])
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert sorted(rows) == [
+        ("f1", "a", 2, 0),  # first batch: a wins the tie, 2 arrivals
+        ("f1", "a", 4, 1),  # audit update: 2 more suppressed arrivals
+        ("f2", "c", 1, 0),
+        ("f3", "d", 1, 1),  # new fingerprint in batch 2
+    ]

@@ -84,3 +84,22 @@ def test_two_separate_islands(spark):
     # two disjoint spans; the unique gap stays
     assert got["a"].removed_tokens == 10
     assert got["a"].cleaned_text == gap
+
+
+def test_join_strategy_pins_identical_output(spark):
+    """broadcast / forced-shuffle / AQE-default join strategies for the
+    duplicate-position join all produce identical rows (the strategy is
+    a pure physical choice)."""
+    docs = [
+        (f"d{i}", f"head{i} one two three four five tail{i}") for i in range(6)
+    ] + [("u", "all unique tokens live here now")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    def rows(**kw):
+        return sorted(
+            map(tuple, exact_substring_dedup(df, window=5, **kw).collect())
+        )
+
+    default = rows()
+    assert default == rows(broadcast_positions=True)
+    assert default == rows(broadcast_positions=False)

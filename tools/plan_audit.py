@@ -35,42 +35,74 @@ def count(pattern: str, plan: str) -> int:
     return len(re.findall(pattern, plan))
 
 
+def count_operator_exchanges(plan: str) -> int:
+    """Count Exchange NODES structurally, excluding round-robin input
+    spreads.
+
+    Parses the formatted plan's numbered detail headers ("(N) Exchange")
+    and inspects each node's own detail block for its partitioning
+    argument — robust against ReusedExchange, AQE re-prints, and
+    incidental 'RoundRobinPartitioning' mentions elsewhere (a regex
+    subtraction scheme under-counted when the plan shape deviated from
+    two prints per node). The harness's _t() spreads single-row-group
+    toy parquet over the cores with a round-robin repartition (a real
+    corpus arrives in thousands of natural splits), so round-robin
+    exchanges are input plumbing, not operator shuffles.
+    """
+    sections = re.split(r"^\(\d+\) ", plan, flags=re.M)
+    n = 0
+    for body in sections[1:]:
+        if body.startswith("Exchange") and "RoundRobinPartitioning" not in (
+            body.split("\n\n")[0]
+        ):
+            n += 1
+    return n
+
+
 # (query, max_exchanges, require_broadcast, allow_cartesian, note)
-# max_exchanges counts Exchange operators in the INITIAL plan (AQE may
-# coalesce at runtime but never adds); top-k single-partition exchanges
-# are counted as irreducible where the semantics demand a global order.
+# max_exchanges counts Exchange NODES in the INITIAL plan, structurally
+# (count_operator_exchanges — round-robin input spreads excluded; AQE
+# may coalesce at runtime but never adds); top-k single-partition
+# exchanges are counted as irreducible where the semantics demand a
+# global order. Caps recalibrated 2026-08 when the counter switched
+# from regex subtraction (which double-counted every node: tree line +
+# detail header) to structural parsing — each cap is the measured
+# irreducible node count.
 AUDITS = [
-    ("q1_pricing_summary", 2, False, False,
-     "scan->partial agg->1 shuffle (+1 for the global sort)"),
-    ("q3_shipping_priority", 4, True, False,
+    ("q1_pricing_summary", 1, False, False,
+     "scan->partial agg->1 shuffle (sort-free: the driver compares sorted)"),
+    ("q3_shipping_priority", 2, True, False,
      "broadcast customer; lineitem⋈orders is the only record-side shuffle"),
-    ("q5_local_supplier_volume", 4, True, False,
-     "all dims broadcast; lineitem⋈orders shuffle + agg + order"),
+    ("q5_local_supplier_volume", 2, True, False,
+     "all dims broadcast; lineitem⋈orders shuffle + agg"),
     ("filter_dsl_orders", 0, False, False,
      "pure filter: predicate must reach the scan, zero shuffles"),
     ("marc_extract", 0, False, False,
      "extraction is scan-stage only — any shuffle is a bug"),
-    ("link_resolution_lineitem", 2, True, False,
-     "lookup join broadcasts; the 2 exchanges are the LOOKUP side's "
+    ("link_resolution_lineitem", 1, True, False,
+     "lookup join broadcasts; the exchange is the LOOKUP side's "
      "dropDuplicates (bounded by lookup size) — records never shuffle"),
     ("enrich_topics_nation", 0, False, False,
      "small-vocab literal-map path: zero shuffles, no join at all"),
     ("geocode_customers", 0, True, False,
      "cache join broadcasts; record side stays narrow"),
-    ("dedup_er", 7, False, False,
-     "1 key shuffle + groupBys/distinct for edges + component resolve"),
-    ("minhash_near_dup", 6, True, False,
-     "sig agg + band groupBy + candidate distinct + verify joins "
-     "(pairs broadcast; all post-signature exchanges carry doc-count-"
-     "bounded rows, never shingles)"),
-    ("knn_bruteforce", 2, True, True,
+    ("dedup_er", 4, False, False,
+     "components resolved driver-side during construction; the returned "
+     "plan only joins the (local) assignment back to the records"),
+    ("minhash_near_dup", 3, True, False,
+     "sig agg + band groupBy + candidate distinct (pairs broadcast; all "
+     "post-signature exchanges carry doc-count-bounded rows, never "
+     "shingles)"),
+    ("knn_bruteforce", 1, True, True,
      "exact oracle: broadcast nested loop IS the plan (query side tiny)"),
-    ("embedding_neardup", 2, True, True,
+    ("embedding_neardup", 1, True, True,
      "exact oracle variant (broadcast right side)"),
-    ("exact_substring_dedup_docs", 6, True, False,
-     "gram-hash groupBy + dup-hash join + per-doc position groupBy; the "
-     "position lists broadcast back to the records — text never shuffles"),
-    ("quality_buckets_docs", 2, True, False,
+    ("exact_substring_dedup_docs", 3, True, False,
+     "gram-hash groupBy + per-doc position groupBy; no planted hint on "
+     "the positions join — at toy scale the optimizer's size estimate "
+     "picks broadcast itself, at 100 TB dup rates AQE keeps the "
+     "shuffle-hash path (the scale-safe default)"),
+    ("quality_buckets_docs", 1, True, False,
      "one few-row per-language percentile groupBy; thresholds broadcast "
      "back; assignment is scan-stage — the corpus never shuffles"),
     ("temperature_mix_docs", 0, False, False,
@@ -80,11 +112,13 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
-    ("near_dup_prune_docs", 2, True, False,
-     "one window shuffle over clustered rows only (bounded by the "
-     "duplicate count) + its input partitioning; comps and keep-flags "
-     "broadcast, so the corpus never shuffles — the CC resolved "
-     "driver-side during construction"),
+    ("near_dup_prune_docs", 3, True, False,
+     "window shuffle over clustered rows + the keep-flag join WITHOUT a "
+     "planted broadcast hint: this contract corpus is 100% clustered, "
+     "so the honest initial plan shuffles both join sides (AQE converts "
+     "to broadcast at runtime only when the flag table is actually "
+     "small); comps still broadcast — CC resolved driver-side during "
+     "construction"),
 ]
 
 
@@ -145,17 +179,7 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         plan = plan_of(df)
         problems = []
-        # key shuffles only: the harness's _t() spreads single-row-group
-        # toy parquet over the cores with a round-robin repartition (a
-        # real corpus arrives in thousands of natural splits) — those
-        # input spreads are not operator shuffles and don't count against
-        # the contract.
-        # (formatted plans print each node twice — tree line + detail
-        # block — so a round-robin exchange contributes 2 "Exchange"
-        # hits and 1 "RoundRobinPartitioning" Arguments line)
-        n_ex = count(r"\bExchange\b", plan) - 2 * count(
-            r"RoundRobinPartitioning", plan
-        )
+        n_ex = count_operator_exchanges(plan)
         if n_ex > max_ex:
             problems.append(f"exchanges {n_ex} > {max_ex}")
         if need_bcast and count(r"Broadcast(HashJoin|NestedLoopJoin|Exchange)", plan) == 0:
@@ -164,6 +188,15 @@ def main() -> None:
             problems.append("unexpected CartesianProduct")
         if name == "filter_dsl_orders" and "PushedFilters: []" in plan:
             problems.append("no filters pushed to the parquet scan")
+        if name == "quality_buckets_docs":
+            # the contract query must pin the EXACT percentile path (the
+            # DuckDB-reproducible oracle mode); the operator's production
+            # default is the bounded-memory approx_percentile sketch
+            if "approx_percentile" in plan or "percentile(" not in plan:
+                problems.append(
+                    "quality_buckets_docs must pin approach='exact' "
+                    "(oracle mode) — production default is approx"
+                )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}  ({note})")
