@@ -62,6 +62,63 @@ _ONE_FOLD_DST = _CYR_1_TO + _GREEK_1_TO
 assert len(_CYR_1) == len(_CYR_1_TO), (len(_CYR_1), len(_CYR_1_TO))
 assert len(_GREEK_1) == len(_GREEK_1_TO), (len(_GREEK_1), len(_GREEK_1_TO))
 
+# Kana romanization (Hepburn-flavoured, PER-CHARACTER) for the table
+# engine. ICU's ``:: Latin`` also romanizes kana; without PyICU the
+# table engine folds the full hiragana syllabary (katakana derive from
+# the fixed +0x60 block offset) so Japanese titles key to stable Latin
+# instead of raw kana. DOCUMENTED approximation vs ICU: per-character
+# folding renders digraphs letter-by-letter (きゃ -> "kiya", ICU "kya")
+# and drops sokuon gemination (っ -> "", ICU doubles the consonant) —
+# deterministic and consistent across sources, which is what dedup keys
+# need; pin ``engine="icu"`` for exact reference romanization. Han has
+# no bounded table and still passes through raw (stable, non-Latin).
+_KANA_BASE = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "ゐ": "i", "ゑ": "e", "を": "o", "ん": "n",
+    "ゔ": "vu",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+    "ゃ": "ya", "ゅ": "yu", "ょ": "yo", "ゎ": "wa", "っ": "",
+}
+_KANA_MAP: dict[str, str] = {}
+for _h, _r in _KANA_BASE.items():
+    _KANA_MAP[_h] = _r
+    _KANA_MAP[chr(ord(_h) + 0x60)] = _r  # katakana block offset
+_KANA_MAP["ー"] = ""  # chōonpu long-vowel mark
+_KANA_RANGE_RE = "[ぁ-ヿ]"
+
+
+def _kana_map_lit() -> Column:
+    pairs: list[Column] = []
+    for k, v in _KANA_MAP.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def _fold_kana(c: Column) -> Column:
+    m = _kana_map_lit()
+    return F.array_join(
+        F.transform(
+            F.split(c, ""),
+            lambda ch: F.coalesce(F.try_element_at(m, ch), ch),
+        ),
+        "",
+    )
+
+
 # normalizeKey strip classes: control chars, space, ASCII punctuation ranges
 # !-/ :-@ [-` {-DEL (MetadataUtils.php:424-428); plus combining diacritics
 # (U+0300-U+036F), which the ICU rule removes via "Nonspacing Mark Remove".
@@ -74,22 +131,50 @@ def normalize_key(col: Column | str, engine: str | None = None) -> Column:
     The comparison key used everywhere the reference builds dedup keys.
 
     ``engine``:
-    - ``None`` (default): auto — the ICU transliterator when PyICU is
-      importable (the reference's always-ICU production path,
-      MetadataUtils.php:416-433, including Han/Kana romanization), else
-      the JVM-side data-driven fold. Both paths are pinned by the
-      MetadataUtilsTest.php normalizeKey goldens in tests/test_keys.py.
-    - ``"table"``: force the JVM fold (precomposed Latin accents,
-      decomposed combining marks, Cyrillic/Greek romanization — see
-      _MULTI_FOLD note). Zero Python hops; use when key throughput
-      matters more than CJK coverage and the corpus is ICU-free.
-    - ``"icu"``: force ICU (raises when PyICU is absent).
+    - ``None`` (default): the deterministic JVM-side TABLE fold. The
+      default is pinned, never environment-sniffed: dedup keys must be
+      byte-identical across machines and across driver/executors, and an
+      auto-selected ICU path would silently fork the key space between
+      ICU and ICU-free nodes (the folds genuinely diverge — e.g. ICU
+      strips en dashes the ASCII strip ranges keep). The reference is
+      always-ICU (MetadataUtils.php:416-433) because its whole fleet
+      shares one PHP runtime; a Spark cluster gives no such guarantee.
+    - ``"table"``: the same JVM fold, explicitly pinned (precomposed
+      Latin accents, decomposed combining marks, Cyrillic/Greek
+      romanization, per-char kana romanization — see _MULTI_FOLD and
+      _KANA_BASE notes). Zero Python hops.
+    - ``"icu"``: force the ICU transliterator — the reference's exact
+      production rules incl. Han romanization (raises when PyICU is
+      absent; every EXECUTOR must also have PyICU importable).
+    - ``"auto"``: opt-in auto-select — ICU when PyICU is importable on
+      the driver, else the table fold. Emits a RuntimeWarning naming
+      the cross-machine divergence hazard; the caller owns verifying
+      executor-side PyICU availability.
     """
     if engine is None:
+        engine = "table"
+    elif engine == "auto":
         engine = "icu" if icu_available() else "table"
+        if engine == "icu":
+            import warnings
+
+            warnings.warn(
+                "normalize_key(engine='auto') selected ICU because PyICU "
+                "imports on the driver: keys will differ from ICU-free "
+                "machines, and every executor must also have PyICU "
+                "importable. Pin engine='table' or engine='icu' for a "
+                "fleet-stable choice.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     if engine == "icu":
         return normalize_key_icu(col)
+    if engine != "table":
+        raise ValueError(
+            f"engine must be None, 'table', 'icu', or 'auto': {engine!r}"
+        )
     c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.when(c.rlike(_KANA_RANGE_RE), _fold_kana(c)).otherwise(c)
     c = F.translate(c, _ACCENTS, _FOLDED)
     for src, dst in _MULTI_FOLD:
         c = F.replace(c, F.lit(src), F.lit(dst))
@@ -100,14 +185,12 @@ def normalize_key(col: Column | str, engine: str | None = None) -> Column:
 # --- ICU key folding --------------------------------------------------------
 # The reference's production path folds keys through an ICU transliterator
 # (MetadataUtils.php:416-433; default rules recordmanager.ini.sample:19-25),
-# which also romanizes Han/Kana — beyond the data-driven tables above.
-# ``normalize_key`` AUTO-SELECTS this path when PyICU is importable (the
-# reference is always-ICU, so Han/Kana titles key identically across
-# sources by default); environments without PyICU fall back to the JVM
-# tables. Deployments that need one fixed engine regardless of what is
-# installed pin it via ``engine="table"``/``engine="icu"`` (a mixed fleet
-# where only some nodes have PyICU would otherwise key differently —
-# install PyICU everywhere or pin the table engine).
+# which also romanizes Han — beyond the data-driven tables above.
+# ``normalize_key`` NEVER auto-selects this path by default (see its
+# docstring: environment-sniffed key engines silently fork the key space
+# between ICU and ICU-free machines, and the pandas UDF additionally
+# requires PyICU on every executor). Pin ``engine="icu"`` to opt in, or
+# ``engine="auto"`` to accept the sniff with a RuntimeWarning.
 
 _ICU_KEY_FOLDING_RULES = (
     ":: NFD; :: lower; :: Latin; :: [^[:letter:] [:number:]] Remove; :: NFKC;"

@@ -337,9 +337,15 @@ def blocking_verified_edges(
             if k in records.columns
         ]
     )
-    keys = records.select(F.explode(allkeys).alias("key"), member.alias("m")).where(
-        F.col("key") != ""
-    )
+    # the member struct is computed in its OWN projection, then the keys
+    # explode in a parent one: Spark's analyzer drops CreateStruct field
+    # aliases when a generator and a lambda-bearing struct child share a
+    # projection list (the kana fold inside normalize_key is a transform
+    # lambda), which silently renames the verify payload fields
+    prepared = records.select(member.alias("m"), allkeys.alias("__blk_keys"))
+    keys = prepared.select(
+        F.explode("__blk_keys").alias("key"), F.col("m")
+    ).where(F.col("key") != "")
     # struct comparison orders by field position: id first, so array_sort
     # keeps the reference's created-order determinism (id_a < id_b).
     grouped = keys.groupBy("key").agg(

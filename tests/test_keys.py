@@ -320,20 +320,52 @@ def test_dedup_key_fold_override(spark):
     ]
 
 
-def test_normalize_key_auto_selects_icu(monkeypatch):
-    """Default engine resolution: ICU when PyICU is importable (the
-    reference's always-ICU production path), table fold otherwise; the
-    explicit engines stay pinnable either way."""
+def test_normalize_key_default_is_deterministic_table(monkeypatch):
+    """The DEFAULT engine is the table fold even when PyICU is
+    importable: dedup keys must be byte-identical across machines, so
+    the engine is never environment-sniffed unless the caller opts into
+    engine='auto' (which warns). Explicit engines stay pinnable."""
+    import warnings
+
     calls = []
-    monkeypatch.setattr(K, "normalize_key_icu", lambda c: calls.append(c) or F.lit("icu"))
+    monkeypatch.setattr(
+        K, "normalize_key_icu", lambda c: calls.append(c) or F.lit("icu")
+    )
     monkeypatch.setattr(K, "_ICU_AVAILABLE", True)
     K.normalize_key(F.lit("x"))
-    assert len(calls) == 1  # auto routed to ICU
+    assert len(calls) == 0  # default never touches ICU
     K.normalize_key(F.lit("x"), engine="table")
-    assert len(calls) == 1  # forced table never touches ICU
+    assert len(calls) == 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        K.normalize_key(F.lit("x"), engine="auto")
+    assert len(calls) == 1  # opt-in auto routed to ICU...
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
     monkeypatch.setattr(K, "_ICU_AVAILABLE", False)
-    K.normalize_key(F.lit("x"))
-    assert len(calls) == 1  # auto without PyICU = table
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        K.normalize_key(F.lit("x"), engine="auto")
+    assert len(calls) == 1 and not caught  # auto without PyICU = table
+    with pytest.raises(ValueError):
+        K.normalize_key(F.lit("x"), engine="tables")
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("とうきょう", "toukiyou"),  # hiragana (per-char: きょ -> kiyo)
+        ("トウキョウ", "toukiyou"),  # katakana keys identically
+        ("トーキョー", "tokiyo"),  # chōonpu dropped
+        ("さっぽろ", "saporo"),  # sokuon dropped (per-char approximation)
+        ("にほんご Nihongo", "nihongonihongo"),  # mixed scripts
+        ("ガギグゲゴ", "gagigugego"),  # voiced katakana via block offset
+    ],
+)
+def test_normalize_key_kana_table_fold(spark, raw, expected):
+    """Without PyICU the table engine still keys kana to stable Latin
+    (per-character Hepburn-ish; digraph/gemination divergences from ICU
+    are documented at _KANA_BASE)."""
+    assert one(spark, K.normalize_key(F.col("v")), raw) == expected
 
 
 def test_normalize_key_table_engine_goldens(spark):
