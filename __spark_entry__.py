@@ -2580,6 +2580,42 @@ def quality_buckets_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", "score", "bucket")
 
 
+def chunk_documents_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping character-window chunking (RAG/pretraining prep):
+    chunk 120 chars, overlap 24 (stride 96); map-side explode, zero
+    shuffles; every document yields >=1 chunk."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = PK.chunk_documents(d, chunk_chars=120, overlap=24)
+    return out.select("doc_id", "chunk_idx", "chunk_start", "chunk_text")
+
+
+def bpe_tokenize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE subword encoding with a pinned merge table (8 merges,
+    applied in training order as global left-to-right pair rewrites —
+    the JVM replace-chain encoder). The TRAINER is driver-side over the
+    bounded word-frequency table (functions/bpe.py, pytest-pinned on
+    the Sennrich example); this contract query pins the ENCODER, whose
+    rewrite semantics the DuckDB oracle reproduces char-for-char."""
+    from recordmanager_spark.functions import bpe as B
+
+    e = B.END_OF_WORD
+    merges = [
+        ("e", e), ("t", "h"), ("th", "e" + e), ("i", "n"),
+        ("a", "n"), ("o", "n"), ("e", "r"), ("s", e),
+    ]
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = B.bpe_encode("text", merges)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.array_join(F.slice(toks, 1, 12), "|").alias("bpe_head"),
+    )
+
+
 def config_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
     """datasources.ini-driven pipeline tail: a source config parsed from
     the reference's ini dialect (fieldRules copy + format mapping with
@@ -3116,6 +3152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
         "near_dup_prune_docs": near_dup_prune_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "bpe_tokenize_docs": bpe_tokenize_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4782,6 +4820,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, q, cluster_id, (rn = 1) AS keep
             FROM ranked
+        """,
+        "bpe_tokenize_docs": """
+            WITH enc AS (
+                SELECT doc_id,
+                    list_transform(
+                        list_filter(
+                            regexp_split_to_array(
+                                trim(coalesce(text, '')), '\\s+'
+                            ),
+                            w -> w <> ''
+                        ),
+                        w -> replace(replace(replace(replace(replace(
+                             replace(replace(replace(
+                                 array_to_string(
+                                     regexp_split_to_array(w, ''), ' '
+                                 ) || ' ▁',
+                             'e ▁', 'e▁'),
+                             't h', 'th'),
+                             'th e▁', 'the▁'),
+                             'i n', 'in'),
+                             'a n', 'an'),
+                             'o n', 'on'),
+                             'e r', 'er'),
+                             's ▁', 's▁')
+                    ) AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN 0
+                        ELSE CAST(len(string_split(
+                            array_to_string(words, ' '), ' ')) AS BIGINT)
+                   END AS n_bpe,
+                   CASE WHEN len(words) = 0 THEN ''
+                        ELSE array_to_string(
+                            string_split(array_to_string(words, ' '), ' ')[1:12],
+                            '|')
+                   END AS bpe_head
+            FROM enc
+        """,
+        "chunk_documents_docs": """
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       length(coalesce(text, '')) AS n
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, text,
+                       CASE WHEN n <= 120 THEN 1
+                            ELSE CAST(ceil((n - 120) / 96.0) AS INT) + 1
+                       END AS nchunks
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(i * 96 + 1 AS BIGINT) AS chunk_start,
+                   substr(text, CAST(i * 96 + 1 AS INT), 120) AS chunk_text
+            FROM k, UNNEST(range(nchunks)) AS t(i)
         """,
         "quality_buckets_docs": """
             WITH scored AS (

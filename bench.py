@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "exact_substring_dedup_docs",
     "near_dup_prune_docs",
     "quality_buckets_docs",
+    "chunk_documents_docs",
+    "bpe_tokenize_docs",
     "minhash_near_dup",
     "simhash_near_dup",
     "knn_bruteforce",

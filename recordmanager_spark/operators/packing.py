@@ -153,6 +153,56 @@ def mix_sources(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+) -> DataFrame:
+    """Fixed-size overlapping character windows — the standard
+    context-window chunking step of RAG/pretraining preparation.
+
+    Stride = ``chunk_chars - overlap``; the last chunk may be shorter.
+    Every document yields at least one chunk (empty docs produce one
+    empty chunk, so no row silently disappears). Output = the input row
+    exploded with ``chunk_idx`` (0-based), ``chunk_start`` (1-based char
+    offset) and ``chunk_text``.
+
+    Scale shape: pure map-side ``explode(sequence(...))`` + substring —
+    zero shuffles, no driver involvement; the chunk count per row is
+    derived from ``length(text)`` so the plan is one expression
+    regardless of document size. Character-based on purpose: token-exact
+    chunking needs the tokenizer and belongs in the loader;
+    ``pack_sequences`` handles the token-budget assembly stage.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_chars "
+            f"({chunk_chars})"
+        )
+    stride = chunk_chars - overlap
+    text = F.col(text_col)
+    n = F.length(F.coalesce(text, F.lit("")))
+    n_chunks = (
+        F.when(n <= chunk_chars, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_chars)) / F.lit(float(stride))).cast(
+                "int"
+            )
+            + 1
+        )
+    )
+    out = df.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = out["chunk_idx"] * stride + 1
+    return out.withColumn("chunk_start", start.cast("long")).withColumn(
+        "chunk_text",
+        F.coalesce(text, F.lit("")).substr(start, F.lit(chunk_chars)),
+    )
+
+
 def perplexity_score_stub(col: Column | str, salt: str = "ppl") -> Column:
     """DETERMINISTIC STAND-IN for an LM perplexity scorer (no language
     model ships in this runtime — the honest-stub pattern of

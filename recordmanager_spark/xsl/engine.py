@@ -21,9 +21,11 @@ shipped ``transformations/*.xsl`` use:
     (no-op under supported instructions), apply-imports, and
     namespace-alias.
 
-Not implemented (and absent from the corpus): xsl:sort lang (locale
-collation), document()'s two-argument base-URI form. Using one raises
-:class:`XsltError`.
+    Round-5 additions beyond the corpus: document()'s two-argument
+    base-URI form (the base travels to the injected resolver as a second
+    argument) and xsl:sort lang through an optional injected collator —
+    both keep the engine dependency- and network-free by default;
+    xsl:sort lang without a collator raises :class:`XsltError`.
 """
 
 from __future__ import annotations
@@ -162,7 +164,7 @@ class MiniXSLT:
 
     def __init__(
         self, source: str, resolver=None, document_resolver=None,
-        extensions=None, _depth: int = 0
+        extensions=None, collator=None, _depth: int = 0
     ):
         """``resolver(href) -> str`` loads imported stylesheets.
 
@@ -172,15 +174,27 @@ class MiniXSLT:
         (Utils/XslTransformation.php:86-109). Each callable receives its
         arguments converted to strings and returns a string.
 
-        ``document_resolver(href) -> str`` serves ``document()`` calls —
-        the same injectable fetch-boundary pattern as the uriCache
-        enrichment (operators/enrich.py): the engine itself never touches
-        the network or filesystem; the caller decides what an href means
+        ``document_resolver`` serves ``document()`` calls — the same
+        injectable fetch-boundary pattern as the uriCache enrichment
+        (operators/enrich.py): the engine itself never touches the
+        network or filesystem; the caller decides what an href means
         (including XSLT's ``document('')`` = the stylesheet itself).
-        Without one, evaluating ``document()`` raises :class:`XsltError`.
+        Signature ``(href) -> str``, or ``(href, base) -> str`` to also
+        receive the base href for document()'s two-argument form (the
+        href the base node's own document was loaded from; '' for the
+        source document). Without a resolver, evaluating ``document()``
+        raises :class:`XsltError`.
+
+        ``collator(lang) -> (str) -> sort_key`` enables ``xsl:sort
+        lang`` locale collation; inject e.g. PyICU's
+        ``lambda lang: icu.Collator.createInstance(icu.Locale(lang))
+        .getSortKey`` where locale-correct ordering matters. The engine
+        stays dependency-free by default: a sort spec with ``lang`` and
+        no collator raises :class:`XsltError`.
         """
         self.resolver = resolver
         self.document_resolver = document_resolver
+        self.collator = collator
         self.extensions = dict(extensions or {})
         self.templates: list[Template] = []
         self.globals: list[tuple[str, str | None, ET.Element, dict, bool]] = []
@@ -498,8 +512,11 @@ class _Run:
                 "format-number": self._fn_format_number,
             },
         }
-        # document() cache: href -> parsed XNode root (per run)
-        self._documents: dict[str, object] = {}
+        # document() cache: (href, base) -> parsed XNode root (per run)
+        self._documents: dict[tuple[str, str], object] = {}
+        # document root id -> the href it was loaded from ('' = source
+        # document); feeds the base of document()'s two-argument form
+        self._doc_base: dict[int, str] = {}
         # (template, mode) frames for xsl:apply-imports
         self._tmpl_stack: list[tuple] = []
         # xsl:key indexes built lazily per (document root, key name)
@@ -538,39 +555,69 @@ class _Run:
         return xp
 
     # key() / current() / document() extension functions ---------------------
+    def _node_base(self, node) -> str:
+        """The href the node's own document was loaded from ('' for the
+        source document / RTFs) — document()'s base-URI notion, with the
+        caller-injected resolver owning actual URI semantics."""
+        cur = node
+        while getattr(cur, "parent", None) is not None:
+            cur = cur.parent
+        return self._doc_base.get(id(cur), "")
+
     def _fn_document(self, ctx: Context, args):
-        """XSLT 1.0 ``document()`` — single-argument subset: the href (a
-        string, or a node-set whose each node's string value is an href)
-        is resolved through the injected ``document_resolver``; returns
-        the root node(s) of the parsed document(s). The two-argument
-        base-URI form is not supported (absent from the corpus)."""
+        """XSLT 1.0 ``document()``: the href (a string, or a node-set
+        whose each node's string value is an href) is resolved through
+        the injected ``document_resolver``; returns the root node(s) of
+        the parsed document(s). The two-argument form passes the BASE
+        href along — per §12.1 the base of the first node in the
+        second-argument node-set (or, for document(node-set) one-arg
+        calls, of each href node itself) — to a two-parameter resolver;
+        a one-parameter resolver receives only the href (relative
+        resolution stays the caller's job either way)."""
+        import inspect
+
         from .xpath1 import parse_xml
 
-        if len(args) != 1:
-            raise XsltError(
-                "document() with a base-URI node-set argument is not supported"
-            )
-        hrefs = (
-            [n.string_value() for n in args[0]]
-            if isinstance(args[0], list)
-            else [_rtf_aware_string(args[0])]
-        )
+        if len(args) not in (1, 2):
+            raise XsltError("document() takes 1 or 2 arguments")
+        if isinstance(args[0], list):
+            href_base = [
+                (n.string_value(), self._node_base(n)) for n in args[0]
+            ]
+        else:
+            href_base = [(_rtf_aware_string(args[0]), "")]
+        if len(args) == 2:
+            if not isinstance(args[1], list):
+                raise XsltError(
+                    "document()'s second argument must be a node-set"
+                )
+            base = self._node_base(args[1][0]) if args[1] else ""
+            href_base = [(h, base) for h, _ in href_base]
+        resolve = self.sheet.document_resolver
+        takes_base = None
         out = []
-        for href in hrefs:
-            root = self._documents.get(href)
+        for href, base in href_base:
+            root = self._documents.get((href, base))
             if root is None:
-                resolve = self.sheet.document_resolver
                 if resolve is None:
                     raise XsltError(
                         "document() requires a document_resolver "
                         "(MiniXSLT(source, document_resolver=...))"
                     )
-                root = parse_xml(resolve(href))
+                if takes_base is None:
+                    try:
+                        sig = inspect.signature(resolve)
+                        takes_base = len(sig.parameters) >= 2
+                    except (TypeError, ValueError):
+                        takes_base = False
+                body = resolve(href, base) if takes_base else resolve(href)
+                root = parse_xml(body)
                 if self.sheet.strip_names:
                     _strip_space(
                         root, self.sheet.strip_names, self.sheet.preserve_names
                     )
-                self._documents[href] = root
+                self._documents[(href, base)] = root
+                self._doc_base[id(root)] = href
             out.append(root)
         return out
 
@@ -658,19 +705,38 @@ class _Run:
 
     # xsl:sort ---------------------------------------------------------------
     def _sorted(self, elem, nodes, ctx: Context):
-        """Apply child xsl:sort specs (multi-key, text/number, asc/desc)."""
+        """Apply child xsl:sort specs (multi-key, text/number, asc/desc,
+        lang via the injected collator)."""
         specs = [c for c in elem if c.tag == f"{{{XSL_NS}}}sort"]
         if not specs or not nodes:
             return nodes
+        # lang is an AVT (XSLT 1.0 §10); resolve each spec's collation
+        # key function once per sort, against the SORTING context
+        key_funcs = []
+        for s in specs:
+            lang_avt = s.get("lang")
+            if lang_avt is None:
+                key_funcs.append(None)
+                continue
+            lang = self.avt(lang_avt, ctx, self.nsmaps.get(id(s), {}))
+            if self.sheet.collator is None:
+                raise XsltError(
+                    "xsl:sort lang requires a collator "
+                    "(MiniXSLT(source, collator=...)); e.g. PyICU's "
+                    "Collator.getSortKey per locale"
+                )
+            key_funcs.append(self.sheet.collator(lang))
         size = len(nodes)
         keyed = []
         for i, node in enumerate(nodes):
             sub = ctx.with_node(node, i + 1, size)
             keys = []
-            for s in specs:
+            for s, key_fn in zip(specs, key_funcs):
                 v = self._eval(s, s.get("select") or ".", sub)
                 sv = _rtf_aware_string(v)
-                if s.get("data-type") == "number":
+                if key_fn is not None and s.get("data-type") != "number":
+                    keys.append((key_fn(sv), sv))
+                elif s.get("data-type") == "number":
                     num = xp_number(sv)
                     # NaN sorts before every number in ascending order
                     keys.append((-1, 0.0) if num != num else (0, num))

@@ -254,3 +254,71 @@ def test_perplexity_stub_deterministic(spark):
     df = spark.createDataFrame([("a",), ("b",), ("a",)], "t string")
     got = [r.s for r in df.select(PK.perplexity_score_stub("t").alias("s")).collect()]
     assert got[0] == got[2] and 0.0 <= got[0] < 1.0 and got[0] != got[1]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the document with the requested overlap: dropping
+    each chunk's first `overlap` chars (after the first) reconstructs
+    the text exactly, starts advance by the stride, and the final chunk
+    reaches the end of the document."""
+    from recordmanager_spark.operators import packing as PK
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(100))
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_start, r.chunk_text)
+        for r in PK.chunk_documents(
+            df, chunk_chars=30, overlap=10
+        ).collect()
+    )
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert [r[1] for r in rows] == [1 + 20 * i for i in range(len(rows))]
+    rebuilt = rows[0][2] + "".join(t[10:] for _, _, t in rows[1:])
+    assert rebuilt == text
+    # every chunk except the last is full-size; the last reaches the end
+    assert all(len(t) == 30 for _, _, t in rows[:-1])
+    last_idx, last_start, last_text = rows[-1]
+    assert last_start + len(last_text) - 1 == len(text)
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [("short", "tiny"), ("empty", ""), ("null", None)],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: (r.chunk_idx, r.chunk_text)
+        for r in PK.chunk_documents(df, chunk_chars=30, overlap=10).collect()
+    }
+    assert rows == {
+        "short": (0, "tiny"),
+        "empty": (0, ""),
+        "null": (0, ""),
+    }
+
+
+def test_chunk_documents_exact_boundary(spark):
+    """A document exactly chunk_chars long yields ONE chunk (no trailing
+    empty chunk), and one char over yields two."""
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [("exact", "x" * 30), ("over", "y" * 31)], "doc_id string, text string"
+    )
+    got = {}
+    for r in PK.chunk_documents(df, chunk_chars=30, overlap=10).collect():
+        got.setdefault(r.doc_id, []).append(r.chunk_text)
+    assert got["exact"] == ["x" * 30]
+    assert sorted(got["over"], key=len, reverse=True) == ["y" * 30, "y" * 11]
+
+
+def test_chunk_documents_bad_overlap(spark):
+    import pytest
+
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        PK.chunk_documents(df, chunk_chars=10, overlap=10)

@@ -696,3 +696,96 @@ def test_sort_case_order():
     assert _t(body_u, xml) == "<o>APPLE</o><o>Apple</o><o>apple</o><o>banana</o>"
     body_l = body_u.replace("upper-first", "lower-first")
     assert _t(body_l, xml) == "<o>apple</o><o>Apple</o><o>APPLE</o><o>banana</o>"
+
+
+def test_sort_lang_with_injected_collator():
+    """xsl:sort lang routes through the injected collator: a Swedish
+    collation orders å/ä/ö AFTER z (codepoint order would interleave
+    them); lang is an AVT resolved per sort."""
+    sv_order = "abcdefghijklmnopqrstuvwxyzåäö"
+
+    def collator(lang):
+        assert lang == "sv"
+        return lambda s: [sv_order.find(ch) for ch in s.lower()]
+
+    xsl = _SHEET.format(
+        body="""<xsl:template match="/">
+          <xsl:for-each select="r/i"><xsl:sort select="." lang="{concat('s','v')}"/>
+            <o><xsl:value-of select="."/></o></xsl:for-each></xsl:template>"""
+    )
+    xml = "<r><i>ärlig</i><i>zebra</i><i>apa</i><i>öga</i><i>åka</i></r>"
+    out = MiniXSLT(xsl, collator=collator).transform(xml)
+    assert out == "<o>apa</o><o>zebra</o><o>åka</o><o>ärlig</o><o>öga</o>"
+
+
+def test_sort_lang_without_collator_raises():
+    xsl = _SHEET.format(
+        body="""<xsl:template match="/">
+          <xsl:for-each select="r/i"><xsl:sort select="." lang="sv"/>
+            <o><xsl:value-of select="."/></o></xsl:for-each></xsl:template>"""
+    )
+    with pytest.raises(XsltError, match="collator"):
+        MiniXSLT(xsl).transform("<r><i>a</i></r>")
+
+
+def test_document_two_argument_base_uri_form():
+    """document(href, node-set): the base of the second argument's first
+    node (= the href its own document was loaded from) reaches a
+    two-parameter resolver, so relative hrefs resolve against the
+    document that mentioned them — XSLT 1.0 §12.1's base-URI rule with
+    URI semantics delegated to the caller."""
+    seen = []
+
+    def resolver(href, base):
+        seen.append((href, base))
+        if href == "index.xml":
+            return '<index><entry href="leaf.xml"/></index>'
+        if href == "leaf.xml" and base == "index.xml":
+            return "<leaf>FOUND</leaf>"
+        return "<missing/>"
+
+    xsl = _SHEET.format(
+        body="""<xsl:template match="/">
+          <xsl:variable name="idx" select="document('index.xml')"/>
+          <o><xsl:value-of
+            select="document($idx/index/entry/@href, $idx)/leaf"/></o>
+        </xsl:template>"""
+    )
+    out = MiniXSLT(xsl, document_resolver=resolver).transform("<r/>")
+    assert out == "<o>FOUND</o>"
+    assert ("index.xml", "") in seen
+    assert ("leaf.xml", "index.xml") in seen
+
+
+def test_document_one_argument_nodeset_uses_node_base():
+    """document(node-set) one-arg: each href resolves against the base
+    of the node that carried it."""
+    def resolver(href, base):
+        if href == "a.xml":
+            return '<a><ref>b.xml</ref></a>'
+        if href == "b.xml":
+            return f"<b>from:{base}</b>"
+        return "<missing/>"
+
+    xsl = _SHEET.format(
+        body="""<xsl:template match="/">
+          <o><xsl:value-of
+            select="document(document('a.xml')/a/ref)/b"/></o>
+        </xsl:template>"""
+    )
+    out = MiniXSLT(xsl, document_resolver=resolver).transform("<r/>")
+    assert out == "<o>from:a.xml</o>"
+
+
+def test_document_single_arg_one_param_resolver_still_works():
+    """Back-compat: a one-parameter resolver keeps working for every
+    document() call (it simply never sees the base)."""
+    out = MiniXSLT(
+        _SHEET.format(
+            body="""<xsl:template match="/">
+              <o><xsl:value-of select="document('x.xml')/v"/></o>
+            </xsl:template>"""
+        ),
+        document_resolver=lambda href: "<v>ok</v>",
+    ).transform("<r/>")
+    assert out == "<o>ok</o>"

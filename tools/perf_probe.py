@@ -1,0 +1,231 @@
+"""Performance probes beyond bench.py's one-shot pass.
+
+Two modes:
+
+    python tools/perf_probe.py medians [sf_dir] [query ...]
+        5-run medians (noop-sink materialization, warm session) for the
+        named queries — default: the similarity/dedup family whose
+        single-run numbers PERFORMANCE.md flags as high-variance.
+
+    python tools/perf_probe.py soak [sf_dir]
+        10x-replicated-corpus throughput soak for the round-4 dedup
+        operators (exact_substring_dedup, near_dup_prune at a ~30% dup
+        rate, streaming_first_seen), reporting rows/s/core and the peak
+        per-stage shuffle write read from the Spark UI REST API.
+
+Methodology notes: timings exclude session startup (a warm-up query and
+a pandas-UDF warm-up run first, like bench.py); medians are the right
+statistic on this box (±20-70% single-run variance on the similarity
+family); the soak replicates the sf corpus 10x with offset ids, which
+doubles as a worst-case duplicate-rate test for the substring/streaming
+paths (every document arrives 10 times).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from recordmanager_spark.session import get_spark  # noqa: E402
+
+MEDIAN_DEFAULTS = [
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf_full",
+    "embedding_neardup",
+    "exact_substring_dedup_docs",
+    "near_dup_prune_docs",
+    "quality_buckets_docs",
+]
+
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    return get_spark(
+        "perf_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+
+
+def _warm(spark, sf_dir):
+    entry_mod.queries()["q1_pricing_summary"](spark, sf_dir).collect()
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import col, pandas_udf
+
+    def _warm_fn(v):
+        return v * 1.0
+
+    _warm_fn.__annotations__ = {
+        "v": __import__("pandas").Series, "return": __import__("pandas").Series
+    }
+    spark.range(10000, numPartitions=CORES).select(
+        pandas_udf(_warm_fn, "double")(col("id"))
+    ).collect()
+
+
+def _noop_time(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _peak_shuffle_mb(spark) -> float | None:
+    """Max per-stage shuffle write since session start, via the UI REST
+    API (enabled for probes only; engine sessions keep the UI off)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages", timeout=5
+            )
+        )
+        return max(
+            (s.get("shuffleWriteBytes", 0) for s in stages), default=0
+        ) / 1e6
+    except Exception:
+        return None
+
+
+def cmd_medians(sf_dir: str, names: list[str]) -> None:
+    spark = _spark()
+    _warm(spark, sf_dir)
+    qs = entry_mod.queries()
+    print(f"# 5-run medians at {sf_dir} (seconds)")
+    print(f"{'query':34s} {'median':>7s} {'min':>7s} {'max':>7s}")
+    for name in names:
+        runs = [_noop_time(qs[name](spark, sf_dir)) for _ in range(5)]
+        print(
+            f"{name:34s} {statistics.median(runs):7.2f} "
+            f"{min(runs):7.2f} {max(runs):7.2f}"
+        )
+    spark.stop()
+
+
+def _docs10(spark, sf_dir):
+    """The sf documents table replicated 10x with offset ids — the same
+    shape dedup_er's 1067 rec/s/core row was measured on."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        .repartition(CORES)
+        .localCheckpoint(eager=True)
+    )
+
+
+def cmd_soak(sf_dir: str) -> None:
+    spark = _spark()
+    _warm(spark, sf_dir)
+    corpus = _docs10(spark, sf_dir)
+    n = corpus.count()
+    print(f"# soak corpus: {n} docs (10x {sf_dir}), {CORES} cores")
+
+    from recordmanager_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    secs = _noop_time(exact_substring_dedup(corpus, window=20))
+    print(
+        f"exact_substring_dedup     {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+
+    from recordmanager_spark.operators.packing import perplexity_score_stub
+    from recordmanager_spark.operators.text_dedup import near_dup_prune
+
+    scored = corpus.withColumn("q", perplexity_score_stub("doc_id", "soak"))
+    # ~30% of docs in near-dup clusters: docs whose base id % 10 < 3 pair
+    # with their first replica — transitive chains across replicas
+    pairs = corpus.where(
+        (F.pmod(F.col("doc_id"), 10_000_000) % 10 < 3)
+        & (F.col("doc_id") < 90_000_000)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10_000_000).alias("id_b"),
+    )
+    n_pairs = pairs.count()
+    secs = _noop_time(near_dup_prune(scored, pairs, quality_col="q"))
+    print(
+        f"near_dup_prune            {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"({n_pairs} edges, ~{10 * n_pairs / n:.0f}0% of docs clustered)"
+    )
+
+    # streaming first-seen: every content arrives 10x (the replicas share
+    # fingerprints), state = distinct contents
+    import tempfile
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import streaming_first_seen
+
+    base = tempfile.mkdtemp(prefix="rm_soak_")
+    stream_in = corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.pmod("doc_id", F.lit(10_000_000)).cast("string")).alias(
+            "fingerprint"
+        ),
+    )
+    stream_in.write.mode("overwrite").json(f"{base}/in")
+    t0 = time.time()
+    emitted = []
+    q = (
+        streaming_first_seen(
+            spark.readStream.schema("doc_id string, fingerprint string").json(
+                f"{base}/in"
+            )
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, _e: emitted.append(bdf.count())
+        )
+        .outputMode("update")
+        .queryName("soak_" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = time.time() - t0
+    print(
+        f"streaming_first_seen      {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"({sum(emitted)} distinct contents in state)"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
+    rest = sys.argv[2:]
+    sf_dir = rest[0] if rest and "/" in rest[0] else "/root/testdata/sf0.1"
+    names = [a for a in rest if "/" not in a]
+    if mode == "medians":
+        cmd_medians(sf_dir, names or MEDIAN_DEFAULTS)
+    elif mode == "soak":
+        cmd_soak(sf_dir)
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (medians|soak)")

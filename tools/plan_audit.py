@@ -112,6 +112,11 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("chunk_documents_docs", 0, False, False,
+     "map-side explode(sequence)+substring: zero shuffles at any corpus size"),
+    ("bpe_tokenize_docs", 0, False, False,
+     "encode is a scan-stage replace chain — zero shuffles (the word-count "
+     "training stage is a separate, vocabulary-bounded groupBy)"),
     ("near_dup_prune_docs", 3, True, False,
      "window shuffle over clustered rows + the keep-flag join WITHOUT a "
      "planted broadcast hint: this contract corpus is 100% clustered, "
