@@ -25,29 +25,49 @@ from pyspark.sql import functions as F
 from recordmanager_spark.sparkcompat import try_element_at
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _dot(a: "Column | str", b: "Column | str", dim: int | None = None) -> Column:
+    """Dot product; ``dim`` unrolls to a codegen multiply-add chain.
+
+    Pass COLUMN NAMES (plain or dotted-alias strings) with ``dim`` where
+    possible: the unrolled chain then builds as ONE parsed SQL string
+    instead of ~6 py4j round trips per element — at dim 512 the
+    Column-object path costs whole seconds of driver-side query
+    construction per call site (measured, perf_probe medians)."""
+    if dim and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "+".join(
+                f"(CAST(try_element_at({a},{i}) AS DOUBLE)"
+                f"*CAST(try_element_at({b},{i}) AS DOUBLE))"
+                for i in range(1, dim + 1)
+            )
+        )
     if dim:
+        ac = F.col(a) if isinstance(a, str) else a
+        bc = F.col(b) if isinstance(b, str) else b
         terms = [
-            try_element_at(a, i + 1).cast("double")
-            * try_element_at(b, i + 1).cast("double")
+            try_element_at(ac, i + 1).cast("double")
+            * try_element_at(bc, i + 1).cast("double")
             for i in range(dim)
         ]
         out = terms[0]
         for t in terms[1:]:
             out = out + t
         return out
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(ac, bc, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
+def _norm(a: "Column | str", dim: int | None = None) -> Column:
     if dim:
         return F.sqrt(_dot(a, a, dim))
+    ac = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+        F.aggregate(ac, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
 
 
@@ -93,12 +113,12 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_d(F.col(vec_col)).alias("q_vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("q_norm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_d(F.col(vec_col)).alias("c_vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("c_norm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("c_norm"),
     )
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -107,7 +127,7 @@ def knn_bruteforce(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"), dim)
+            _dot("q_vec", "c_vec", dim)
             / (F.col("q_norm") * F.col("c_norm")),
             6,
         ).alias("cosine"),
@@ -145,10 +165,26 @@ def _plane_signs(plane: int) -> tuple:
     return tuple(out)
 
 
+@lru_cache(maxsize=None)
+def _plane_signs_sql(plane: int) -> str:
+    """The plane's ±1 sign table as ONE parseable SQL array literal.
+
+    ``F.array(*[F.lit(s) ...])`` costs a py4j round trip per element —
+    at 512 dims × planes × join sides that was ~6 s of driver-side
+    QUERY CONSTRUCTION per knn_lsh call (measured, perf_probe medians);
+    a single ``F.expr`` string parses JVM-side in microseconds and
+    produces the identical literal array."""
+    return (
+        "array("
+        + ",".join("1.0D" if s > 0 else "-1.0D" for s in _plane_signs(plane))
+        + ")"
+    )
+
+
 def _hyperplane_bit(vec: Column, plane: int) -> Column:
     """Sign bit of <vec, h_plane> — reproducible everywhere, no stored
     model; vectors up to ``_MAX_LSH_DIM`` dims."""
-    signs = F.array(*[F.lit(s) for s in _plane_signs(plane)])
+    signs = F.expr(_plane_signs_sql(plane))
     signed = F.aggregate(
         F.zip_with(
             vec,
@@ -226,13 +262,13 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_d(F.col(vec_col)).alias("q_vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("q_norm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("q_norm"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_d(F.col(vec_col)).alias("c_vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("c_norm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("c_norm"),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").where(
@@ -242,7 +278,7 @@ def knn_lsh(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"), dim)
+            _dot("q_vec", "c_vec", dim)
             / (F.col("q_norm") * F.col("c_norm")),
             6,
         ).alias("cosine"),
@@ -280,14 +316,14 @@ def exact_near_duplicates(
     b = df.select(
         F.col(id_col).alias("id"),
         as_d(F.col(vec_col)).alias("vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("nrm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("nrm"),
     )
     x, y = b.alias("x"), b.alias("y")
     pairs = x.join(F.broadcast(y), F.col("x.id") < F.col("y.id")).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
         F.round(
-            _dot(F.col("x.vec"), F.col("y.vec"), dim)
+            _dot("x.vec", "y.vec", dim)
             / (F.col("x.nrm") * F.col("y.nrm")),
             6,
         ).alias("cosine"),
@@ -337,7 +373,7 @@ def embedding_near_duplicates(
     b = df.select(
         F.col(id_col).alias("id"),
         as_d(F.col(vec_col)).alias("vec"),
-        _norm(as_d(F.col(vec_col)), dim).alias("nrm"),
+        (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("nrm"),
         band_buckets(F.col(vec_col)).alias("buckets"),
     ).localCheckpoint(eager=True)  # bucket bits + norms computed once, not per join side
     e = b.select(
@@ -353,7 +389,7 @@ def embedding_near_duplicates(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
         F.round(
-            _dot(F.col("x.vec"), F.col("y.vec"), dim)
+            _dot("x.vec", "y.vec", dim)
             / (F.col("x.nrm") * F.col("y.nrm")),
             6,
         ).alias("cosine"),

@@ -154,6 +154,7 @@ def streaming_first_seen(
     fingerprint_col: str = "fingerprint",
     id_col: str = "doc_id",
     emit_updates: bool = False,
+    state_ttl_seconds: float | None = None,
 ):
     """Streaming exact content dedup: the FIRST document per content
     fingerprint passes; every later arrival with the same fingerprint is
@@ -178,13 +179,38 @@ def streaming_first_seen(
     Within-batch ties break to the smallest id; across batches strictly
     first-seen wins. State cardinality = distinct contents,
     hash-partitioned across executors like every keyed-state operator.
+
+    ``state_ttl_seconds`` bounds that cardinality for unbounded streams
+    (at 100 TB/day of content the distinct-fingerprint state otherwise
+    grows without limit): a fingerprint idle past the TTL is evicted
+    via a processing-time timeout, so a LATER duplicate re-admits and
+    re-emits as first-seen — the standard watermark-bounded dedup
+    trade (cf. dropDuplicatesWithinWatermark): exact within the TTL
+    window, approximate beyond it. ``None`` (default) keeps exact
+    forever-dedup semantics with state ∝ distinct contents.
+
+    TTL requires a RUNNING trigger cadence (the default micro-batch
+    trigger or ``processingTime=...``): under ``availableNow``/``once``
+    replays a registered processing-time timeout keeps the micro-batch
+    engine scheduling empty batches and the query never terminates
+    (observed on Spark 4.x) — batch-style replays should pass
+    ``state_ttl_seconds=None`` and bound state by splitting the input
+    instead.
     """
     out_schema = f"{fingerprint_col} string, {id_col} string, n_seen long"
     state_schema = f"winner string, n long"
+    ttl_ms = (
+        int(state_ttl_seconds * 1000) if state_ttl_seconds is not None else None
+    )
 
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if getattr(state, "hasTimedOut", False):
+            # cold fingerprint: forget it (bounded-state mode); nothing
+            # is emitted — eviction is invisible until a re-arrival
+            state.remove()
+            return
         if state.exists:
             winner, n = state.get
         else:
@@ -202,6 +228,8 @@ def streaming_first_seen(
                     # batches strictly first-seen wins
                     winner = doc
         state.update((winner, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if winner is not None and (first_emit or (emit_updates and arrived)):
             yield pd.DataFrame(
                 [(key[0], winner, n)],
@@ -215,6 +243,8 @@ def streaming_first_seen(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf=(
+                "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+            ),
         )
     )

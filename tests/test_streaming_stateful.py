@@ -146,3 +146,62 @@ def test_streaming_first_seen_emit_updates(spark, tmp_path):
         ("f2", "c", 1, 0),
         ("f3", "d", 1, 1),  # new fingerprint in batch 2
     ]
+
+
+def test_streaming_first_seen_state_ttl_readmits(spark, tmp_path):
+    """Bounded-state mode: a fingerprint idle past state_ttl_seconds is
+    evicted by the processing-time timeout, so a later duplicate
+    re-admits and re-emits as first-seen with n_seen restarting at 1
+    (exact dedup within the TTL window, approximate beyond — the
+    documented trade). Runs ONE continuous micro-batch query
+    (processingTime trigger): under availableNow a registered timeout
+    keeps the engine alive forever, per the operator docstring."""
+    import time
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import streaming_first_seen
+
+    base = str(tmp_path)
+    schema = "doc_id string, fingerprint string"
+    rows = []
+
+    def write_file(data, name):
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).json(f"{base}/in/{name}")
+
+    def wait_for(n, deadline=90.0):
+        t0 = time.time()
+        while len(rows) < n:
+            assert time.time() - t0 < deadline, rows
+            time.sleep(0.2)
+
+    write_file([("a", "f1")], "b1")
+    out = streaming_first_seen(
+        spark.readStream.schema(schema).json(f"{base}/in/*"),
+        state_ttl_seconds=1.0,
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _e: rows.extend(
+                (r["fingerprint"], r["doc_id"], r["n_seen"])
+                for r in bdf.collect()
+            )
+        )
+        .outputMode("update")
+        .queryName("t_fs_ttl_" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(1)
+        assert rows == [("f1", "a", 1)]
+        # idle past the TTL: empty micro-batches fire the timeout and
+        # evict f1's state
+        time.sleep(4.0)
+        write_file([("b", "f1")], "b2")
+        wait_for(2)
+        assert rows == [("f1", "a", 1), ("f1", "b", 1)]
+    finally:
+        q.stop()

@@ -80,6 +80,16 @@ def _noop_time(df) -> float:
     return time.time() - t0
 
 
+def _query_time(qs, name, spark, sf_dir) -> float:
+    """Construction + noop materialization, like bench.py — queries
+    that resolve work at construction time (dedup_er's driver CC, the
+    IVF k-means collects) are NOT free to build."""
+    t0 = time.time()
+    df = qs[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def _peak_shuffle_mb(spark) -> float | None:
     """Max per-stage shuffle write since session start, via the UI REST
     API (enabled for probes only; engine sessions keep the UI off)."""
@@ -110,7 +120,7 @@ def cmd_medians(sf_dir: str, names: list[str]) -> None:
     print(f"# 5-run medians at {sf_dir} (seconds)")
     print(f"{'query':34s} {'median':>7s} {'min':>7s} {'max':>7s}")
     for name in names:
-        runs = [_noop_time(qs[name](spark, sf_dir)) for _ in range(5)]
+        runs = [_query_time(qs, name, spark, sf_dir) for _ in range(5)]
         print(
             f"{name:34s} {statistics.median(runs):7.2f} "
             f"{min(runs):7.2f} {max(runs):7.2f}"
