@@ -100,12 +100,19 @@ _KANA_MAP["ー"] = ""  # chōonpu long-vowel mark
 _KANA_RANGE_RE = "[ぁ-ヿ]"
 
 
+_KANA_MAP_SQL = (
+    "map("
+    + ",".join(f"'{k}','{v}'" for k, v in _KANA_MAP.items())
+    + ")"
+)
+
+
 def _kana_map_lit() -> Column:
-    pairs: list[Column] = []
-    for k, v in _KANA_MAP.items():
-        pairs.append(F.lit(k))
-        pairs.append(F.lit(v))
-    return F.create_map(*pairs)
+    # ONE parsed SQL literal, not 2x157 F.lit py4j round trips:
+    # normalize_key is invoked many times per extractor plan, and
+    # element-wise Column construction measurably inflates driver-side
+    # query build time (see PERFORMANCE.md, similarity sign tables)
+    return F.expr(_KANA_MAP_SQL)
 
 
 def _fold_kana(c: Column) -> Column:
