@@ -189,6 +189,35 @@ def normalize_key(col: Column | str, engine: str | None = None) -> Column:
     return F.regexp_replace(c, _KEY_STRIP_RE, "")
 
 
+def normalize_key_py(s: str | None) -> str:
+    """Driver-side Python twin of ``normalize_key(engine="table")``.
+
+    Byte-identical to the Column fold (a pytest sweep pins the parity):
+    used where a key must be computed OUTSIDE a Spark plan — building
+    external query strings (the MusicBrainz client sanitizes ids the
+    way MusicBrainzEnrichment.php:149-154 runs normalizeKey before
+    composing its Lucene query), goldens, and test oracles. Keep the
+    two implementations in lockstep when extending the fold tables.
+    """
+    if s is None:
+        return ""
+    c = s.lower()
+    if re.search(_KANA_RANGE_RE, c):
+        c = "".join(_KANA_MAP.get(ch, ch) for ch in c)
+    c = c.translate(str.maketrans(_ACCENTS, _FOLDED))
+    for src, dst in _MULTI_FOLD:
+        c = c.replace(src, dst)
+    # translate() maps positionally and DELETES source chars past the
+    # target's length — mirror both behaviors
+    table: dict[int, str | None] = {
+        ord(a): b for a, b in zip(_ONE_FOLD_SRC, _ONE_FOLD_DST)
+    }
+    for ch in _ONE_FOLD_SRC[len(_ONE_FOLD_DST):]:
+        table[ord(ch)] = None
+    c = c.translate(table)
+    return re.sub(_KEY_STRIP_RE, "", c)
+
+
 # --- ICU key folding --------------------------------------------------------
 # The reference's production path folds keys through an ICU transliterator
 # (MetadataUtils.php:416-433; default rules recordmanager.ini.sample:19-25),
