@@ -2880,6 +2880,51 @@ def url_blocklist_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def url_canonical_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup: messy synthesized
+    URLs (mixed-case hosts, default ports, tracking params, unsorted
+    queries, fragments, www aliases) collapse per RFC 3986 §6 rules;
+    one winner per canonical form (longest doc, then smallest id)."""
+    from recordmanager_spark.functions import urls as U
+
+    d = _t(spark, sf, "documents")
+    host = F.element_at(
+        F.array(
+            F.lit("WWW.News.Example:443"), F.lit("news.example"),
+            F.lit("Blog.Example:80"), F.lit("docs.example"),
+            F.lit("News.example:8080"), F.lit("blog.example"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    scheme = F.element_at(
+        F.array(
+            F.lit("HTTPS"), F.lit("https"), F.lit("http"),
+            F.lit("https"), F.lit("http"), F.lit("https"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    qs = F.element_at(
+        F.array(
+            F.lit("?utm_source=x&b=2&a=1"), F.lit("?a=1&b=2"),
+            F.lit("?b=2&a=1&fbclid=zz"), F.lit(""),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    frag = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("#sec")
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), host, F.lit("/p/"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"), qs, frag,
+    )
+    out = U.canonical_url_dedup(
+        d.select("doc_id", "n_chars", url.alias("url")),
+        url_col="url", id_col="doc_id", quality_col="n_chars",
+        strip_www=True,
+    )
+    return out.select("doc_id", "canonical_url", "keep")
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -3148,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "url_blocklist_docs": url_blocklist_docs,
+        "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -4963,6 +5009,71 @@ def oracle_sql() -> dict[str, str]:
                                 x -> lower(x)),
                             w))) AS INT) AS bad_hits
             FROM b
+        """,
+        "url_canonical_dedup_docs": """
+            WITH raw AS (
+                SELECT doc_id, n_chars,
+                    ['HTTPS','https','http','https','http','https']
+                        [CAST(doc_id % 6 AS INT) + 1]
+                    || '://'
+                    || ['WWW.News.Example:443','news.example',
+                        'Blog.Example:80','docs.example',
+                        'News.example:8080','blog.example']
+                        [CAST(doc_id % 6 AS INT) + 1]
+                    || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+                    || ['?utm_source=x&b=2&a=1','?a=1&b=2',
+                        '?b=2&a=1&fbclid=zz','']
+                        [CAST(doc_id % 4 AS INT) + 1]
+                    || CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END
+                    AS url
+                FROM documents
+            ),
+            comp AS (
+                SELECT doc_id, n_chars,
+                    trim(regexp_replace(trim(url), '#.*$', '')) AS u
+                FROM raw
+            ),
+            parts AS (
+                SELECT doc_id, n_chars, u,
+                    coalesce(lower(regexp_extract(u, '^([^:/?#]+)://', 1)), '') AS scheme,
+                    regexp_replace(
+                        coalesce(lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)), ''),
+                        '^www\\.', '') AS auth0,
+                    coalesce(regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '')
+                        AS path0,
+                    coalesce(regexp_extract(u, '\\?([^#]*)', 1), '') AS query0
+                FROM comp
+            ),
+            norm AS (
+                SELECT doc_id, n_chars, u, scheme,
+                    CASE WHEN scheme = 'http'
+                             THEN regexp_replace(auth0, ':80$', '')
+                         WHEN scheme = 'https'
+                             THEN regexp_replace(auth0, ':443$', '')
+                         ELSE auth0 END AS auth,
+                    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                    coalesce(array_to_string(list_sort(list_filter(
+                        string_split(query0, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_|fbclid=|gclid=|msclkid=|mc_eid=|igshid=)')
+                    )), '&'), '') AS q2
+                FROM parts
+            ),
+            canon AS (
+                SELECT doc_id, n_chars,
+                    CASE WHEN scheme = '' THEN u
+                         ELSE scheme || '://' || auth || path
+                              || CASE WHEN q2 = '' THEN ''
+                                      ELSE '?' || q2 END
+                    END AS canonical_url
+                FROM norm
+            )
+            SELECT doc_id, canonical_url,
+                   row_number() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) = 1 AS keep
+            FROM canon
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

@@ -112,6 +112,9 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("url_canonical_dedup_docs", 1, False, False,
+     "canonicalization is a scan-stage projection; the ONE exchange is "
+     "the ranking window's hash partition on the canonical URL"),
     ("chunk_documents_docs", 0, False, False,
      "map-side explode(sequence)+substring: zero shuffles at any corpus size"),
     ("bpe_tokenize_docs", 0, False, False,
