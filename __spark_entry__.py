@@ -2925,6 +2925,21 @@ def url_canonical_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "canonical_url", "keep")
 
 
+def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling: hashed unigram+bigram bucket
+    distributions of the English slice (target) vs the full corpus
+    (raw); per-doc log importance weight as integer micros; Gumbel
+    top-120 = sampling without replacement by importance."""
+    from recordmanager_spark.operators import dsir as DS
+
+    d = _t(spark, sf, "documents", spread=True)
+    target = d.where(F.col("lang") == "en")
+    out = DS.dsir_select(
+        d, target, k=120, n_buckets=256, alpha=0.5,
+    )
+    return out.select("doc_id", "log_weight", "score")
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -3194,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": temperature_mix_docs,
         "url_blocklist_docs": url_blocklist_docs,
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
+        "dsir_select_docs": dsir_select_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5074,6 +5090,77 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC
                    ) = 1 AS keep
             FROM canon
+        """,
+        "dsir_select_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                    list_transform(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''), x -> lower(x)) AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                    list_concat(ws,
+                        CASE WHEN len(ws) >= 2
+                             THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+                             ELSE [] END) AS gs
+                FROM toks
+            ),
+            buckets AS (
+                SELECT doc_id, lang,
+                    list_transform(gs, g ->
+                        CAST({_HEX8.format(h="md5('dsir' || g)")} % 256
+                             AS INT)) AS bs
+                FROM grams
+            ),
+            tcnt AS (
+                SELECT b AS bucket, COUNT(*) AS cnt
+                FROM buckets, unnest(bs) AS u(b)
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            rcnt AS (
+                SELECT b AS bucket, COUNT(*) AS cnt
+                FROM buckets, unnest(bs) AS u(b) GROUP BY 1
+            ),
+            tot AS (
+                SELECT
+                    (SELECT COALESCE(SUM(cnt), 0) FROM tcnt)
+                        + 0.5 * 256 AS tt,
+                    (SELECT COALESCE(SUM(cnt), 0) FROM rcnt)
+                        + 0.5 * 256 AS rt
+            ),
+            terms AS (
+                SELECT g.b AS bucket,
+                    CAST(round(ln(
+                        ((COALESCE(t.cnt, 0) + 0.5) / tot.tt)
+                        / ((COALESCE(r.cnt, 0) + 0.5) / tot.rt)
+                    ) * 1000000) AS BIGINT) AS term
+                FROM range(0, 256) AS g(b)
+                LEFT JOIN tcnt t ON t.bucket = g.b
+                LEFT JOIN rcnt r ON r.bucket = g.b, tot
+            ),
+            sums AS (
+                SELECT x.doc_id, CAST(SUM(t.term) AS BIGINT) AS w
+                FROM (SELECT doc_id, u.b FROM buckets, unnest(bs) AS u(b)) x
+                JOIN terms t ON t.bucket = x.b
+                GROUP BY 1
+            ),
+            docw AS (
+                SELECT b.doc_id, COALESCE(s.w, 0) AS w_micro,
+                    CAST(round(-ln(-ln(
+                        ({_HEX8.format(h="md5('dsir-g' || CAST(b.doc_id AS VARCHAR))")}
+                         + 0.5) / 4294967296.0
+                    )) * 1000000) AS BIGINT) AS g_micro
+                FROM buckets b LEFT JOIN sums s USING (doc_id)
+            )
+            SELECT doc_id,
+                   w_micro / 1000000.0 AS log_weight,
+                   (w_micro + g_micro) / 1000000.0 AS score
+            FROM docw
+            ORDER BY (w_micro + g_micro) DESC, doc_id ASC
+            LIMIT 120
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

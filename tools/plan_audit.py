@@ -112,6 +112,10 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("dsir_select_docs", 1, False, False,
+     "stat passes are construction-time bounded aggregations; the final "
+     "plan is scan-stage scoring (ratio table = plan literal, no join) "
+     "+ a global top-k (at most one single-partition merge exchange)"),
     ("url_canonical_dedup_docs", 1, False, False,
      "canonicalization is a scan-stage projection; the ONE exchange is "
      "the ranking window's hash partition on the canonical URL"),
