@@ -2940,6 +2940,22 @@ def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "log_weight", "score")
 
 
+def nb_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed-ngram quality classifier, trained closed
+    form (NB log-odds, Laplace 0.5) on English vs non-English slices,
+    scored with length-normalized sum + prior through a sigmoid."""
+    from recordmanager_spark.operators import quality_classifier as QC
+
+    d = _t(spark, sf, "documents", spread=True)
+    model = QC.train_nb_quality(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        n_buckets=256,
+    )
+    out = QC.nb_quality_score(d, model)
+    return out.select("doc_id", "nb_logit", "nb_prob", "nb_label")
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -3210,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_docs": url_blocklist_docs,
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "dsir_select_docs": dsir_select_docs,
+        "nb_quality_docs": nb_quality_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5161,6 +5178,81 @@ def oracle_sql() -> dict[str, str]:
             FROM docw
             ORDER BY (w_micro + g_micro) DESC, doc_id ASC
             LIMIT 120
+        """,
+        "nb_quality_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                    list_transform(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''), x -> lower(x)) AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                    list_concat(ws,
+                        CASE WHEN len(ws) >= 2
+                             THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+                             ELSE [] END) AS gs
+                FROM toks
+            ),
+            buckets AS (
+                SELECT doc_id, lang,
+                    list_transform(gs, g ->
+                        CAST({_HEX8.format(h="md5('nbq' || g)")} % 256
+                             AS INT)) AS bs
+                FROM grams
+            ),
+            pcnt AS (
+                SELECT b AS bucket, COUNT(*) AS cnt
+                FROM buckets, unnest(bs) AS u(b)
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            ncnt AS (
+                SELECT b AS bucket, COUNT(*) AS cnt
+                FROM buckets, unnest(bs) AS u(b)
+                WHERE lang <> 'en' GROUP BY 1
+            ),
+            tot AS (
+                SELECT
+                    (SELECT COALESCE(SUM(cnt), 0) FROM pcnt)
+                        + 0.5 * 256 AS pt,
+                    (SELECT COALESCE(SUM(cnt), 0) FROM ncnt)
+                        + 0.5 * 256 AS nt,
+                    (SELECT COUNT(*) FROM documents WHERE lang = 'en')
+                        AS n_pos,
+                    (SELECT COUNT(*) FROM documents WHERE lang <> 'en')
+                        AS n_neg
+            ),
+            terms AS (
+                SELECT g.b AS bucket,
+                    CAST(round(ln(
+                        ((COALESCE(p.cnt, 0) + 0.5) / tot.pt)
+                        / ((COALESCE(n.cnt, 0) + 0.5) / tot.nt)
+                    ) * 1000000) AS BIGINT) AS term
+                FROM range(0, 256) AS g(b)
+                LEFT JOIN pcnt p ON p.bucket = g.b
+                LEFT JOIN ncnt n ON n.bucket = g.b, tot
+            ),
+            sums AS (
+                SELECT x.doc_id, CAST(SUM(t.term) AS BIGINT) AS s
+                FROM (SELECT doc_id, u.b FROM buckets, unnest(bs) AS u(b)) x
+                JOIN terms t ON t.bucket = x.b
+                GROUP BY 1
+            ),
+            scored AS (
+                SELECT b.doc_id,
+                    CAST(round(ln((tot.n_pos + 1.0) / (tot.n_neg + 1.0))
+                               * 1000000) AS BIGINT) / 1000000.0
+                    + (COALESCE(s.s, 0) / 1000000.0)
+                      / greatest(len(b.bs), 1) AS logit
+                FROM buckets b LEFT JOIN sums s USING (doc_id), tot
+            )
+            SELECT doc_id,
+                   round(logit, 6) AS nb_logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
+                   round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
+            FROM scored
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

@@ -112,6 +112,9 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("nb_quality_docs", 0, False, False,
+     "training collects happen at construction; scoring is a scan-stage "
+     "projection (weights = plan literal array) — zero shuffles"),
     ("dsir_select_docs", 1, False, False,
      "stat passes are construction-time bounded aggregations; the final "
      "plan is scan-stage scoring (ratio table = plan literal, no join) "
