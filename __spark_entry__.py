@@ -2956,6 +2956,27 @@ def nb_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "nb_logit", "nb_prob", "nb_label")
 
 
+def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by cumulative hash intervals
+    (exact-binary fractions so the cut points are engine-identical);
+    reruns never reassign previously split documents."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents")
+    out = PK.train_val_test_split(d, fractions=(0.75, 0.125, 0.125))
+    return out.select("doc_id", "split")
+
+
+def corpus_token_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, lang) token-budget report: docs, whitespace tokens,
+    BPE-ish subword tokens, chars, mean doc length, token share — the
+    input table for mixture-weight planning."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents", spread=True)
+    return PK.corpus_token_stats(d, by=("source", "lang"))
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -3227,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "dsir_select_docs": dsir_select_docs,
         "nb_quality_docs": nb_quality_docs,
+        "train_split_docs": train_split_docs,
+        "corpus_token_stats_docs": corpus_token_stats_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5253,6 +5276,43 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
+        """,
+        "train_split_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                    {_HEX8.format(h="md5('split' || CAST(doc_id AS VARCHAR))")}
+                        / 4294967296.0 AS u
+                FROM documents)
+        """,
+        "corpus_token_stats_docs": """
+            WITH per AS (
+                SELECT source, lang,
+                    len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS nt,
+                    coalesce(list_sum(list_transform(
+                        list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> ''),
+                        x -> CAST(ceil(len(x) / 4.0) AS INTEGER))), 0) AS bt,
+                    len(coalesce(text, '')) AS nc
+                FROM documents
+            ),
+            g AS (
+                SELECT source, lang, COUNT(*) AS n_docs,
+                       CAST(SUM(nt) AS BIGINT) AS ws_tokens,
+                       CAST(SUM(bt) AS BIGINT) AS bpe_ish_tokens,
+                       CAST(SUM(nc) AS BIGINT) AS n_chars
+                FROM per GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(SUM(ws_tokens) AS BIGINT) AS tot FROM g)
+            SELECT source, lang, n_docs, ws_tokens, bpe_ish_tokens, n_chars,
+                   round(ws_tokens / CAST(n_docs AS DOUBLE), 2)
+                       AS mean_doc_tokens,
+                   round(ws_tokens / CAST(tot AS DOUBLE), 6) AS token_share
+            FROM g, t
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

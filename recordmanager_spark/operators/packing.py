@@ -347,3 +347,81 @@ def stratified_sample(
             )
         )
     return df.where(unit_hash(F.col(id_col), salt) < r_expr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: tuple[float, ...] = (0.98, 0.01, 0.01),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic corpus split by cumulative hash intervals.
+
+    A document lands in split i iff ``unit_hash(id)`` falls in
+    ``[cum_{i-1}, cum_i)`` — reproducible across runs, engines, cluster
+    sizes, and INCREMENTAL RERUNS (a new batch never reassigns old
+    documents, the property ``randomSplit`` lacks). The hash is salted
+    so the split is independent of sampling/mixing decisions made with
+    the same ids. Fractions must sum to 1 (±1e-9).
+
+    Scale: one scan-stage comparison chain, zero shuffles.
+    """
+    if len(fractions) != len(labels):
+        raise ValueError(
+            f"{len(fractions)} fractions vs {len(labels)} labels"
+        )
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    u = unit_hash(F.col(id_col), salt)
+    cum = 0.0
+    expr: Column | None = None
+    for frac, label in zip(fractions[:-1], labels[:-1]):
+        cum += frac
+        branch = F.when(u < F.lit(cum), F.lit(label))
+        expr = branch if expr is None else expr.when(
+            u < F.lit(cum), F.lit(label)
+        )
+    expr = (
+        expr.otherwise(F.lit(labels[-1]))
+        if expr is not None
+        else F.lit(labels[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def corpus_token_stats(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-budget report for mixture planning: documents,
+    whitespace tokens, BPE-ish subword tokens, characters, mean doc
+    length, and each group's share of the corpus token budget — the
+    table a mixture designer feeds into ``temperature_mix`` /
+    ``mix_sources`` weights.
+
+    Scale: the corpus is scanned and tokenized ONCE (one map-side-
+    combined groupBy, output bounded by group cardinality); the global
+    total for the share column comes from an unpartitioned window over
+    those few grouped rows — NOT a second aggregation branch, which
+    would re-scan the corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_ish_token_count, token_count
+
+    g = df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count(text_col)).alias("bpe_ish_tokens"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "n_chars"
+        ),
+    )
+    tot = F.sum("ws_tokens").over(Window.partitionBy())
+    return g.withColumn(
+        "mean_doc_tokens",
+        F.round(F.col("ws_tokens") / F.col("n_docs"), 2),
+    ).withColumn("token_share", F.round(F.col("ws_tokens") / tot, 6))

@@ -322,3 +322,64 @@ def test_chunk_documents_bad_overlap(spark):
     df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
     with pytest.raises(ValueError):
         PK.chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+def test_train_val_test_split_properties(spark):
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = PK.train_val_test_split(df, fractions=(0.75, 0.125, 0.125))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash-uniform: proportions within a loose tolerance
+    assert abs(counts["train"] / 2000 - 0.75) < 0.05
+    # deterministic and stable under incremental rerun: a subset keeps
+    # its assignments
+    sub = PK.train_val_test_split(
+        df.where("doc_id < 500"), fractions=(0.75, 0.125, 0.125)
+    )
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
+
+
+def test_train_val_test_split_validation(spark):
+    import pytest
+
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        PK.train_val_test_split(df, fractions=(0.5, 0.4))  # sums to 0.9
+    with pytest.raises(ValueError):
+        PK.train_val_test_split(df, fractions=(0.5, 0.5), labels=("a",))
+
+
+def test_corpus_token_stats(spark):
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "en", "a bb ccc"),
+            ("s1", "en", "dddd eeeee"),
+            ("s1", "de", ""),
+            ("s2", "en", "one two three four"),
+        ],
+        "source string, lang string, text string",
+    )
+    rows = {(r.source, r.lang): r for r in PK.corpus_token_stats(df).collect()}
+    en = rows[("s1", "en")]
+    assert en.n_docs == 2 and en.ws_tokens == 5
+    # bpe-ish: a(1) bb(1) ccc(1) dddd(1) eeeee(2) = 6
+    assert en.bpe_ish_tokens == 6
+    assert en.mean_doc_tokens == 2.5
+    de = rows[("s1", "de")]
+    assert de.ws_tokens == 0 and de.token_share == 0.0
+    total = sum(r.ws_tokens for r in rows.values())
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-4
+    assert total == 9

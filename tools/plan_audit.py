@@ -112,6 +112,12 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("train_split_docs", 0, False, False,
+     "hash-interval assignment is a scan-stage projection — zero shuffles"),
+    ("corpus_token_stats_docs", 2, False, False,
+     "corpus scanned ONCE: one map-side-combined groupBy on "
+     "(source,lang) + a single-partition window over the few grouped "
+     "rows for the global share"),
     ("nb_quality_docs", 0, False, False,
      "training collects happen at construction; scoring is a scan-stage "
      "projection (weights = plan literal array) — zero shuffles"),
