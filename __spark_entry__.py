@@ -2956,6 +2956,31 @@ def nb_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "nb_logit", "nb_prob", "nb_label")
 
 
+def minhash_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental minhash dedup: a synthetic daily batch (exact copies
+    of every 5th corpus doc + genuinely fresh docs for every 7th)
+    probes the persisted signature index; matches are estimated from
+    signature agreement alone — the corpus text is never re-read."""
+    from recordmanager_spark.operators import text_dedup as TD
+
+    d = _t(spark, sf, "documents", spread=True)
+    index = TD.minhash_signature(d, "doc_id", "text")
+    dup = d.where(F.pmod("doc_id", F.lit(5)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    i = F.col("doc_id").cast("string")
+    fresh = d.where(F.pmod("doc_id", F.lit(7)) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), i, F.lit(" xv"), i, F.lit(" wk"), i,
+            F.lit(" jt"), i, F.lit(" pf"), i,
+        ).alias("text"),
+    )
+    batch = dup.unionByName(fresh)
+    annotated, _ = TD.minhash_incremental(batch, index)
+    return annotated.select("doc_id", "is_dup", "matched_id", "agreement")
+
+
 def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by cumulative hash intervals
     (exact-binary fractions so the cut points are engine-identical);
@@ -3249,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "nb_quality_docs": nb_quality_docs,
         "train_split_docs": train_split_docs,
+        "minhash_incremental_docs": minhash_incremental_docs,
         "corpus_token_stats_docs": corpus_token_stats_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
@@ -4532,6 +4558,7 @@ def oracle_sql() -> dict[str, str]:
         # derived hash families chosen for engine reproducibility), so the
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
+        "minhash_incremental_docs": _minhash_incremental_oracle_sql(),
         "line_dedup_docs": """
             WITH d AS (
               SELECT doc_id, 'SHARED HEADER' || chr(10) || substr(text,1,60)
@@ -5485,6 +5512,87 @@ def _minhash_oracle_sql() -> str:
             FROM cand JOIN sets a ON cand.id_a = a.doc_id
                       JOIN sets b ON cand.id_b = b.doc_id)
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """
+
+
+def _minhash_incremental_oracle_sql() -> str:
+    """minhash_incremental replica: corpus signature index, synthetic
+    batch (copies of %5 docs, fresh %7 docs), banded probe join,
+    signature-agreement estimate, best-match-per-new-doc at >= 0.5
+    (operators/text_dedup.py minhash_incremental)."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    mins = ",\n                   ".join(
+        f"CAST(min(xor(h, {_PERM_XOR[p]})) AS VARCHAR) AS h{p}"
+        for p in range(16)
+    )
+    band_keys = ", ".join(
+        "h%d || '|' || h%d || '|' || h%d || '|' || h%d"
+        % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN o.h{p} = n.h{p} THEN 1 ELSE 0 END)" for p in range(16)
+    )
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+        WITH batch AS (
+            SELECT doc_id + 100000 AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id,
+                   'zq' || {i} || ' xv' || {i} || ' wk' || {i}
+                   || ' jt' || {i} || ' pf' || {i} AS text
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        ctoks AS (SELECT doc_id, {toks} AS t FROM documents),
+        btoks AS (SELECT doc_id, {toks} AS t FROM batch),
+        csh AS (SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s
+                FROM ctoks),
+        bsh AS (SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s
+                FROM btoks),
+        ch AS (SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM csh),
+        bh AS (SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM bsh),
+        csig AS (SELECT doc_id,
+                   {mins}
+                 FROM ch GROUP BY doc_id),
+        bsig AS (SELECT doc_id,
+                   {mins}
+                 FROM bh GROUP BY doc_id),
+        cband AS (SELECT doc_id, g.band,
+                         ([{band_keys}])[g.band + 1] AS key
+                  FROM csig, range(0, 4) g(band)),
+        bband AS (SELECT doc_id, g.band,
+                         ([{band_keys}])[g.band + 1] AS key
+                  FROM bsig, range(0, 4) g(band)),
+        cand0 AS (
+            SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+            FROM bband b JOIN cband c
+              ON b.band = c.band AND b.key = c.key),
+        -- max_candidates=200 cap, deterministic: first 200 old ids asc
+        cand AS (
+            SELECT new_id, old_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY new_id ORDER BY old_id ASC) AS crn
+                FROM cand0)
+            WHERE crn <= 200),
+        scored AS (
+            SELECT cand.new_id, cand.old_id,
+                   round(({eq_sum}) / 16.0, 6) AS agreement
+            FROM cand
+            JOIN csig o ON o.doc_id = cand.old_id
+            JOIN bsig n ON n.doc_id = cand.new_id),
+        best AS (
+            SELECT new_id, old_id AS matched_id, agreement FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY new_id
+                    ORDER BY agreement DESC, old_id ASC) AS rn
+                FROM scored)
+            WHERE rn = 1 AND agreement >= 0.5)
+        SELECT b.doc_id, best.matched_id IS NOT NULL AS is_dup,
+               best.matched_id, best.agreement
+        FROM batch b LEFT JOIN best ON b.doc_id = best.new_id
     """
 
 

@@ -138,22 +138,9 @@ def lsh_candidate_pairs(
     """
     banded = signatures.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            try_element_at("sig", b * rows_per_band + r + 1).cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+            "band", "band_key"
+        ),
     )
     # ONE shuffle: bucket members are collected (sorted, capped) per
     # (band, band_key) and pairs generated in-partition — replaces the
@@ -225,6 +212,146 @@ def minhash_near_duplicates(
     sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_n)
+
+
+def _band_key_array(bands: int, rows_per_band: int) -> Column:
+    """The per-signature array of LSH band keys (shared by the batch
+    and full-corpus paths)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    try_element_at("sig", b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_sig_agreement(a: Column, b: Column) -> Column:
+    """Fraction of equal minhash components — the standard unbiased
+    estimate of Jaccard similarity from two signatures (Broder 1997).
+    Rounded to 6 so external engines reproduce the value."""
+    eq = F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+    return F.round(F.size(eq) / F.size(a), 6)
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+    max_candidates: int = 200,
+    broadcast_batch: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted minhash index — the daily
+    ingest path: re-running full-corpus dedup per batch is O(corpus)
+    every day, this is O(batch + matches).
+
+    ``index`` is the stored signature table ``(id string, sig
+    array<long>)`` built by :func:`minhash_signature` over everything
+    already accepted (persist it; append each batch's survivors).
+    Similarity is ESTIMATED from signature agreement
+    (:func:`minhash_sig_agreement`) so the old corpus text is never
+    needed — the index alone answers.
+
+    Returns ``(annotated, new_index)``: ``annotated`` = the batch +
+    ``is_dup`` / ``matched_id`` / ``agreement`` (best index match at
+    ``est_threshold``, ties to the smallest old id); ``new_index`` =
+    index ∪ signatures of the batch's NON-duplicate rows.
+
+    Scale shape (100 TB index, small batch): with
+    ``broadcast_batch=True`` the batch's banded keys broadcast, so the
+    candidate probe is a MAP-SIDE join over the index — the index never
+    shuffles and is read once. Candidate rows (not index rows) flow into
+    one batch-keyed groupBy capped at ``max_candidates`` per new doc
+    (ordered by old id — the deterministic twin of the full path's
+    bucket cap), then scoring joins ride broadcasts of batch-bounded
+    tables. A degenerate boilerplate bucket therefore costs one capped
+    aggregation of its match rows, never memory. Set
+    ``broadcast_batch=False`` for batch sizes past broadcast limits
+    (both sides then shuffle on the band key).
+    """
+    sigs_new = minhash_signature(
+        new_docs, id_col, text_col, num_perm, shingle_n
+    )
+    keys = _band_key_array(bands, rows_per_band)
+    banded_new = sigs_new.select(
+        F.col("id").alias("__new_id"),
+        F.posexplode(keys).alias("band", "band_key"),
+    )
+    if broadcast_batch:
+        banded_new = F.broadcast(banded_new)
+    banded_idx = index.select(
+        F.col("id").alias("__old_id"),
+        F.posexplode(keys).alias("band", "band_key"),
+    )
+    cand = (
+        banded_idx.join(banded_new, ["band", "band_key"])
+        .select("__new_id", "__old_id")
+        .groupBy("__new_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("__old_id")), 1, max_candidates
+            ).alias("__olds")
+        )
+        .select("__new_id", F.explode("__olds").alias("__old_id"))
+    )
+    old_sigs = index.join(
+        F.broadcast(cand), index["id"] == F.col("__old_id")
+    ).select("__new_id", "__old_id", F.col("sig").alias("__old_sig"))
+    scored = old_sigs.join(
+        F.broadcast(
+            sigs_new.select(
+                F.col("id").alias("__new_id"), F.col("sig").alias("__new_sig")
+            )
+        ),
+        "__new_id",
+    ).withColumn(
+        "agreement",
+        minhash_sig_agreement(F.col("__old_sig"), F.col("__new_sig")),
+    )
+    w = Window.partitionBy("__new_id").orderBy(
+        F.col("agreement").desc(), F.col("__old_id").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            & (F.col("agreement") >= F.lit(est_threshold))
+        )
+        .select(
+            "__new_id",
+            F.col("__old_id").alias("matched_id"),
+            "agreement",
+        )
+    )
+    annotated = (
+        new_docs.join(
+            F.broadcast(best),
+            new_docs[id_col] == F.col("__new_id"),
+            "left",
+        )
+        .drop("__new_id")
+        .withColumn("is_dup", F.col("matched_id").isNotNull())
+    )
+    keep_sigs = sigs_new.join(
+        F.broadcast(best.select("__new_id")),
+        sigs_new["id"] == F.col("__new_id"),
+        "left_anti",
+    )
+    return annotated, index.unionByName(keep_sigs)
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,77 @@ def test_near_dup_prune_flag_strategy_identical(spark):
     default = rows()
     assert default == rows(broadcast_flags=True)
     assert default == rows(broadcast_flags=False)
+
+
+def test_minhash_incremental_batch_vs_index(spark):
+    from recordmanager_spark.operators import text_dedup as TD
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content about spark partitions here"),
+            (3, "yet another unrelated document speaking of libraries"),
+        ],
+        "doc_id long, text string",
+    )
+    index = TD.minhash_signature(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 1 -> agreement 1.0
+            (101, "the quick brown fox jumps over the lazy dog tonight"),
+            # genuinely new
+            (102, "zz yy xx ww vv uu tt ss rr qq pp oo"),
+        ],
+        "doc_id long, text string",
+    )
+    annotated, new_index = TD.minhash_incremental(batch, index)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    assert rows[101].is_dup and rows[101].matched_id == 1
+    assert rows[101].agreement == 1.0
+    assert not rows[102].is_dup and rows[102].matched_id is None
+    # index grows by exactly the non-duplicate batch rows
+    ids = {r.id for r in new_index.collect()}
+    assert ids == {1, 2, 3, 102}
+    # second run of the same batch against the UPDATED index: the fresh
+    # doc is now a duplicate of its own earlier admission
+    annotated2, _ = TD.minhash_incremental(batch, new_index)
+    rows2 = {r.doc_id: r for r in annotated2.collect()}
+    assert rows2[102].is_dup and rows2[102].matched_id == 102
+
+
+def test_minhash_incremental_shuffle_path_identical(spark):
+    from recordmanager_spark.operators import text_dedup as TD
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared base text number {i % 4} with tail {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = TD.minhash_signature(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(100 + i, f"shared base text number {i % 4} with tail {i}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    a, _ = TD.minhash_incremental(batch, index, broadcast_batch=True)
+    b, _ = TD.minhash_incremental(batch, index, broadcast_batch=False)
+    key = lambda r: (r.doc_id, r.is_dup, r.matched_id, r.agreement)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_minhash_incremental_candidate_cap(spark):
+    from recordmanager_spark.operators import text_dedup as TD
+
+    # 10 identical corpus docs; cap 3 keeps the 3 smallest old ids as
+    # candidates, best match = smallest id
+    corpus = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere forever") for i in range(10)],
+        "doc_id long, text string",
+    )
+    index = TD.minhash_signature(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(99, "same boilerplate text repeated everywhere forever")],
+        "doc_id long, text string",
+    )
+    annotated, _ = TD.minhash_incremental(batch, index, max_candidates=3)
+    [row] = annotated.collect()
+    assert row.is_dup and row.matched_id == 0 and row.agreement == 1.0

@@ -112,6 +112,11 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("minhash_incremental_docs", 6, True, False,
+     "index + batch signature groupBys (map-side-combined, doc-bounded) "
+     "+ the capped candidate groupBy + the batch-keyed ranking window; "
+     "the banded probe join and all scoring joins BROADCAST the batch "
+     "side — the index side never shuffles for the probe"),
     ("train_split_docs", 0, False, False,
      "hash-interval assignment is a scan-stage projection — zero shuffles"),
     ("corpus_token_stats_docs", 2, False, False,
