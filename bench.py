@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # the ANN path a production corpus would use (brute force above is the
     # exact oracle, not the scale path)
     "knn_ivf_full",
+    "url_canonical_dedup_docs",
+    "dsir_select_docs",
+    "nb_quality_docs",
+    "minhash_incremental_docs",
     "text_quality",
     "multimodal_features",
     "gopher_repetition_docs",
