@@ -2981,6 +2981,19 @@ def minhash_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     return annotated.select("doc_id", "is_dup", "matched_id", "agreement")
 
 
+def cluster_corpus_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus curation clustering: 16 deterministic seed centroids
+    (lowest-id vectors), Arrow argmax assignment, per-cluster sizes;
+    sim = centrality of each vector within its cluster."""
+    from recordmanager_spark.operators import similarity as SM
+
+    e = _t(spark, sf, "embeddings")
+    assignments, stats = SM.cluster_corpus(e, n_cells=16, kmeans_iters=0)
+    return assignments.join(
+        F.broadcast(stats.select("cluster", "cluster_size")), "cluster"
+    ).select("id", "cluster", "sim", "cluster_size")
+
+
 def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by cumulative hash intervals
     (exact-binary fractions so the cut points are engine-identical);
@@ -3275,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_docs": nb_quality_docs,
         "train_split_docs": train_split_docs,
         "minhash_incremental_docs": minhash_incremental_docs,
+        "cluster_corpus_embeddings": cluster_corpus_embeddings,
         "corpus_token_stats_docs": corpus_token_stats_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
@@ -4585,6 +4599,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, COALESCE(agg.text, '') AS text
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "cluster_corpus_embeddings": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+              FROM c ORDER BY vec_id LIMIT 16
+            ), scored AS (
+              SELECT c.vec_id, s.cell,
+                     round(list_cosine_similarity(c.v, s.sv), 6) AS sim
+              FROM c, seeds s
+            ), assign AS (
+              SELECT vec_id, cell, sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                FROM scored) WHERE rn = 1
+            ), stats AS (
+              SELECT cell, COUNT(*) AS cluster_size FROM assign GROUP BY 1
+            )
+            SELECT a.vec_id AS id, a.cell AS cluster, a.sim, s.cluster_size
+            FROM assign a JOIN stats s USING (cell)
         """,
         "semantic_dedup_embeddings": """
             WITH c AS (

@@ -544,6 +544,60 @@ def knn_ivf(
 # ---------------------------------------------------------------------------
 
 
+def cluster_corpus(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Embedding-space corpus clustering for curation: assign every
+    vector to a k-means cell and report per-cluster composition — the
+    grouping step of cluster-based data curation (SemDeDup's cells,
+    density-based pruning, per-cluster sampling quotas, topic-balanced
+    mixtures all start from exactly this table).
+
+    Returns ``(assignments, stats)``:
+
+    - assignments: (id, cluster, sim) — ``sim`` = cosine of the vector
+      to its own centroid (rounded 6), the "centrality" signal curation
+      recipes threshold on (prototypical vs outlier examples);
+    - stats: (cluster, cluster_size, mean_sim) — cluster sizes feed
+      sampling quotas; low mean_sim flags incoherent cells that need a
+      finer clustering.
+
+    ``kmeans_iters=0`` pins the deterministic seed-centroid assignment
+    (centroids = the ``n_cells`` lowest-id vectors, normalized) — the
+    cross-engine-reproducible mode the contract query uses; production
+    runs raise it for real Lloyd refinement (each iteration = one
+    corpus scan + an n_cells-row shuffle, see :func:`ivf_assign`).
+
+    Scale shape: inherits ivf_assign's — centroids live driver-side,
+    assignment is a vectorized Arrow argmax scan, the corpus never
+    shuffles; the stats groupBy moves n_cells rows per partition.
+    """
+    centroids, assigned = ivf_assign(
+        corpus, id_col, vec_col, n_cells, kmeans_iters
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    sim = F.round(cosine_similarity(F.col("raw"), F.col("c_vec"), dim), 6)
+    assignments = (
+        assigned.join(
+            F.broadcast(centroids), assigned["cell"] == centroids["cell"]
+        )
+        .select(
+            assigned["id"],
+            assigned["cell"].alias("cluster"),
+            sim.alias("sim"),
+        )
+    )
+    stats = assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.round(F.avg("sim"), 6).alias("mean_sim"),
+    )
+    return assignments, stats
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

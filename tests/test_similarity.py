@@ -152,3 +152,41 @@ def test_semantic_dedup(spark):
     assert out[0][0] == out[1][0] and out[0][1] and not out[1][1]
     assert out[2][0] == out[3][0] and out[2][1] and not out[3][1]
     assert out[4][1]
+
+
+def test_cluster_corpus_assignments_and_stats(spark):
+    from recordmanager_spark.operators import similarity as SM
+
+    # two tight groups around orthogonal axes + their noisy copies
+    rows = []
+    for i in range(10):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [v + 0.01 * (i % 3) for v in base]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, stats = SM.cluster_corpus(df, n_cells=2, kmeans_iters=0)
+    a = {r.id: r for r in assignments.collect()}
+    # seeds = vectors 0 (x-axis) and 1 (y-axis): evens cluster with 0
+    evens = {a[i].cluster for i in range(0, 10, 2)}
+    odds = {a[i].cluster for i in range(1, 10, 2)}
+    assert evens == {0} and odds == {1}
+    assert all(r.sim > 0.99 for r in a.values())
+    s = {r.cluster: r for r in stats.collect()}
+    assert s[0].cluster_size == 5 and s[1].cluster_size == 5
+    assert 0.99 <= s[0].mean_sim <= 1.0
+
+
+def test_cluster_corpus_lloyd_refinement_moves_centroids(spark):
+    from recordmanager_spark.operators import similarity as SM
+
+    # seed picks ids 0,1 (both x-like); one Lloyd round re-centers and
+    # the y-group coheres around its own mean
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1])] + [
+        (i, [0.0, 1.0]) for i in range(2, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, stats0 = SM.cluster_corpus(df, n_cells=2, kmeans_iters=0)
+    _, stats2 = SM.cluster_corpus(df, n_cells=2, kmeans_iters=2)
+    m0 = {r.cluster: r.mean_sim for r in stats0.collect()}
+    m2 = {r.cluster: r.mean_sim for r in stats2.collect()}
+    assert sum(m2.values()) >= sum(m0.values()) - 1e-9

@@ -112,6 +112,11 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("cluster_corpus_embeddings", 2, True, False,
+     "centroids live driver-side (seed collect at construction); the "
+     "assignment is an Arrow argmax SCAN; exchanges = the n_cells-row "
+     "stats groupBy + its reuse — centroids/stats broadcast back, the "
+     "corpus never shuffles"),
     ("minhash_incremental_docs", 6, True, False,
      "index + batch signature groupBys (map-side-combined, doc-bounded) "
      "+ the capped candidate groupBy + the batch-keyed ranking window; "
