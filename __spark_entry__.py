@@ -2994,6 +2994,23 @@ def cluster_corpus_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id", "cluster", "sim", "cluster_size")
 
 
+def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark slice's 5-gram set
+    compressed into a 4096-bit / 3-hash filter (built distributed,
+    collected as 64 longs), corpus checked scan-stage via literal-array
+    bit tests — the scale path when the eval-suite gram set outgrows a
+    broadcast."""
+    from recordmanager_spark.operators import contamination as CT
+
+    d = _t(spark, sf, "documents", spread=True)
+    bench = d.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    words = CT.bloom_filter_words(bench, "text", n=5, m_bits=4096, k=3)
+    out = CT.bloom_contaminated(
+        d, "doc_id", "text", words, m_bits=4096, k=3, n=5, min_hits=1
+    )
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
 def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by cumulative hash intervals
     (exact-binary fractions so the cut points are engine-identical);
@@ -3289,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_docs": train_split_docs,
         "minhash_incremental_docs": minhash_incremental_docs,
         "cluster_corpus_embeddings": cluster_corpus_embeddings,
+        "bloom_contamination_docs": bloom_contamination_docs,
         "corpus_token_stats_docs": corpus_token_stats_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
@@ -4915,6 +4933,47 @@ def oracle_sql() -> dict[str, str]:
             ), hits AS (
               SELECT dg.doc_id, count(*) AS n_hits
               FROM dg JOIN bench USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "bloom_contamination_docs": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex({_NORM.format(c='text')},
+                                                    '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), gs AS (
+              SELECT doc_id, CASE WHEN len(w) >= 5
+                THEN list_distinct(list_transform(range(1, len(w) - 3),
+                       i -> array_to_string(w[i:i+4], ' ')))
+                ELSE [array_to_string(w, ' ')] END AS g
+              FROM tk
+            ), dg AS (
+              SELECT doc_id, unnest(g) AS g FROM gs
+            ), bpos AS (
+              SELECT DISTINCT p FROM (
+                SELECT unnest([
+                    {_HEX8.format(h="md5('bloom0:' || g)")} % 4096,
+                    {_HEX8.format(h="md5('bloom1:' || g)")} % 4096,
+                    {_HEX8.format(h="md5('bloom2:' || g)")} % 4096]) AS p
+                FROM (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0))
+            ), dexp AS (
+              SELECT doc_id, g, unnest([
+                  {_HEX8.format(h="md5('bloom0:' || g)")} % 4096,
+                  {_HEX8.format(h="md5('bloom1:' || g)")} % 4096,
+                  {_HEX8.format(h="md5('bloom2:' || g)")} % 4096]) AS p
+              FROM dg
+            ), dchk AS (
+              SELECT dexp.doc_id, dexp.g,
+                     count(*) AS total, count(bpos.p) AS present
+              FROM dexp LEFT JOIN bpos ON dexp.p = bpos.p
+              GROUP BY dexp.doc_id, dexp.g
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM dchk WHERE present = total GROUP BY doc_id
             )
             SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) >= 1 AS contaminated

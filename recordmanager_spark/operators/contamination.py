@@ -74,3 +74,124 @@ def flag_contaminated(
     return out.withColumn(
         "n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
     ).withColumn("contaminated", F.col("n_hits") >= min_hits)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter variant: when the benchmark gram SET itself is too big to
+# broadcast (a full eval-suite union easily reaches GBs of distinct
+# grams), a fixed-size bit array answers the same membership question in
+# MBs, at a tunable false-positive rate (classic Bloom 1970 bound:
+# fp ≈ (1 - e^(-k·n/m))^k). False positives only ever OVER-flag — safe
+# for decontamination, where dropping a clean document costs little and
+# missing a contaminated one costs eval integrity.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_position(g: Column, i: int, m_bits: int) -> Column:
+    """Position of hash i for gram g: md5-derived so external engines
+    reproduce the filter bit-for-bit."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), g)), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_filter_words(
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> list[int]:
+    """Build the filter: k md5-derived positions per distinct benchmark
+    gram, OR-ed into ``m_bits/64`` little-endian 64-bit words.
+
+    One distributed pass (explode grams -> explode k positions ->
+    distinct, output bounded by m_bits); the driver holds m_bits/8
+    bytes — 128 KiB at 2^20 — regardless of benchmark size. That is the
+    point: the gram set scales with the eval suite, the filter doesn't.
+    """
+    grams = benchmark.select(
+        F.explode(ngram_set(bench_text_col, n)).alias("g")
+    ).distinct()
+    positions = (
+        grams.select(
+            F.explode(
+                F.array(*[_bloom_position(F.col("g"), i, m_bits) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in positions:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # to signed 64-bit so the values round-trip through a LONG array
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+_BIT_MASKS_SQL = "array(" + ",".join(
+    str(b - (1 << 64) if b >= (1 << 63) else b) + "L"
+    for b in (1 << j for j in range(64))
+) + ")"
+
+
+def bloom_contaminated(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: list[int],
+    *,
+    m_bits: int,
+    k: int = 3,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Annotate ``docs`` with (n_hits, contaminated) against a Bloom
+    filter built by :func:`bloom_filter_words`.
+
+    A gram "hits" iff ALL ``k`` of its bits are set; ``n_hits`` counts
+    the document's distinct hitting grams. False positives inflate
+    ``n_hits`` at the filter's fp rate — over-flagging only (see the
+    section comment above).
+
+    Scale shape: PURE SCAN-STAGE — the word table rides into the plan
+    as parsed literal arrays (no join, no shuffle; the corpus never
+    sees the benchmark), and the bit test is element_at + bitwiseAND in
+    codegen. PySpark's shift builtins take only literal shift amounts,
+    so the variable ``p % 64`` shift is an indexed lookup into a 64-
+    entry mask literal instead. Each of the ``k`` hash conditions
+    references the word-array literal once, so the plan carries
+    ``k × m_bits/64`` literal longs — at the 2^20-bit default that is
+    ~48k constants, well under the plan-size ratchets; size ``m_bits``
+    with that multiplier in mind.
+    """
+    if len(words) != (m_bits + 63) // 64:
+        raise ValueError(
+            f"words has {len(words)} entries, expected {(m_bits + 63) // 64}"
+        )
+    words_arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    masks_arr = F.expr(_BIT_MASKS_SQL)
+
+    def gram_hit(gg: Column) -> Column:
+        cond = None
+        for i in range(k):
+            p = _bloom_position(gg, i, m_bits)
+            word = F.element_at(
+                words_arr, F.shiftright(p, 6).cast("int") + 1
+            )
+            mask = F.element_at(
+                masks_arr, F.pmod(p, F.lit(64)).cast("int") + 1
+            )
+            c = word.bitwiseAND(mask) != 0
+            cond = c if cond is None else cond & c
+        return cond
+
+    n_hits = F.size(F.filter(ngram_set(text_col, n), gram_hit)).cast("long")
+    return docs.withColumn("n_hits", n_hits).withColumn(
+        "contaminated", F.col("n_hits") >= min_hits
+    )

@@ -112,6 +112,10 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("bloom_contamination_docs", 0, False, False,
+     "filter built at construction (bounded distinct-positions pass); "
+     "the corpus check is scan-stage literal-array bit tests — zero "
+     "shuffles, no join, the benchmark never reaches the corpus side"),
     ("cluster_corpus_embeddings", 2, True, False,
      "centroids live driver-side (seed collect at construction); the "
      "assignment is an Arrow argmax SCAN; exchanges = the n_cells-row "
