@@ -1,0 +1,99 @@
+"""Bucketed record stores: co-located joins without shuffles.
+
+The dedup/merge/enrichment families all join or aggregate the records
+table on one stable key (the record id, the dedup key, the host id). On
+a plain parquet table every such join shuffles the full corpus — at
+100 TB that shuffle IS the job. Spark's answer is bucketing
+(`bucketBy` + `sortBy` at write time): the table is pre-partitioned by
+``hash(key) % n_buckets`` on disk, the bucket spec is recorded in the
+catalog, and any join/aggregation keyed on the bucket column reads each
+bucket as an already-partitioned (and already-sorted) input — Catalyst
+drops BOTH sides' Exchange (and the Sort, when sortBy matches) from a
+sort-merge join. Pay the partitioning once at ingest, reuse it across
+every downstream stage and every daily run.
+
+This module wraps that with the engine's conventions:
+
+- ``write_bucketed`` — save a DataFrame as a bucketed+sorted catalog
+  table (saveAsTable is REQUIRED: a plain .parquet() path write cannot
+  record the bucket spec, which lives in the table catalog).
+- ``read_bucketed`` — read it back with the bucket metadata live.
+- ``bucketed_join_ready`` — assert two tables' bucket specs are
+  compatible (same key, same count) before relying on the shuffle-free
+  plan; mismatched counts silently re-introduce the exchange.
+
+Sizing: n_buckets ≈ corpus_size / target_partition_size (128-512 MB);
+at 100 TB and 256 MB targets that is ~400k buckets — set it at ingest
+and keep every co-keyed table on the SAME count (the reference point is
+one bucket column per store: the record id for record stores, the
+dedup key for key indexes).
+
+Cf. the reference's MongoDB/MySQL stores, which index the same columns
+(`Database/AbstractDatabase.php` record/dedup collections) — an index
+answers point lookups, a bucket spec answers the corpus-scale joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "read_bucketed", "bucketed_join_ready"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Save ``df`` as a bucketed (and by default sorted) catalog table.
+
+    ``sort=True`` additionally sorts each bucket file by the key so
+    downstream sort-merge joins skip their Sort as well as their
+    Exchange."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table WITH its bucket metadata (spark.table, not
+    spark.read.parquet(path) — a path read loses the bucket spec and
+    with it the shuffle elimination)."""
+    return spark.table(table)
+
+
+def bucketed_join_ready(
+    spark: SparkSession, table_a: str, table_b: str, key: str
+) -> bool:
+    """True iff both tables are bucketed on ``key`` with the SAME bucket
+    count — the precondition for a shuffle-free co-located join. Use as
+    a guard in ingest pipelines; a False here means someone rewrote one
+    side with a different spec and every downstream join silently
+    regained its exchange."""
+
+    def spec(table: str) -> tuple[int, tuple[str, ...]] | None:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        n, cols = None, None
+        for r in rows:
+            if r.col_name == "Num Buckets":
+                n = int(r.data_type)
+            elif r.col_name == "Bucket Columns":
+                cols = tuple(
+                    c.strip(" `")
+                    for c in r.data_type.strip("[]").split(",")
+                )
+        return (n, cols) if n is not None and cols is not None else None
+
+    a, b = spec(table_a), spec(table_b)
+    return (
+        a is not None
+        and b is not None
+        and a[0] == b[0]
+        and a[1] == (key,)
+        and b[1] == (key,)
+    )
