@@ -2994,6 +2994,40 @@ def cluster_corpus_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id", "cluster", "sim", "cluster_size")
 
 
+def llm_corpus_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship training-data pipeline, composed from the verified
+    pieces: canonical-URL dedup (synthesized messy URLs) → token-count
+    quality gate (5..2000 whitespace tokens) → deterministic
+    train/val/test split; survivors carry their token budget."""
+    from recordmanager_spark.functions import text as TXF
+    from recordmanager_spark.functions import urls as U
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents", spread=True)
+    host = F.element_at(
+        F.array(
+            F.lit("WWW.News.Example:443"), F.lit("news.example"),
+            F.lit("Blog.Example:80"), F.lit("docs.example"),
+            F.lit("News.example:8080"), F.lit("blog.example"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        F.pmod(F.col("doc_id"), F.lit(40)).cast("string"),
+    )
+    deduped = U.canonical_url_dedup(
+        d.select("doc_id", "n_chars", "text", url.alias("url")),
+        url_col="url", id_col="doc_id", quality_col="n_chars",
+        strip_www=True,
+    ).where(F.col("keep"))
+    gated = deduped.withColumn(
+        "n_tokens", TXF.token_count("text").cast("long")
+    ).where(F.col("n_tokens").between(5, 2000))
+    split = PK.train_val_test_split(gated, fractions=(0.75, 0.125, 0.125))
+    return split.select("doc_id", "split", "n_tokens")
+
+
 def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter decontamination: the benchmark slice's 5-gram set
     compressed into a 4096-bit / 3-hash filter (built distributed,
@@ -3307,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_docs": minhash_incremental_docs,
         "cluster_corpus_embeddings": cluster_corpus_embeddings,
         "bloom_contamination_docs": bloom_contamination_docs,
+        "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
         "corpus_token_stats_docs": corpus_token_stats_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
@@ -4937,6 +4972,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "llm_corpus_pipeline_docs": f"""
+            WITH raw AS (
+                SELECT doc_id, n_chars, text,
+                    'https://'
+                    || ['WWW.News.Example:443','news.example',
+                        'Blog.Example:80','docs.example',
+                        'News.example:8080','blog.example']
+                        [CAST(doc_id % 6 AS INT) + 1]
+                    || '/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, n_chars, text,
+                    coalesce(lower(regexp_extract(url, '^([^:/?#]+)://', 1)),
+                             '') AS scheme,
+                    regexp_replace(
+                        coalesce(lower(regexp_extract(url,
+                            '^[^:/?#]+://([^/?#]*)', 1)), ''),
+                        '^www\\.', '') AS auth0,
+                    coalesce(regexp_extract(url,
+                        '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '') AS path0
+                FROM raw
+            ),
+            canon AS (
+                SELECT doc_id, n_chars, text,
+                    scheme || '://'
+                    || (CASE WHEN scheme = 'http'
+                             THEN regexp_replace(auth0, ':80$', '')
+                             WHEN scheme = 'https'
+                             THEN regexp_replace(auth0, ':443$', '')
+                             ELSE auth0 END)
+                    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                        AS canonical_url
+                FROM parts
+            ),
+            kept AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY canonical_url
+                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM canon) WHERE rn = 1
+            ),
+            gated AS (
+                SELECT doc_id,
+                    CAST(len(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM kept
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split,
+                   n_tokens
+            FROM (
+                SELECT doc_id, n_tokens,
+                    {_HEX8.format(h="md5('split' || CAST(doc_id AS VARCHAR))")}
+                        / 4294967296.0 AS u
+                FROM gated WHERE n_tokens BETWEEN 5 AND 2000)
         """,
         "bloom_contamination_docs": f"""
             WITH tk AS (

@@ -112,6 +112,9 @@ AUDITS = [
      "pure scan-stage projection (host regex + literal-array membership)"),
     ("config_pipeline_orders", 0, False, False,
      "config-compiled rewrites are withColumn projections — zero shuffles"),
+    ("llm_corpus_pipeline_docs", 1, False, False,
+     "the whole pipeline shares ONE shuffle: the canonical-URL window; "
+     "quality gate and split are scan-stage on the window's output"),
     ("bloom_contamination_docs", 0, False, False,
      "filter built at construction (bounded distinct-positions pass); "
      "the corpus check is scan-stage literal-array bit tests — zero "
