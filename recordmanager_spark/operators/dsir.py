@@ -37,7 +37,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize
+from ..functions.text import let, tokenize
 
 __all__ = [
     "hashed_ngram_buckets",
@@ -55,20 +55,30 @@ def hashed_ngram_buckets(
 ) -> Column:
     """Lowercased unigram+bigram features hashed into ``n_buckets``
     (the paper's hashed n-gram feature map, §2.2): array<int> with one
-    entry per gram, duplicates preserved (counts matter)."""
-    toks = F.transform(
-        tokenize(text_col), lambda t: F.lower(t)
-    )
-    bis = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+    entry per gram, duplicates preserved (counts matter).
+
+    The token array is let-bound so the bigram builder references it as
+    a lambda variable — without the binding every ``element_at(toks, i)``
+    re-embeds (and re-evaluates) the full tokenize subtree, turning the
+    bigram pass O(tokens²) per document."""
+
+    def _grams(toks: Column) -> Column:
+        bis = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bis)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bis)
+
+    grams = let(
+        F.transform(tokenize(text_col), lambda t: F.lower(t)), _grams
+    )
     return F.transform(
         grams,
         lambda g: F.pmod(

@@ -35,6 +35,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
+from ..functions.text import let
 from .dsir import (
     MICRO,
     _long_array_lit,
@@ -90,19 +93,33 @@ def nb_quality_score(
     buckets = hashed_ngram_buckets(
         text_col, model["n_buckets"], model["salt"]
     )
-    sum_micro = F.aggregate(
-        F.transform(buckets, lambda b: F.element_at(arr, b + 1)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+
+    def _logit(b: Column) -> Column:
+        sum_micro = F.aggregate(
+            F.transform(b, lambda x: F.element_at(arr, x + 1)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        n_grams = F.greatest(F.size(b), F.lit(1))
+        return (
+            F.lit(model["prior_micro"] / float(MICRO))
+            + (sum_micro / F.lit(float(MICRO))) / n_grams
+        )
+
+    # Bind the bucket array once (hashing every gram is the dominant
+    # per-row cost); downstream columns chain off materialized columns
+    # so the pipeline runs once per row, not once per output column.
+    logit = let(buckets, _logit)
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__nb_logit"))), 6
     )
-    n_grams = F.greatest(F.size(buckets), F.lit(1))
-    logit = (
-        F.lit(model["prior_micro"] / float(MICRO))
-        + (sum_micro / F.lit(float(MICRO))) / n_grams
-    )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     return (
-        df.withColumn(out_prefix + "logit", F.round(logit, 6))
+        df.withColumn("__nb_logit", logit)
+        .withColumn(out_prefix + "logit", F.round(F.col("__nb_logit"), 6))
         .withColumn(out_prefix + "prob", prob)
-        .withColumn(out_prefix + "label", prob >= F.lit(threshold))
+        .withColumn(
+            out_prefix + "label",
+            F.col(out_prefix + "prob") >= F.lit(threshold),
+        )
+        .drop("__nb_logit")
     )

@@ -228,6 +228,107 @@ def cmd_soak(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_soak5(sf_dir: str) -> None:
+    """10x-corpus throughput soak for the round-5 operators."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+    corpus = _docs10(spark, sf_dir)
+    n = corpus.count()
+    print(f"# soak corpus: {n} docs (10x {sf_dir}), {CORES} cores")
+
+    from recordmanager_spark.functions.urls import canonical_url_dedup
+    from recordmanager_spark.operators import dsir as DS
+    from recordmanager_spark.operators import quality_classifier as QC
+    from recordmanager_spark.operators.contamination import (
+        bloom_contaminated,
+        bloom_filter_words,
+    )
+    from recordmanager_spark.operators.text_dedup import (
+        minhash_incremental,
+        minhash_signature,
+    )
+
+    # URL dedup at a pathological dup rate: every page exists under 50
+    # cosmetic variants
+    with_url = corpus.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://Site.Example/p/"),
+            F.pmod("doc_id", F.lit(n // 50 + 1)).cast("string"),
+            F.lit("?b=2&a=1&utm_source=soak"),
+        ),
+    )
+    secs = _noop_time(canonical_url_dedup(with_url))
+    print(
+        f"canonical_url_dedup       {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"(~50 variants per canonical url)"
+    )
+
+    # DSIR scoring pass over the full soak corpus (stats from the sf
+    # slice so the probe measures the SCAN, not the stat collects)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = DS.ngram_bucket_counts(base.where(F.col("lang") == "en"), n_buckets=1024)
+    rc = DS.ngram_bucket_counts(base, n_buckets=1024)
+    ratios = DS.dsir_log_ratio_micros(tc, rc, n_buckets=1024)
+    secs = _noop_time(
+        DS.dsir_score(corpus, ratios, n_buckets=1024).select(
+            "doc_id", "log_weight", "score"
+        )
+    )
+    print(
+        f"dsir_score (1024 buckets) {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+
+    model = QC.train_nb_quality(
+        base.where(F.col("lang") == "en"),
+        base.where(F.col("lang") != "en"),
+        n_buckets=1024,
+    )
+    secs = _noop_time(
+        QC.nb_quality_score(corpus, model).select("doc_id", "nb_prob")
+    )
+    print(
+        f"nb_quality_score          {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+
+    # incremental minhash: index = 9 replicas, batch = 1 replica (every
+    # batch doc is a 9-way dup of the index — worst-case match density)
+    index_docs = corpus.where(F.col("doc_id") >= 10_000_000)
+    batch = corpus.where(F.col("doc_id") < 10_000_000)
+    index = minhash_signature(index_docs, "doc_id", "text")
+    nb = batch.count()
+    t0 = time.time()
+    annotated, _ = minhash_incremental(batch, index)
+    annotated.write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"minhash_incremental       {secs:7.2f}s  "
+        f"{nb / secs:9.0f} batch rows/s  {nb / secs / CORES:7.0f} rows/s/core  "
+        f"(index {n - nb} docs built inline, 100% dup batch)"
+    )
+
+    words = bloom_filter_words(
+        base.where(F.pmod("doc_id", F.lit(97)) == 0), "text",
+        n=5, m_bits=1 << 17, k=3,
+    )
+    secs = _noop_time(
+        bloom_contaminated(
+            corpus, "doc_id", "text", words, m_bits=1 << 17, k=3, n=5
+        ).select("doc_id", "n_hits")
+    )
+    print(
+        f"bloom_contaminated (2^17) {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -237,5 +338,7 @@ if __name__ == "__main__":
         cmd_medians(sf_dir, names or MEDIAN_DEFAULTS)
     elif mode == "soak":
         cmd_soak(sf_dir)
+    elif mode == "soak5":
+        cmd_soak5(sf_dir)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (medians|soak)")
+        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5)")
