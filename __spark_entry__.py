@@ -3066,6 +3066,30 @@ def corpus_token_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
     return PK.corpus_token_stats(d, by=("source", "lang"))
 
 
+def skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-skew diagnostic over the events stream keyed by
+    event_type: per-key count, corpus share, skew factor against a
+    64-reducer shuffle, and the salt fan-out that levels the key.
+    Grouped once (ReuseExchange dedupes the total branch); ranking is
+    TakeOrdered, never a full sort."""
+    from recordmanager_spark.operators import diagnostics as DG
+
+    e = _t(spark, sf, "events")
+    return DG.skew_report(e, ["event_type"], top_n=10, partitions=64)
+
+
+def corpus_datacard_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(source, lang) corpus datacard: document/token/char budgets,
+    exact-duplicate rate from content fingerprints, and quality-score
+    mean/median — the release-notes table for a curated corpus. Exact
+    mode here (hash-verifiable); approach='approx' is the bounded-state
+    100 TB path."""
+    from recordmanager_spark.operators import diagnostics as DG
+
+    d = _t(spark, sf, "documents", spread=True)
+    return DG.corpus_datacard(d, by=("source", "lang"), approach="exact")
+
+
 def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination (GPT-3 appendix C style): flag
     corpus documents sharing any normalized 5-gram with the benchmark
@@ -3343,6 +3367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination_docs": bloom_contamination_docs,
         "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
         "corpus_token_stats_docs": corpus_token_stats_docs,
+        "skew_report_events": skew_report_events,
+        "corpus_datacard_docs": corpus_datacard_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5529,6 +5555,59 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_doc_tokens,
                    round(ws_tokens / CAST(tot AS DOUBLE), 6) AS token_share
             FROM g, t
+        """,
+        "skew_report_events": """
+            WITH g AS (
+                SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+            ),
+            t AS (SELECT SUM(cnt) AS tot FROM g)
+            SELECT event_type, cnt,
+                   round(cnt / CAST(tot AS DOUBLE), 6) AS share,
+                   round(cnt * 64 / CAST(tot AS DOUBLE), 4) AS skew_factor,
+                   CAST(greatest(1, ceil(cnt * 64 / CAST(tot AS DOUBLE)))
+                        AS INT) AS suggested_salt
+            FROM g, t
+            ORDER BY cnt DESC, event_type ASC
+            LIMIT 10
+        """,
+        "corpus_datacard_docs": f"""
+            WITH per AS (
+                SELECT source, lang, text,
+                    len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS nt,
+                    len(coalesce(text, '')) AS nc,
+                    md5({_NORM.format(c='text')}) AS fp,
+                    string_split_regex(trim(text), '\\s+') AS toks,
+                    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+                FROM documents),
+            s AS (
+                SELECT source, lang, nt, nc, fp,
+                    CASE WHEN len(toks) > 0
+                         THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                         ELSE 0.0 END AS mwl,
+                    CASE WHEN len(ltoks) > 0
+                         THEN {hits.format(t='ltoks', lst=_EN)}::DOUBLE / len(ltoks)
+                         ELSE 0.0 END AS swr,
+                    CASE WHEN len(text) > 0
+                         THEN len(regexp_replace(text, '[^!-#%-*,-/:;?@\\[-\\]_{{}}]', '', 'g'))::DOUBLE / len(text)
+                         ELSE 0.0 END AS pr
+                FROM per),
+            q AS (
+                SELECT source, lang, nt, nc, fp,
+                    round(((CASE WHEN nt >= 10 AND nt <= 100000 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                         + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS q
+                FROM s)
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   COUNT(DISTINCT fp) AS n_unique,
+                   round(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS dup_rate,
+                   round(avg(q), 4) AS mean_quality,
+                   round(quantile_cont(q, 0.5), 4) AS median_quality
+            FROM q GROUP BY 1, 2
         """,
         "temperature_mix_docs": f"""
             WITH c AS (

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     # exact oracle, not the scale path)
     "knn_ivf_full",
     "url_canonical_dedup_docs",
+    "skew_report_events",
+    "corpus_datacard_docs",
     "dsir_select_docs",
     "nb_quality_docs",
     "minhash_incremental_docs",

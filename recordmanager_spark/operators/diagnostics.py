@@ -1,0 +1,172 @@
+"""Distribution diagnostics: heavy hitters, shuffle-skew reports, and
+a per-group corpus datacard.
+
+Operating a shuffle-heavy pipeline at 100 TB starts with knowing the
+key distribution: every groupBy/join in this engine hashes on some key
+(dedup blocking keys, canonical URLs, host ids, band buckets), and a
+single heavy key turns one reducer into the job's critical path. These
+operators answer the two ops questions — "which keys are hot?" and
+"how should I salt?" — and produce the per-source corpus summary
+("datacard") that LLM-corpus releases publish alongside the data
+(composition, token budget, duplication rate, quality distribution).
+
+Closest reference analogue: the countValues console command
+(reference `src/RecordManager/Base/Command/Records/CountValues.php`,
+re-expressed in operators/count_values.py) — these generalize it from
+"count one field's values" to ranked-share reports and salt
+recommendations. The datacard composes the same per-row statistics the
+quality/text modules already expose.
+
+Scale shape (all three):
+
+- One map-side-combinable groupBy over the key columns; every
+  downstream step operates on the GROUPED table (bounded by key
+  cardinality, not corpus rows).
+- The corpus-total row needed for shares is a second aggregation over
+  the grouped exchange — Spark's ReuseExchange rule dedupes the two
+  identical shuffle subtrees, so the corpus is scanned and partially
+  aggregated ONCE (asserted by the plan audit's exchange contract).
+- Ranking is orderBy+limit = TakeOrderedAndProject: each partition
+  keeps top_n rows, the driver merges P*top_n — never a full sort.
+- The datacard's distinct-count and percentile default to the exact
+  forms (hash-verifiable against external SQL engines); production
+  runs on billions of rows per group should pass approach="approx"
+  (approx_count_distinct + approx_percentile, bounded sketch state),
+  mirroring quality_buckets' dual paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, quality_score, token_count
+
+__all__ = ["heavy_hitters", "skew_report", "corpus_datacard"]
+
+
+def _key_counts(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """(keys..., cnt) plus a broadcast 1-row total — grouped once."""
+    g = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = g.agg(F.sum("cnt").alias("__tot"))
+    return g.crossJoin(F.broadcast(tot))
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Top ``top_n`` key combinations by row count, with corpus share.
+
+    Deterministic: ties on count break to the ascending key. Output
+    columns: ``*key_cols, cnt, share``.
+    """
+    g = _key_counts(df, key_cols)
+    return (
+        g.withColumn(
+            "share", F.round(F.col("cnt") / F.col("__tot"), 6)
+        )
+        .drop("__tot")
+        .orderBy(
+            F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        .limit(top_n)
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Heavy hitters annotated with shuffle-skew metrics.
+
+    For a shuffle into ``partitions`` reducers (default: the session's
+    ``spark.sql.shuffle.partitions``), a key with ``cnt`` rows fills
+    ``skew_factor = cnt / (total / partitions)`` reducers' worth of
+    data. ``suggested_salt = max(1, ceil(skew_factor))`` is the salt
+    fan-out that levels that key back to one reducer's share — the
+    number to feed a salted repartition (or to confirm AQE's skew-join
+    split handled it, see the dedup blocking cap).
+
+    Output: ``*key_cols, cnt, share, skew_factor, suggested_salt``.
+    """
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    g = _key_counts(df, key_cols)
+    sf = F.col("cnt") * F.lit(partitions) / F.col("__tot")
+    return (
+        g.withColumn("share", F.round(F.col("cnt") / F.col("__tot"), 6))
+        .withColumn("skew_factor", F.round(sf, 4))
+        .withColumn(
+            "suggested_salt",
+            F.greatest(F.lit(1), F.ceil(sf)).cast("int"),
+        )
+        .drop("__tot")
+        .orderBy(
+            F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        .limit(top_n)
+    )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    by: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    approach: str = "exact",
+    rsd: float = 0.01,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group corpus summary — the table a dataset release publishes:
+    document/token/char budgets, exact-duplicate rate (content
+    fingerprints), and the quality-score distribution.
+
+    ``approach="exact"`` (default) uses count_distinct + exact
+    percentile so external SQL engines reproduce the values
+    bit-for-bit; ``approach="approx"`` swaps in approx_count_distinct
+    (HLL++, relative error ``rsd``) and approx_percentile (KLL-style
+    sketch, ``accuracy``) whose aggregation state is bounded regardless
+    of group size — the 100 TB path, same dual-mode contract as
+    quality_buckets.
+
+    Output: ``*by, n_docs, ws_tokens, n_chars, n_unique, dup_rate,
+    mean_quality, median_quality``. One projection computes the per-row
+    statistics, one groupBy aggregates them; the corpus never shuffles
+    (only the per-row stat rows do, map-side combined).
+    """
+    q = F.round(quality_score(text_col), 2)
+    per = df.select(
+        *[F.col(c) for c in by],
+        token_count(text_col).alias("__nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__nc"),
+        fingerprint(text_col).alias("__fp"),
+        q.alias("__q"),
+    )
+    if approach == "exact":
+        uniq = F.count_distinct(F.col("__fp"))
+        med = F.expr("percentile(__q, 0.5)")
+    elif approach == "approx":
+        uniq = F.approx_count_distinct("__fp", rsd)
+        med = F.expr(f"approx_percentile(__q, 0.5, {accuracy})").cast(
+            "double"
+        )
+    else:
+        raise ValueError(f"approach must be 'exact' or 'approx': {approach!r}")
+    return per.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("ws_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        uniq.alias("n_unique"),
+        F.round(
+            F.lit(1.0) - uniq / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("__q"), 4).alias("mean_quality"),
+        F.round(med, 4).alias("median_quality"),
+    )

@@ -150,6 +150,17 @@ AUDITS = [
     ("bpe_tokenize_docs", 0, False, False,
      "encode is a scan-stage replace chain — zero shuffles (the word-count "
      "training stage is a separate, vocabulary-bounded groupBy)"),
+    ("skew_report_events", 3, True, True,
+     "grouped once; the 3 exchanges carry KEY-CARDINALITY rows (group "
+     "shuffle + its runtime-reused twin for the total + the total's "
+     "1-row merge), the total joins back as a 1-row broadcast nested "
+     "loop, and ranking is TakeOrdered — the corpus itself shuffles "
+     "zero times"),
+    ("corpus_datacard_docs", 2, False, False,
+     "exact mode: per-row stats are scan-stage; count_distinct plans "
+     "as two map-side-combined aggregates (keys+fingerprint, then "
+     "keys) — approx mode (the 100 TB path) is ONE exchange of "
+     "sketch state"),
     ("near_dup_prune_docs", 3, True, False,
      "window shuffle over clustered rows + the keep-flag join WITHOUT a "
      "planted broadcast hint: this contract corpus is 100% clustered, "
