@@ -3066,6 +3066,68 @@ def corpus_token_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
     return PK.corpus_token_stats(d, by=("source", "lang"))
 
 
+def media_probe_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Real byte-level media decoding: a generator stage builds genuine
+    WAV (even doc_ids) and 24-bit BMP (odd doc_ids) payloads whose
+    parameters derive from the id; media_probe sniffs the container and
+    parses the BYTES (RIFF chunk walk + PCM RMS, BMP pixel decode +
+    aHash). The oracle predicts every parsed field analytically from
+    the generation arithmetic — the decoders cannot shortcut it because
+    they only see the payload."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    def _gen(batches):
+        def wav(i: int) -> bytes:
+            rate = 8000 + (i % 4) * 2000
+            frames = 400 + i % 100
+            amp = 1000 + i % 100
+            data = b"".join(
+                _struct.pack("<h", amp if j % 2 == 0 else -amp)
+                for j in range(frames)
+            )
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                         rate * 2, 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+
+        def bmp(i: int) -> bytes:
+            w, h = 16 + (i % 3) * 8, 16
+            invert = i % 4 == 1
+            stride = (w * 3 + 3) & ~3
+            rows = []
+            for _y in range(h):
+                row = bytearray()
+                for x in range(w):
+                    white = (x >= w // 2) != invert
+                    row += b"\xff\xff\xff" if white else b"\x00\x00\x00"
+                row += b"\x00" * (stride - len(row))
+                rows.append(bytes(row))
+            data = b"".join(rows)
+            info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                len(data), 2835, 2835, 0, 0)
+            hdr = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            return hdr + info + data
+
+        for pdf in batches:
+            ids = pdf["id"]
+            yield _pd.DataFrame({
+                "id": ids,
+                "payload": [
+                    wav(int(i)) if i % 2 == 0 else bmp(int(i)) for i in ids
+                ],
+            })
+
+    d = _t(spark, sf, "documents", spread=True).select(
+        F.col("doc_id").alias("id")
+    )
+    payloads = d.mapInPandas(_gen, schema="id long, payload binary")
+    return MM.media_probe(payloads)
+
+
 def skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-skew diagnostic over the events stream keyed by
     event_type: per-key count, corpus share, skew factor against a
@@ -3369,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats_docs": corpus_token_stats_docs,
         "skew_report_events": skew_report_events,
         "corpus_datacard_docs": corpus_datacard_docs,
+        "media_probe_docs": media_probe_docs,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5555,6 +5618,30 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_doc_tokens,
                    round(ws_tokens / CAST(tot AS DOUBLE), 6) AS token_share
             FROM g, t
+        """,
+        "media_probe_docs": """
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                        ELSE 'image/bmp' END AS mime,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(16 + (doc_id % 3) * 8 AS INT) END AS width,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INT) END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS INT) END AS channels,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(8000 + (doc_id % 4) * 2000 AS INT)
+                        END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(((400 + doc_id % 100) * 1000)
+                                  // (8000 + (doc_id % 4) * 2000) AS INT)
+                        END AS duration_ms,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(1000 + doc_id % 100 AS INT) END AS rms,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN (CASE WHEN doc_id % 4 = 1
+                                   THEN 'f0f0f0f0f0f0f0f0'
+                                   ELSE '0f0f0f0f0f0f0f0f' END)
+                        END AS ahash
+            FROM documents
         """,
         "skew_report_events": """
             WITH g AS (

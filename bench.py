@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "minhash_incremental_docs",
     "text_quality",
     "multimodal_features",
+    "media_probe_docs",
     "gopher_repetition_docs",
     "pii_scrub_docs",
     "contamination_docs",

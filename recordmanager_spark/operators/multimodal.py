@@ -2,10 +2,28 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (mime, width/height/duration, sha256). The Spark-side
-plumbing — schema, batch shape, partition sizing, Arrow transfer — is real
-and tested; the actual decode kernels are STUBBED (image/audio libraries
-are not in this container) behind deterministic fakes / NotImplementedError
-so the pipeline shape can be validated end-to-end.
+plumbing — schema, batch shape, partition sizing, Arrow transfer — is
+real and tested, and so are the decoders for every SELF-DESCRIBING
+format a pure-stdlib parser can handle:
+
+- container sniffing (magic bytes): PNG/JPEG/GIF/BMP/WebP/WAV/MP3/
+  MP4/PDF — JVM-side as a Column expression (``sniff_mime_expr``) and
+  Python-side for the Arrow stages (``sniff_mime``);
+- image dimensions without pixel decode: PNG IHDR, GIF logical screen,
+  BMP BITMAPINFOHEADER, JPEG SOF marker walk (``png_dims`` /
+  ``gif_dims`` / ``bmp_dims`` / ``jpeg_dims``);
+- WAV: full RIFF chunk walk (channels, sample rate, bit depth, frame
+  count, duration) plus real PCM16 RMS energy (``wav_meta`` /
+  ``wav_rms``);
+- uncompressed 24-bit BMP: full pixel decode to a numpy array
+  (bottom-up rows, 4-byte stride padding) and an aHash perceptual
+  fingerprint (8x8 average-pool vs mean) for image near-dup
+  (``bmp_pixels`` / ``ahash64``).
+
+Only kernels that REQUIRE external codecs stay stubbed: compressed
+pixel data (JPEG/PNG need libjpeg/zlib-inflate+filters → PIL/libvips
+seam) and video demux (``frame_sample_stub``, ffmpeg seam) — each an
+explicit NotImplementedError or documented fake, never silently wrong.
 
 Scale notes: binary payloads dominate row size, so these operators
 (a) repartition by byte budget, not row count, before Python stages, and
@@ -16,10 +34,12 @@ batches without materializing fully in one pandas frame.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -44,6 +64,275 @@ def repartition_by_bytes(
     total = df.agg(F.sum(F.length(F.col(payload_col)))).collect()[0][0] or 0
     n = max(1, int(total / target_bytes) + 1)
     return df.repartition(n)
+
+
+# (magic prefix hex, offset, mime) — longest prefixes first so WebP
+# (RIFF....WEBP) wins over WAV's bare RIFF when both match.
+_MAGIC = [
+    ("89504E470D0A1A0A", 0, "image/png"),
+    ("474946383761", 0, "image/gif"),
+    ("474946383961", 0, "image/gif"),
+    ("FFD8FF", 0, "image/jpeg"),
+    ("424D", 0, "image/bmp"),
+    ("57454250", 8, "image/webp"),
+    ("57415645", 8, "audio/wav"),
+    ("494433", 0, "audio/mpeg"),
+    ("FFFB", 0, "audio/mpeg"),
+    ("66747970", 4, "video/mp4"),
+    ("25504446", 0, "application/pdf"),
+]
+
+
+def sniff_mime_expr(payload_col: Column | str) -> Column:
+    """JVM-side magic-byte container sniffing — a scan-stage Column
+    expression (no Python), for routing payloads to per-format decode
+    stages. Returns NULL for unrecognized/NULL payloads."""
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    out = F.lit(None).cast("string")
+    for hexpfx, off, mime in reversed(_MAGIC):
+        n = len(hexpfx) // 2
+        out = F.when(
+            F.hex(F.substring(c, off + 1, n)) == F.lit(hexpfx), mime
+        ).otherwise(out)
+    return out
+
+
+def sniff_mime(payload: bytes | None) -> str | None:
+    """Python twin of :func:`sniff_mime_expr` for Arrow stages."""
+    if not payload:
+        return None
+    for hexpfx, off, mime in _MAGIC:
+        pfx = bytes.fromhex(hexpfx)
+        if payload[off:off + len(pfx)] == pfx:
+            return mime
+    return None
+
+
+def png_dims(payload: bytes) -> tuple[int, int] | None:
+    """PNG IHDR width/height (IHDR is required to be the first chunk)."""
+    if len(payload) < 24 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h)
+
+
+def gif_dims(payload: bytes) -> tuple[int, int] | None:
+    """GIF logical-screen width/height (little-endian, bytes 6-10)."""
+    if len(payload) < 10 or payload[:4] != b"GIF8":
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return (w, h)
+
+
+def bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    """BMP BITMAPINFOHEADER width/height (height may be negative =
+    top-down; returned as absolute)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER (16-bit dims)
+        w, h = struct.unpack("<HH", payload[18:22])
+        return (w, h)
+    w, h = struct.unpack("<ii", payload[18:26])
+    return (w, abs(h))
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """JPEG dimensions via the marker walk to the first SOF segment
+    (SOF0-15 excluding DHT/JPG/DAC), the standard libjpeg-free probe."""
+    if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan — no SOF found
+            return None
+        seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def wav_meta(payload: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk: ``{channels, sample_rate, bits, n_frames,
+    duration_ms}``. duration_ms uses integer floor so every engine
+    reproduces it exactly."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_len = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            _, channels, rate = struct.unpack("<HHI", payload[i + 8:i + 16])
+            bits = struct.unpack("<H", payload[i + 22:i + 24])[0]
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    channels, rate, bits = fmt
+    bytes_per_frame = max(1, channels * (bits // 8))
+    n_frames = data_len // bytes_per_frame
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // max(1, rate),
+    }
+
+
+def wav_rms(payload: bytes) -> float | None:
+    """Real RMS energy of a PCM16 WAV's samples (numpy, exact for the
+    test vectors: identical |sample| values make sqrt(mean(s²)) = |s|)."""
+    meta = wav_meta(payload)
+    if meta is None or meta["bits"] != 16:
+        return None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        clen = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"data":
+            raw = payload[i + 8:i + 8 + clen]
+            samples = np.frombuffer(
+                raw[: len(raw) - (len(raw) % 2)], dtype="<i2"
+            )
+            if samples.size == 0:
+                return 0.0
+            return float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def bmp_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full pixel decode of an uncompressed 24-bit BMP → (H, W, 3)
+    uint8 RGB. Handles bottom-up vs top-down rows and the 4-byte row
+    stride padding. Compressed/paletted BMPs return None (seam for a
+    real imaging library)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def ahash64(img: "np.ndarray") -> str:
+    """aHash perceptual fingerprint: grayscale → 8x8 average-pool →
+    bit per cell (1 iff cell ≥ global mean) → 16-hex-char string.
+    Hamming distance between hashes is the standard image near-dup
+    measure; plug into the banded-LSH pair machinery like simhash."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            cells[r, c] = gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    bits = (cells >= cells.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+MEDIA_PROBE_SCHEMA = (
+    "id long, mime string, width int, height int, channels int, "
+    "sample_rate int, duration_ms int, rms int, ahash string"
+)
+
+
+def media_probe(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas media probe: sniff the container and run the REAL
+    per-format decoder — image dims (PNG/GIF/BMP/JPEG headers), WAV
+    meta + PCM RMS, BMP pixel aHash. Unknown/corrupt payloads yield
+    NULL fields, never a crashed stage. Streams Arrow batches; pair
+    with :func:`repartition_by_bytes` so partitions are byte-bounded."""
+
+    def probe_one(b) -> tuple:
+        p = bytes(b) if b is not None else b""
+        mime = sniff_mime(p)
+        width = height = channels = rate = dur = rms = None
+        ah = None
+        if mime == "image/png":
+            d = png_dims(p)
+            width, height = d if d else (None, None)
+        elif mime == "image/gif":
+            d = gif_dims(p)
+            width, height = d if d else (None, None)
+        elif mime == "image/jpeg":
+            d = jpeg_dims(p)
+            width, height = d if d else (None, None)
+        elif mime == "image/bmp":
+            d = bmp_dims(p)
+            width, height = d if d else (None, None)
+            img = bmp_pixels(p)
+            if img is not None:
+                ah = ahash64(img)
+        elif mime == "audio/wav":
+            m = wav_meta(p)
+            if m:
+                channels = m["channels"]
+                rate = m["sample_rate"]
+                dur = m["duration_ms"]
+                r = wav_rms(p)
+                rms = int(round(r)) if r is not None else None
+        return (mime, width, height, channels, rate, dur, rms, ah)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [probe_one(b) for b in pdf[payload_col]]
+            out = pd.DataFrame(
+                probed,
+                columns=[
+                    "mime", "width", "height", "channels",
+                    "sample_rate", "duration_ms", "rms", "ahash",
+                ],
+            )
+            out.insert(0, "id", pdf["id"].values)
+            for c in ("width", "height", "channels", "sample_rate",
+                      "duration_ms", "rms"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(op, schema=MEDIA_PROBE_SCHEMA)
 
 
 def decode_image_stub(payload: bytes) -> dict:

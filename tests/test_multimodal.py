@@ -49,3 +49,165 @@ def test_decode_image_stub_deterministic():
     a = MM.decode_image_stub(b"payload")
     assert a == MM.decode_image_stub(b"payload")
     assert set(a) == {"width", "height", "channels"}
+
+
+# ---------------------------------------------------------------------------
+# Real decoders: crafted payloads, byte-level parses checked against the
+# generation parameters (and the WAV path against the stdlib encoder).
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def make_png(w, h):
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+
+
+def make_gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def make_jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_bmp(w, h, pixel, top_down=False):
+    """Uncompressed 24-bit BMP; pixel(x, y) -> (r, g, b), y=0 is top."""
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixel(x, y)
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + info + data
+
+
+def make_wav(rate, frames, amp, channels=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        samples = np.empty(frames * channels, dtype="<i2")
+        samples[0::2] = amp
+        samples[1::2] = -amp
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_sniff_mime_python_and_jvm_agree(spark):
+    payloads = {
+        "image/png": make_png(3, 4),
+        "image/gif": make_gif(5, 6),
+        "image/jpeg": make_jpeg(7, 8),
+        "image/bmp": make_bmp(4, 2, lambda x, y: (0, 0, 0)),
+        "audio/wav": make_wav(8000, 10, 100),
+        "application/pdf": b"%PDF-1.4 fake",
+        None: b"\x00\x01\x02\x03unknown",
+    }
+    rows = [(i, p) for i, p in enumerate(payloads.values())]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", MM.sniff_mime_expr("payload").alias("m")).collect()
+    }
+    for i, (mime, p) in enumerate(payloads.items()):
+        assert MM.sniff_mime(p) == mime
+        assert got[i] == mime
+    assert MM.sniff_mime(None) is None
+    assert MM.sniff_mime(b"") is None
+
+
+def test_image_dims_parsers():
+    assert MM.png_dims(make_png(640, 480)) == (640, 480)
+    assert MM.gif_dims(make_gif(12, 34)) == (12, 34)
+    assert MM.jpeg_dims(make_jpeg(321, 123)) == (321, 123)
+    assert MM.bmp_dims(make_bmp(17, 9, lambda x, y: (1, 2, 3))) == (17, 9)
+    # truncation → None, not a crash
+    assert MM.png_dims(make_png(1, 1)[:10]) is None
+    assert MM.jpeg_dims(b"\xff\xd8\xff\xe0") is None
+    assert MM.bmp_dims(b"BM") is None
+
+
+def test_wav_meta_and_rms():
+    p = make_wav(16000, 1234, 700)
+    m = MM.wav_meta(p)
+    assert m == {
+        "channels": 1, "sample_rate": 16000, "bits": 16,
+        "n_frames": 1234, "duration_ms": (1234 * 1000) // 16000,
+    }
+    # alternating +-700 → RMS exactly 700
+    assert MM.wav_rms(p) == 700.0
+    assert MM.wav_meta(b"RIFFxxxxWAVE") is None
+
+
+def test_bmp_pixel_decode_and_padding():
+    # w=17 forces 3 pad bytes per row; gradient must survive both
+    # orientations
+    def px(x, y):
+        return (x * 10 % 256, y * 20 % 256, (x + y) % 256)
+
+    for top_down in (False, True):
+        img = MM.bmp_pixels(make_bmp(17, 5, px, top_down=top_down))
+        assert img.shape == (5, 17, 3)
+        for x, y in ((0, 0), (16, 4), (3, 2)):
+            assert tuple(img[y, x]) == px(x, y)
+
+
+def test_ahash_half_split():
+    # left half black, right half white → rows of 00001111
+    img = MM.bmp_pixels(
+        make_bmp(16, 16, lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))
+    )
+    assert MM.ahash64(img) == "0f0f0f0f0f0f0f0f"
+    img2 = MM.bmp_pixels(
+        make_bmp(16, 16, lambda x, y: (255, 255, 255) if x < 8 else (0, 0, 0))
+    )
+    assert MM.ahash64(img2) == "f0f0f0f0f0f0f0f0"
+
+
+def test_media_probe_mixed_batch(spark):
+    rows = [
+        (0, make_wav(8000, 400, 1000)),
+        (1, make_bmp(16, 16, lambda x, y: (0, 0, 0) if x < 8 else (255, 255, 255))),
+        (2, make_png(99, 66)),
+        (3, b"garbage bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in MM.media_probe(df).collect()}
+    assert got[0]["mime"] == "audio/wav"
+    assert got[0]["sample_rate"] == 8000
+    assert got[0]["duration_ms"] == 50
+    assert got[0]["rms"] == 1000
+    assert got[1]["mime"] == "image/bmp"
+    assert (got[1]["width"], got[1]["height"]) == (16, 16)
+    assert got[1]["ahash"] == "0f0f0f0f0f0f0f0f"
+    assert got[2]["mime"] == "image/png"
+    assert (got[2]["width"], got[2]["height"]) == (99, 66)
+    assert got[3]["mime"] is None and got[3]["width"] is None
+    assert got[4]["mime"] is None
