@@ -3128,6 +3128,29 @@ def media_probe_docs(spark: SparkSession, sf: str) -> DataFrame:
     return MM.media_probe(payloads)
 
 
+def hamming_neardup_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic banded Hamming near-dup over FULL 64-bit fingerprints
+    (aHash/audio-fingerprint shape): doc pairs (2g, 2g+1) share an
+    md5-derived base hash with one planted bit flip, including hashes
+    whose top bit makes the long negative — exercising the unsigned
+    band shifts. The oracle is the exact brute-force O(n²) Hamming
+    join; pigeonhole banding guarantees completeness at max_hamming=2
+    with 3 bands, so the banded plan must reproduce it exactly."""
+    from recordmanager_spark.operators import text_dedup as TD
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    md = F.md5(F.concat(F.lit("hnd"), F.shiftright("doc_id", 1).cast("string")))
+    hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    base = F.shiftleft(hi, 32).bitwiseOR(lo)
+    flip = F.expr("shiftleft(1L, cast(pmod(doc_id, 63) as int))")
+    h = F.when(F.pmod("doc_id", F.lit(2)) == 0, base).otherwise(
+        base.bitwiseXOR(flip)
+    )
+    sigs = d.select(F.col("doc_id").alias("id"), h.alias("hash"))
+    return TD.hamming_near_duplicates(sigs, total_bits=64, max_hamming=2)
+
+
 def skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-skew diagnostic over the events stream keyed by
     event_type: per-key count, corpus share, skew factor against a
@@ -3432,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": skew_report_events,
         "corpus_datacard_docs": corpus_datacard_docs,
         "media_probe_docs": media_probe_docs,
+        "hamming_neardup_hashes": hamming_neardup_hashes,
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
@@ -5618,6 +5642,35 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_doc_tokens,
                    round(ws_tokens / CAST(tot AS DOUBLE), 6) AS token_share
             FROM g, t
+        """,
+        "hamming_neardup_hashes": """
+            WITH m AS (
+                SELECT doc_id,
+                       md5('hnd' || CAST(doc_id // 2 AS VARCHAR)) AS md
+                FROM documents),
+            parts AS (
+                SELECT doc_id,
+                    list_sum(list_transform(range(1, 9),
+                        i -> (strpos('0123456789abcdef', substr(md, i, 1)) - 1)::BIGINT
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS hi,
+                    list_sum(list_transform(range(1, 9),
+                        i -> (strpos('0123456789abcdef', substr(md, i + 8, 1)) - 1)::BIGINT
+                             * CAST(power(16, 8 - i) AS BIGINT))) AS lo
+                FROM m),
+            h AS (
+                SELECT doc_id AS id,
+                    CAST(CASE WHEN doc_id % 2 = 0 THEN base
+                         ELSE xor(base, 1::BIGINT << CAST(doc_id % 63 AS INT))
+                    END AS BIGINT) AS hash
+                FROM (SELECT doc_id,
+                        CAST((hi - CASE WHEN hi >= 2147483648
+                                        THEN 4294967296 ELSE 0 END)
+                             * 4294967296 + lo AS BIGINT) AS base
+                      FROM parts))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.hash, b.hash)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.id < b.id
+            WHERE bit_count(xor(a.hash, b.hash)) <= 2
         """,
         "media_probe_docs": """
             SELECT doc_id AS id,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_docs",
     "minhash_near_dup",
     "simhash_near_dup",
+    "hamming_neardup_hashes",
     "knn_bruteforce",
     # the ANN path a production corpus would use (brute force above is the
     # exact oracle, not the scale path)

@@ -429,15 +429,57 @@ def simhash_near_duplicates(
     cross product. Returns (id_a, id_b, hamming)."""
     # single consumer (the band explode) — plain lineage, no checkpoint
     sigs = simhash(df, id_col, text_col)
-    n_bands = SIMHASH_BITS // band_bits
+    return hamming_near_duplicates(
+        sigs,
+        hash_col="simhash",
+        total_bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+        band_bits=band_bits,
+        bucket_cap=bucket_cap,
+    )
+
+
+def hamming_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "hash",
+    total_bits: int = 64,
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit-or-less integer fingerprints by
+    Hamming distance — the generic banded engine behind
+    :func:`simhash_near_duplicates`, reusable for ANY per-item hash
+    (image aHash from ``operators/multimodal.py``, audio fingerprints,
+    externally computed simhashes).
+
+    Pigeonhole banding: with ``n_bands = total_bits // band_bits``
+    bands, any pair within Hamming distance ``n_bands - 1`` shares an
+    identical band, so candidates come from an equi-join on
+    (band, band_value) — never a cross product. When ``band_bits`` is
+    None it is derived as ``total_bits // (max_hamming + 1)`` so the
+    guarantee exactly covers ``max_hamming``. Bits are extracted with
+    UNSIGNED shifts, so full-64-bit hashes whose top bit makes the
+    long negative band correctly.
+
+    Scale shape: one explode to n_bands rows per item, one bucket-cap
+    groupBy (degenerate buckets bounded to ``bucket_cap`` members),
+    one codegen shuffle-hash self-join per band bucket. Returns
+    (id_a, id_b, hamming), distinct."""
+    if band_bits is None:
+        band_bits = max(1, total_bits // (max_hamming + 1))
+    n_bands = total_bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("__h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(hash_col, b * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for b in range(n_bands)
                 ]
             )
@@ -450,21 +492,22 @@ def simhash_near_duplicates(
     # whole-stage codegen — an order of magnitude faster per pair than
     # generating them inside array-lambda expressions, which Spark
     # evaluates interpreted. Pairs missed by a capped band usually
-    # reappear in one of the other 3 bands.
+    # reappear in one of the other bands.
     members = F.slice(
-        F.array_sort(F.collect_list(F.struct("id", "simhash"))), 1, bucket_cap
+        F.array_sort(F.collect_list(F.struct("id", "__h"))), 1, bucket_cap
     )
     grouped = banded.groupBy("band", "band_val").agg(members.alias("__m"))
     capped = grouped.select(
         "band", "band_val", F.explode("__m").alias("m")
-    ).select("band", "band_val", F.col("m.id").alias("id"), F.col("m.simhash").alias("simhash"))
+    ).select(
+        "band", "band_val",
+        F.col("m.id").alias("id"), F.col("m.__h").alias("__h"),
+    )
     # shuffle-hash, not sort-merge: the bucket key space is small and the
     # capped rows fit executor memory by construction; skipping both sorts
     # removes the dominant setup cost of the self-join
     a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    hamming = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     return (
         a.join(
             b,

@@ -303,3 +303,66 @@ def test_minhash_incremental_candidate_cap(spark):
     annotated, _ = TD.minhash_incremental(batch, index, max_candidates=3)
     [row] = annotated.collect()
     assert row.is_dup and row.matched_id == 0 and row.agreement == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Generic banded Hamming near-dup (hamming_near_duplicates)
+# ---------------------------------------------------------------------------
+
+def _brute_hamming(rows, max_hamming):
+    out = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1:]:
+            d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ida, idb))
+                out.add((a, b, d))
+    return out
+
+
+def test_hamming_near_duplicates_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(60)]
+    # planted: 20 near-pairs at distances 0..2, incl. negative hashes
+    for j in range(20):
+        base = rows[j][1]
+        flips = base
+        for b in range(j % 3):
+            flips ^= 1 << ((j * 7 + b * 13) % 64)
+        rows.append((100 + j, ((flips + (1 << 63)) % (1 << 64)) - (1 << 63)))
+    df = spark.createDataFrame(rows, "id long, hash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in TD.hamming_near_duplicates(
+            df, total_bits=64, max_hamming=2
+        ).collect()
+    }
+    want = _brute_hamming(
+        [(i, h & 0xFFFFFFFFFFFFFFFF) for i, h in rows], 2
+    )
+    assert got == want
+    assert len(got) >= 20  # the planted pairs all survive
+
+
+def test_hamming_top_bit_only_difference(spark):
+    # bit 63 is outside all three 21-bit bands; a pair differing only
+    # there must still surface (identical bands) with hamming 1
+    rows = [(1, 5), (2, 5 - (1 << 63))]
+    df = spark.createDataFrame(rows, "id long, hash long")
+    got = TD.hamming_near_duplicates(df, total_bits=64, max_hamming=2).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 1)]
+
+
+def test_hamming_band_bits_default_derivation(spark):
+    # max_hamming=7 -> 8 bands x 8 bits over 64; distance 7 always found
+    base = 0x0123456789ABCDEF
+    other = base
+    for b in range(7):
+        other ^= 1 << (b * 9)
+    df = spark.createDataFrame(
+        [(1, base), (2, other)], "id long, hash long"
+    )
+    got = TD.hamming_near_duplicates(df, max_hamming=7).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 7)]

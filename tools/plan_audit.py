@@ -150,6 +150,11 @@ AUDITS = [
     ("bpe_tokenize_docs", 0, False, False,
      "encode is a scan-stage replace chain — zero shuffles (the word-count "
      "training stage is a separate, vocabulary-bounded groupBy)"),
+    ("hamming_neardup_hashes", 3, False, False,
+     "generic banded Hamming engine: band-bucket groupBy (cap) + the "
+     "shuffle-hash self-join's two sides + the pair distinct; every "
+     "exchange carries one (band, id, hash) row per item-band, never "
+     "payloads — same shape as simhash_near_dup, reused for aHash"),
     ("skew_report_events", 3, True, True,
      "grouped once; the 3 exchanges carry KEY-CARDINALITY rows (group "
      "shuffle + its runtime-reused twin for the total + the total's "
