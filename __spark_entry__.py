@@ -5440,7 +5440,7 @@ def oracle_sql() -> dict[str, str]:
                     coalesce(array_to_string(list_sort(list_filter(
                         string_split(query0, '&'),
                         p -> p <> '' AND NOT regexp_matches(p,
-                            '^(utm_|fbclid=|gclid=|msclkid=|mc_eid=|igshid=)')
+                            '^(utm_|fbclid(=|$)|gclid(=|$)|msclkid(=|$)|mc_eid(=|$)|igshid(=|$))')
                     )), '&'), '') AS q2
                 FROM parts
             ),
@@ -5925,7 +5925,8 @@ def _minhash_oracle_sql() -> str:
 
 def _minhash_incremental_oracle_sql() -> str:
     """minhash_incremental replica: corpus signature index, synthetic
-    batch (copies of %5 docs, fresh %7 docs), banded probe join,
+    batch (copies of %5 docs, fresh %7 docs), banded probe join PLUS
+    the within-batch self-probe (smaller batch id = candidate),
     signature-agreement estimate, best-match-per-new-doc at >= 0.5
     (operators/text_dedup.py minhash_incremental)."""
     from recordmanager_spark.operators.text_dedup import _PERM_XOR
@@ -5975,9 +5976,16 @@ def _minhash_incremental_oracle_sql() -> str:
                          ([{band_keys}])[g.band + 1] AS key
                   FROM bsig, range(0, 4) g(band)),
         cand0 AS (
-            SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
-            FROM bband b JOIN cband c
-              ON b.band = c.band AND b.key = c.key),
+            SELECT DISTINCT new_id, old_id FROM (
+                SELECT b.doc_id AS new_id, c.doc_id AS old_id
+                FROM bband b JOIN cband c
+                  ON b.band = c.band AND b.key = c.key
+                UNION ALL
+                -- within-batch pass: smaller batch id = candidate
+                SELECT b2.doc_id AS new_id, b1.doc_id AS old_id
+                FROM bband b1 JOIN bband b2
+                  ON b1.band = b2.band AND b1.key = b2.key
+                 AND b1.doc_id < b2.doc_id)),
         -- max_candidates=200 cap, deterministic: first 200 old ids asc
         cand AS (
             SELECT new_id, old_id FROM (
@@ -5985,11 +5993,13 @@ def _minhash_incremental_oracle_sql() -> str:
                     PARTITION BY new_id ORDER BY old_id ASC) AS crn
                 FROM cand0)
             WHERE crn <= 200),
+        allsig AS (
+            SELECT * FROM csig UNION ALL SELECT * FROM bsig),
         scored AS (
             SELECT cand.new_id, cand.old_id,
                    round(({eq_sum}) / 16.0, 6) AS agreement
             FROM cand
-            JOIN csig o ON o.doc_id = cand.old_id
+            JOIN allsig o ON o.doc_id = cand.old_id
             JOIN bsig n ON n.doc_id = cand.new_id),
         best AS (
             SELECT new_id, old_id AS matched_id, agreement FROM (

@@ -11,12 +11,15 @@ way a 100 TB corpus actually trains one:
    pass produces word counts, training is local). Deterministic:
    ties on pair count break lexicographically.
 3. ``bpe_encode`` — applying the learned merges to text, JVM-side: a
-   word becomes its space-separated characters and each merge is one
-   global left-to-right ``replace`` of ``"a b" -> "ab"`` — the classic
-   reduction of BPE encoding to sequential string rewrites, identical
-   semantics in Spark and external SQL engines (which is what makes the
-   contract query hash-verifiable). The expression chain grows one node
-   per merge, so it is capped; past ``max_inline_merges`` use
+   word becomes its space-separated symbols and each merge is one
+   boundary-anchored ``regexp_replace`` of ``"a b" -> "ab"`` (the
+   anchors are non-consuming lookarounds on the space delimiters, so a
+   pattern can never match ACROSS a symbol boundary — e.g. merges
+   ``[(t,h),(h,e)]`` must encode "the" as ``[th, e, ▁]``, never "the";
+   a naive un-anchored replace would match the "h e" inside "th e").
+   This makes the inline chain byte-identical to the symbol-list scan
+   ``bpe_train``/``bpe_encode_udf`` run. The expression chain grows one
+   node per merge, so it is capped; past ``max_inline_merges`` use
    ``bpe_encode_udf`` — an Arrow-batched pandas UDF running the same
    algorithm for production-size merge lists (32k merges as plan
    literals would be a plan-size bomb, see PERFORMANCE.md).
@@ -131,6 +134,16 @@ def bpe_train(
     return merges
 
 
+def _rx_quote(sym: str) -> str:
+    """Quote a literal symbol for a Java regex (\\Q...\\E, \\E-safe)."""
+    return "\\Q" + sym.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _repl_quote(s: str) -> str:
+    """Quote a Java regex replacement string (backslash and $)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def bpe_encode(
     col: Column | str,
     merges: list[tuple[str, str]],
@@ -139,11 +152,17 @@ def bpe_encode(
     """Array of BPE tokens for each whitespace word of ``col``, JVM-side.
 
     Per word: append the end-of-word sentinel, intersperse single spaces
-    between symbols, then apply each merge in training order as a global
-    left-to-right ``replace("a b", "ab")``; the surviving spaces are the
-    token boundaries. One expression node per merge — refuse past
-    ``max_inline_merges`` (use :func:`bpe_encode_udf` for real vocabs;
-    a 32k-merge replace chain is a plan-size bomb).
+    between symbols (plus one pad space at each end), then apply each
+    merge in training order as a boundary-anchored
+    ``regexp_replace("(?<= )a b(?= )", "ab")``. The lookarounds are
+    non-consuming, so (a) a pattern never matches across a symbol
+    boundary — the left half must BE a whole symbol, not a suffix of
+    one — and (b) adjacent occurrences ("a b a b") both merge in one
+    pass, exactly the greedy left-to-right non-overlapping scan of the
+    symbol list that :func:`bpe_train` / :func:`bpe_encode_udf` run.
+    One expression node per merge — refuse past ``max_inline_merges``
+    (use :func:`bpe_encode_udf` for real vocabs; a 32k-merge chain is a
+    plan-size bomb).
     """
     if len(merges) > max_inline_merges:
         raise ValueError(
@@ -152,16 +171,18 @@ def bpe_encode(
         )
 
     def encode_word(w: Column) -> Column:
-        # "abc" -> "a b c ▁"
+        # "abc" -> " a b c ▁ " (pad spaces = uniform match boundaries)
         s = F.concat(
+            F.lit(" "),
             F.array_join(
                 F.transform(F.split(w, ""), lambda ch: ch), " "
             ),
-            F.lit(" " + END_OF_WORD),
+            F.lit(" " + END_OF_WORD + " "),
         )
         for a, b in merges:
-            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
-        return F.split(s, " ")
+            pat = f"(?<= ){_rx_quote(a)} {_rx_quote(b)}(?= )"
+            s = F.regexp_replace(s, pat, _repl_quote(a + b))
+        return F.split(F.trim(s), " ")
 
     return F.flatten(F.transform(tokenize(col), encode_word))
 

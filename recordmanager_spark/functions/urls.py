@@ -32,6 +32,8 @@ text_dedup / quality do.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,8 +50,30 @@ DEFAULT_TRACKING_PARAMS = (
 )
 
 
+def _rx_escape(s: str) -> str:
+    """Escape regex metacharacters — the common Java/RE2 set, so the
+    generated pattern means the same thing in Spark and in external SQL
+    engines (DuckDB's RE2) that oracle-check it."""
+    return _RX_META.sub(r"\\\1", s)
+
+
+_RX_META = re.compile(r"([.^$*+?()\[\]{}|\\])")
+
+
 def _param_strip_regex(params: tuple[str, ...]) -> str:
-    return "^(" + "|".join(p.replace("_", "_") for p in params) + ")"
+    """One anchored alternation over the strip list. Entries ending in
+    ``=`` are EXACT parameter names — matched as ``name(=|$)`` so the
+    bare valueless form (``...&fbclid&...``) strips too; other entries
+    are name-family prefixes (``utm_``). Every alternative is
+    regex-escaped, so caller-supplied names like ``ref[src]=`` are
+    literals, not broken patterns."""
+    alts = []
+    for p in params:
+        if p.endswith("="):
+            alts.append(_rx_escape(p[:-1]) + "(=|$)")
+        else:
+            alts.append(_rx_escape(p))
+    return "^(" + "|".join(alts) + ")"
 
 
 def canonicalize_url(

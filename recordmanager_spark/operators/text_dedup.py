@@ -254,6 +254,7 @@ def minhash_incremental(
     est_threshold: float = 0.5,
     max_candidates: int = 200,
     broadcast_batch: bool = True,
+    within_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against a persisted minhash index — the daily
     ingest path: re-running full-corpus dedup per batch is O(corpus)
@@ -266,10 +267,23 @@ def minhash_incremental(
     (:func:`minhash_sig_agreement`) so the old corpus text is never
     needed — the index alone answers.
 
+    With ``within_batch=True`` (default) the batch is ALSO probed
+    against itself: a row whose band bucket collides with a smaller-id
+    batch row competes those candidates alongside the index ones, so
+    two duplicates arriving in the same batch are caught (the larger id
+    flags as dup of the smaller; only the smaller enters the index).
+    ``matched_id`` may then name a same-batch row that is itself a dup
+    of something older (a chain C→B→A) — every dup is still flagged,
+    and followers can resolve chains by joining ``annotated`` to
+    itself. Set ``within_batch=False`` to restore the probe-only shape
+    (e.g. when the batch was already self-deduped upstream).
+
     Returns ``(annotated, new_index)``: ``annotated`` = the batch +
-    ``is_dup`` / ``matched_id`` / ``agreement`` (best index match at
-    ``est_threshold``, ties to the smallest old id); ``new_index`` =
-    index ∪ signatures of the batch's NON-duplicate rows.
+    ``is_dup`` / ``matched_id`` / ``agreement`` (best match at
+    ``est_threshold``; ties break to the smallest candidate id, and
+    index ids compete with batch ids in one ordered pool);
+    ``new_index`` = index ∪ signatures of the batch's NON-duplicate
+    rows.
 
     Scale shape (100 TB index, small batch): with
     ``broadcast_batch=True`` the batch's banded keys broadcast, so the
@@ -297,9 +311,24 @@ def minhash_incremental(
         F.col("id").alias("__old_id"),
         F.posexplode(keys).alias("band", "band_key"),
     )
+    cand_all = banded_idx.join(banded_new, ["band", "band_key"]).select(
+        "__new_id", "__old_id"
+    )
+    if within_batch:
+        # batch vs itself: smaller id is the candidate canonical. Both
+        # sides are the (small) batch, so this self-join is
+        # batch-bounded; the cap below bounds everything downstream.
+        cand_batch = (
+            banded_new.select(
+                F.col("__new_id").alias("__old_id"), "band", "band_key"
+            )
+            .join(banded_new, ["band", "band_key"])
+            .where(F.col("__old_id") < F.col("__new_id"))
+            .select("__new_id", "__old_id")
+        )
+        cand_all = cand_all.unionByName(cand_batch)
     cand = (
-        banded_idx.join(banded_new, ["band", "band_key"])
-        .select("__new_id", "__old_id")
+        cand_all
         .groupBy("__new_id")
         .agg(
             F.slice(
@@ -308,8 +337,13 @@ def minhash_incremental(
         )
         .select("__new_id", F.explode("__olds").alias("__old_id"))
     )
-    old_sigs = index.join(
-        F.broadcast(cand), index["id"] == F.col("__old_id")
+    sig_pool = (
+        index.unionByName(sigs_new.select("id", "sig"))
+        if within_batch
+        else index
+    )
+    old_sigs = sig_pool.join(
+        F.broadcast(cand), sig_pool["id"] == F.col("__old_id")
     ).select("__new_id", "__old_id", F.col("sig").alias("__old_sig"))
     scored = old_sigs.join(
         F.broadcast(

@@ -80,6 +80,69 @@ def test_bpe_encode_inline_matches_udf(spark):
     assert inline == udf
 
 
+def test_bpe_encode_boundary_collision_parity(spark):
+    """Merges whose pattern could match across a symbol boundary must
+    not: with [(t,h),(h,e)], 'the' is t h e ▁ -> th e ▁, and the 'h e'
+    visible inside the string 'th e' is NOT a symbol pair — the result
+    is [th, e, ▁], never ['the', ▁]. The inline chain must equal the
+    UDF's symbol-list walk exactly (this was a real divergence: the
+    un-anchored replace chain produced 'the')."""
+    e = B.END_OF_WORD
+    merges = [("t", "h"), ("h", "e")]
+    rows = [("the",), ("hhe othe theta",), ("h he hhe",)]
+    df = spark.createDataFrame(rows, "t string")
+    inline = [
+        r.toks
+        for r in df.select(B.bpe_encode("t", merges).alias("toks"))
+        .orderBy("t")
+        .collect()
+    ]
+    enc = B.bpe_encode_udf(merges)
+    udf = [
+        r.toks
+        for r in df.select(enc(F.col("t")).alias("toks")).orderBy("t").collect()
+    ]
+    assert inline == udf
+    got = (
+        df.where(F.col("t") == "the")
+        .select(B.bpe_encode("t", merges).alias("toks"))
+        .collect()[0]
+        .toks
+    )
+    assert got == ["th", "e", e]
+
+
+def test_bpe_encode_adjacent_and_regex_special(spark):
+    """Adjacent occurrences all merge in one pass ('abab' -> ab ab) and
+    regex metacharacters in symbols/replacements are quoted."""
+    e = B.END_OF_WORD
+    df = spark.createDataFrame(
+        [("abab aba",), ("().$ $$",), ("a\\b x\\Ey",)], "t string"
+    )
+    cases = [
+        ([("a", "b")], "abab aba", ["ab", "ab", e, "ab", "a", e]),
+        ([("(", ")"), ("$", ".")], "().$ $$", ["()", ".", "$", e, "$", "$", e]),
+        ([("\\", "b"), ("\\E", "y")], "a\\b x\\Ey", None),
+    ]
+    for merges, text, want in cases:
+        inline = (
+            df.where(F.col("t") == text)
+            .select(B.bpe_encode("t", merges).alias("toks"))
+            .collect()[0]
+            .toks
+        )
+        enc = B.bpe_encode_udf(merges)
+        udf = (
+            df.where(F.col("t") == text)
+            .select(enc(F.col("t")).alias("toks"))
+            .collect()[0]
+            .toks
+        )
+        assert inline == udf, (merges, text)
+        if want is not None:
+            assert inline == want, (merges, text)
+
+
 def test_bpe_encode_inline_cap():
     with pytest.raises(ValueError, match="max_inline_merges"):
         B.bpe_encode("t", [("a", "b")] * 10, max_inline_merges=5)

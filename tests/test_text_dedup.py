@@ -267,6 +267,40 @@ def test_minhash_incremental_batch_vs_index(spark):
     assert rows2[102].is_dup and rows2[102].matched_id == 102
 
 
+def test_minhash_incremental_within_batch_pair(spark):
+    """Two duplicates arriving in the SAME batch: the larger id flags
+    as a dup of the smaller one and only the smaller enters the index
+    (this was a real gap — both used to slip past the index probe and
+    both got stored). within_batch=False restores the probe-only shape."""
+    from recordmanager_spark.operators import text_dedup as TD
+
+    corpus = spark.createDataFrame(
+        [(1, "completely different content about spark partitions here")],
+        "doc_id long, text string",
+    )
+    index = TD.minhash_signature(corpus, "doc_id", "text")
+    dup_text = "the quick brown fox jumps over the lazy dog tonight"
+    batch = spark.createDataFrame(
+        [(201, dup_text), (202, dup_text),
+         (203, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "doc_id long, text string",
+    )
+    annotated, new_index = TD.minhash_incremental(batch, index)
+    rows = {r.doc_id: r for r in annotated.collect()}
+    assert not rows[201].is_dup
+    assert rows[202].is_dup and rows[202].matched_id == 201
+    assert rows[202].agreement == 1.0
+    assert not rows[203].is_dup
+    assert {r.id for r in new_index.collect()} == {1, 201, 203}
+    # opt-out: the historical probe-only behavior
+    probe_only, idx2 = TD.minhash_incremental(
+        batch, index, within_batch=False
+    )
+    rows2 = {r.doc_id: r for r in probe_only.collect()}
+    assert not rows2[201].is_dup and not rows2[202].is_dup
+    assert {r.id for r in idx2.collect()} == {1, 201, 202, 203}
+
+
 def test_minhash_incremental_shuffle_path_identical(spark):
     from recordmanager_spark.operators import text_dedup as TD
 

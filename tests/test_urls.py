@@ -61,6 +61,31 @@ def test_path_case_and_query_values_preserved(spark):
     assert got == "https://a.b/CaseD?K=V"
 
 
+def test_tracking_param_edge_forms(spark):
+    """Exact-name entries strip the bare valueless form and never
+    over-match longer names; custom names with regex metacharacters
+    are treated as literals."""
+    got = _canon(
+        spark,
+        [
+            "https://s.example/x?a=1&fbclid",         # bare valueless
+            "https://s.example/x?fbclid2=keep&a=1",   # longer name kept
+            "https://s.example/x?utm_campaign=z&a=1", # family prefix
+        ],
+    )
+    assert got == [
+        "https://s.example/x?a=1",
+        "https://s.example/x?a=1&fbclid2=keep",
+        "https://s.example/x?a=1",
+    ]
+    got2 = _canon(
+        spark,
+        ["https://s.example/x?ref[src]=t&a=1&ref=keep"],
+        tracking_params=("ref[src]=",),
+    )
+    assert got2 == ["https://s.example/x?a=1&ref=keep"]
+
+
 def test_canonical_url_dedup_winner(spark):
     df = spark.createDataFrame(
         [
