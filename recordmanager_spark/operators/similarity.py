@@ -340,6 +340,7 @@ def embedding_near_duplicates(
     num_bands: int = 8,
     target_bucket_rows: int = 128,
     dim: int | None = None,
+    bucket_cap: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, banded LSH.
 
@@ -348,16 +349,27 @@ def embedding_near_duplicates(
     bands of ``num_planes`` hyperplane sign bits each.
 
     Scale shape: one band of p planes gives 2^p buckets, so within-bucket
-    self-join volume is ~n²/2^p — p must GROW with the corpus or the join
-    degenerates quadratically. When ``num_planes`` is None it is sized from
-    the corpus count so expected bucket size ~= ``target_bucket_rows``
+    pair volume is ~n²/2^p — p must GROW with the corpus or the candidate
+    set degenerates quadratically. When ``num_planes`` is None it is sized
+    from the corpus count so expected bucket size ~= ``target_bucket_rows``
     (p = log2(n / target)). That many planes makes a single band's recall
     collapse — P(collide | cos=t) = (1 - arccos(t)/pi)^p — which is what
     the bands restore: recall = 1-(1-r^p)^b. At p=20, b=8 a cos=0.99 pair
     survives with ~0.98 probability while random pairs (r~0.5) are
-    candidates ~8/2^20 of the time. The explode factor is b (each row
-    appears once per band); candidate pairs sharing multiple bands dedupe
-    via distinct() on the scored rows.
+    candidates ~8/2^20 of the time.
+
+    Skew guard: plane-count sizing bounds the EXPECTED bucket, but a
+    corpus where every vector is near-identical (mirrored shards, a
+    constant embedding from a broken encoder) puts all n rows in the SAME
+    bucket of every band regardless of p — the round-6 skew soak showed
+    the uncapped self-join going quadratic there. So candidate pairs are
+    generated the way :func:`~recordmanager_spark.operators.text_dedup.
+    lsh_candidate_pairs` does it: collect each bucket's ids (sorted,
+    truncated to ``bucket_cap``) in ONE map-side-combinable groupBy and
+    emit pairs in-partition, then join the bounded pair list back to the
+    vectors for exact cosine scoring. A mega-bucket costs cap²/2 pairs
+    instead of n²/2; near-identical rows beyond the cap are still caught
+    because every one of them pairs with the cap's earliest members.
     """
     as_d = (
         (lambda v: v)
@@ -376,27 +388,48 @@ def embedding_near_duplicates(
         (_norm(vec_col, dim) if dim else _norm(as_d(F.col(vec_col)))).alias("nrm"),
         band_buckets(F.col(vec_col)).alias("buckets"),
     ).localCheckpoint(eager=True)  # bucket bits + norms computed once, not per join side
-    e = b.select(
-        "id", "vec", "nrm", F.posexplode("buckets").alias("band", "bucket")
+    banded = b.select("id", F.posexplode("buckets").alias("band", "bucket"))
+    ids = F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
+    grouped = banded.groupBy("band", "bucket").agg(ids.alias("__ids"))
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, bucket_cap),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    x, y = e.alias("x"), e.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.band") == F.col("y.band"))
-        & (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.id") < F.col("y.id")),
-    ).select(
-        F.col("x.id").alias("id_a"),
-        F.col("y.id").alias("id_b"),
-        F.round(
-            _dot("x.vec", "y.vec", dim)
-            / (F.col("x.nrm") * F.col("y.nrm")),
-            6,
-        ).alias("cosine"),
+    pairs = (
+        grouped.select(F.explode(pair_arrays).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
     )
-    # distinct collapses pairs that matched in >1 band (cosine is
-    # deterministic, so the scored row is identical across bands)
-    return pairs.where(F.col("cosine") >= threshold).distinct()
+    # Exact cosine on the candidate list: join vectors back on the UNIQUE
+    # id key — skew-free by construction, and AQE broadcasts the pair side
+    # at runtime when it is actually small. No planted broadcast hint: the
+    # pair list is bucket-cap-bounded PER BUCKET but grows with the number
+    # of buckets (the round-6 soak's 100k near-identical corpus produced
+    # ~20M candidate pairs — hint-forced broadcasts overflowed the 8 GB
+    # HashedRelation cap exactly the way a 100 TB run would).
+    a_side = b.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("__va"), F.col("nrm").alias("__na")
+    )
+    b_side = b.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("__vb"), F.col("nrm").alias("__nb")
+    )
+    scored = (
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -59,19 +59,41 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, canonical_id, fp) — canonical = min id among identical
-    normalized texts. Rows with canonical_id != id are duplicates."""
+    """(id, fp, canonical_id) — canonical = min id among identical
+    normalized texts. Rows with canonical_id != id are duplicates.
+
+    Hot-key shape: a 100 TB crawl has pathological fingerprints (empty
+    docs, boilerplate pages duplicated hundreds of millions of times), so
+    a ``min() OVER (PARTITION BY fp)`` window — which ships every row of a
+    hot fingerprint to ONE reducer and never map-side-combines — is the
+    wrong plan. Instead: ``groupBy(fp).agg(min(id))`` (partial aggregation
+    collapses each hot key to one row per map task BEFORE the shuffle)
+    joined back on fp. The join-back is AQE-skew-eligible: a skewed probe
+    partition splits across tasks with the matching 1-row build side
+    replicated, which a window aggregation can never do.
+    """
     with_fp = df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
-    w = Window.partitionBy("fp")
-    return with_fp.withColumn("canonical_id", F.min("id").over(w))
+    canon = with_fp.groupBy("fp").agg(F.min("id").alias("canonical_id"))
+    return with_fp.join(canon, "fp").select("id", "fp", "canonical_id")
 
 
 def distinct_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row (min id) per distinct normalized text."""
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
-    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
-        "__rn"
+    """Keep one row (min id) per distinct normalized text.
+
+    Same hot-key design as :func:`exact_duplicates`: a map-side-combinable
+    ``groupBy(fp).agg(min(id))`` picks the keeper ids, then a LEFT SEMI
+    join on the UNIQUE id column (skew-free by construction — one row per
+    keeper) restores the full rows. The previous ``row_number() OVER
+    (PARTITION BY fp)`` serialized every copy of a hot boilerplate text
+    through one task.
+    """
+    keep = (
+        df.select(F.col(id_col).alias("__kid"), fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__kid").alias("__kid"))
+        .select("__kid")
     )
+    return df.join(keep, df[id_col] == keep["__kid"], "left_semi")
 
 
 # ---------------------------------------------------------------------------

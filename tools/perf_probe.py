@@ -329,6 +329,152 @@ def cmd_soak5(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_soak6(sf_dir: str) -> None:
+    """Round-6 soaks: the hot-fingerprint boilerplate case for exact
+    dedup, and the embedding/ANN family on a replicated corpus including
+    one skewed-cell case (every vector near one centroid)."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+
+    # --- hot-fingerprint exact dedup: 500k copies of ONE text --------
+    # The worst-case 100 TB shape: a boilerplate page (cookie banner,
+    # parked domain) that appears hundreds of millions of times. The
+    # groupBy+join plan collapses the hot key map-side; the old
+    # min-over-window shape serialized all 500k rows through one task.
+    from recordmanager_spark.operators.text_dedup import (
+        distinct_by_text,
+        exact_duplicates,
+    )
+
+    boiler = spark.range(500_000, numPartitions=CORES).select(
+        (F.col("id") + 100_000_000).alias("doc_id"),
+        F.lit(
+            "This domain is parked free courtesy of the registrar. "
+            "Accept cookies to continue to the site you requested."
+        ).alias("text"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.unionByName(boiler).localCheckpoint(eager=True)
+    n = corpus.count()
+    print(f"# hot-key corpus: {n} docs ({sf_dir} + 500k copies of one text)")
+    secs = _noop_time(exact_duplicates(corpus, "doc_id", "text"))
+    print(
+        f"exact_duplicates (hotkey) {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+    secs = _noop_time(distinct_by_text(corpus, "doc_id", "text"))
+    print(
+        f"distinct_by_text (hotkey) {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core"
+    )
+    # the superseded window shape, timed for the record
+    from pyspark.sql import Window
+
+    from recordmanager_spark.functions.text import fingerprint
+
+    w = Window.partitionBy("fp")
+    old = (
+        corpus.select("doc_id", fingerprint("text").alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+    )
+    secs = _noop_time(old)
+    print(
+        f"  (old window shape)      {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  — hot key serialized through one task"
+    )
+
+    # --- embedding/ANN family on a 50x-replicated corpus -------------
+    from recordmanager_spark.operators.similarity import (
+        cluster_corpus,
+        embedding_near_duplicates,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = 50
+    big = (
+        emb.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            # nudge each replica so vectors are near- but not exact dups
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("rep") * (i + 1)) * F.lit(1e-5),
+            ).alias("embedding"),
+        )
+        .repartition(CORES)
+        .localCheckpoint(eager=True)
+    )
+    nv = big.count()
+    print(f"# ANN corpus: {nv} vectors ({reps}x {sf_dir} embeddings, nudged)")
+
+    t0 = time.time()
+    assignments, stats = cluster_corpus(big, n_cells=64, kmeans_iters=2)
+    assignments.write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"cluster_corpus (64c,2it)  {secs:7.2f}s  "
+        f"{nv / secs:9.0f} rows/s  {nv / secs / CORES:7.0f} rows/s/core"
+    )
+
+    queries = big.where(F.col("vec_id") < 200)
+    t0 = time.time()
+    knn_ivf(big, queries, k=10, n_cells=64, n_probe=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"knn_ivf (200q,64c,8p)     {secs:7.2f}s  "
+        f"{nv / secs:9.0f} rows/s  {nv / secs / CORES:7.0f} rows/s/core"
+    )
+
+    secs = _noop_time(embedding_near_duplicates(big, threshold=0.999))
+    print(
+        f"embedding_neardup (lsh)   {secs:7.2f}s  "
+        f"{nv / secs:9.0f} rows/s  {nv / secs / CORES:7.0f} rows/s/core"
+    )
+
+    # --- skewed-cell case: EVERY vector lands near one centroid ------
+    # All replicas of vector 1 plus per-row micro-noise: one k-means cell
+    # receives the whole corpus; near-dup banding sees one mega-bucket.
+    base = emb.where(F.col("vec_id") == 1).select("embedding").first()[0]
+    skew = (
+        spark.range(nv, numPartitions=CORES)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.lit([float(x) for x in base]).cast("array<float>"),
+                lambda x, i: x
+                + (F.pmod(F.col("id") * (i + 7), F.lit(997)).cast("float"))
+                * F.lit(1e-6),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    a2, s2 = cluster_corpus(skew, n_cells=64, kmeans_iters=1)
+    a2.write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"cluster_corpus (skewed)   {secs:7.2f}s  "
+        f"{nv / secs:9.0f} rows/s  — one cell holds the whole corpus "
+        f"(assignment is a scan; only the n_cells-row stats shuffle)"
+    )
+    secs = _noop_time(
+        embedding_near_duplicates(skew, threshold=0.999999)
+    )
+    print(
+        f"embedding_neardup (skew)  {secs:7.2f}s  "
+        f"{nv / secs:9.0f} rows/s  — all rows share every band bucket"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -340,5 +486,7 @@ if __name__ == "__main__":
         cmd_soak(sf_dir)
     elif mode == "soak5":
         cmd_soak5(sf_dir)
+    elif mode == "soak6":
+        cmd_soak6(sf_dir)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5)")
+        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5|soak6)")

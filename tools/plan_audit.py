@@ -89,6 +89,12 @@ AUDITS = [
     ("dedup_er", 4, False, False,
      "components resolved driver-side during construction; the returned "
      "plan only joins the (local) assignment back to the records"),
+    ("exact_dup_docs", 3, False, False,
+     "fingerprint canonical-id via map-side-combinable groupBy(fp) + "
+     "join-back (AQE-skew-eligible), NOT a window on the unbounded fp "
+     "key: hot boilerplate fingerprints collapse to one row per map "
+     "task before the shuffle; toy-scale plan broadcasts the canon "
+     "side (1 exchange), 100 TB SMJ path is 3"),
     ("minhash_near_dup", 3, True, False,
      "sig agg + band groupBy + candidate distinct (pairs broadcast; all "
      "post-signature exchanges carry doc-count-bounded rows, never "
