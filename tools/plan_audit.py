@@ -130,11 +130,15 @@ AUDITS = [
      "assignment is an Arrow argmax SCAN; exchanges = the n_cells-row "
      "stats groupBy + its reuse — centroids/stats broadcast back, the "
      "corpus never shuffles"),
-    ("minhash_incremental_docs", 6, True, False,
+    ("minhash_incremental_docs", 9, True, False,
      "index + batch signature groupBys (map-side-combined, doc-bounded) "
      "+ the capped candidate groupBy + the batch-keyed ranking window; "
      "the banded probe join and all scoring joins BROADCAST the batch "
-     "side — the index side never shuffles for the probe"),
+     "side — the index side never shuffles for the probe. 9 not 6 since "
+     "the within-batch self-probe (ADVICE r5): the batch signature "
+     "subtree is referenced three times (probe keys, self-probe keys, "
+     "sig pool), each re-planning its batch-bounded groupBy — every "
+     "added exchange carries BATCH rows only, never the index"),
     ("train_split_docs", 0, False, False,
      "hash-interval assignment is a scan-stage projection — zero shuffles"),
     ("corpus_token_stats_docs", 2, False, False,
