@@ -1001,11 +1001,14 @@ def work_keys_marc(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name"),
     )
     parsed = c.select("c_custkey", MARC.parse_marc_in_json(raw).alias("marc"))
-    wk = MARC.work_keys(F.col("marc"))  # Column reuse: build the tree once
-    return parsed.select(
+    wk = MARC.work_keys("marc")  # string form: compiled via the SQL-text twin
+    # two-step select: the key tree is analyzed ONCE as `wk`; the second
+    # projection references the resolved output column (free) instead of
+    # embedding the ~40 KB expression twice
+    return parsed.select("c_custkey", wk.alias("wk")).select(
         "c_custkey",
-        try_element_at(wk, 1).alias("work_key"),
-        F.size(wk).alias("n_keys"),
+        try_element_at("wk", 1).alias("work_key"),
+        F.size("wk").alias("n_keys"),
     )
 
 

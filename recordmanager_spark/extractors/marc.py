@@ -37,9 +37,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions import geo as GEOF
 from ..functions import keys as K
 from .format_calculator import format_col
 from recordmanager_spark.sparkcompat import try_element_at
+
+# False in this module; the SQL-text twin (recordmanager_spark.sqltwin)
+# overrides it to True so twin instances never recurse into themselves.
+_IS_SQL_TWIN = False
 
 # Normalized MARC struct: control fields carry `value`, data fields carry
 # `subfields`. One array keeps original field order (MARC order matters for
@@ -649,35 +654,55 @@ def authors_by_relator(
     # expose a strictly one-argument signature
     def make_mk(tag, codes):
         def mk(field):
-            frel = F.array_distinct(
+            # let-bind the relator array, joined terms and 880-linked
+            # terms through a one-element struct array: each was read
+            # 2-3x below and the linked-880 scan is a multi-KB subtree —
+            # trees duplicate per reference, and the duplicated copies
+            # dominated analyzer time on the author columns
+            frel0 = F.array_distinct(
                 F.filter(
                     F.transform(_sub_values(field, ["4", "e"]), normalize_relator),
                     lambda v: v != "",
                 )
             )
-            if relators:
-                lit_rel = F.array(*[F.lit(r) for r in relators])
-                match = F.size(F.array_intersect(lit_rel, frel)) > 0
-                if tag in no_relator_required:
-                    match = match | (F.size(frel) == 0)
-            else:
-                match = F.lit(True)
-            if invert_match:
-                match = ~match
-            terms = subfield_join(field, list(codes))
-            linked = _linked_terms_for_field(marc, tag, field, codes)
-            terms = F.when(
-                F.size(linked) > 0,
-                F.concat(terms, F.lit(" "), F.array_join(linked, " ")),
-            ).otherwise(terms)
-            name = K.strip_trailing_punctuation(F.trim(terms))
-            return F.struct(
-                match.alias("m"),
-                name.alias("name"),
-                F.coalesce(try_element_at(frel, 1), F.lit("")).alias("rel"),
-                F.coalesce(
-                    try_element_at(_sub_values(field, ["a"]), 1), F.lit("")
-                ).alias("a"),
+            terms0 = subfield_join(field, list(codes))
+            linked0 = _linked_terms_for_field(marc, tag, field, codes)
+
+            def build(b):
+                frel, terms, linked = b["f"], b["t"], b["l"]
+                if relators:
+                    lit_rel = F.array(*[F.lit(r) for r in relators])
+                    match = F.size(F.array_intersect(lit_rel, frel)) > 0
+                    if tag in no_relator_required:
+                        match = match | (F.size(frel) == 0)
+                else:
+                    match = F.lit(True)
+                if invert_match:
+                    match = ~match
+                full = F.when(
+                    F.size(linked) > 0,
+                    F.concat(terms, F.lit(" "), F.array_join(linked, " ")),
+                ).otherwise(terms)
+                name = K.strip_trailing_punctuation(F.trim(full))
+                return F.struct(
+                    match.alias("m"),
+                    name.alias("name"),
+                    F.coalesce(try_element_at(frel, 1), F.lit("")).alias("rel"),
+                    F.coalesce(
+                        try_element_at(_sub_values(field, ["a"]), 1), F.lit("")
+                    ).alias("a"),
+                )
+
+            return try_element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            frel0.alias("f"), terms0.alias("t"), linked0.alias("l")
+                        )
+                    ),
+                    build,
+                ),
+                1,
             )
 
         return mk
@@ -982,7 +1007,6 @@ def marc_geographic_locations(marc: Column) -> Column:
     made this single column a 650k-char expression (seconds of analyzer
     time per query). Binding through the lambda variable keeps each decode
     in the tree exactly once."""
-    from ..functions import geo as GEOF
 
     def decode(field):
         sub = lambda c: F.coalesce(  # noqa: E731
@@ -1051,25 +1075,11 @@ def marc_building_hierarchy(
     )
 
 
-def marc_callnumber_columns(
-    marc: Column, hilcc: list[dict] | None = None
-) -> dict[str, Column]:
-    """callnumber-* and dewey-* columns (Record/Marc.php:493-586).
-
-    callnumber-first: first of 099$a/090$a/050$a; callnumber-subject: the
-    leading letters of 090$a|050$a uppercased; callnumber-label: the
-    pre-dot part uppercased; callnumber-raw: 080ab/084ab/050ab uppercased;
-    callnumber-sort: first VALID LC sort key, else the first sort key at
-    all. Dewey from 082$a/083$a: the LAST field wins for hundreds/tens/
-    ones/full/raw (reference loop overwrites), dewey-sort keeps the first.
-
-    ``hilcc``: optional HILCC range table; when given, adds
-    ``category_str_mv`` (one category per valid call number, the
-    useHILCC branch at Record/Marc.php:529-545 — the reference ships no
-    table either; it's an install-time mapping file).
-    """
-    from ..functions import callnumbers as CN
-
+def _callnumber_pure_exprs(marc: Column) -> dict[str, Column]:
+    """The pure-expression half of the call-number columns — everything
+    except the pandas-UDF wraps, so the SQL-text twin can compile these
+    argument trees (the UDFs themselves have no scalar SQL form and wrap
+    at runtime in :func:`marc_callnumber_columns`)."""
     # '' (not NULL) when absent — toSolrArray assigns these unconditionally
     cn_first = F.coalesce(
         *[
@@ -1099,9 +1109,6 @@ def marc_callnumber_columns(
         ),
         F.upper,
     )
-    # pandas UDF over the whole array (UDFs cannot run inside transform
-    # lambdas): first valid CN's sort key, else first non-empty key
-    cn_sort = CN.lc_sort_key_first_valid(cn_raw)
     # getFieldsSubfields strips trailing punctuation by default, so the
     # dewey values feeding DeweyCallNumber are period-less ('330.903')
     dewey = _stripped(
@@ -1111,6 +1118,58 @@ def marc_callnumber_columns(
             split_subfields=True,
         )
     )
+    return {
+        "callnumber_first": cn_first,
+        "callnumber_subject": cn_subject,
+        "callnumber_label": cn_label,
+        "callnumber_raw": cn_raw,
+        "__dewey": dewey,
+    }
+
+
+def marc_callnumber_columns(
+    marc: Column,
+    hilcc: list[dict] | None = None,
+    marc_col_name: str | None = None,
+) -> dict[str, Column]:
+    """callnumber-* and dewey-* columns (Record/Marc.php:493-586).
+
+    callnumber-first: first of 099$a/090$a/050$a; callnumber-subject: the
+    leading letters of 090$a|050$a uppercased; callnumber-label: the
+    pre-dot part uppercased; callnumber-raw: 080ab/084ab/050ab uppercased;
+    callnumber-sort: first VALID LC sort key, else the first sort key at
+    all. Dewey from 082$a/083$a: the LAST field wins for hundreds/tens/
+    ones/full/raw (reference loop overwrites), dewey-sort keeps the first.
+
+    ``hilcc``: optional HILCC range table; when given, adds
+    ``category_str_mv`` (one category per valid call number, the
+    useHILCC branch at Record/Marc.php:529-545 — the reference ships no
+    table either; it's an install-time mapping file).
+
+    ``marc_col_name``: when the marc struct is a named column, pass its
+    name so the pure argument trees compile through the SQL-text twin
+    (one ``F.expr`` parse each) and only the pandas-UDF wraps build
+    through the Column API.
+    """
+    from ..functions import callnumbers as CN
+
+    if marc_col_name and not _IS_SQL_TWIN:
+        from .. import sqlalg, sqltwin
+
+        tw = sqltwin.marc_twin()
+        pure = {
+            k: F.expr(str(v))
+            for k, v in tw._callnumber_pure_exprs(
+                sqlalg.col(marc_col_name)
+            ).items()
+        }
+    else:
+        pure = _callnumber_pure_exprs(marc)
+    cn_raw = pure.pop("callnumber_raw")
+    dewey = pure.pop("__dewey")
+    # pandas UDF over the whole array (UDFs cannot run inside transform
+    # lambdas): first valid CN's sort key, else first non-empty key
+    cn_sort = CN.lc_sort_key_first_valid(cn_raw)
     dewey_last = try_element_at(dewey, -1)
     dewey_first = try_element_at(dewey, 1)
     extra = (
@@ -1120,9 +1179,7 @@ def marc_callnumber_columns(
     )
     return {
         **extra,
-        "callnumber_first": cn_first,
-        "callnumber_subject": cn_subject,
-        "callnumber_label": cn_label,
+        **pure,
         "callnumber_raw": cn_raw,
         "callnumber_sort": cn_sort,
         "dewey_hundreds": CN.dewey_number_udf(100)(dewey_last),
@@ -1198,6 +1255,31 @@ def marc_era_facets(marc: Column) -> Column:
 # id_prefix): a query that selects six columns builds six expressions.
 # Column objects are immutable and reusable across DataFrames in the JVM.
 _SOLR_COLS_CACHE: dict = {}
+
+# Columns whose builders pass through a pandas UDF (the call-number sort
+# key and Dewey digit extractors) have no scalar SQL form — they stay on
+# the Column path; everything else compiles through the SQL-text twin.
+_TWIN_SKIP = frozenset(
+    {
+        "callnumber_first", "callnumber_subject", "callnumber_label",
+        "callnumber_raw", "callnumber_sort", "dewey_hundreds", "dewey_tens",
+        "dewey_ones", "dewey_full", "dewey_sort", "dewey_raw",
+        "category_str_mv",
+    }
+)
+
+
+def _twin_builders(marc_col: str, id_prefix: str | None, memo: dict):
+    """The SQL-text twin's builder map for this column source — each
+    builder returns an ``sqlalg.X`` whose ``str()`` is the full column
+    SQL, compiled into a plan via ONE ``F.expr`` parse instead of
+    thousands of py4j Column-constructor round trips (PERFORMANCE.md,
+    construction census: ~25k round trips / ~11 s for the work-key tree
+    alone before this path existed)."""
+    from .. import sqlalg, sqltwin
+
+    tw = sqltwin.marc_twin()
+    return tw._solr_col_builders(sqlalg.col(marc_col), id_prefix, memo)
 
 
 def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
@@ -1363,7 +1445,12 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
         "long_lat": lambda: marc_geographic_locations(m),
         "unique_ids": lambda: marc_unique_ids(m),
         **{
-            name: (lambda n=name: shared("callnumbers", lambda: marc_callnumber_columns(m))[n])
+            name: (lambda n=name: shared(
+                "callnumbers",
+                lambda: marc_callnumber_columns(
+                    m, marc_col_name=memo.get("__marc_col_name")
+                ),
+            )[n])
             for name in (
                 "callnumber_first", "callnumber_subject", "callnumber_label",
                 "callnumber_raw", "callnumber_sort", "dewey_hundreds",
@@ -1388,15 +1475,59 @@ def to_solr_columns(
     all ~50 expressions costs tens of seconds of py4j traffic, so pruning
     at construction time is the real win.
     """
+    from .. import sqlalg
+
     cache_key = (marc_col, id_prefix)
-    built, memo = _SOLR_COLS_CACHE.setdefault(cache_key, ({}, {}))
-    builders = _solr_col_builders(F.col(marc_col), id_prefix, memo)
+    state = _SOLR_COLS_CACHE.setdefault(
+        cache_key,
+        {"sqls": {}, "cols": {}, "memo": {}, "twin_memo": {}, "hidden": {}},
+    )
+    state["memo"]["__marc_col_name"] = marc_col
+    builders = _solr_col_builders(F.col(marc_col), id_prefix, state["memo"])
     names = list(builders) if only is None else [n for n in builders if n in set(only)]
+    twin = None
+    for n in names:
+        if n in state["sqls"] or n in state["cols"]:
+            continue
+        if not _IS_SQL_TWIN and n not in _TWIN_SKIP:
+            if twin is None:
+                twin = _twin_builders(marc_col, id_prefix, state["twin_memo"])
+            state["sqls"][n] = str(twin[n]())
+        else:
+            state["cols"][n] = builders[n]()
+    # Shared-subtree extraction: memoized sub-expressions (the author
+    # structs, publish year) are EMBEDDED per consuming column — trees
+    # duplicate per reference, so `author`/`author_role`/`author_variant`
+    # each carried the full ~21 KB relator-classification tree and the
+    # analyzer paid for it three times. Big memo entries become hidden
+    # companion columns analyzed ONCE; consumers reference them by name.
+    for k, v in state["twin_memo"].items():
+        if not isinstance(v, sqlalg.X):
+            continue
+        text = str(v)
+        if len(text) < 1500:
+            continue
+        hname = f"__rm_{marc_col}_{k}"
+        state["hidden"].setdefault(hname, text)
+        for n, s in state["sqls"].items():
+            if text in s:
+                state["sqls"][n] = s.replace(text, hname)
     cols = {}
     for n in names:
-        if n not in built:
-            built[n] = builders[n]()
-        cols[n] = built[n]
+        if n not in state["cols"]:
+            state["cols"][n] = F.expr(state["sqls"][n])
+        cols[n] = state["cols"][n]
+    used_hidden = {
+        h: F.expr(t)
+        for h, t in state["hidden"].items()
+        if any(h in state["sqls"].get(n, "") for n in names)
+    }
+    if used_hidden:
+        return (
+            df.withColumns(used_hidden)
+            .withColumns(cols)
+            .drop(*used_hidden)
+        )
     return df.withColumns(cols)
 
 
@@ -1444,7 +1575,13 @@ def _work_authors(marc: Column, alt: bool) -> Column:
 
 
 def _work_titles(marc: Column, alt: bool) -> Column:
-    """Array of struct(uniform boolean, value string) title entries."""
+    """Array of struct(uniform boolean, value string) title entries.
+
+    The per-tag title and its non-filing indicator are LET-BOUND through
+    a one-element array transform before the stripped/original fan-out:
+    inlined, ``title`` appeared ~6x per tag (Column trees and SQL text
+    both duplicate per reference), which multiplied the work-key tree to
+    ~54 KB of expression per engine and dominated analyzer time."""
     parts = []
     for tag, (extra, nonfiling_ind) in _WORK_TITLE_SPECS.items():
         uniform = tag in ("130", "730")
@@ -1460,16 +1597,28 @@ def _work_titles(marc: Column, alt: bool) -> Column:
                 ind = F.coalesce(
                     fld["ind1" if nonfiling_ind == 1 else "ind2"], F.lit(" ")
                 )
-                nf = F.when(ind.rlike("^[1-9]$"), ind.cast("int")).otherwise(0)
-                stripped = F.when(nf > 0, F.substring(title, nf + 1, 100000)).otherwise(title)
             else:
-                stripped = title
-            # stripped first, original too when they differ
-            vals = F.filter(
-                F.when(
-                    stripped != title, F.array(stripped, title)
-                ).otherwise(F.array(stripped)),
-                lambda v: v != "",
+                ind = F.lit(" ")
+
+            def fan_out(p):
+                t = p["t"]
+                nf = F.when(p["i"].rlike("^[1-9]$"), p["i"].cast("int")).otherwise(0)
+                stripped = F.when(
+                    nf > 0, F.substring(t, nf + 1, 100000)
+                ).otherwise(t)
+                # stripped first, original too when they differ
+                return F.filter(
+                    F.when(
+                        stripped != t, F.array(stripped, t)
+                    ).otherwise(F.array(stripped)),
+                    lambda v: v != "",
+                )
+
+            vals = F.flatten(
+                F.transform(
+                    F.array(F.struct(title.alias("t"), ind.alias("i"))),
+                    fan_out,
+                )
             )
         parts.append(
             F.transform(
@@ -1482,35 +1631,51 @@ def _work_titles(marc: Column, alt: bool) -> Column:
     return F.concat(*parts)
 
 
-def work_keys(marc: Column) -> Column:
+def work_keys(marc: "Column | str") -> Column:
     """'UT <title>' / 'AT <author> <title>' work keys, main + alt-script.
 
     Uniform titles key alone; other titles cross with every author
     (work_keys_from_all_authors default). All values pass normalizeKey.
     Pure array expressions — the cross product happens per record in the
     JVM with no join.
+
+    Pass the marc column NAME (a string) to compile the whole key tree
+    through the SQL-text twin — one ``F.expr`` parse instead of ~25k
+    py4j round trips (~11 s of driver time at the round-5 census).
     """
+    if isinstance(marc, str) and not _IS_SQL_TWIN:
+        from .. import sqlalg, sqltwin
+
+        return F.expr(str(sqltwin.marc_twin().work_keys(sqlalg.col(marc))))
+    if isinstance(marc, str):
+        marc = F.col(marc)
 
     def keys_for(authors: Column, titles: Column) -> Column:
-        ut = F.transform(
-            F.filter(titles, lambda t: t["uniform"]),
-            lambda t: F.concat(F.lit("UT "), K.normalize_key(t["value"])),
-        )
-        at = F.flatten(
-            F.transform(
-                F.filter(titles, lambda t: ~t["uniform"]),
-                lambda t: F.transform(
-                    authors,
-                    lambda a: F.concat(
-                        F.lit("AT "),
-                        K.normalize_key(a),
-                        F.lit(" "),
-                        K.normalize_key(t["value"]),
-                    ),
-                ),
+        # let-bind `titles` (a ~10 KB per-engine subtree) through a
+        # one-element array: it is read twice below (UT filter + AT
+        # filter) and trees duplicate per reference
+        def one(ts):
+            ut = F.transform(
+                F.filter(ts, lambda t: t["uniform"]),
+                lambda t: F.concat(F.lit("UT "), K.normalize_key(t["value"])),
             )
-        )
-        return F.concat(ut, at)
+            at = F.flatten(
+                F.transform(
+                    F.filter(ts, lambda t: ~t["uniform"]),
+                    lambda t: F.transform(
+                        authors,
+                        lambda a: F.concat(
+                            F.lit("AT "),
+                            K.normalize_key(a),
+                            F.lit(" "),
+                            K.normalize_key(t["value"]),
+                        ),
+                    ),
+                )
+            )
+            return F.concat(ut, at)
+
+        return F.flatten(F.transform(F.array(titles), one))
 
     main = keys_for(_work_authors(marc, False), _work_titles(marc, False))
     alt = keys_for(_work_authors(marc, True), _work_titles(marc, True))

@@ -24,9 +24,20 @@ from pyspark.sql.types import StringType
 
 
 def coordinate_to_decimal(col: Column) -> Column:
-    """MetadataUtils::coordinateToDecimal as a JVM expression cascade."""
-    v = F.regexp_replace(col, " ", "")
+    """MetadataUtils::coordinateToDecimal as a JVM expression cascade.
 
+    The cleaned input is LET-BOUND through a one-element array transform:
+    the cascade reads it ~25 times (5 rlike probes + 15 regexp_extracts +
+    fallbacks) and expression trees duplicate per reference — inlined,
+    every 034 coordinate carried ~25 copies of its source subtree and the
+    4-coordinate WKT column alone was ~48 KB of expression."""
+    v0 = F.regexp_replace(col, " ", "")
+    return F.try_element_at(
+        F.transform(F.array(v0), _coordinate_cascade), F.lit(1)
+    )
+
+
+def _coordinate_cascade(v: Column) -> Column:
     def sign(hemi: Column, dec: Column) -> Column:
         return F.when(F.upper(hemi).isin("W", "S") | (hemi == "-"), -dec).otherwise(dec)
 

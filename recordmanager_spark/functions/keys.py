@@ -180,8 +180,18 @@ def normalize_key(col: Column | str, engine: str | None = None) -> Column:
         raise ValueError(
             f"engine must be None, 'table', 'icu', or 'auto': {engine!r}"
         )
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    c = F.when(c.rlike(_KANA_RANGE_RE), _fold_kana(c)).otherwise(c)
+    c0 = F.lower(F.col(col) if isinstance(col, str) else col)
+    # let-bind the input through a one-element array: the kana branch
+    # reads it 4x (rlike probe, fold, passthrough, split) and expression
+    # trees duplicate per reference — inlined, every normalize_key call
+    # multiplied its input subtree ~4x in wide extractor plans
+    c = F.try_element_at(
+        F.transform(
+            F.array(c0),
+            lambda v: F.when(v.rlike(_KANA_RANGE_RE), _fold_kana(v)).otherwise(v),
+        ),
+        F.lit(1),
+    )
     c = F.translate(c, _ACCENTS, _FOLDED)
     for src, dst in _MULTI_FOLD:
         c = F.replace(c, F.lit(src), F.lit(dst))

@@ -78,24 +78,67 @@ def with_dedup_keys(
     ``key_fold`` overrides the author-key folding function (e.g.
     ``keys.normalize_key_icu`` for ICU Any-Latin including Han/Kana);
     default is the JVM-side ``normalize_key``.
+
+    With the default fold, the key expressions compile through the
+    SQL-text twin (one ``F.expr`` parse instead of hundreds of py4j
+    Column-constructor round trips — see PERFORMANCE.md construction
+    census); a custom ``key_fold`` keeps the Column path since it may
+    wrap a UDF.
     """
-    fold = key_fold or normalize_key
-    tk = F.substring(
-        F.concat(create_title_key(F.col(title_col)), fold(F.col(author_col))),
-        1,
-        200,
-    )
-    out = df.withColumn("title_keys", F.array(tk))
-    if isbn_col is not None:
-        out = out.withColumn(
-            "isbn_keys",
+    if key_fold is None:
+        from .. import sqlalg as SA
+        from .. import sqltwin
+
+        ktw = sqltwin.keys_twin()
+        tk = F.expr(
+            str(
+                SA.substring(
+                    SA.concat(
+                        ktw.create_title_key(SA.col(title_col)),
+                        ktw.normalize_key(SA.col(author_col)),
+                    ),
+                    1,
+                    200,
+                )
+            )
+        )
+        isbn_keys = (
+            F.expr(
+                str(
+                    SA.array_distinct(
+                        SA.filter(
+                            SA.transform(
+                                SA.col(isbn_col), ktw.normalize_isbn
+                            ),
+                            lambda x: x != "",
+                        )
+                    )
+                )
+            )
+            if isbn_col is not None
+            else None
+        )
+    else:
+        tk = F.substring(
+            F.concat(
+                create_title_key(F.col(title_col)), key_fold(F.col(author_col))
+            ),
+            1,
+            200,
+        )
+        isbn_keys = (
             F.array_distinct(
                 F.filter(
                     F.transform(F.col(isbn_col), normalize_isbn),
                     lambda x: x != "",
                 )
-            ),
+            )
+            if isbn_col is not None
+            else None
         )
+    out = df.withColumn("title_keys", F.array(tk))
+    if isbn_keys is not None:
+        out = out.withColumn("isbn_keys", isbn_keys)
     if ignore_keys:
         bad = F.array(*[F.lit(k) for k in ignore_keys])
         for c in ("title_keys", "isbn_keys"):
@@ -318,13 +361,24 @@ def blocking_verified_edges(
     ~5000 pairs per group at 100 TB.
     """
     fields = verify_fields or _VERIFY_FIELDS
-    fold = key_fold or normalize_key
+    if key_fold is None:
+        # default fold: compile the normalize_key trees through the
+        # SQL-text twin (one parse each instead of per-node py4j chatter)
+        from .. import sqlalg as SA
+        from .. import sqltwin
+
+        ktw = sqltwin.keys_twin()
+        nk_title = F.expr(str(ktw.normalize_key(SA.col("title"))))
+        nk_author = F.expr(str(ktw.normalize_key(SA.col("author"))))
+    else:
+        nk_title = key_fold(F.col("title"))
+        nk_author = key_fold(F.col("author"))
     member = F.struct(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
         *[F.col(f) for f in fields if f not in ("title", "author")],
-        fold(F.col("title")).alias("__nk_title"),
-        fold(F.col("author")).alias("__nk_author"),
+        nk_title.alias("__nk_title"),
+        nk_author.alias("__nk_author"),
     )
     # one corpus scan: concatenate the key arrays before the explode (a
     # union of per-column explodes re-scans the records — and re-runs the
@@ -510,19 +564,24 @@ def _uf_find(parent: dict, x):
     return root
 
 
-def _driver_assignment(pairs) -> list[tuple[str, str | None]]:
-    """Components + one-per-source + min-group-size-2, entirely driver-side.
+def _assignment_core(quads) -> list[tuple[str, str | None]]:
+    """Components + one-per-source + min-group-size-2 over an iterable of
+    (id_a, id_b, src_a, src_b) tuples — the shared core of the driver-side
+    and task-side assignment paths.
 
-    ``pairs`` are edge rows (id_a, id_b, src_a, src_b). Within a component,
-    the smallest id per source is kept (the batch form of the reference's
-    greedy one-per-source insert, addToDedupRecord :1221-1242, ordered by
-    id); extras get a null component, and groups left with < 2 members
-    dissolve (removeFromDedupRecord :672-741)."""
-    parent = _union_find(pairs)
+    Within a component, the smallest id per source is kept (the batch form
+    of the reference's greedy one-per-source insert, addToDedupRecord
+    :1221-1242, ordered by id); extras get a null component, and groups
+    left with < 2 members dissolve (removeFromDedupRecord :672-741)."""
+    parent: dict = {}
     srcs: dict = {}
-    for r in pairs:
-        srcs[r.id_a] = r.src_a
-        srcs[r.id_b] = r.src_b
+    for id_a, id_b, src_a, src_b in quads:
+        ra, rb = _uf_find(parent, id_a), _uf_find(parent, id_b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        srcs[id_a] = src_a
+        srcs[id_b] = src_b
     groups: dict = {}
     for m in srcs:
         groups.setdefault(_uf_find(parent, m), []).append(m)
@@ -540,32 +599,106 @@ def _driver_assignment(pairs) -> list[tuple[str, str | None]]:
     return out
 
 
+def _driver_assignment(pairs) -> list[tuple[str, str | None]]:
+    """Driver-side assignment over collected edge Rows."""
+    return _assignment_core(
+        (r.id_a, r.id_b, r.src_a, r.src_b) for r in pairs
+    )
+
+
+def _assign_components_task(
+    edges: DataFrame, task_threshold: int = 2_000_000
+) -> DataFrame:
+    """LAZY single-task assignment: the union-find + invariants run inside
+    an Arrow task over the (small) verified-edge set instead of on the
+    driver at CONSTRUCTION time.
+
+    Why: the driver-side take() is an eager action — registering or
+    submitting a dedup query paid the full blocking+verify pipeline
+    before the job even started (the round-5/6 construction census showed
+    dedup_er ~6 s of pure build time), and every noop-bench run conflated
+    that construction with execution. This shape defers everything to
+    materialization: ``repartition(1)`` (an explicit exchange carrying
+    ONLY edge rows, so the upstream verify stage keeps its parallelism —
+    ``coalesce(1)`` would collapse it) feeds one Arrow task that streams
+    the edge batches through the same union-find core.
+
+    Memory contract: state is O(nodes) (the parent/source dicts), bounded
+    by ``task_threshold`` edges — the same 2M default as the driver path,
+    same ~1-2 GB peak, now in an executor instead of the driver. Past the
+    threshold the task raises a LOUD error naming the fix
+    (``cc_strategy='distributed'``) rather than silently degrading."""
+    import pandas as pd
+
+    def assign(batches):
+        total = 0
+
+        def quads():
+            nonlocal total
+            for b in batches:
+                total += len(b)
+                if total > task_threshold:
+                    raise RuntimeError(
+                        f"verified-edge set exceeds {task_threshold} rows — "
+                        "the single-task union-find would hold O(nodes) "
+                        "state past its memory contract; re-run with "
+                        "cc_strategy='distributed' (label propagation + "
+                        "windowed invariant enforcement)"
+                    )
+                yield from zip(
+                    b["id_a"], b["id_b"], b["src_a"], b["src_b"]
+                )
+
+        out = _assignment_core(quads())
+        yield pd.DataFrame(out or None, columns=["id", "component"])
+
+    return edges.select("id_a", "id_b", "src_a", "src_b").repartition(
+        1
+    ).mapInPandas(assign, "id string, component string")
+
+
 def _assign_components(
     edges: DataFrame,
     records: DataFrame,
     id_col: str = "_id",
     source_col: str = "source_id",
     driver_threshold: int = 2_000_000,
+    strategy: str = "task",
 ) -> DataFrame:
     """(id_a, id_b, src_a, src_b) edges -> (id, component) with the group
     invariants enforced.
 
-    Common path = ONE Spark job: the verified-match edge set is tiny
-    relative to the corpus (even 10^9 records rarely verify more than
-    10^7-10^8 pairs), so a single take() fetches it and components,
-    one-per-source, and group-size pruning all resolve driver-side — no
-    checkpoint write, no window shuffle, no second record scan. Past the
-    threshold, distributed label propagation + the windowed enforcement
-    pass take over unchanged."""
-    rows = edges.take(driver_threshold + 1)
-    spark = edges.sparkSession
-    if not rows:
-        return spark.createDataFrame([], "id string, component string")
-    if len(rows) <= driver_threshold:
-        return _local_string_df(
-            spark, _driver_assignment(rows), ["id", "component"]
+    ``strategy``:
+    - ``"task"`` (default): fully LAZY — the union-find + invariants run
+      in one Arrow task over the edge set at materialization time
+      (:func:`_assign_components_task`). Registering/submitting the query
+      costs zero Spark jobs; the edge-count memory contract raises loudly
+      past ``driver_threshold``.
+    - ``"driver"``: the eager adaptive path — one take() both sizes the
+      edge set and fetches it when it fits (components resolve driver-
+      side at CONSTRUCTION time), automatically falling back to the
+      distributed path past the threshold. Use when auto-fallback
+      matters more than lazy construction.
+    - ``"distributed"``: label propagation + windowed invariant
+      enforcement — the unbounded-edge-set path.
+    """
+    if strategy == "task":
+        return _assign_components_task(edges, driver_threshold)
+    if strategy == "driver":
+        rows = edges.take(driver_threshold + 1)
+        spark = edges.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "id string, component string")
+        if len(rows) <= driver_threshold:
+            return _local_string_df(
+                spark, _driver_assignment(rows), ["id", "component"]
+            )
+        strategy = "distributed"
+    if strategy != "distributed":
+        raise ValueError(
+            f"strategy must be 'task', 'driver', or 'distributed': {strategy!r}"
         )
-    # distributed fallback: materialize the edge set once (the iterative
+    # distributed: materialize the edge set once (the iterative
     # propagation reads it every round and must not re-run verification),
     # then enforce invariants with the windowed pass over the records.
     comps = _cc_distributed(edges.select("id_a", "id_b").localCheckpoint(eager=True))
@@ -687,18 +820,23 @@ def deduplicate(
     verify_fields: list[str] | None = None,
     candidates_per_key: int = 101,
     key_fold=None,
+    cc_strategy: str = "task",
 ) -> DataFrame:
     """End-to-end dedup: records (with key columns) -> (id, dedup_id).
 
     dedup_id is the smallest member id of the group; null for singletons.
 
-    Common path = ONE corpus pass: the fused blocking+verify shuffle emits
-    (id_a, id_b, src_a, src_b) edges, and ``_assign_components`` resolves
-    components + invariants driver-side from a single take(). No persist —
-    the pruned projection is scanned once (column-pruned parquet read), so
-    caching it would only add a cache-write pass. The rare > threshold
-    fallback re-runs blocking once to checkpoint the edges, then does the
-    distributed propagation + windowed enforcement.
+    Common path = ONE corpus pass, FULLY LAZY: the fused blocking+verify
+    shuffle emits (id_a, id_b, src_a, src_b) edges and the default
+    ``cc_strategy="task"`` resolves components + invariants inside one
+    Arrow task at materialization — building this query runs zero Spark
+    jobs (the round-5 census measured ~6 s of construction-time driver
+    actions under the old eager take()). No persist — the pruned
+    projection is scanned once (column-pruned parquet read).
+    ``cc_strategy="driver"`` restores the eager adaptive path (take() +
+    driver union-find, auto-falling back past 2M edges);
+    ``cc_strategy="distributed"`` forces label propagation + windowed
+    enforcement for unbounded edge sets.
     """
     proj_cols = {id_col, source_col}
     proj_cols.update(key_cols or ["isbn_keys", "id_keys", "title_keys"])
@@ -713,7 +851,8 @@ def deduplicate(
         verify_fields,
         key_fold,
     )
-    comps = _assign_components(edges, records, id_col, source_col)
+    comps = _assign_components(edges, records, id_col, source_col,
+                               strategy=cc_strategy)
     return comps.withColumnRenamed("component", "dedup_id")
 
 
@@ -822,10 +961,12 @@ def dedup_component_parts(
     dedup_id = smallest member id (consistent with ``deduplicate``);
     components whose host pairs don't fully match stay ungrouped (the
     reference's zero-marked cleanup path)."""
+    cc_strategy = kwargs.pop("cc_strategy", "task")
     edges = component_part_edges(hosts, components, **kwargs)
     src_col = kwargs.get("source_col", "source_id")
     id_col = kwargs.get("comp_id_col", "_id")
-    comps = _assign_components(edges, components, id_col, src_col)
+    comps = _assign_components(edges, components, id_col, src_col,
+                               strategy=cc_strategy)
     return comps.withColumnRenamed("component", "dedup_id")
 
 
@@ -843,6 +984,7 @@ def deduplicate_incremental(
     key_cols: list[str] | None = None,
     verify_fields: list[str] | None = None,
     candidates_per_key: int = 101,
+    cc_strategy: str = "task",
 ) -> DataFrame:
     """Re-dedup only dirty rows against the full key index.
 
@@ -927,7 +1069,8 @@ def deduplicate_incremental(
     )
 
     comps = _assign_components(
-        new_edges.unionByName(prior_edges), records, id_col, source_col
+        new_edges.unionByName(prior_edges), records, id_col, source_col,
+        strategy=cc_strategy,
     )
     return comps.withColumnRenamed("component", "dedup_id")
 

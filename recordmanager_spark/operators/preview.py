@@ -129,7 +129,7 @@ def _build_wide(
         wide = MARC.to_solr_columns(parsed, "m", id_prefix=source_id, only=fields)
         if fields is None or "work_keys_str_mv" in fields:
             wide = wide.withColumn(
-                "work_keys_str_mv", MARC.work_keys(F.col("m"))
+                "work_keys_str_mv", MARC.work_keys("m")
             )
         wide = wide.drop("m")
     elif fmt == "dc":

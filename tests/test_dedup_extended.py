@@ -319,15 +319,42 @@ def test_assign_components_distributed_matches_driver(spark):
         ],
         "_id string, source_id string",
     )
-    driver = sorted(
+    task = sorted(
         map(tuple, DD._assign_components(edges, records).collect())
+    )
+    driver = sorted(
+        map(
+            tuple,
+            DD._assign_components(
+                edges, records, strategy="driver"
+            ).collect(),
+        )
     )
     distributed = sorted(
         map(
             tuple,
             DD._assign_components(
-                edges, records, driver_threshold=0
+                edges, records, strategy="distributed"
             ).collect(),
         )
     )
-    assert driver == distributed
+    assert task == driver == distributed
+
+
+def test_assign_components_task_threshold_is_loud(spark):
+    """The lazy single-task path must REFUSE (loudly, at materialization)
+    past its edge-count memory contract instead of degrading silently."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    edges = spark.createDataFrame(
+        [("a1", "b1", "s1", "s2"), ("c1", "c2", "s1", "s2")],
+        "id_a string, id_b string, src_a string, src_b string",
+    )
+    records = spark.createDataFrame(
+        [("a1", "s1"), ("b1", "s2"), ("c1", "s1"), ("c2", "s2")],
+        "_id string, source_id string",
+    )
+    lazy = DD._assign_components(edges, records, driver_threshold=1)
+    with pytest.raises(PythonException, match="cc_strategy='distributed'"):
+        lazy.collect()

@@ -87,8 +87,10 @@ AUDITS = [
     ("geocode_customers", 0, True, False,
      "cache join broadcasts; record side stays narrow"),
     ("dedup_er", 4, False, False,
-     "components resolved driver-side during construction; the returned "
-     "plan only joins the (local) assignment back to the records"),
+     "FULLY LAZY since r6: one blocking-key shuffle (101-cap, map-side "
+     "bounded) + the explicit 1-partition exchange feeding the Arrow "
+     "union-find task (edge rows only) + the pair distinct; zero "
+     "construction-time driver actions (cc_strategy='task')"),
     ("exact_dup_docs", 3, False, False,
      "fingerprint canonical-id via map-side-combinable groupBy(fp) + "
      "join-back (AQE-skew-eligible), NOT a window on the unbounded fp "
