@@ -378,6 +378,22 @@ def minhash_incremental(
         "agreement",
         minhash_sig_agreement(F.col("__old_sig"), F.col("__new_sig")),
     )
+    annotated, keep_sigs = _rank_annotate(
+        new_docs, sigs_new, scored, id_col, est_threshold
+    )
+    return annotated, index.unionByName(keep_sigs)
+
+
+def _rank_annotate(
+    new_docs: DataFrame,
+    sigs_new: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    est_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tail of the incremental probes: rank candidates per new
+    doc (best agreement, smallest old id), annotate the batch, and
+    return the signatures of the batch's NON-duplicate rows."""
     w = Window.partitionBy("__new_id").orderBy(
         F.col("agreement").desc(), F.col("__old_id").asc()
     )
@@ -407,7 +423,154 @@ def minhash_incremental(
         sigs_new["id"] == F.col("__new_id"),
         "left_anti",
     )
-    return annotated, index.unionByName(keep_sigs)
+    return annotated, keep_sigs
+
+
+def banded_signatures(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, sig, bkey) — one row per (doc, band), ``bkey`` = the band
+    index + the band's signature slice as ONE string key. This is the
+    storage layout of the persisted minhash index: bucketing the table
+    on the single ``bkey`` column lets the daily probe join read the
+    index WITHOUT an exchange (a composite (band, band_key) join key
+    cannot carry a bucket spec). The signature rides along (×bands
+    storage, 16 longs per row) so probe matches score directly from the
+    index rows — no second join back to a signature table."""
+    return signatures.select(
+        "id",
+        "sig",
+        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+            "band", "band_key"
+        ),
+    ).select(
+        "id",
+        "sig",
+        F.concat_ws(
+            ":", F.col("band").cast("string"), F.col("band_key")
+        ).alias("bkey"),
+    )
+
+
+def write_minhash_index(
+    signatures: DataFrame,
+    table: str,
+    n_buckets: int,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a minhash signature index as a BANDED, BUCKETED catalog
+    table keyed on ``bkey`` (see :func:`banded_signatures`). Pay the
+    band-key partitioning once at ingest; every daily
+    :func:`minhash_incremental_bucketed` probe then reads the index
+    co-located — zero index-side exchanges even when the batch is too
+    large to broadcast. Append each batch's accepted rows with
+    ``mode="append"`` (same table, same spec, still co-located)."""
+    from ..sources.bucketed import write_bucketed
+
+    write_bucketed(
+        banded_signatures(signatures, bands, rows_per_band),
+        table,
+        "bkey",
+        n_buckets,
+        sort=True,
+        mode=mode,
+    )
+
+
+def minhash_incremental_bucketed(
+    new_docs: DataFrame,
+    index_banded: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+    max_candidates: int = 200,
+    within_batch: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest minhash dedup against a PERSISTED banded index —
+    the ``broadcast_batch=False`` scale path of
+    :func:`minhash_incremental` with the index side's shuffle engineered
+    away.
+
+    ``index_banded`` is the bucketed table written by
+    :func:`write_minhash_index` (read it with
+    ``sources.bucketed.read_bucketed`` — a path read loses the bucket
+    spec). The probe is an equi-join on the single ``bkey`` column: the
+    index side reads each bucket as an already-partitioned input (ZERO
+    index-side exchanges, asserted in tests/test_bucketed.py style),
+    while only the batch's banded keys — O(batch × bands) narrow rows —
+    shuffle to the bucket layout. Candidate scoring uses the signatures
+    riding IN the index rows, so the index is touched exactly once.
+
+    Same semantics as :func:`minhash_incremental` (capped ordered
+    candidate pool, within-batch self-probe, smallest-id tie-break).
+    Returns ``(annotated, new_banded_rows)`` — append
+    ``new_banded_rows`` to the index table with
+    ``write_minhash_index(..., mode="append")``-compatible layout (they
+    are already banded; write via ``write_bucketed`` on the same spec).
+    """
+    sigs_new = minhash_signature(
+        new_docs, id_col, text_col, num_perm, shingle_n
+    )
+    banded_new = banded_signatures(sigs_new, bands, rows_per_band).select(
+        F.col("id").alias("__new_id"), "bkey"
+    )
+    # index side: bucket-co-located scan; batch side: one narrow shuffle
+    cand_idx = index_banded.join(banded_new, "bkey").select(
+        "__new_id",
+        F.col("id").alias("__old_id"),
+        F.col("sig").alias("__old_sig"),
+    )
+    cand_all = cand_idx
+    if within_batch:
+        self_probe = (
+            banded_signatures(sigs_new, bands, rows_per_band)
+            .select(F.col("id").alias("__old_id"), F.col("sig").alias("__old_sig"), "bkey")
+            .join(F.broadcast(banded_new), "bkey")
+            .where(F.col("__old_id") < F.col("__new_id"))
+            .select("__new_id", "__old_id", "__old_sig")
+        )
+        cand_all = cand_all.unionByName(self_probe)
+    # capped ordered candidate pool per new doc (multi-band matches
+    # dedupe via collect_set; struct sort = old-id order, the
+    # deterministic twin of the full path's bucket cap)
+    capped = (
+        cand_all.groupBy("__new_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.struct("__old_id", "__old_sig"))
+                ),
+                1,
+                max_candidates,
+            ).alias("__olds")
+        )
+        .select("__new_id", F.explode("__olds").alias("__o"))
+        .select("__new_id", F.col("__o.__old_id").alias("__old_id"),
+                F.col("__o.__old_sig").alias("__old_sig"))
+    )
+    scored = capped.join(
+        F.broadcast(
+            sigs_new.select(
+                F.col("id").alias("__new_id"), F.col("sig").alias("__new_sig")
+            )
+        ),
+        "__new_id",
+    ).withColumn(
+        "agreement",
+        minhash_sig_agreement(F.col("__old_sig"), F.col("__new_sig")),
+    )
+    annotated, keep_sigs = _rank_annotate(
+        new_docs, sigs_new, scored, id_col, est_threshold
+    )
+    return annotated, banded_signatures(keep_sigs, bands, rows_per_band)
 
 
 # ---------------------------------------------------------------------------
