@@ -3115,13 +3115,75 @@ def media_probe_docs(spark: SparkSession, sf: str) -> DataFrame:
             hdr = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
             return hdr + info + data
 
+        def png(i: int) -> bytes:
+            # same half/half pattern as bmp() but PNG-encoded RGB with a
+            # DIFFERENT spec filter per row (y % 5 cycles None/Sub/Up/
+            # Average/Paeth) — the decoder must defilter every type to
+            # reproduce the analytically-predicted aHash
+            import zlib as _zlib
+
+            w, h = 16 + (i % 3) * 8, 16
+            invert = i % 8 == 3
+            ch = 3
+            rows = []
+            for _y in range(h):
+                row = bytearray()
+                for x in range(w):
+                    white = (x >= w // 2) != invert
+                    row += b"\xff\xff\xff" if white else b"\x00\x00\x00"
+                rows.append(bytes(row))
+            filtered = bytearray()
+            prev = bytes(w * ch)
+            for y, row in enumerate(rows):
+                f = y % 5
+                filtered.append(f)
+                for x in range(w * ch):
+                    a = row[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    if f == 0:
+                        v = row[x]
+                    elif f == 1:
+                        v = row[x] - a
+                    elif f == 2:
+                        v = row[x] - b
+                    elif f == 3:
+                        v = row[x] - ((a + b) >> 1)
+                    else:
+                        c = prev[x - ch] if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c
+                        )
+                        v = row[x] - pr
+                    filtered.append(v & 0xFF)
+                prev = row
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
+                return (
+                    _struct.pack(">I", len(data)) + typ + data
+                    + _struct.pack(">I", crc)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(bytes(filtered)))
+                + chunk(b"IEND", b"")
+            )
+
+        def payload(i: int) -> bytes:
+            if i % 2 == 0:
+                return wav(i)
+            return png(i) if i % 4 == 3 else bmp(i)
+
         for pdf in batches:
             ids = pdf["id"]
             yield _pd.DataFrame({
                 "id": ids,
-                "payload": [
-                    wav(int(i)) if i % 2 == 0 else bmp(int(i)) for i in ids
-                ],
+                "payload": [payload(int(i)) for i in ids],
             })
 
     d = _t(spark, sf, "documents", spread=True).select(
@@ -5678,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "media_probe_docs": """
             SELECT doc_id AS id,
                    CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                        WHEN doc_id % 4 = 3 THEN 'image/png'
                         ELSE 'image/bmp' END AS mime,
                    CASE WHEN doc_id % 2 = 1
                         THEN CAST(16 + (doc_id % 3) * 8 AS INT) END AS width,
@@ -5692,10 +5755,9 @@ def oracle_sql() -> dict[str, str]:
                         END AS duration_ms,
                    CASE WHEN doc_id % 2 = 0
                         THEN CAST(1000 + doc_id % 100 AS INT) END AS rms,
-                   CASE WHEN doc_id % 2 = 1
-                        THEN (CASE WHEN doc_id % 4 = 1
-                                   THEN 'f0f0f0f0f0f0f0f0'
-                                   ELSE '0f0f0f0f0f0f0f0f' END)
+                   CASE WHEN doc_id % 4 = 1 THEN 'f0f0f0f0f0f0f0f0'
+                        WHEN doc_id % 8 = 3 THEN 'f0f0f0f0f0f0f0f0'
+                        WHEN doc_id % 4 = 3 THEN '0f0f0f0f0f0f0f0f'
                         END AS ahash
             FROM documents
         """,

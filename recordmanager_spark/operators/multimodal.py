@@ -253,6 +253,91 @@ def bmp_pixels(payload: bytes) -> "np.ndarray | None":
     return rows[..., ::-1].copy()  # BGR → RGB
 
 
+def png_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full pixel decode of a non-interlaced 8-bit PNG → (H, W, 3) uint8
+    RGB, pure stdlib: chunk walk → zlib inflate → per-row defilter (all
+    5 filter types per the PNG spec §9: None/Sub/Up/Average/Paeth).
+    Grayscale replicates to 3 channels; RGBA drops alpha. Paletted,
+    16-bit, and interlaced PNGs return None (the documented seam for a
+    real imaging library — this closes the one COMPRESSED format the
+    container can decode without one).
+
+    Performance note: Up-filtered rows defilter vectorized; Sub/Average/
+    Paeth are sequential in x by construction (each byte depends on the
+    reconstructed byte one pixel left) and run as a Python loop — fine
+    for probe/fingerprint batches, a real imaging library remains the
+    production decoder for megapixel corpora.
+    """
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos:pos + 4])[0]
+        typ = payload[pos + 4:pos + 8]
+        chunk = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or comp or filt or interlace or color not in (0, 2, 6):
+        return None
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        return None
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    import zlib
+
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pr
+                rec[x] = v & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int32)
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px[:, :, None].reshape(h, w, 1), 3, axis=2)
+    return px[..., :3].copy()
+
+
 def ahash64(img: "np.ndarray") -> str:
     """aHash perceptual fingerprint: grayscale → 8x8 average-pool →
     bit per cell (1 iff cell ≥ global mean) → 16-hex-char string.
@@ -294,6 +379,9 @@ def media_probe(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         if mime == "image/png":
             d = png_dims(p)
             width, height = d if d else (None, None)
+            img = png_pixels(p)
+            if img is not None:
+                ah = ahash64(img)
         elif mime == "image/gif":
             d = gif_dims(p)
             width, height = d if d else (None, None)
