@@ -5939,8 +5939,10 @@ _HEX15 = (
 
 def _minhash_oracle_sql() -> str:
     """minhash_near_duplicates replica: md5-60bit shingle hashes, 16 XOR
-    permutations, 4x4 banding with 200-member bucket cap, exact Jaccard
-    verify at 0.2 (operators/text_dedup.py:94-230)."""
+    permutations, 4x4 banding with the bounded-state 200-member bucket
+    cap (all-pairs within cap, salted-min hub reps beyond it —
+    operators/bucket_pairs.py), exact Jaccard verify at 0.2
+    (operators/text_dedup.py:94-230)."""
     from recordmanager_spark.operators.text_dedup import _PERM_XOR
 
     toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
@@ -5966,15 +5968,30 @@ def _minhash_oracle_sql() -> str:
         banded AS (
             SELECT doc_id, g.band, ([{band_keys}])[g.band + 1] AS key
             FROM sig, range(0, 4) g(band)),
-        capped AS (
-            SELECT *, row_number() OVER (
-                PARTITION BY band, key ORDER BY doc_id) AS rn
-            FROM banded),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM capped a JOIN capped b
+        bsz AS (
+            SELECT band, key, count(*) AS n FROM banded GROUP BY band, key),
+        sized AS (
+            SELECT banded.doc_id, banded.band, banded.key, bsz.n
+            FROM banded JOIN bsz USING (band, key)),
+        small_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sized a JOIN sized b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            WHERE a.rn <= 200 AND b.rn <= 200),
+            WHERE a.n <= 200),
+        reps AS (
+            SELECT band, key, min(doc_id) AS rep
+            FROM sized WHERE n > 200
+            GROUP BY band, key,
+                     ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")} % 200)),
+        big_pairs AS (
+            SELECT least(s.doc_id, r.rep) AS id_a,
+                   greatest(s.doc_id, r.rep) AS id_b
+            FROM sized s JOIN reps r ON s.band = r.band AND s.key = r.key
+            WHERE s.n > 200 AND r.rep <> s.doc_id),
+        cand AS (
+            SELECT id_a, id_b FROM small_pairs
+            UNION
+            SELECT id_a, id_b FROM big_pairs),
         sets AS (
             SELECT doc_id, {_SHINGLES3.format(t='t')} AS sh FROM toks),
         scored AS (
@@ -6103,16 +6120,37 @@ def _simhash_oracle_sql() -> str:
         banded AS (
             SELECT doc_id, s, g.b, (s >> (g.b * 15)) & 32767 AS bv
             FROM sig, range(0, 4) g(b)),
-        capped AS (
-            SELECT *, row_number() OVER (
-                PARTITION BY b, bv ORDER BY doc_id) AS rn
-            FROM banded)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-        FROM capped a JOIN capped b
-          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        WHERE a.rn <= 2000 AND b.rn <= 2000
-          AND bit_count(xor(a.s, b.s)) <= 3
+        bsz AS (SELECT b, bv, count(*) AS n FROM banded GROUP BY b, bv),
+        sized AS (
+            SELECT banded.doc_id, banded.s, banded.b, banded.bv, bsz.n
+            FROM banded JOIN bsz USING (b, bv)),
+        small_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.s AS sa, b.s AS sb
+            FROM sized a JOIN sized b
+              ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE a.n <= 2000),
+        reps AS (
+            SELECT b, bv, min(doc_id) AS rep, arg_min(s, doc_id) AS rep_s
+            FROM sized WHERE n > 2000
+            GROUP BY b, bv,
+                     ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")}
+                      % 2000)),
+        big_pairs AS (
+            SELECT least(m.doc_id, r.rep) AS id_a,
+                   greatest(m.doc_id, r.rep) AS id_b,
+                   CASE WHEN m.doc_id < r.rep THEN m.s ELSE r.rep_s END AS sa,
+                   CASE WHEN m.doc_id < r.rep THEN r.rep_s ELSE m.s END AS sb
+            FROM sized m JOIN reps r ON m.b = r.b AND m.bv = r.bv
+            WHERE m.n > 2000 AND r.rep <> m.doc_id),
+        cand AS (
+            SELECT id_a, id_b, sa, sb FROM small_pairs
+            UNION
+            SELECT id_a, id_b, sa, sb FROM big_pairs)
+        SELECT DISTINCT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= 3
     """
 
 

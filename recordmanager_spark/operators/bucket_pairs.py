@@ -1,0 +1,208 @@
+"""Bounded-state candidate-pair generation within (possibly degenerate)
+LSH buckets — shared by the minhash band join, the simhash/Hamming
+pigeonhole engine, and the embedding hyperplane-bucket join.
+
+The problem (ADVICE r6): the previous shape collected each bucket's ids
+with ``F.slice(F.array_sort(F.collect_list(id)), 1, cap)``. That bounds
+the pair OUTPUT, but not the aggregation STATE: partial aggregates of
+``collect_list`` concatenate rather than shrink, so a mega-bucket (every
+row of a 100 TB crawl carrying the same boilerplate fingerprint) still
+ships all n ids into a single final-aggregation buffer before the slice
+runs — the exact hot-key skew the cap was meant to prevent. Worse, rows
+beyond the cap were silently dropped from pair generation entirely: in a
+degenerate bucket (identical items share the same bucket in EVERY band)
+the truncation dropped the same rows everywhere, so beyond-cap members
+were never reported at all.
+
+The fix splits each bucket on its row count, and no aggregation buffer
+ever holds more than ``bucket_cap`` elements:
+
+- The bucket size census is one map-side-combinable ``groupBy(bucket)
+  .count()`` — O(1) state per bucket. ``big_keys``, the buckets over
+  the cap, is TINY by the skew premise (at most total_rows/cap keys,
+  and in a healthy corpus approximately zero), so the two prefilter
+  joins against it (anti for the small side, semi for the big side)
+  are cheap and AQE turns them into broadcasts at runtime.
+- Small buckets (``n <= bucket_cap``, the overwhelmingly common case):
+  exact all-pairs, identical to uncapped behavior. The collect_list
+  buffer is genuinely bounded by the cap here because over-cap buckets
+  were already filtered OUT — the slice-after-collect never happens.
+- Big buckets: hub pairs — every member pairs with the bucket's
+  <= ``bucket_cap`` REPRESENTATIVES, the min id per md5-derived salt
+  slot (``hex15(md5(id)) % cap``). ``min`` is map-side combinable with
+  O(1) state per (bucket, slot) group. Every beyond-cap member reports
+  against the hub set, so a degenerate bucket of n identical items
+  yields edges connecting ALL n members through the reps — the
+  property downstream connected components (near_dup_prune) actually
+  needs. Pair volume is <= n*cap per mega-bucket (linear in n).
+
+The salt slot is deterministic and engine-replicable: the DuckDB
+oracles reproduce it with the same hex15-of-md5 device the minhash
+oracle uses for signature hashes, so the capped semantics stay
+hash-checkable at every scale factor.
+
+Plan shape: the banded rows shuffle on the bucket key for the size
+census, and that identical exchange re-appears under the anti/semi
+joins (and the self-join sides in ``small_path="join"`` mode) — AQE
+reuses the shuffle stage at runtime, so the banded subtree (including
+any expensive signature computation below it) materializes once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_slot(id_col: str, cap: int) -> Column:
+    """Deterministic slot in [0, cap) from the id's md5 — the rep-picking
+    salt. hex15 (60 bits) keeps the conv() result inside a long."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(cap),
+    )
+
+
+def _array_pairs(
+    small: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    pay: list[str],
+) -> DataFrame:
+    """All-pairs per small bucket via ONE groupBy + in-array expansion —
+    no join; the collect buffer is <= cap by the caller's prefilter."""
+    member = (
+        F.struct(F.col(id_col).alias("id"), *[F.col(p) for p in pay])
+        if pay
+        else F.col(id_col)
+    )
+    grouped = small.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(member)).alias("__m")
+    )
+    if pay:
+        mk = lambda x, y: F.struct(  # noqa: E731
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            *[x[p].alias(f"{p}_a") for p in pay],
+            *[y[p].alias(f"{p}_b") for p in pay],
+        )
+    else:
+        mk = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size("__m")),
+                lambda y: mk(x, y),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pair_arrays).alias("__p")).select("__p.*")
+
+
+def _join_pairs(
+    small: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    pay: list[str],
+    join_hint: str | None,
+) -> DataFrame:
+    """All-pairs per small bucket via a codegen self-equi-join — faster
+    per pair than interpreted array lambdas when the cap is large."""
+    a = small.alias("a")
+    b = small.alias("b")
+    if join_hint:
+        b = b.hint(join_hint)
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in bucket_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in pay],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in pay],
+    )
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    bucket_cap: int = 200,
+    payload_cols: tuple[str, ...] = (),
+    small_path: str = "array",
+    join_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """DISTINCT candidate pairs per bucket with bounded aggregation state.
+
+    ``banded``: one row per (item, bucket) — columns ``bucket_cols`` +
+    ``id_col`` + ``payload_cols``. Returns ``(id_a, id_b)`` with
+    ``id_a < id_b`` plus ``{p}_a``/``{p}_b`` for each payload column
+    (payloads must be functionally dependent on the id — they ride along
+    for post-filters like Hamming distance).
+
+    ``small_path``: ``"array"`` (one groupBy, pair expansion in-array —
+    the cheap shape for caps in the hundreds) or ``"join"`` (codegen
+    self-equi-join — an order of magnitude faster per pair, the right
+    shape for caps in the thousands where a single at-cap bucket means
+    millions of pairs). ``join_hint`` applies to the join forms
+    (self-join build side and the hub join) — the bucket-key space is
+    large and per-key rows are cap-bounded, so skipping sort-merge's
+    sorts is usually right.
+    """
+    pay = list(payload_cols)
+    # Normalize the null-filter across every branch: the hub join's
+    # ``__rid != id`` predicate makes Catalyst infer isnotnull(id) and
+    # push it into THAT branch's scan only, which breaks canonical
+    # equality between the otherwise-identical banded subtrees — the
+    # exchange (and any expensive signature computation below it) would
+    # materialize twice instead of being stage-reused. Ids are non-null
+    # by contract, so filtering up front is a no-op semantically and
+    # restores one-materialization reuse (measured: the minhash
+    # signature pipeline ran 2x without this line).
+    banded = banded.where(F.col(id_col).isNotNull())
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
+    big_keys = sizes.where(F.col("__n") > bucket_cap).select(*bucket_cols)
+
+    small = banded.join(big_keys, bucket_cols, "left_anti")
+    if small_path == "array":
+        small_pairs = _array_pairs(small, bucket_cols, id_col, pay)
+    elif small_path == "join":
+        small_pairs = _join_pairs(small, bucket_cols, id_col, pay, join_hint)
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown small_path {small_path!r}")
+
+    big = banded.join(big_keys, bucket_cols, "left_semi")
+    # struct min orders by the FIRST field: the smallest id (and its
+    # payload) per salt slot — one scalar of state per (bucket, slot).
+    rep_struct = F.min(
+        F.struct(F.col(id_col).alias("id"), *[F.col(p) for p in pay])
+    )
+    reps = (
+        big.groupBy(*bucket_cols, salt_slot(id_col, bucket_cap).alias("__slot"))
+        .agg(rep_struct.alias("__r"))
+        .select(
+            *bucket_cols,
+            F.col("__r.id").alias("__rid"),
+            *[F.col(f"__r.{p}").alias(f"__r_{p}") for p in pay],
+        )
+    )
+    if join_hint:
+        reps = reps.hint(join_hint)
+    hub = big.join(reps, bucket_cols).where(F.col("__rid") != F.col(id_col))
+    swap = F.col(id_col) < F.col("__rid")
+    big_pairs = hub.select(
+        F.when(swap, F.col(id_col)).otherwise(F.col("__rid")).alias("id_a"),
+        F.when(swap, F.col("__rid")).otherwise(F.col(id_col)).alias("id_b"),
+        *[
+            F.when(swap, F.col(p)).otherwise(F.col(f"__r_{p}")).alias(f"{p}_a")
+            for p in pay
+        ],
+        *[
+            F.when(swap, F.col(f"__r_{p}")).otherwise(F.col(p)).alias(f"{p}_b")
+            for p in pay
+        ],
+    )
+    return small_pairs.unionByName(big_pairs).distinct()

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from recordmanager_spark.sparkcompat import try_element_at
 
+from .bucket_pairs import capped_bucket_pairs
+
 
 def _dot(a: "Column | str", b: "Column | str", dim: int | None = None) -> Column:
     """Dot product; ``dim`` unrolls to a codegen multiply-add chain.
@@ -362,14 +364,18 @@ def embedding_near_duplicates(
     corpus where every vector is near-identical (mirrored shards, a
     constant embedding from a broken encoder) puts all n rows in the SAME
     bucket of every band regardless of p — the round-6 skew soak showed
-    the uncapped self-join going quadratic there. So candidate pairs are
-    generated the way :func:`~recordmanager_spark.operators.text_dedup.
-    lsh_candidate_pairs` does it: collect each bucket's ids (sorted,
-    truncated to ``bucket_cap``) in ONE map-side-combinable groupBy and
-    emit pairs in-partition, then join the bounded pair list back to the
-    vectors for exact cosine scoring. A mega-bucket costs cap²/2 pairs
-    instead of n²/2; near-identical rows beyond the cap are still caught
-    because every one of them pairs with the cap's earliest members.
+    the uncapped self-join going quadratic there. Candidate pairs come
+    from :func:`~recordmanager_spark.operators.bucket_pairs.
+    capped_bucket_pairs`: buckets within ``bucket_cap`` get exact
+    all-pairs (codegen self-join, identical to the uncapped behavior);
+    over-cap buckets switch to hub pairs against <= cap salted-min
+    representatives, so the mega-bucket costs n*cap pairs instead of
+    n²/2 AND every beyond-cap member genuinely pairs with the hub set
+    (the round-6 slice-truncation silently dropped beyond-cap rows from
+    every band — the r6 ADVICE recall regression, fixed here and pinned
+    by tests/test_similarity.py's degenerate-corpus coverage check). No
+    aggregation buffer ever holds a full bucket: the rep picking is a
+    map-side-combinable min per (bucket, salt slot), not a collect_list.
     """
     as_d = (
         (lambda v: v)
@@ -389,22 +395,7 @@ def embedding_near_duplicates(
         band_buckets(F.col(vec_col)).alias("buckets"),
     ).localCheckpoint(eager=True)  # bucket bits + norms computed once, not per join side
     banded = b.select("id", F.posexplode("buckets").alias("band", "bucket"))
-    ids = F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
-    grouped = banded.groupBy("band", "bucket").agg(ids.alias("__ids"))
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, bucket_cap),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    pairs = (
-        grouped.select(F.explode(pair_arrays).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-    )
+    pairs = capped_bucket_pairs(banded, ["band", "bucket"], "id", bucket_cap)
     # Exact cosine on the candidate list: join vectors back on the UNIQUE
     # id key — skew-free by construction, and AQE broadcasts the pair side
     # at runtime when it is actually small. No planted broadcast hint: the

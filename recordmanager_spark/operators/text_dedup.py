@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from recordmanager_spark.sparkcompat import try_element_at
 
+from .bucket_pairs import capped_bucket_pairs
+
 from ..functions.text import (
     fingerprint,
     ngrams_from_tokens,
@@ -154,9 +156,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(id_a, id_b) candidates sharing at least one LSH band.
 
-    One explode + one self-equi-join on (band, band_key). ``bucket_cap``
-    truncates degenerate buckets (all-identical boilerplate docs) so no
-    single bucket explodes quadratically on one executor.
+    One explode + bounded-state bucket pairing
+    (:func:`~recordmanager_spark.operators.bucket_pairs.
+    capped_bucket_pairs`): buckets within ``bucket_cap`` get exact
+    all-pairs via a codegen self-equi-join; degenerate buckets
+    (all-identical boilerplate docs) switch to hub pairs against <= cap
+    salted-min representatives, so no aggregation buffer and no pair
+    expansion is ever O(bucket²) — and beyond-cap members still report
+    (previously they were silently truncated out of every band).
     """
     banded = signatures.select(
         "id",
@@ -164,25 +171,7 @@ def lsh_candidate_pairs(
             "band", "band_key"
         ),
     )
-    # ONE shuffle: bucket members are collected (sorted, capped) per
-    # (band, band_key) and pairs generated in-partition — replaces the
-    # window + self-join shape that shuffled the banded rows three times
-    ids = F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap)
-    grouped = banded.groupBy("band", "band_key").agg(ids.alias("__ids"))
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, bucket_cap),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        grouped.select(F.explode(pair_arrays).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-    )
+    return capped_bucket_pairs(banded, ["band", "band_key"], "id", bucket_cap)
 
 
 def jaccard_verify(
@@ -704,43 +693,26 @@ def hamming_near_duplicates(
             )
         ).alias("band", "band_val"),
     )
-    # Cap each bucket (one groupBy: sort + slice bounds a degenerate
-    # bucket to ``bucket_cap`` members, the reference's hot-key bound),
-    # then re-explode and self-join on the bucket key. The join form
-    # evaluates the cap^2/2 candidate pairs of a degenerate bucket in
-    # whole-stage codegen — an order of magnitude faster per pair than
-    # generating them inside array-lambda expressions, which Spark
-    # evaluates interpreted. Pairs missed by a capped band usually
-    # reappear in one of the other bands.
-    members = F.slice(
-        F.array_sort(F.collect_list(F.struct("id", "__h"))), 1, bucket_cap
+    # Bounded-state bucket pairing (bucket_pairs.capped_bucket_pairs):
+    # within-cap buckets self-join in whole-stage codegen (an order of
+    # magnitude faster per pair than interpreted array lambdas);
+    # degenerate buckets switch to hub pairs against <= cap salted-min
+    # representatives — no aggregation buffer ever holds a full bucket,
+    # and beyond-cap members still report against the hub set. The
+    # fingerprints ride along as a payload so Hamming filters the
+    # candidate rows directly, with no join back to the signatures.
+    pairs = capped_bucket_pairs(
+        banded,
+        ["band", "band_val"],
+        "id",
+        bucket_cap,
+        payload_cols=("__h",),
+        small_path="join",
+        join_hint="shuffle_hash",
     )
-    grouped = banded.groupBy("band", "band_val").agg(members.alias("__m"))
-    capped = grouped.select(
-        "band", "band_val", F.explode("__m").alias("m")
-    ).select(
-        "band", "band_val",
-        F.col("m.id").alias("id"), F.col("m.__h").alias("__h"),
-    )
-    # shuffle-hash, not sort-merge: the bucket key space is small and the
-    # capped rows fit executor memory by construction; skipping both sorts
-    # removes the dominant setup cost of the self-join
-    a, b = capped.alias("a"), capped.hint("shuffle_hash").alias("b")
-    hamming = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(hamming <= max_hamming)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
+    hamming = F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b")))
+    return pairs.where(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.alias("hamming")
     )
 
 
