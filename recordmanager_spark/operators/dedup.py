@@ -154,6 +154,43 @@ def with_dedup_keys(
 # ---------------------------------------------------------------------------
 
 
+def _capped_key_groups(
+    keys: DataFrame, member: Column, member_id: str, cap: int
+) -> DataFrame:
+    """(key, __c) with __c = the key's sorted candidate array, truncated
+    to ``cap`` members with BOUNDED aggregation state.
+
+    Keys within the cap collect exactly (buffer <= cap by the big-key
+    prefilter); over-cap keys contribute the min member per md5 salt
+    slot of the member id — <= cap representatives picked with O(1)
+    state per (key, slot) group, so no final-aggregation buffer ever
+    holds a poison key's full membership (collect_list partials
+    CONCATENATE — the r6 ADVICE buffer hazard — so slice-after-collect
+    is not a bound). The big-key census is tiny by the skew premise and
+    its anti/semi prefilter joins reuse the keys exchange at runtime.
+
+    struct comparison orders by field position — callers put the id
+    first so array_sort / min keep the reference's smallest-id
+    determinism."""
+    from .bucket_pairs import salt_slot
+
+    m = keys.select("key", member.alias("m"))
+    sizes = m.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
+    big_keys = sizes.where(F.col("__n") > cap).select("key")
+    small = m.join(big_keys, "key", "left_anti")
+    small_g = small.groupBy("key").agg(
+        F.array_sort(F.collect_list("m")).alias("__c")
+    )
+    big = m.join(big_keys, "key", "left_semi")
+    reps = big.groupBy(
+        "key", salt_slot(f"m.{member_id}", cap).alias("__slot")
+    ).agg(F.min("m").alias("m"))
+    big_g = reps.groupBy("key").agg(
+        F.array_sort(F.collect_list("m")).alias("__c")
+    )
+    return small_g.unionByName(big_g)
+
+
 def blocking_pairs(
     df: DataFrame,
     key_cols: list[str],
@@ -181,17 +218,23 @@ def blocking_pairs(
         F.col(source_col).alias("source"),
         F.explode(allkeys).alias("key"),
     ).where(F.col("key") != "")
-    # ONE shuffle: group each key's (sorted, capped) candidate list and
-    # generate the cross pairs in-partition with array expressions. The
-    # former shape (window row_number + self-join on key) shuffled the
-    # exploded keys three times; with the cap the per-key list is <= 101
-    # entries, so the collected array is bounded regardless of skew.
-    grouped = keys.groupBy("key").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("id", "source"))),
-            1,
-            candidates_per_key,
-        ).alias("__c")
+    # Group each key's (sorted, capped) candidate list and generate the
+    # cross pairs in-partition with array expressions; the former shape
+    # (window row_number + self-join on key) shuffled the exploded keys
+    # three times. The cap itself is BOUNDED-STATE (r7): collect_list's
+    # partial aggregates concatenate, so slicing AFTER a collect still
+    # ships a poison key's full membership into one final-agg buffer —
+    # instead over-cap keys are prefiltered (tiny big-key census) and
+    # their ~cap candidates picked as the min member per md5 salt slot
+    # (O(1) agg state). Candidate SEMANTICS stay the reference's
+    # truncation (DedupHandler.php:466-467 bounds work on poison keys —
+    # these are weak keys, so completeness has no recall value, unlike
+    # the LSH buckets in operators/bucket_pairs.py): <= cap members
+    # considered, <= cap²/2 pairs per key; only WHICH members survive an
+    # over-cap key changes (salted-min instead of 101-smallest — the
+    # reference's own pick is DB-order-dependent).
+    grouped = _capped_key_groups(
+        keys, F.struct("id", "source"), "id", candidates_per_key
     )
     # sorted list + (i, j>i) generation keeps id_a < id_b without a filter
     pair_arrays = F.filter(
@@ -402,9 +445,11 @@ def blocking_verified_edges(
     ).where(F.col("key") != "")
     # struct comparison orders by field position: id first, so array_sort
     # keeps the reference's created-order determinism (id_a < id_b).
-    grouped = keys.groupBy("key").agg(
-        F.slice(F.array_sort(F.collect_list("m")), 1, candidates_per_key).alias("__c")
-    )
+    # Bounded-state cap (r7): over-cap poison keys contribute salted-min
+    # representatives instead of slicing an unbounded collect buffer —
+    # see _capped_key_groups; work stays <= cap²/2 pairs per key (the
+    # reference's truncation bound, DedupHandler.php:466-467).
+    grouped = _capped_key_groups(keys, F.col("m"), "id", candidates_per_key)
     # Pair generation emits (i, j) INDEX pairs, not payload-struct pairs:
     # a capped hot key yields up to ~5050 pairs, and materializing two full
     # verify payloads (key arrays + normalized title/author strings) per
@@ -669,21 +714,24 @@ def _assign_components(
     invariants enforced.
 
     ``strategy``:
-    - ``"task"`` (default): fully LAZY — the union-find + invariants run
-      in one Arrow task over the edge set at materialization time
+    - ``"adaptive"`` (alias ``"driver"``, the default reached through
+      :func:`deduplicate`): one take() both sizes the edge set and
+      fetches it when it fits (components resolve driver-side at
+      CONSTRUCTION time), automatically falling back to the distributed
+      path past the threshold — never fails at materialization.
+    - ``"task"``: fully LAZY — the union-find + invariants run in one
+      Arrow task over the edge set at materialization time
       (:func:`_assign_components_task`). Registering/submitting the query
       costs zero Spark jobs; the edge-count memory contract raises loudly
-      past ``driver_threshold``.
-    - ``"driver"``: the eager adaptive path — one take() both sizes the
-      edge set and fetches it when it fits (components resolve driver-
-      side at CONSTRUCTION time), automatically falling back to the
-      distributed path past the threshold. Use when auto-fallback
-      matters more than lazy construction.
+      past ``driver_threshold``. Opt-in where submission latency matters
+      and the edge count is known to fit.
     - ``"distributed"``: label propagation + windowed invariant
       enforcement — the unbounded-edge-set path.
     """
     if strategy == "task":
         return _assign_components_task(edges, driver_threshold)
+    if strategy == "adaptive":
+        strategy = "driver"
     if strategy == "driver":
         rows = edges.take(driver_threshold + 1)
         spark = edges.sparkSession
@@ -696,7 +744,7 @@ def _assign_components(
         strategy = "distributed"
     if strategy != "distributed":
         raise ValueError(
-            f"strategy must be 'task', 'driver', or 'distributed': {strategy!r}"
+            f"strategy must be 'adaptive', 'task', 'driver', or 'distributed': {strategy!r}"
         )
     # distributed: materialize the edge set once (the iterative
     # propagation reads it every round and must not re-run verification),
@@ -820,23 +868,36 @@ def deduplicate(
     verify_fields: list[str] | None = None,
     candidates_per_key: int = 101,
     key_fold=None,
-    cc_strategy: str = "task",
+    cc_strategy: str = "adaptive",
 ) -> DataFrame:
     """End-to-end dedup: records (with key columns) -> (id, dedup_id).
 
     dedup_id is the smallest member id of the group; null for singletons.
 
-    Common path = ONE corpus pass, FULLY LAZY: the fused blocking+verify
-    shuffle emits (id_a, id_b, src_a, src_b) edges and the default
-    ``cc_strategy="task"`` resolves components + invariants inside one
-    Arrow task at materialization — building this query runs zero Spark
-    jobs (the round-5 census measured ~6 s of construction-time driver
-    actions under the old eager take()). No persist — the pruned
-    projection is scanned once (column-pruned parquet read).
-    ``cc_strategy="driver"`` restores the eager adaptive path (take() +
-    driver union-find, auto-falling back past 2M edges);
-    ``cc_strategy="distributed"`` forces label propagation + windowed
-    enforcement for unbounded edge sets.
+    One corpus pass: the fused blocking+verify shuffle emits
+    (id_a, id_b, src_a, src_b) edges; ``cc_strategy`` picks how
+    components + group invariants resolve:
+
+    - ``"adaptive"`` (default): one take() both sizes the edge set and
+      fetches it when it fits (driver union-find), automatically falling
+      back to distributed label propagation past 2M edges — NEVER fails
+      at materialization, whatever the edge count turns out to be. The
+      sizing take() is an eager action at construction (the census
+      prices it ~2-3 s at sf0.01). This was re-pinned as the default per
+      the round-6 ADVICE: at 100 TB edge counts are unpredictable, and a
+      default that can turn a formerly-working job into a RuntimeError
+      is the wrong trade for construction latency.
+    - ``"task"``: FULLY LAZY — components + invariants resolve inside
+      one Arrow task at materialization; building the query runs zero
+      Spark jobs. Opt in where submission latency matters AND the
+      verified-edge set is known to fit the 2M-edge task contract
+      (past it the task raises a loud error naming the fix rather than
+      silently degrading).
+    - ``"distributed"``: forced label propagation + windowed invariant
+      enforcement — the unbounded-edge-set path.
+
+    No persist — the pruned projection is scanned once (column-pruned
+    parquet read).
     """
     proj_cols = {id_col, source_col}
     proj_cols.update(key_cols or ["isbn_keys", "id_keys", "title_keys"])
@@ -961,7 +1022,7 @@ def dedup_component_parts(
     dedup_id = smallest member id (consistent with ``deduplicate``);
     components whose host pairs don't fully match stay ungrouped (the
     reference's zero-marked cleanup path)."""
-    cc_strategy = kwargs.pop("cc_strategy", "task")
+    cc_strategy = kwargs.pop("cc_strategy", "adaptive")
     edges = component_part_edges(hosts, components, **kwargs)
     src_col = kwargs.get("source_col", "source_id")
     id_col = kwargs.get("comp_id_col", "_id")
@@ -984,7 +1045,7 @@ def deduplicate_incremental(
     key_cols: list[str] | None = None,
     verify_fields: list[str] | None = None,
     candidates_per_key: int = 101,
-    cc_strategy: str = "task",
+    cc_strategy: str = "adaptive",
 ) -> DataFrame:
     """Re-dedup only dirty rows against the full key index.
 
