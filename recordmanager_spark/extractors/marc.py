@@ -1269,6 +1269,38 @@ _TWIN_SKIP = frozenset(
 )
 
 
+def _maybe_hide(memo: dict, name: str, v):
+    """Swap a big shared twin subtree for a named placeholder at MEMO
+    INSERTION time (ADVICE r6): consumers built afterwards embed the
+    placeholder name naturally, replacing the former post-hoc substring
+    replacement over rendered SQL — which relied on the memoized text
+    never occurring inside a string literal or partially overlapping
+    another token, and could silently diverge ``state['sqls']`` from
+    already-built ``state['cols']`` entries. Because the swap happens
+    the moment the entry is created, every consumer of the entry (all
+    of which are built at-or-after its creation) sees the placeholder,
+    so no rendered SQL is ever rewritten after the fact.
+
+    The full text lands in ``memo['__hidden__']`` (reserved key) for
+    :func:`solr_columns` to materialize as hidden companion columns;
+    a hidden text may reference an EARLIER placeholder (nested shared
+    subtrees), which solr_columns handles by adding hidden columns in
+    creation order.
+
+    Opt-in via ``memo['__hide__']``: only callers that materialize the
+    hidden companion columns (solr_columns) set it — standalone twin
+    builders (the parity tests, ad-hoc column construction) keep fully
+    inline SQL that evaluates without any companion column."""
+    if not memo.get("__hide__"):
+        return v
+    text = str(v)
+    if len(text) < 1500:
+        return v
+    hname = f"__rm_{memo.get('__src', 'm')}_{name}"
+    memo.setdefault("__hidden__", {})[hname] = text
+    return type(v)(hname)
+
+
 def _twin_builders(marc_col: str, id_prefix: str | None, memo: dict):
     """The SQL-text twin's builder map for this column source — each
     builder returns an ``sqlalg.X`` whose ``str()`` is the full column
@@ -1289,7 +1321,10 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
 
     def shared(name, fn):
         if name not in memo:
-            memo[name] = fn()
+            v = fn()
+            if _IS_SQL_TWIN:
+                v = _maybe_hide(memo, name, v)
+            memo[name] = v
         return memo[name]
 
     pa = lambda: shared("pa", lambda: primary_authors(m))  # noqa: E731
@@ -1475,14 +1510,14 @@ def to_solr_columns(
     all ~50 expressions costs tens of seconds of py4j traffic, so pruning
     at construction time is the real win.
     """
-    from .. import sqlalg
-
     cache_key = (marc_col, id_prefix)
     state = _SOLR_COLS_CACHE.setdefault(
         cache_key,
         {"sqls": {}, "cols": {}, "memo": {}, "twin_memo": {}, "hidden": {}},
     )
     state["memo"]["__marc_col_name"] = marc_col
+    state["twin_memo"].setdefault("__src", marc_col)
+    state["twin_memo"].setdefault("__hide__", True)
     builders = _solr_col_builders(F.col(marc_col), id_prefix, state["memo"])
     names = list(builders) if only is None else [n for n in builders if n in set(only)]
     twin = None
@@ -1499,35 +1534,32 @@ def to_solr_columns(
     # structs, publish year) are EMBEDDED per consuming column — trees
     # duplicate per reference, so `author`/`author_role`/`author_variant`
     # each carried the full ~21 KB relator-classification tree and the
-    # analyzer paid for it three times. Big memo entries become hidden
-    # companion columns analyzed ONCE; consumers reference them by name.
-    for k, v in state["twin_memo"].items():
-        if not isinstance(v, sqlalg.X):
-            continue
-        text = str(v)
-        if len(text) < 1500:
-            continue
-        hname = f"__rm_{marc_col}_{k}"
-        state["hidden"].setdefault(hname, text)
-        for n, s in state["sqls"].items():
-            if text in s:
-                state["sqls"][n] = s.replace(text, hname)
+    # analyzer paid for it three times. Big memo entries became hidden
+    # placeholders at MEMO INSERTION time (_maybe_hide, ADVICE r6), so
+    # every rendered SQL already references them by name — nothing is
+    # text-rewritten here, and cols/sqls can never diverge.
+    state["hidden"].update(state["twin_memo"].get("__hidden__", {}))
     cols = {}
     for n in names:
         if n not in state["cols"]:
             state["cols"][n] = F.expr(state["sqls"][n])
         cols[n] = state["cols"][n]
-    used_hidden = {
-        h: F.expr(t)
-        for h, t in state["hidden"].items()
-        if any(h in state["sqls"].get(n, "") for n in names)
-    }
-    if used_hidden:
-        return (
-            df.withColumns(used_hidden)
-            .withColumns(cols)
-            .drop(*used_hidden)
-        )
+    # transitively-used hidden columns: a hidden text may reference an
+    # EARLIER placeholder (nested shared subtrees), so walk newest-first
+    used: set = set()
+    hidden_items = list(state["hidden"].items())
+    for h, t in reversed(hidden_items):
+        if any(h in state["sqls"].get(n, "") for n in names) or any(
+            h in state["hidden"][u] for u in used
+        ):
+            used.add(h)
+    if used:
+        # creation order so later hidden columns can reference earlier
+        # ones (withColumns' parallel projection could not)
+        for h, t in hidden_items:
+            if h in used:
+                df = df.withColumn(h, F.expr(t))
+        return df.withColumns(cols).drop(*used)
     return df.withColumns(cols)
 
 
