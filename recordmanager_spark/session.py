@@ -53,6 +53,13 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); read as long and convert
         # in the loader (Spark's timestamp is micros).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # sqlalg's SQL-text twin escapes string literals assuming the
+        # default parser mode; a deployment that flips the legacy conf
+        # would silently change the meaning of every twin-compiled
+        # backslash (all the regex patterns). Pin it explicitly so the
+        # invariant holds for every session built through this factory
+        # (ADVICE r6; see sqlalg module docstring).
+        "spark.sql.parser.escapedStringLiterals": "false",
         # local[N] has no data locality, but the scheduler still honors the
         # default 3s locality wait — a single-task job over a coalesced
         # parallelize() RDD (the preview/1-row shape) stalls the full 3s

@@ -21,6 +21,15 @@ only has to mirror the call surface those specs use. ``X`` mirrors
 parenthesized defensively so operator precedence can never differ from
 the Column tree.
 
+Parser-conf requirement (ADVICE r6): ``lit(str)``'s escaping assumes
+the DEFAULT ``spark.sql.parser.escapedStringLiterals=false``. Under
+the legacy conf every twin-compiled literal containing backslashes
+(all the regex patterns) would silently change meaning. The canonical
+session factory (``recordmanager_spark.session.get_spark``) pins the
+conf to false; a deployment building its own SparkSession must do the
+same before parsing any twin-compiled expression, or call
+:func:`assert_parser_conf` once to fail fast.
+
 Semantics notes (kept in lockstep with Column behavior):
 - ``lit(str)`` escapes backslashes, quotes, and control chars so the
   SQL parser reconstructs the exact Python string (regex patterns
@@ -43,6 +52,21 @@ import itertools
 from typing import Callable, Iterable
 
 _ctr = itertools.count()
+
+
+def assert_parser_conf(spark) -> None:
+    """Fail fast if the session's parser mode would mis-read the twin's
+    escaped string literals (see the module docstring). One cheap conf
+    read — call it once per foreign-built SparkSession."""
+    v = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(v).lower() != "false":
+        raise RuntimeError(
+            "spark.sql.parser.escapedStringLiterals is enabled: the "
+            "SQL-text twin's literal escaping (sqlalg.lit) assumes the "
+            "default parser mode — twin-compiled regex patterns would "
+            "silently change meaning. Set the conf to false (the "
+            "recordmanager_spark.session.get_spark factory pins it)."
+        )
 
 
 def _fresh() -> str:
