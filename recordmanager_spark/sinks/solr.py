@@ -8,8 +8,12 @@ Command/Solr/DumpUpdates.php writes the would-be requests to files.
 Spark-first: the batch boundary maps to the file boundary —
 ``maxRecordsPerFile`` bounds docs-per-request and partition count bounds
 parallel POSTs (the reference's ``solr_update_workers``). The dump variant
-IS the sink in a network-free engine; a live HTTP pusher would be a
-``foreachPartition`` over exactly these files' contents.
+IS the sink in a network-free engine; the live HTTP pusher — with the
+reference's ``max_update_tries``/``update_retry_wait`` retry loop and the
+SolrCloud cluster-state health pause — ships as
+``examples/solr_pusher.py`` (``push_dataframe`` = foreachPartition POST
+over exactly these batches, transport injected like the other example
+clients).
 """
 
 from __future__ import annotations
