@@ -668,6 +668,52 @@ def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tfidf_keywords_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-5 tf-idf keywords (Sparck Jones weighting over
+    the normalized token stream) — corpus topic tagging for mixture
+    planning and datacards. Deterministic: score rounded to 6 decimals,
+    ties broken by term."""
+    from recordmanager_spark.operators import keywords as KW
+
+    return KW.tfidf_keywords(_t(spark, sf, "documents"), "doc_id", "text", top_k=5)
+
+
+def shuffle_shards_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle: seed-keyed md5 shard +
+    within-shard sort key, pure scan-stage (a true orderBy would be a
+    full-corpus range shuffle at 100 TB; write_shuffled_shards pays one
+    partitioning pass instead)."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return PK.shuffle_shards(d, "doc_id", 64, seed="42")
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (global first occurrence wins, docs
+    reassembled with kept_ratio). Docs are synthesized with a shared
+    header paragraph and an even-doc footer so boilerplate exists; the
+    first-occurrence pick is a map-side-combinable groupBy(hash) +
+    join-back, never a window over the hot paragraph hash."""
+    d = _t(spark, sf, "documents")
+    text = F.concat_ws(
+        "\n\n",
+        F.lit("Shared header paragraph."),
+        F.substring("text", 1, 60),
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.lit("Even footer paragraph.")
+        ).otherwise(
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+        ),
+    )
+    df = d.select("doc_id", text.alias("t"))
+    out = TD.paragraph_dedup(df, "doc_id", "t")
+    return out.select(
+        F.col("id").alias("doc_id"), "text",
+        "n_paragraphs", "kept_paragraphs", "kept_ratio",
+    )
+
+
 def winnow_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Pairs sharing >= 30 winnowed fingerprints (containment-style
     near-dup detection). bucket_cap=1000 is the deterministic skew guard
@@ -3588,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_pairs": winnow_neardup_pairs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "line_dedup_docs": line_dedup_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "shuffle_shards_docs": shuffle_shards_docs,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
@@ -4830,6 +4879,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, COALESCE(agg.text, '') AS text
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "tfidf_keywords_docs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex({_NORM.format(c='text')},
+                                               '\\s+')) AS term
+              FROM documents
+            ), t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            s AS (SELECT doc_id, term, tf, dfn,
+                         round(tf * ln(nd / CAST(dfn AS DOUBLE)), 6) AS score
+                  FROM tf JOIN dfq USING (term), n),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+                  FROM s)
+            SELECT doc_id AS id, term, tf, dfn AS df, score,
+                   CAST(rnk AS INT) AS "rank"
+            FROM r WHERE rnk <= 5
+        """,
+        "shuffle_shards_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(({_HEX15.format(h='hh')} % 64) AS INT) AS shard,
+                   hh AS sort_key
+            FROM h
+        """,
+        "paragraph_dedup_docs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     'Shared header paragraph.' || chr(10) || chr(10)
+                     || substr(text, 1, 60) || chr(10) || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0 THEN 'Even footer paragraph.'
+                          ELSE 'unique tail ' || CAST(doc_id AS VARCHAR)
+                     END AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM d
+            ), p AS (
+              SELECT doc_id,
+                     unnest([struct_pack(pos := i, para := ps[i])
+                             FOR i IN range(1, len(ps)+1)],
+                            recursive := true)
+              FROM s
+            ), ph AS (
+              SELECT doc_id, pos, para,
+                     {_NORM.format(c='para')} AS np
+              FROM p
+            ), f AS (
+              SELECT doc_id, pos, para, np,
+                     CASE WHEN np = '' THEN 1 ELSE row_number() OVER (
+                       PARTITION BY np ORDER BY doc_id, pos) END AS rn
+              FROM ph
+            ), k AS (
+              SELECT doc_id, pos, para FROM f WHERE rn = 1
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                     count(*) AS kept
+              FROM k GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*) AS np FROM p GROUP BY doc_id
+            )
+            SELECT tot.doc_id, COALESCE(agg.text, '') AS text,
+                   tot.np AS n_paragraphs,
+                   COALESCE(agg.kept, 0) AS kept_paragraphs,
+                   round(COALESCE(agg.kept, 0) / CAST(tot.np AS DOUBLE), 6)
+                       AS kept_ratio
+            FROM tot LEFT JOIN agg USING (doc_id)
         """,
         "cluster_corpus_embeddings": """
             WITH c AS (

@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "gopher_repetition_docs",
     "pii_scrub_docs",
     "contamination_docs",
+    # round-7 additions
+    "tfidf_keywords_docs",
+    "shuffle_shards_docs",
+    "paragraph_dedup_docs",
 ]
 
 

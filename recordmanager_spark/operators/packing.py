@@ -425,3 +425,59 @@ def corpus_token_stats(
         "mean_doc_tokens",
         F.round(F.col("ws_tokens") / F.col("n_docs"), 2),
     ).withColumn("token_share", F.round(F.col("ws_tokens") / tot, 6))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every example a
+    shard and a within-shard sort key from md5(seed:id).
+
+    The training-data requirement this serves: epoch data order must be
+    (a) uniformly shuffled, (b) reproducible from a seed, and (c)
+    computable WITHOUT a global sort — at 100 TB a true orderBy is a
+    full-corpus range shuffle, while hash sharding is a pure scan-stage
+    projection here (ZERO shuffles; the shard becomes the output file
+    via ``write_shuffled_shards``, which pays exactly one partitioning
+    pass). Changing ``seed`` reshuffles everything; re-running with the
+    same seed is byte-stable, so shard manifests can be diffed across
+    pipeline re-runs.
+
+    Returns the input plus (shard int, sort_key string) — order within
+    a shard = sort_key order; hex15-of-md5 keeps the shard modulus
+    inside a long, the same engine-replicable device the dedup salts
+    use.
+    """
+    h = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    return df.withColumn("shard", shard).withColumn("sort_key", h)
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    seed: str = "0",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the deterministic shuffle: one partitioning pass on
+    the shard id, rows sorted by sort_key WITHIN each shard (a
+    sortWithinPartitions, never a global sort), one output
+    file-per-shard layout a training loader can stream in order."""
+    out = shuffle_shards(df, id_col, n_shards, seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

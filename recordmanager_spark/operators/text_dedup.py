@@ -186,13 +186,18 @@ def jaccard_verify(
     similarity >= threshold. Returns (id_a, id_b, jaccard)."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
     a, b = sh.alias("a"), sh.alias("b")
-    # Broadcast the candidate PAIRS, never the shingle sets: the pair list
-    # is bounded by the LSH bucket caps while the shingle side scales with
-    # the corpus (per-doc gram arrays — collecting those to the driver is
-    # the expensive wrong plan Spark picks from raw file-size stats).
-    pairs = F.broadcast(pairs)
-    half = F.broadcast(pairs.join(a, pairs.id_a == F.col("a.id")))
-    joined = half.join(b, F.col("id_b") == F.col("b.id"))
+    # No planted broadcast hint (r7): the former F.broadcast(pairs) —
+    # and worse, F.broadcast(pairs ⋈ shingle_sets) — overflowed the 8 GB
+    # HashedRelation cap the moment a degenerate corpus produced a
+    # linear-but-large hub-pair list (the soak7 mega-bucket: 200k docs ×
+    # cap 200 = 40M candidates, exactly what a 100 TB boilerplate crawl
+    # does). The joins key on the UNIQUE doc id — skew-free by
+    # construction — and AQE converts them to broadcasts at runtime
+    # whenever the pair list is actually small (every non-pathological
+    # corpus). Never force what the runtime can size.
+    joined = pairs.join(a, pairs.id_a == F.col("a.id")).join(
+        b, F.col("id_b") == F.col("b.id")
+    )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -858,6 +863,83 @@ def line_level_dedup(
     return df.select(F.col(id_col).alias("id")).join(kept, "id", "left").select(
         "id", F.coalesce("text", F.lit("")).alias("text")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup (the CCNet/RefinedWeb granularity
+    between exact-document and line-level): every paragraph keeps its
+    GLOBAL first occurrence — ordered by (doc id, position) — and later
+    copies are dropped; documents reassemble from their surviving
+    paragraphs in order.
+
+    Returns (id, text, n_paragraphs, kept_paragraphs, kept_ratio) — the
+    ratio is the standard post-dedup quality signal (a page that lost
+    most of its paragraphs was boilerplate).
+
+    Scale shape: first-occurrence is a map-side-combinable
+    ``groupBy(hash).agg(min(struct(id, pos)))`` joined back on the hash
+    (the r6 exact-dedup pattern — NOT a window over the unbounded
+    paragraph-hash key, which would serialize a boilerplate paragraph's
+    hundred-million occurrences through one reducer). The count/join
+    side carries md5 hashes, never paragraph text; only the reassembly
+    groupBy does (it must — the surviving text is the output), and its
+    buffer is bounded by a single document's size. Paragraphs whose
+    normalized form is empty are structural whitespace and always kept.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("__ph", F.md5(normalize_for_fingerprint("para")))
+    first = paras.where(F.col("__ph") != _EMPTY_NORM_MD5).groupBy("__ph").agg(
+        F.min(F.struct("id", "pos")).alias("__first")
+    )
+    kept = paras.join(first, "__ph", "left").where(
+        F.col("__first").isNull()
+        | (
+            (F.col("__first.id") == F.col("id"))
+            & (F.col("__first.pos") == F.col("pos"))
+        )
+    )
+    stats = paras.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("kept_paragraphs"),
+        )
+    )
+    return (
+        stats.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paragraphs",
+            F.coalesce("kept_paragraphs", F.lit(0)).alias("kept_paragraphs"),
+            F.round(
+                F.coalesce("kept_paragraphs", F.lit(0))
+                / F.col("n_paragraphs"),
+                6,
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+# md5 of the empty string — the normalized form of a whitespace-only
+# paragraph; kept unconditionally (structure, not content)
+_EMPTY_NORM_MD5 = "d41d8cd98f00b204e9800998ecf8427e"
 
 
 def near_dup_prune(

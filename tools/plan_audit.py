@@ -226,6 +226,22 @@ AUDITS = [
      "within-cap buckets + over-cap reps + hub join + pair distinct; "
      "every exchange carries one (band, id, hash) row per item-band — "
      "same shape as simhash_near_dup, reused for aHash"),
+    ("tfidf_keywords_docs", 6, True, True,
+     "token tf groupBy (doc,term) + the df-table re-agg and its term-"
+     "keyed join side + per-doc top-k groupBy — all narrow (term, count)"
+     " rows after the one corpus scan; the corpus doc count joins back "
+     "as a 1-row broadcast nested loop, and the per-doc top-k buffer is "
+     "bounded by a single document's vocabulary"),
+    ("shuffle_shards_docs", 0, False, False,
+     "deterministic training shuffle is a pure scan-stage projection — "
+     "the shard/sort-key assignment costs ZERO shuffles at any corpus "
+     "size; write_shuffled_shards pays exactly one partitioning pass"),
+    ("paragraph_dedup_docs", 3, True, False,
+     "first-occurrence via map-side-combinable groupBy(paragraph md5) "
+     "joined back (the r6 exact-dedup de-skew pattern — never a window "
+     "over the hot paragraph hash) + the per-doc reassembly groupBy + "
+     "per-doc stats agg; hash columns shuffle, paragraph text only in "
+     "the doc-bounded reassembly"),
     ("skew_report_events", 2, True, True,
      "grouped once; the 3 exchanges carry KEY-CARDINALITY rows (group "
      "shuffle + its runtime-reused twin for the total + the total's "
