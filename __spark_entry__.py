@@ -749,6 +749,22 @@ def knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.knn_lsh(e, q, "vec_id", "embedding", k=5, num_planes=6, dim=64)
 
 
+def knn_pq_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011) with the
+    DETERMINISTIC md5-grid codebooks, so the DuckDB oracle replicates
+    encode + asymmetric-distance ranking exactly (the trained-codebook
+    path is pytest-pinned for recall instead). The corpus contributes
+    only its 8-byte code rows to the scoring scan — the 32x-compressed
+    representation that makes embedding search feasible at 100 TB."""
+    from recordmanager_spark.operators import pq as PQ
+
+    e = _t(spark, sf, "embeddings")
+    books = PQ.md5_grid_codebooks(8, 16, 8)
+    codes = PQ.pq_encode(e, "embedding", books)
+    q = e.where(F.col("vec_id") < 20)
+    return PQ.knn_pq(codes, q, books, "vec_id", "embedding", k=5)
+
+
 def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     return SIM.exact_near_duplicates(e, "vec_id", "embedding", 0.35, dim=64)
@@ -3641,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
         "knn_lsh": knn_lsh,
+        "knn_pq_full": knn_pq_full,
         "embedding_neardup": embedding_neardup,
         "solr_batch_sizes": solr_batch_sizes,
         "export_filtered_orders": export_filtered_orders,
@@ -4853,6 +4870,43 @@ def oracle_sql() -> dict[str, str]:
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
         "minhash_incremental_docs": _minhash_incremental_oracle_sql(),
+        # PQ/ADC with md5-grid codebooks: centroid values, the argmin
+        # encode (first-minimum = smallest index, mirrored by the
+        # row_number (dist, j) order), and the ADC table lookups all
+        # recompute relationally — nothing is copied from the engine.
+        "knn_pq_full": f"""
+            WITH cents AS (
+              SELECT s.s, j.j, d.d,
+                     ((({_HEX15.format(
+                         h="md5('pq:' || s.s || ':' || j.j || ':' || d.d)"
+                     )}) % 2001) - 1000) / 1000.0 AS c
+              FROM range(0, 8) s(s), range(0, 16) j(j), range(0, 8) d(d)
+            ), vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), dsub AS (
+              SELECT vec_id, c.s AS s, c.j AS j,
+                     sum((v[c.s * 8 + c.d + 1] - c.c)
+                         * (v[c.s * 8 + c.d + 1] - c.c)) AS dist
+              FROM vecs, cents c GROUP BY 1, 2, 3
+            ), codes AS (
+              SELECT vec_id, s, j AS code FROM (
+                SELECT vec_id, s, j, row_number() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+                FROM dsub)
+              WHERE rn = 1
+            ), adc AS (
+              SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     round(sum(d.dist), 6) AS adc_dist
+              FROM codes n JOIN dsub d ON d.s = n.s AND d.j = n.code
+              WHERE d.vec_id < 20 AND d.vec_id <> n.vec_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+              FROM adc)
+            SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS "rank"
+            FROM r WHERE rnk <= 5
+        """,
         "line_dedup_docs": """
             WITH d AS (
               SELECT doc_id, 'SHARED HEADER' || chr(10) || substr(text,1,60)

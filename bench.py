@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     # the ANN path a production corpus would use (brute force above is the
     # exact oracle, not the scale path)
     "knn_ivf_full",
+    "knn_pq_full",
     "url_canonical_dedup_docs",
     "skew_report_events",
     "corpus_datacard_docs",

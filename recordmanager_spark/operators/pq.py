@@ -1,0 +1,251 @@
+"""Product quantization (PQ) ANN: compressed-domain similarity search.
+
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — THE memory story for embedding search at
+100 TB: split each vector into ``m`` subvectors, quantize each against
+its own ``k``-centroid codebook, and store only the m code bytes. A
+dim-64 float32 embedding (256 B) compresses to m=8 bytes (32x); scans
+then score with asymmetric distance computation (ADC) — per query, a
+precomputed m x k table of subvector distances turns each corpus
+distance into m table lookups, no float multiply per pair.
+
+Spark shapes:
+- ``pq_train``: codebooks come from per-subvector k-means on a
+  DETERMINISTIC driver-side sample (the FAISS practice — codebooks
+  need ~10-100k training points regardless of corpus size, so the
+  collect is bounded and the Lloyd loop is numpy, not jobs).
+- ``pq_encode``: pure scan-stage projection — the codebooks are plan
+  literals (m*k*sub_dim floats, a few KB) and the argmin unrolls to a
+  codegen expression; the corpus is read once and never shuffles.
+- ``knn_pq``: queries broadcast WITH their ADC tables (computed
+  scan-stage on the query side); scoring is a broadcast nested loop
+  over the code column only; ranking reuses the house per-query
+  window (sort-based, spills — matches knn_bruteforce/knn_ivf).
+
+Determinism: argmin ties resolve to the smallest centroid index
+(array_position finds the first minimum) and ADC distances round to 6
+decimals with neighbor-id tie-break, so the md5-grid codebook variant
+(:func:`md5_grid_codebooks`) replicates bit-for-bit in the DuckDB
+oracle — the same device the deterministic LSH family uses. k-means
+codebooks are pytest-pinned instead (recall vs knn_bruteforce).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["md5_grid_codebooks", "pq_train", "pq_encode", "knn_pq"]
+
+
+def md5_grid_codebooks(m: int, k: int, sub_dim: int) -> list:
+    """Deterministic codebooks for oracle-checkable contract queries:
+    centroid[s][j][d] = (hex15(md5(f"pq:{s}:{j}:{d}")) % 2001 - 1000)
+    / 1000 — uniform-ish in [-1, 1], reproducible in any engine with
+    md5 (the DuckDB twin uses the same hex15 device as the minhash
+    oracle). NOT a trained quantizer — recall is whatever a random
+    grid gives; use :func:`pq_train` for real corpora."""
+    books = []
+    for s in range(m):
+        cents = []
+        for j in range(k):
+            cents.append(
+                [
+                    (
+                        int(
+                            hashlib.md5(
+                                f"pq:{s}:{j}:{d}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % 2001
+                        - 1000
+                    )
+                    / 1000.0
+                    for d in range(sub_dim)
+                ]
+            )
+        books.append(cents)
+    return books
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+) -> list:
+    """Train per-subvector k-means codebooks on a deterministic sample.
+
+    The sample is the ``sample`` smallest ids (rerun-stable); training
+    is numpy Lloyd on the driver — codebooks saturate at 10-100k
+    training points no matter the corpus size (the FAISS practice), so
+    this is a bounded collect, not a distributed iteration. Empty cells
+    re-seed from the training point farthest from its centroid."""
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide evenly into m subvectors"
+    sub = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([[float(x) for x in r.v] for r in rows], dtype=np.float64)
+    books = []
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        # deterministic seeding: the k points with smallest ids
+        cents = x[: min(k, len(x))].copy()
+        while len(cents) < k:  # degenerate tiny sample
+            cents = np.vstack([cents, cents[: k - len(cents)]])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                pts = x[assign == j]
+                if len(pts):
+                    cents[j] = pts.mean(axis=0)
+                else:
+                    cents[j] = x[d2.min(axis=1).argmax()]
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _sq_dist_sql(vec_col: str, centroid: list, offset: int) -> str:
+    """SQL text: squared L2 distance between vec[offset..] and the
+    centroid literal — built as ONE string (the py4j-free twin rule)."""
+    return "+".join(
+        f"(CAST(try_element_at({vec_col},{offset + d + 1}) AS DOUBLE)-"
+        f"(CAST({c!r} AS DOUBLE)))*"
+        f"(CAST(try_element_at({vec_col},{offset + d + 1}) AS DOUBLE)-"
+        f"(CAST({c!r} AS DOUBLE)))"
+        for d, c in enumerate(centroid)
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Scan-stage PQ encoding: adds ``code_col`` = array<int> of length
+    m, code[s] = argmin_j ||subvec_s - codebook[s][j]||² (first minimum
+    wins → smallest index, deterministic). Codebooks are plan literals;
+    zero shuffles, zero joins — the corpus compresses in one pass."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        dists = ",".join(_sq_dist_sql(vec_col, c, s * sub) for c in book)
+        codes.append(
+            f"CAST(array_position(array({dists}), "
+            f"array_min(array({dists}))) - 1 AS INT)"
+        )
+    return df.withColumn(code_col, F.expr(f"array({','.join(codes)})"))
+
+
+def knn_pq(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    k: int = 5,
+    rerank: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank), rank 1 =
+    nearest (smallest rounded distance, neighbor-id tie-break).
+
+    The query side computes its m x k distance table scan-stage (one
+    array<array<double>> per query, codebooks as literals) and
+    broadcasts; the corpus side contributes ONLY (id, code) — the
+    compressed representation is the whole scan. Scoring is m
+    element_at lookups per pair inside codegen.
+
+    ``rerank``: the standard ADC refinement (Jégou et al. §V) — pass a
+    DataFrame of the ORIGINAL vectors (id_col, vec_col) and the ADC
+    pass keeps a ``shortlist``-deep candidate set per query, which is
+    then re-scored with exact squared L2 against the true vectors and
+    cut to ``k`` (columns gain ``l2_dist``). Quantization error only
+    has to keep true neighbors inside the shortlist, not rank them —
+    recall jumps to near-exact while the corpus-wide scan still touches
+    only code bytes: the exact pass reads ``queries x shortlist``
+    vectors, never the corpus."""
+    sub = len(codebooks[0][0])
+    tabs = []
+    for s, book in enumerate(codebooks):
+        dists = ",".join(_sq_dist_sql(vec_col, c, s * sub) for c in book)
+        tabs.append(f"array({dists})")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"array({','.join(tabs)})").alias("__dtab"),
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__code")
+    )
+    m = len(codebooks)
+    adc = None
+    for s in range(m):
+        term = F.expr(
+            f"try_element_at(try_element_at(__dtab,{s + 1}),"
+            f"try_element_at(__code,{s + 1})+1)"
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.where(F.col("rank") <= k)
+
+    short = ranked.where(F.col("rank") <= max(shortlist, k)).drop("rank")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    nv = rerank.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    dim = len(codebooks) * sub
+    l2 = None
+    for d in range(1, dim + 1):
+        t = F.expr(
+            f"(CAST(try_element_at(__qv,{d}) AS DOUBLE)"
+            f"-CAST(try_element_at(__nv,{d}) AS DOUBLE))"
+        )
+        term = t * t
+        l2 = term if l2 is None else l2 + term
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.round(l2, 6).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

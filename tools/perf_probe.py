@@ -475,6 +475,115 @@ def cmd_soak6(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_soak7(sf_dir: str) -> None:
+    """Round-7 soaks: the DEGENERATE-bucket cases for the bounded-state
+    bucket pairing (operators/bucket_pairs.py) — one boilerplate text /
+    fingerprint / blocking key repeated hundreds of thousands of times,
+    the shape where the former collect+slice cap both concentrated the
+    whole bucket in one aggregation buffer AND silently dropped
+    beyond-cap members. The hub path must stay linear (<= n*cap pairs)
+    and report every member."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+
+    from recordmanager_spark.operators.text_dedup import (
+        hamming_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    # --- minhash: 200k near-identical boilerplate docs ----------------
+    # every copy shares every band bucket; cap=200 -> hub pairs
+    boiler = spark.range(50_000, numPartitions=CORES).select(
+        (F.col("id") + 100_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(
+                "this domain is parked free of charge accept cookies to "
+                "continue to the requested site contact the registrar "
+            ),
+            # tiny unique tail so jaccard stays high but texts differ
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(boiler).localCheckpoint(eager=True)
+    n = corpus.count()
+    print(f"# minhash corpus: {n} docs ({sf_dir} + 50k boilerplate copies)", flush=True)
+    out = minhash_near_duplicates(corpus, "doc_id", "text", threshold=0.2)
+    t0 = time.time()
+    covered = out.select(
+        F.countDistinct("id_a") + F.countDistinct("id_b")
+    ).first()
+    pairs_n = out.count()
+    secs = time.time() - t0
+    print(
+        f"minhash_near_dup (mega-bucket) {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"pairs={pairs_n} (<= n*cap, linear; old shape dropped all but "
+        f"200 members per bucket)"
+    )
+
+    # --- hamming: 300k identical fingerprints -------------------------
+    sigs = spark.range(300_000, numPartitions=CORES).select(
+        F.col("id"),
+        F.lit(0x0F0F0F0F0F0F0F0F).cast("long").alias("hash"),
+    )
+    out = hamming_near_duplicates(sigs, total_bits=64, max_hamming=2,
+                                  bucket_cap=2000)
+    t0 = time.time()
+    pairs_n = out.count()
+    secs = time.time() - t0
+    nn = 300_000
+    print(
+        f"hamming_neardup (mega-bucket)  {secs:7.2f}s  "
+        f"{nn / secs:9.0f} rows/s  {nn / secs / CORES:7.0f} rows/s/core  "
+        f"pairs={pairs_n} (every member reported through <= 2000 reps)"
+    )
+
+    # --- blocking: one poison title key over 400k records -------------
+    # "annual report"-style garbage key shared by every record; the
+    # bounded-state cap keeps the candidate list at <= 101 salted-min
+    # reps with O(1) agg state (the old slice-after-collect shipped all
+    # 400k verify payload structs into ONE final-agg buffer)
+    from recordmanager_spark.operators.dedup import deduplicate
+
+    nrec = 400_000
+    recs = spark.range(nrec, numPartitions=CORES).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3)).cast("string")).alias(
+            "source_id"
+        ),
+        F.array(F.lit("annual report")).alias("title_keys"),
+        F.array().cast("array<string>").alias("isbn_keys"),
+        F.lit("book").alias("format"),
+        F.lit(None).cast("string").alias("access_restrictions"),
+        F.array().cast("array<string>").alias("isbn"),
+        F.array().cast("array<string>").alias("unique_ids"),
+        F.array().cast("array<string>").alias("issn"),
+        F.lit(None).cast("int").alias("publish_year"),
+        F.lit(None).cast("int").alias("page_count"),
+        F.lit(None).cast("string").alias("series_issn"),
+        F.lit(None).cast("string").alias("series_numbering"),
+        F.lit("annual report").alias("title"),
+        F.lit("").alias("author"),
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    res = deduplicate(recs, key_cols=["title_keys", "isbn_keys"])
+    res.write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"deduplicate (poison key)       {secs:7.2f}s  "
+        f"{nrec / secs:9.0f} rows/s  {nrec / secs / CORES:7.0f} rows/s/core"
+        f"  (candidates bounded to 101 salted-min reps)"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -488,5 +597,7 @@ if __name__ == "__main__":
         cmd_soak5(sf_dir)
     elif mode == "soak6":
         cmd_soak6(sf_dir)
+    elif mode == "soak7":
+        cmd_soak7(sf_dir)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5|soak6)")
+        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7)")

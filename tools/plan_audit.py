@@ -163,6 +163,13 @@ AUDITS = [
      "exact oracle: broadcast nested loop IS the plan (query side tiny)"),
     ("embedding_neardup", 1, True, True,
      "exact oracle variant (broadcast right side)"),
+    ("knn_pq_full", 1, True, False,
+     "PQ/ADC: encode is a scan-stage projection (codebooks = plan "
+     "literals, zero shuffles — pinned in tests/test_pq.py); scoring "
+     "is a broadcast nested loop of code bytes against the broadcast "
+     "query distance tables; the ONE exchange is the per-query "
+     "ranking window (sort-based, spills) — the corpus contributes "
+     "only its m-byte codes, the 32x-compression story at 100 TB"),
     ("exact_substring_dedup_docs", 2, True, False,
      "gram-hash groupBy + per-doc position groupBy; no planted hint on "
      "the positions join — at toy scale the optimizer's size estimate "
