@@ -5077,7 +5077,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list_distinct(wins)), '|') AS fp
             FROM wmin
         """,
-        "winnow_neardup_pairs": """
+        "winnow_neardup_pairs": f"""
             WITH d AS (
               SELECT doc_id,
                      trim(regexp_replace(regexp_replace(lower(text),
@@ -5097,20 +5097,31 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             ), posts AS (
               SELECT doc_id, unnest(list_distinct(wins)) AS fph FROM wmin
+            ), sizes AS (
+              SELECT fph, count(*) AS n FROM posts GROUP BY fph
+            ), small AS (
+              -- bounded-state cap (r7): posting lists within the cap
+              -- pass through exactly; over-cap lists keep the min id
+              -- per md5 salt slot — model it so the oracle matches at
+              -- every scale factor
+              SELECT p.doc_id, p.fph
+              FROM posts p JOIN sizes USING (fph) WHERE n <= 1000
+            ), reps AS (
+              SELECT fph, min(doc_id) AS doc_id
+              FROM posts JOIN sizes USING (fph)
+              WHERE n > 1000
+              GROUP BY fph,
+                       ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")}
+                        % 1000)
             ), capped AS (
-              -- the operator caps each fingerprint's posting list at
-              -- 1000 lowest ids (deterministic skew guard); model it so
-              -- the oracle matches at every scale factor
-              SELECT doc_id, fph,
-                     row_number() OVER (PARTITION BY fph ORDER BY doc_id)
-                         AS rn
-              FROM posts
+              SELECT doc_id, fph FROM small
+              UNION ALL
+              SELECT doc_id, fph FROM reps
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*) AS shared
             FROM capped a JOIN capped b
               ON a.fph = b.fph AND a.doc_id < b.doc_id
-            WHERE a.rn <= 1000 AND b.rn <= 1000
             GROUP BY 1, 2
             HAVING count(*) >= 30
         """,

@@ -783,13 +783,24 @@ def winnow_near_duplicates(
     fingerprints — containment/plagiarism-style near-dup detection.
 
     Same bucketed shape as minhash LSH: explode fingerprints, cap each
-    hash's posting list at ``bucket_cap`` (lowest ids win — boilerplate
-    shared by thousands of docs would otherwise go quadratic, the same
-    skew the minhash band cap bounds), then a hash equi-self-join counts
-    shared fingerprints per pair. The join runs in whole-stage codegen —
-    pair expansion through interpreted array lambdas measured orders of
+    hash's posting list at ``bucket_cap`` (boilerplate shared by
+    thousands of docs would otherwise go quadratic, the same skew the
+    minhash band cap bounds), then a hash equi-self-join counts shared
+    fingerprints per pair. The join runs in whole-stage codegen — pair
+    expansion through interpreted array lambdas measured orders of
     magnitude slower on hot hashes.
+
+    The cap is BOUNDED-STATE (r7): postings within the cap pass through
+    untouched (exact, identical to uncapped); over-cap posting lists
+    keep the min id per md5 salt slot — O(1) aggregation state, never a
+    corpus-scale window (the former ``row_number over (partition by
+    h)`` serialized a hot fingerprint's whole posting list through one
+    reducer). Work bound unchanged: <= cap members per fingerprint;
+    only WHICH members survive an over-cap posting changes (salted-min
+    instead of rank-by-id — a truncation either way).
     """
+    from .bucket_pairs import salt_slot
+
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
     # explode_outer, NOT explode: a plain explode makes the optimizer
     # infer a size(fp) > 0 filter and push it below the staged
@@ -799,8 +810,16 @@ def winnow_near_duplicates(
     # fp is never empty (the <w fallback emits one element), so the
     # outer variant is semantically identical.
     posts = fp.select("id", F.explode_outer("fp").alias("h"))
-    rn = F.row_number().over(Window.partitionBy("h").orderBy("id"))
-    capped = posts.withColumn("__rn", rn).where(F.col("__rn") <= bucket_cap)
+    sizes = posts.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+    big_keys = sizes.where(F.col("__n") > bucket_cap).select("h")
+    small = posts.join(big_keys, "h", "left_anti")
+    reps = (
+        posts.join(big_keys, "h", "left_semi")
+        .groupBy("h", salt_slot("id", bucket_cap).alias("__slot"))
+        .agg(F.min("id").alias("id"))
+        .select("h", "id")
+    )
+    capped = small.unionByName(reps)
     a = capped.select(F.col("h"), F.col("id").alias("id_a"))
     b = capped.select(F.col("h"), F.col("id").alias("id_b"))
     return (

@@ -141,13 +141,21 @@ def test_winnow_near_duplicates_and_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 1) in got and (4, 5) in got
     assert not any(100 in p for p in got)
-    # bucket_cap=2: every posting list truncates to the 2 lowest ids, so
-    # no pair can exceed cap membership — ids >= 2 never pair
+    # bucket_cap=2: an over-cap posting list keeps the min id per md5
+    # salt slot (bounded-state truncation, r7) — <= 2 survivors per
+    # fingerprint, so only salted-rep pairs can reach min_shared
+    import hashlib
+
+    def slot(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2
+
+    reps = {min((i for i in range(6) if slot(i) == s), default=None)
+            for s in (0, 1)} - {None}
     capped = TD.winnow_near_duplicates(
         df, "doc_id", "text", min_shared=5, bucket_cap=2
     )
     got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
-    assert got_capped == {(0, 1)}
+    assert got_capped == {tuple(sorted(reps))}
 
 
 def test_line_level_dedup(spark):
