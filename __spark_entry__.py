@@ -6167,10 +6167,11 @@ def _minhash_oracle_sql() -> str:
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             WHERE a.n <= 200),
         reps AS (
+            -- hub_cap = min(bucket_cap, 64): the over-cap rep set
             SELECT band, key, min(doc_id) AS rep
             FROM sized WHERE n > 200
             GROUP BY band, key,
-                     ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")} % 200)),
+                     ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")} % 64)),
         big_pairs AS (
             SELECT least(s.doc_id, r.rep) AS id_a,
                    greatest(s.doc_id, r.rep) AS id_b
@@ -6319,11 +6320,12 @@ def _simhash_oracle_sql() -> str:
               ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
             WHERE a.n <= 2000),
         reps AS (
+            -- hub_cap = min(bucket_cap, 64): the over-cap rep set
             SELECT b, bv, min(doc_id) AS rep, arg_min(s, doc_id) AS rep_s
             FROM sized WHERE n > 2000
             GROUP BY b, bv,
                      ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")}
-                      % 2000)),
+                      % 64)),
         big_pairs AS (
             SELECT least(m.doc_id, r.rep) AS id_a,
                    greatest(m.doc_id, r.rep) AS id_b,

@@ -28,13 +28,13 @@ ever holds more than ``bucket_cap`` elements:
   buffer is genuinely bounded by the cap here because over-cap buckets
   were already filtered OUT — the slice-after-collect never happens.
 - Big buckets: hub pairs — every member pairs with the bucket's
-  <= ``bucket_cap`` REPRESENTATIVES, the min id per md5-derived salt
-  slot (``hex15(md5(id)) % cap``). ``min`` is map-side combinable with
-  O(1) state per (bucket, slot) group. Every beyond-cap member reports
-  against the hub set, so a degenerate bucket of n identical items
-  yields edges connecting ALL n members through the reps — the
+  <= ``hub_cap`` REPRESENTATIVES, the min id per md5-derived salt
+  slot (``hex15(md5(id)) % hub_cap``). ``min`` is map-side combinable
+  with O(1) state per (bucket, slot) group. Every beyond-cap member
+  reports against the hub set, so a degenerate bucket of n identical
+  items yields edges connecting ALL n members through the reps — the
   property downstream connected components (near_dup_prune) actually
-  needs. Pair volume is <= n*cap per mega-bucket (linear in n).
+  needs. Pair volume is <= n*hub_cap per mega-bucket (linear in n).
 
 The salt slot is deterministic and engine-replicable: the DuckDB
 oracles reproduce it with the same hex15-of-md5 device the minhash
@@ -134,6 +134,7 @@ def capped_bucket_pairs(
     payload_cols: tuple[str, ...] = (),
     small_path: str = "array",
     join_hint: str | None = "shuffle_hash",
+    hub_cap: int | None = None,
 ) -> DataFrame:
     """DISTINCT candidate pairs per bucket with bounded aggregation state.
 
@@ -151,8 +152,19 @@ def capped_bucket_pairs(
     (self-join build side and the hub join) — the bucket-key space is
     large and per-key rows are cap-bounded, so skipping sort-merge's
     sorts is usually right.
+
+    ``hub_cap`` (default ``min(bucket_cap, 64)``) sizes the over-cap
+    REP set separately from the small-bucket work bound: hub pair
+    volume is n*hub_cap PER BAND, and a fully degenerate item (every
+    band a mega-bucket) multiplies that by the band count — at
+    bucket_cap=2000 the round-7 soak's 300k identical fingerprints
+    produced 1.8 BILLION pre-distinct hub rows. Connectivity and
+    member coverage only need a hub SET, not bucket_cap reps: every
+    beyond-cap member still pairs with all ~hub_cap representatives.
     """
     pay = list(payload_cols)
+    if hub_cap is None:
+        hub_cap = min(bucket_cap, 64)
     # Normalize the null-filter across every branch: the hub join's
     # ``__rid != id`` predicate makes Catalyst infer isnotnull(id) and
     # push it into THAT branch's scan only, which breaks canonical
@@ -181,7 +193,7 @@ def capped_bucket_pairs(
         F.struct(F.col(id_col).alias("id"), *[F.col(p) for p in pay])
     )
     reps = (
-        big.groupBy(*bucket_cols, salt_slot(id_col, bucket_cap).alias("__slot"))
+        big.groupBy(*bucket_cols, salt_slot(id_col, hub_cap).alias("__slot"))
         .agg(rep_struct.alias("__r"))
         .select(
             *bucket_cols,

@@ -521,8 +521,8 @@ def cmd_soak7(sf_dir: str) -> None:
     print(
         f"minhash_near_dup (mega-bucket) {secs:7.2f}s  "
         f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
-        f"pairs={pairs_n} (<= n*cap, linear; old shape dropped all but "
-        f"200 members per bucket)"
+        f"pairs={pairs_n} (<= n*hub_cap, linear; old shape dropped all "
+        f"but 200 members per bucket)"
     )
 
     # --- hamming: 300k identical fingerprints -------------------------
@@ -539,7 +539,7 @@ def cmd_soak7(sf_dir: str) -> None:
     print(
         f"hamming_neardup (mega-bucket)  {secs:7.2f}s  "
         f"{nn / secs:9.0f} rows/s  {nn / secs / CORES:7.0f} rows/s/core  "
-        f"pairs={pairs_n} (every member reported through <= 2000 reps)"
+        f"pairs={pairs_n} (every member reported through <= 64 hub reps)"
     )
 
     # --- blocking: one poison title key over 400k records -------------
