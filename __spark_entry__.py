@@ -668,6 +668,30 @@ def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def fuzzy_decontamination_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination (GPT-3/Gopher-style fuzzy
+    variant): every %9 doc gets a 'Q: '-prefixed paraphrase twin in the
+    synthetic benchmark suite, which the exact n-gram path would need
+    lucky gram alignment to catch but minhash signature agreement flags
+    directly. Deterministic md5 hash family — the oracle replicates the
+    full signature->band->probe->best-match pipeline."""
+    from recordmanager_spark.operators import contamination as CT
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.pmod("doc_id", F.lit(9)) == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat(F.lit("Q: "), F.col("text")).alias("btext"),
+    )
+    out = CT.fuzzy_decontaminate(
+        d, bench, "doc_id", "text",
+        bench_id_col="bench_id", bench_text_col="btext",
+        est_threshold=0.5,
+    )
+    return out.select(
+        "doc_id", "is_contaminated", "matched_bench_id", "agreement"
+    )
+
+
 def tfidf_keywords_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-5 tf-idf keywords (Sparck Jones weighting over
     the normalized token stream) — corpus topic tagging for mixture
@@ -3651,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "line_dedup_docs": line_dedup_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
+        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
         "shuffle_shards_docs": shuffle_shards_docs,
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "simhash_near_dup": simhash_near_dup,
@@ -4870,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         # full pipelines replicate in DuckDB SQL bit-for-bit.
         "minhash_near_dup": _minhash_oracle_sql(),
         "minhash_incremental_docs": _minhash_incremental_oracle_sql(),
+        "fuzzy_decontamination_docs": _fuzzy_decontam_oracle_sql(),
         # PQ/ADC with md5-grid codebooks: centroid values, the argmin
         # encode (first-minimum = smallest index, mirrored by the
         # row_number (dist, j) order), and the ADC table lookups all
@@ -6191,6 +6217,75 @@ def _minhash_oracle_sql() -> str:
             FROM cand JOIN sets a ON cand.id_a = a.doc_id
                       JOIN sets b ON cand.id_b = b.doc_id)
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """
+
+
+def _fuzzy_decontam_oracle_sql() -> str:
+    """fuzzy_decontaminate replica: corpus + 'Q: '-prefixed %9 benchmark
+    twins, md5-60bit shingle signatures, banded probe, signature
+    agreement >= 0.5, best match per corpus doc (max agreement, min
+    bench id) — operators/contamination.py fuzzy_decontaminate."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    mins = ",\n                   ".join(
+        f"CAST(min(xor(h, {_PERM_XOR[p]})) AS VARCHAR) AS h{p}"
+        for p in range(16)
+    )
+    band_keys = ", ".join(
+        "h%d || '|' || h%d || '|' || h%d || '|' || h%d"
+        % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+        for b in range(4)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN o.h{p} = n.h{p} THEN 1 ELSE 0 END)" for p in range(16)
+    )
+    return f"""
+        WITH bdocs AS (
+            SELECT doc_id AS bid, 'Q: ' || text AS text
+            FROM documents WHERE doc_id % 9 = 0
+        ),
+        ctoks AS (SELECT doc_id, {toks} AS t FROM documents),
+        btoks AS (SELECT bid, {toks} AS t FROM bdocs),
+        csh AS (SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s
+                FROM ctoks),
+        bsh AS (SELECT bid, unnest({_SHINGLES3.format(t='t')}) AS s
+                FROM btoks),
+        ch AS (SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM csh),
+        bh AS (SELECT bid, {_HEX15.format(h='md5(s)')} AS h FROM bsh),
+        csig AS (SELECT doc_id,
+                   {mins}
+                 FROM ch GROUP BY doc_id),
+        bsig AS (SELECT bid,
+                   {mins}
+                 FROM bh GROUP BY bid),
+        cband AS (SELECT doc_id, g.band,
+                         ([{band_keys}])[g.band + 1] AS key
+                  FROM csig, range(0, 4) g(band)),
+        bband AS (SELECT bid, g.band,
+                         ([{band_keys}])[g.band + 1] AS key
+                  FROM bsig, range(0, 4) g(band)),
+        pairs AS (
+            SELECT DISTINCT c.doc_id, b.bid
+            FROM cband c JOIN bband b ON c.band = b.band AND c.key = b.key),
+        agr AS (
+            SELECT p.doc_id, p.bid,
+                   round(({eq_sum}) / 16.0, 6) AS agreement
+            FROM pairs p
+            JOIN csig o ON o.doc_id = p.doc_id
+            JOIN bsig n ON n.bid = p.bid),
+        best AS (
+            SELECT doc_id, bid, agreement FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY agreement DESC, bid) AS rn
+                FROM agr WHERE agreement >= 0.5)
+            WHERE rn = 1)
+        SELECT d.doc_id,
+               (best.bid IS NOT NULL) AS is_contaminated,
+               best.bid AS matched_bench_id,
+               best.agreement
+        FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
     """
 
 

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "gopher_repetition_docs",
     "pii_scrub_docs",
     "contamination_docs",
+    "fuzzy_decontamination_docs",
     # round-7 additions
     "tfidf_keywords_docs",
     "shuffle_shards_docs",

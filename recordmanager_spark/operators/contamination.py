@@ -195,3 +195,96 @@ def bloom_contaminated(
     return docs.withColumn("n_hits", n_hits).withColumn(
         "contaminated", F.col("n_hits") >= min_hits
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag corpus documents
+    whose minhash signature agrees with any benchmark document at
+    >= ``est_threshold`` estimated Jaccard.
+
+    The exact n-gram path (:func:`flag_contaminated` / Bloom variant)
+    misses light paraphrases — reworded eval questions, whitespace
+    variants, truncated copies — which the near-dup literature treats
+    with the same minhash machinery as dedup (GPT-3 appendix C /
+    Gopher fuzzy decontamination). Signatures are the deterministic
+    md5-derived family of ``text_dedup.minhash_signature``, so the
+    DuckDB oracle replicates the whole pipeline.
+
+    Returns the corpus plus ``is_contaminated`` / ``matched_bench_id``
+    / ``agreement`` (best match: highest agreement, then smallest
+    benchmark id).
+
+    Scale shape (100 TB corpus, kilodoc benchmark suite): the ONLY
+    corpus-side shuffles are its signature groupBy and the final
+    best-match aggregation on corpus doc id (both map-side-combinable
+    and corpus-key-partitioned); everything benchmark-sided — banded
+    keys AND signatures — travels as broadcasts, so the candidate
+    probe and the scoring are map-side joins and the benchmark never
+    shuffles anything corpus-sized.
+    """
+    from .text_dedup import (
+        _band_key_array,
+        minhash_sig_agreement,
+        minhash_signature,
+    )
+
+    bid = bench_id_col or id_col
+    btxt = bench_text_col or text_col
+    keys = _band_key_array(bands, rows_per_band)
+    sigs_c = minhash_signature(corpus, id_col, text_col, num_perm, shingle_n)
+    sigs_b = minhash_signature(benchmark, bid, btxt, num_perm, shingle_n)
+    banded_c = sigs_c.select("id", "sig", F.explode(keys).alias("band_key"))
+    banded_b = (
+        sigs_b.select(
+            F.col("id").alias("__bid"),
+            F.col("sig").alias("__bsig"),
+            F.explode(keys).alias("band_key"),
+        )
+        # benchmark suites are thousands of rows — the broadcast IS the
+        # design contract here, not a size guess (unlike jaccard_verify's
+        # removed hint, whose pair side genuinely scales with the corpus)
+        .transform(F.broadcast)
+    )
+    cand = banded_c.join(banded_b, "band_key").select(
+        "id",
+        minhash_sig_agreement(F.col("sig"), F.col("__bsig")).alias("agreement"),
+        F.col("__bid"),
+    )
+    # best match per corpus doc: ONE map-side-combinable min of an
+    # ordering struct (desc agreement via negation, then bench id) —
+    # never a window over the corpus
+    best = (
+        cand.where(F.col("agreement") >= est_threshold)
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("agreement")).alias("na"),
+                    F.col("__bid"),
+                    F.col("agreement"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            F.col("id").alias("__fd_id"),
+            F.col("__b.__bid").alias("matched_bench_id"),
+            F.col("__b.agreement").alias("agreement"),
+        )
+    )
+    return (
+        corpus.join(best, corpus[id_col] == best["__fd_id"], "left")
+        .drop("__fd_id")
+        .withColumn("is_contaminated", F.col("matched_bench_id").isNotNull())
+    )

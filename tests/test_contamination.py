@@ -74,3 +74,42 @@ def test_bloom_filter_words_shape_and_validation(spark):
     docs = _corpus(spark)
     with pytest.raises(ValueError):
         CT.bloom_contaminated(docs, "doc_id", "text", words, m_bits=8192)
+
+
+def test_fuzzy_decontaminate(spark):
+    """Paraphrase twins flag via signature agreement; unrelated docs
+    don't; the best match is (max agreement, min bench id)."""
+    from pyspark.sql import Row
+
+    from recordmanager_spark.operators.contamination import (
+        fuzzy_decontaminate,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a familiar tune in the background of the old town square"
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="completely unrelated content about "
+                               "distributed query engines and parquet"),
+            Row(doc_id=3, text="Q: " + base),  # exact twin of bench 10
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            Row(bench_id=10, btext="Q: " + base),  # light paraphrase
+            Row(bench_id=11, btext="totally different benchmark prompt "
+                                   "about astronomy and tides"),
+        ]
+    )
+    out = {r.doc_id: r for r in fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text",
+        bench_id_col="bench_id", bench_text_col="btext",
+        est_threshold=0.5,
+    ).collect()}
+    assert out[1].is_contaminated and out[1].matched_bench_id == 10
+    assert 0.5 <= out[1].agreement <= 1.0
+    assert not out[2].is_contaminated and out[2].matched_bench_id is None
+    assert out[3].is_contaminated and out[3].agreement == 1.0

@@ -249,6 +249,12 @@ AUDITS = [
      "over the hot paragraph hash) + the per-doc reassembly groupBy + "
      "per-doc stats agg; hash columns shuffle, paragraph text only in "
      "the doc-bounded reassembly"),
+    ("fuzzy_decontamination_docs", 3, True, False,
+     "corpus signature groupBy + the best-match groupBy on corpus doc "
+     "id (map-side-combinable min-struct, never a window) + the final "
+     "annotate join's corpus side; EVERYTHING benchmark-sided — banded "
+     "keys and signatures — broadcasts, so the probe and scoring are "
+     "map-side and the benchmark never shuffles anything corpus-sized"),
     ("skew_report_events", 2, True, True,
      "grouped once; the 3 exchanges carry KEY-CARDINALITY rows (group "
      "shuffle + its runtime-reused twin for the total + the total's "
