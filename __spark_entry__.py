@@ -789,6 +789,23 @@ def knn_pq_full(spark: SparkSession, sf: str) -> DataFrame:
     return PQ.knn_pq(codes, q, books, "vec_id", "embedding", k=5)
 
 
+def knn_ivfadc_full(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC (FAISS 'IVFx,PQy'): coarse-quantize, PQ-encode the
+    RESIDUAL, search by residual-ADC within probed cells. All cells
+    probed + md5-grid centroids/codebooks = deterministic and
+    oracle-exact (genuinely distinct from knn_pq_full: the residual
+    tables differ per cell); the n_probe << n_cells pruning and trained
+    quantizers are pytest-pinned for recall instead."""
+    from recordmanager_spark.operators import pq as PQ
+
+    e = _t(spark, sf, "embeddings")
+    coarse = PQ.md5_grid_coarse(8, 64)
+    books = PQ.md5_grid_codebooks(8, 16, 8)
+    enc = PQ.ivfadc_encode(e, "embedding", coarse, books, "vec_id")
+    q = e.where(F.col("vec_id") < 20)
+    return PQ.knn_ivfadc(enc, q, coarse, books, "vec_id", "embedding", k=5)
+
+
 def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     return SIM.exact_near_duplicates(e, "vec_id", "embedding", 0.35, dim=64)
@@ -3683,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full": knn_ivf_full,
         "knn_lsh": knn_lsh,
         "knn_pq_full": knn_pq_full,
+        "knn_ivfadc_full": knn_ivfadc_full,
         "embedding_neardup": embedding_neardup,
         "solr_batch_sizes": solr_batch_sizes,
         "export_filtered_orders": export_filtered_orders,
@@ -4932,6 +4950,70 @@ def oracle_sql() -> dict[str, str]:
               FROM adc)
             SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS "rank"
             FROM r WHERE rnk <= 5
+        """,
+        # IVFADC with md5-grid coarse centroids + codebooks: coarse
+        # assignment, residual PQ codes, per-(query, cell) residual ADC
+        # tables, all-cell probe — everything recomputed relationally.
+        "knn_ivfadc_full": f"""
+            WITH ccents AS (
+              SELECT ci.ci, d.d,
+                     ((({_HEX15.format(
+                         h="md5('ivf:' || ci.ci || ':' || d.d)"
+                     )}) % 2001) - 1000) / 1000.0 AS c
+              FROM range(0, 8) ci(ci), range(0, 64) d(d)
+            ), pcents AS (
+              SELECT s.s, j.j, d.d,
+                     ((({_HEX15.format(
+                         h="md5('pq:' || s.s || ':' || j.j || ':' || d.d)"
+                     )}) % 2001) - 1000) / 1000.0 AS c
+              FROM range(0, 8) s(s), range(0, 16) j(j), range(0, 8) d(d)
+            ), vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cd AS (
+              SELECT vec_id, cc.ci,
+                     sum((v[cc.d + 1] - cc.c) * (v[cc.d + 1] - cc.c)) AS dist
+              FROM vecs, ccents cc GROUP BY 1, 2
+            ), cell AS (
+              SELECT vec_id, ci AS cell FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM cd)
+              WHERE rn = 1
+            ), res AS (
+              SELECT v.vec_id, cc.d, v.v[cc.d + 1] - cc.c AS r
+              FROM vecs v JOIN cell cl USING (vec_id)
+              JOIN ccents cc ON cc.ci = cl.cell
+            ), rd AS (
+              SELECT r.vec_id, p.s, p.j,
+                     sum((r.r - p.c) * (r.r - p.c)) AS dist
+              FROM res r JOIN pcents p ON p.s * 8 + p.d = r.d
+              GROUP BY 1, 2, 3
+            ), codes AS (
+              SELECT vec_id, s, j AS code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM rd)
+              WHERE rn = 1
+            ), qres AS (
+              SELECT v.vec_id, cc.ci, cc.d, v.v[cc.d + 1] - cc.c AS r
+              FROM vecs v, ccents cc WHERE v.vec_id < 20
+            ), qtab AS (
+              SELECT q.vec_id, q.ci, p.s, p.j,
+                     sum((q.r - p.c) * (q.r - p.c)) AS dist
+              FROM qres q JOIN pcents p ON p.s * 8 + p.d = q.d
+              GROUP BY 1, 2, 3, 4
+            ), adc AS (
+              SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     round(sum(t.dist), 6) AS adc_dist
+              FROM codes n
+              JOIN cell cl ON cl.vec_id = n.vec_id
+              JOIN qtab t ON t.ci = cl.cell AND t.s = n.s AND t.j = n.code
+              WHERE t.vec_id <> n.vec_id
+              GROUP BY 1, 2
+            ), r2 AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+              FROM adc)
+            SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS "rank"
+            FROM r2 WHERE rnk <= 5
         """,
         "line_dedup_docs": """
             WITH d AS (

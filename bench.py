@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     # exact oracle, not the scale path)
     "knn_ivf_full",
     "knn_pq_full",
+    "knn_ivfadc_full",
     "url_canonical_dedup_docs",
     "skew_report_events",
     "corpus_datacard_docs",

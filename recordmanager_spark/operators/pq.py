@@ -249,3 +249,153 @@ def knn_pq(
     return exact.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — coarse quantizer + residual PQ (Jégou et al. §VI, the FAISS
+# "IVFx,PQy" index): route each vector to its nearest coarse centroid,
+# PQ-encode the RESIDUAL (vector minus centroid) — residual energy is a
+# fraction of vector energy, so the same code budget quantizes much
+# finer — and search only the n_probe most promising cells per query.
+# ---------------------------------------------------------------------------
+
+
+def md5_grid_coarse(n_cells: int, dim: int) -> list:
+    """Deterministic coarse centroids (same device as
+    :func:`md5_grid_codebooks`, key 'ivf:{cell}:{d}') for the
+    oracle-checkable contract; train real ones with
+    :func:`~recordmanager_spark.operators.similarity.cluster_corpus`
+    or :func:`pq_train`-style sampling in production."""
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"ivf:{ci}:{d}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+        for ci in range(n_cells)
+    ]
+
+
+def _nested_lit(arr) -> str:
+    """SQL literal for a (possibly nested) float array."""
+    if isinstance(arr[0], (int, float)):
+        return (
+            "array("
+            + ",".join(f"CAST({x!r} AS DOUBLE)" for x in arr)
+            + ")"
+        )
+    return "array(" + ",".join(_nested_lit(a) for a in arr) + ")"
+
+
+def ivfadc_encode(
+    df: DataFrame,
+    vec_col: str,
+    coarse: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, pq_code): nearest coarse cell + PQ code of the
+    residual. Pure scan-stage — both the coarse argmin and the residual
+    encode unroll against plan literals; the corpus is read once, never
+    shuffled, and stores 4 + m bytes per vector."""
+    dim = len(coarse[0])
+    cell_dists = ",".join(_sq_dist_sql(vec_col, c, 0) for c in coarse)
+    cell = (
+        f"CAST(array_position(array({cell_dists}), "
+        f"array_min(array({cell_dists}))) - 1 AS INT)"
+    )
+    cents = _nested_lit(coarse)
+    res = (
+        f"transform(sequence(1, {dim}), d -> "
+        f"CAST(try_element_at({vec_col}, d) AS DOUBLE) - "
+        f"element_at(element_at({cents}, __cell + 1), d))"
+    )
+    out = df.withColumn("__cell", F.expr(cell)).withColumn(
+        "__res", F.expr(res)
+    )
+    out = pq_encode(out, "__res", codebooks, code_col="pq_code")
+    return out.select(
+        F.col(id_col), F.col("__cell").alias("cell"), "pq_code"
+    )
+
+
+def knn_ivfadc(
+    corpus_enc: DataFrame,
+    queries: DataFrame,
+    coarse: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank) by residual-ADC.
+
+    Per query, ONE scan-stage expression builds the [cell][s][j]
+    distance-table tensor against the literal centroids/codebooks
+    (n_cells*m*k doubles — a few KB), plus the ranked cell list; both
+    broadcast. Scoring touches only corpus (cell, code) rows whose cell
+    is among the query's ``n_probe`` best cells — the IVF pruning — and
+    costs m table lookups per surviving pair. ``n_probe=None`` probes
+    every cell (exhaustive over the residual quantizer — the
+    oracle-checkable contract configuration; production uses
+    n_probe << n_cells, recall-pinned in tests)."""
+    n_cells = len(coarse)
+    m = len(codebooks)
+    kc = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if n_probe is None:
+        n_probe = n_cells
+    cents = _nested_lit(coarse)
+    books = _nested_lit(codebooks)
+    dtab = (
+        f"transform(sequence(1, {n_cells}), ci -> "
+        f"transform(sequence(1, {m}), s -> "
+        f"transform(element_at({books}, s), cb -> "
+        f"aggregate(sequence(1, {sub}), CAST(0.0 AS DOUBLE), (acc, d) -> "
+        f"acc + pow(CAST(try_element_at({vec_col}, (s-1)*{sub} + d) AS DOUBLE)"
+        f" - element_at(element_at({cents}, ci), (s-1)*{sub} + d)"
+        f" - element_at(cb, d), 2)))))"
+    )
+    cell_dists = ",".join(_sq_dist_sql(vec_col, c, 0) for c in coarse)
+    # ranked cell ids: sort (dist, cell) structs, take n_probe cells
+    ranked_cells = (
+        f"transform(slice(array_sort(transform(sequence(1, {n_cells}), ci -> "
+        f"struct(element_at(array({cell_dists}), ci) AS d, ci - 1 AS c))), "
+        f"1, {n_probe}), s -> s.c)"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(dtab).alias("__dtab"),
+        F.expr(ranked_cells).alias("__cells"),
+    )
+    c = corpus_enc.select(
+        F.col(id_col).alias("neighbor_id"), "cell", F.col("pq_code").alias("__code")
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.array_contains(F.col("__cells"), F.col("cell"))
+        & (F.col("query_id") != F.col("neighbor_id"))
+    )
+    adc = None
+    for s in range(m):
+        term = F.expr(
+            f"try_element_at(try_element_at(try_element_at(__dtab, cell + 1),"
+            f"{s + 1}), try_element_at(__code,{s + 1}) + 1)"
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -170,6 +170,12 @@ AUDITS = [
      "query distance tables; the ONE exchange is the per-query "
      "ranking window (sort-based, spills) — the corpus contributes "
      "only its m-byte codes, the 32x-compression story at 100 TB"),
+    ("knn_ivfadc_full", 1, True, False,
+     "IVFADC: coarse assign + residual PQ encode are one scan-stage "
+     "projection (centroids/codebooks = plan literals); per-query "
+     "residual-ADC tensors and ranked cell lists broadcast; scoring "
+     "touches only (cell, code) rows inside probed cells; the ONE "
+     "exchange is the per-query ranking window"),
     ("exact_substring_dedup_docs", 2, True, False,
      "gram-hash groupBy + per-doc position groupBy; no planted hint on "
      "the positions join — at toy scale the optimizer's size estimate "
