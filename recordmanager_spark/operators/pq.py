@@ -121,13 +121,48 @@ def pq_train(
 
 def _sq_dist_sql(vec_col: str, centroid: list, offset: int) -> str:
     """SQL text: squared L2 distance between vec[offset..] and the
-    centroid literal — built as ONE string (the py4j-free twin rule)."""
+    centroid literal — built as ONE string (the py4j-free twin rule).
+    Unrolled codegen chain; use only for SINGLE distances (the re-rank
+    L2) — per-codebook argmin over many centroids must use the HOF
+    forms below, whose generated code stays under the codegen limits."""
     return "+".join(
         f"(CAST(try_element_at({vec_col},{offset + d + 1}) AS DOUBLE)-"
         f"(CAST({c!r} AS DOUBLE)))*"
         f"(CAST(try_element_at({vec_col},{offset + d + 1}) AS DOUBLE)-"
         f"(CAST({c!r} AS DOUBLE)))"
         for d, c in enumerate(centroid)
+    )
+
+
+def _dists_hof(vec_col: str, cents_lit: str, sub: int, off: str) -> str:
+    """SQL text: array of squared L2 distances from the vector slice at
+    ``off`` (a SQL expression, 0-based element offset) to every centroid
+    in the literal array-of-arrays ``cents_lit``.
+
+    Compact higher-order-function form, NOT an unrolled term chain: the
+    unrolled argmin over 16 centroids x 8 dims x m subvectors blew past
+    the whole-stage-codegen size limits and fell back to INTERPRETED
+    evaluation of a ~3000-node tree per row (measured: the encode scan
+    dominated the query at 10x the expected cost). The HOF body is a
+    few dozen nodes evaluated per (centroid, dim) — same left-fold
+    order as the unrolled chain, so results are bit-identical and the
+    DuckDB oracles are unaffected."""
+    return (
+        f"transform({cents_lit}, cb -> "
+        f"aggregate(sequence(1, {sub}), CAST(0.0 AS DOUBLE), (acc, d) -> "
+        f"acc + (CAST(try_element_at({vec_col}, ({off}) + d) AS DOUBLE)"
+        f" - element_at(cb, d))"
+        f" * (CAST(try_element_at({vec_col}, ({off}) + d) AS DOUBLE)"
+        f" - element_at(cb, d))))"
+    )
+
+
+def _argmin_sql(dists: str) -> str:
+    """First-minimum index (0-based) of a distance-array expression,
+    let-bound so the array evaluates once."""
+    return (
+        f"element_at(transform(array({dists}), ds -> "
+        f"CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)"
     )
 
 
@@ -141,15 +176,14 @@ def pq_encode(
     m, code[s] = argmin_j ||subvec_s - codebook[s][j]||² (first minimum
     wins → smallest index, deterministic). Codebooks are plan literals;
     zero shuffles, zero joins — the corpus compresses in one pass."""
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    codes = []
-    for s, book in enumerate(codebooks):
-        dists = ",".join(_sq_dist_sql(vec_col, c, s * sub) for c in book)
-        codes.append(
-            f"CAST(array_position(array({dists}), "
-            f"array_min(array({dists}))) - 1 AS INT)"
-        )
-    return df.withColumn(code_col, F.expr(f"array({','.join(codes)})"))
+    books = _nested_lit(codebooks)
+    dists = _dists_hof(vec_col, f"element_at({books}, s + 1)", sub, f"s * {sub}")
+    code = _argmin_sql(dists)
+    return df.withColumn(
+        code_col, F.expr(f"transform(sequence(0, {m - 1}), s -> {code})")
+    )
 
 
 def knn_pq(
@@ -181,14 +215,17 @@ def knn_pq(
     recall jumps to near-exact while the corpus-wide scan still touches
     only code bytes: the exact pass reads ``queries x shortlist``
     vectors, never the corpus."""
+    m_ = len(codebooks)
     sub = len(codebooks[0][0])
-    tabs = []
-    for s, book in enumerate(codebooks):
-        dists = ",".join(_sq_dist_sql(vec_col, c, s * sub) for c in book)
-        tabs.append(f"array({dists})")
+    books_lit = _nested_lit(codebooks)
+    dtab = (
+        f"transform(sequence(0, {m_ - 1}), s -> "
+        + _dists_hof(vec_col, f"element_at({books_lit}, s + 1)", sub, f"s * {sub}")
+        + ")"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.expr(f"array({','.join(tabs)})").alias("__dtab"),
+        F.expr(dtab).alias("__dtab"),
     )
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__code")
@@ -306,12 +343,8 @@ def ivfadc_encode(
     encode unroll against plan literals; the corpus is read once, never
     shuffled, and stores 4 + m bytes per vector."""
     dim = len(coarse[0])
-    cell_dists = ",".join(_sq_dist_sql(vec_col, c, 0) for c in coarse)
-    cell = (
-        f"CAST(array_position(array({cell_dists}), "
-        f"array_min(array({cell_dists}))) - 1 AS INT)"
-    )
     cents = _nested_lit(coarse)
+    cell = _argmin_sql(_dists_hof(vec_col, cents, dim, "0"))
     res = (
         f"transform(sequence(1, {dim}), d -> "
         f"CAST(try_element_at({vec_col}, d) AS DOUBLE) - "
@@ -364,12 +397,15 @@ def knn_ivfadc(
         f" - element_at(element_at({cents}, ci), (s-1)*{sub} + d)"
         f" - element_at(cb, d), 2)))))"
     )
-    cell_dists = ",".join(_sq_dist_sql(vec_col, c, 0) for c in coarse)
-    # ranked cell ids: sort (dist, cell) structs, take n_probe cells
+    dim = len(coarse[0])
+    cell_dists = _dists_hof(vec_col, cents, dim, "0")
+    # ranked cell ids: sort (dist, cell) structs, take n_probe cells;
+    # let-bind the distance array so it evaluates once
     ranked_cells = (
+        f"element_at(transform(array({cell_dists}), cds -> "
         f"transform(slice(array_sort(transform(sequence(1, {n_cells}), ci -> "
-        f"struct(element_at(array({cell_dists}), ci) AS d, ci - 1 AS c))), "
-        f"1, {n_probe}), s -> s.c)"
+        f"struct(element_at(cds, ci) AS d, ci - 1 AS c))), "
+        f"1, {n_probe}), s -> s.c)), 1)"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
