@@ -18,11 +18,19 @@ The fix splits each bucket on its row count, and no aggregation buffer
 ever holds more than ``bucket_cap`` elements:
 
 - The bucket size census is one map-side-combinable ``groupBy(bucket)
-  .count()`` — O(1) state per bucket. ``big_keys``, the buckets over
-  the cap, is TINY by the skew premise (at most total_rows/cap keys,
-  and in a healthy corpus approximately zero), so the two prefilter
-  joins against it (anti for the small side, semi for the big side)
-  are cheap and AQE turns them into broadcasts at runtime.
+  .count()`` — O(1) state per bucket — and since r8 it routes rows in
+  the SAME shuffle: the census joins back to the banded rows with a
+  co-partitioned shuffle-hash join on the bucket key (never a
+  broadcast — the census has one row per bucket, corpus-sized at
+  100 TB), and the small/big branches are plain ``__n`` filters on
+  the joined rows. The r7 shape spent two extra prefilter joins
+  (anti + semi against the over-cap key set) and re-shuffled each
+  branch for its own aggregation; now every downstream aggregation
+  (the small-bucket pair collect, the rep min per salt slot) and the
+  hub join inherit the bucket-key partitioning from the join output,
+  so the banded subtree shuffles exactly ONCE (verified: the executed
+  plan shows one ShuffleExchange + ReusedExchange nodes, and
+  tools/plan_audit.py counts unique canonical exchanges).
 - Small buckets (``n <= bucket_cap``, the overwhelmingly common case):
   exact all-pairs, identical to uncapped behavior. The collect_list
   buffer is genuinely bounded by the cap here because over-cap buckets
@@ -41,11 +49,18 @@ oracles reproduce it with the same hex15-of-md5 device the minhash
 oracle uses for signature hashes, so the capped semantics stay
 hash-checkable at every scale factor.
 
-Plan shape: the banded rows shuffle on the bucket key for the size
-census, and that identical exchange re-appears under the anti/semi
-joins (and the self-join sides in ``small_path="join"`` mode) — AQE
-reuses the shuffle stage at runtime, so the banded subtree (including
-any expensive signature computation below it) materializes once.
+Plan shape: the banded rows shuffle on the bucket key exactly once —
+the census aggregate and the join-back's stream side consume the SAME
+canonical exchange (ReuseExchange / the AQE stage cache), so the
+banded subtree (including any expensive signature computation below
+it) materializes once, and everything downstream (branch filters,
+pair collects, rep aggregation, hub join, the ``small_path="join"``
+self-join) runs exchange-free on the inherited bucket partitioning,
+up to the final pair ``distinct``.
+
+Bucket keys must be NON-NULL (every caller derives them from md5/hash
+expressions, which never produce null): the join-back routing drops
+null-bucket rows like any equi-join would.
 """
 
 from __future__ import annotations
@@ -165,20 +180,35 @@ def capped_bucket_pairs(
     pay = list(payload_cols)
     if hub_cap is None:
         hub_cap = min(bucket_cap, 64)
-    # Normalize the null-filter across every branch: the hub join's
-    # ``__rid != id`` predicate makes Catalyst infer isnotnull(id) and
-    # push it into THAT branch's scan only, which breaks canonical
+    # Normalize the null-filters across every branch: join-key and
+    # ``__rid != id`` predicates make Catalyst infer isnotnull() and
+    # push it into individual branches' scans, which breaks canonical
     # equality between the otherwise-identical banded subtrees — the
     # exchange (and any expensive signature computation below it) would
-    # materialize twice instead of being stage-reused. Ids are non-null
-    # by contract, so filtering up front is a no-op semantically and
-    # restores one-materialization reuse (measured: the minhash
-    # signature pipeline ran 2x without this line).
-    banded = banded.where(F.col(id_col).isNotNull())
+    # materialize twice instead of being stage-reused. Ids and bucket
+    # keys are non-null by contract, so filtering up front is a no-op
+    # semantically and restores one-materialization reuse (measured:
+    # the minhash signature pipeline ran 2x without this line).
+    nn = F.col(id_col).isNotNull()
+    for c in bucket_cols:
+        nn = nn & F.col(c).isNotNull()
+    banded = banded.where(nn)
     sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
-    big_keys = sizes.where(F.col("__n") > bucket_cap).select(*bucket_cols)
-
-    small = banded.join(big_keys, bucket_cols, "left_anti")
+    # Join the census back on the bucket key. The shuffle_hash hint (the
+    # default merge hint works too, paying two sorts) pins a
+    # CO-PARTITIONED join: the stream side's exchange is canonically the
+    # census aggregate's own child exchange, so the banded subtree
+    # shuffles once, and the join output keeps the bucket partitioning —
+    # every aggregation below runs exchange-free. NEVER broadcast here:
+    # the census has one row per bucket, which is corpus-sized at 100 TB.
+    routed = banded.join(
+        sizes.hint(join_hint or "shuffle_hash"), bucket_cols
+    )
+    # NOTE: __n deliberately rides along un-dropped — every consumer
+    # below projects explicit columns, and each extra Dataset op on
+    # these wide trees costs a full JVM analysis pass (measured in the
+    # round-8 construction profile).
+    small = routed.where(F.col("__n") <= bucket_cap)
     if small_path == "array":
         small_pairs = _array_pairs(small, bucket_cols, id_col, pay)
     elif small_path == "join":
@@ -186,11 +216,15 @@ def capped_bucket_pairs(
     else:  # pragma: no cover - guarded API
         raise ValueError(f"unknown small_path {small_path!r}")
 
-    big = banded.join(big_keys, bucket_cols, "left_semi")
-    # struct min orders by the FIRST field: the smallest id (and its
-    # payload) per salt slot — one scalar of state per (bucket, slot).
-    rep_struct = F.min(
-        F.struct(F.col(id_col).alias("id"), *[F.col(p) for p in pay])
+    big = routed.where(F.col("__n") > bucket_cap)
+    # min_by on the id picks the smallest-id member (ids are unique, so
+    # this equals the old min-over-struct ordering) — and unlike
+    # min(struct), min_by is hash-aggregable, so the reps aggregation
+    # plans as a HashAggregate instead of Sort + SortAggregate: one
+    # scalar of state per (bucket, slot), no sort of the big rows.
+    rep_struct = F.min_by(
+        F.struct(F.col(id_col).alias("id"), *[F.col(p) for p in pay]),
+        F.col(id_col),
     )
     reps = (
         big.groupBy(*bucket_cols, salt_slot(id_col, hub_cap).alias("__slot"))

@@ -601,29 +601,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).withColumn("h", _token_hash60(F.col("tok")))
     lanes = SIMHASH_BITS // 4  # 15 packed sum columns
+    # The packed sums and the 60-term sign assembly are built as SQL
+    # TEXT, one F.expr per aggregate — the element-wise Column form
+    # cost ~700 py4j round trips and dominated warm query latency
+    # (~2.2 s of driver-side build per submission at sf0.1, measured
+    # round 8; the text form builds in <0.2 s). The generated
+    # expressions are operator-for-operator identical, so plans,
+    # oracles, and goldens are unaffected.
     packed = [
-        F.sum(
-            sum(
-                F.shiftleft(
-                    F.shiftright("h", i + lane * lanes).bitwiseAND(F.lit(1)),
-                    16 * lane,
-                )
+        F.expr(
+            "sum("
+            + "+".join(
+                f"shiftleft(shiftright(h, {i + lane * lanes}) & 1, {16 * lane})"
                 for lane in range(4)
             )
+            + ")"
         ).alias(f"p{i}")
         for i in range(lanes)
     ]
     agg = tok_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     # bit i+15*lane is set iff 2*count_ones > n_tokens (== sum(+/-1) > 0)
-    sig = None
-    for i in range(lanes):
-        for lane in range(4):
-            ones = F.shiftright(f"p{i}", 16 * lane).bitwiseAND(F.lit(0xFFFF))
-            term = F.when(
-                ones * 2 > F.col("n"), F.lit(1 << (i + lane * lanes)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            sig = term if sig is None else sig + term
-    return agg.select("id", sig.alias("simhash"))
+    sig = "+".join(
+        f"(CASE WHEN (shiftright(p{i}, {16 * lane}) & 65535) * 2 > n "
+        f"THEN CAST({1 << (i + lane * lanes)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lanes)
+        for lane in range(4)
+    )
+    return agg.select("id", F.expr(sig).alias("simhash"))
 
 
 def simhash_near_duplicates(

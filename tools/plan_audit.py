@@ -151,14 +151,16 @@ AUDITS = [
      "key: hot boilerplate fingerprints collapse to one row per map "
      "task before the shuffle; toy-scale plan broadcasts the canon "
      "side (1 exchange), 100 TB SMJ path is 3"),
-    ("minhash_near_dup", 7, True, False,
-     "bounded-state bucket pairing (r7): sig agg + banded rows + the "
-     "bucket-size census + over-cap reps (salted min, SortAggregate) + "
-     "hub-join side + candidate distinct — the sig subtree feeds four "
-     "branches but is ONE canonical stage (the isnotnull normalization "
-     "in bucket_pairs keeps the copies stage-reusable); every "
-     "post-signature exchange carries doc-count-bounded rows, never "
-     "shingles, and no aggregation buffer exceeds the bucket cap"),
+    ("minhash_near_dup", 4, True, False,
+     "bounded-state bucket pairing, census join-back shape (r8): the "
+     "banded rows shuffle ONCE on the bucket key; the size census "
+     "shuffles map-combined (bucket, count) partials and equi-joins "
+     "back co-partitioned (shuffle_hash, never broadcast — the census "
+     "is corpus-sized at 100 TB); small/big routing is a filter on "
+     "__n, and the pair collect, rep min_by, and hub join all inherit "
+     "the bucket partitioning exchange-free (ReusedExchange verified); "
+     "every post-signature exchange carries doc-count-bounded rows, "
+     "never shingles, and no aggregation buffer exceeds the bucket cap"),
     ("knn_bruteforce", 1, True, True,
      "exact oracle: broadcast nested loop IS the plan (query side tiny)"),
     ("embedding_neardup", 1, True, True,
@@ -216,6 +218,12 @@ AUDITS = [
      "added exchange carries BATCH rows only, never the index"),
     ("train_split_docs", 0, False, False,
      "hash-interval assignment is a scan-stage projection — zero shuffles"),
+    ("domain_cap_docs", 2, False, False,
+     "per-group frequency cap (census join-back, r8): one group-count "
+     "census exchange + the co-partitioned stream-side exchange; the "
+     "keep filter is scan-stage on the join output — NO window over "
+     "the hot domain key, and the census never broadcasts (one row per "
+     "domain is corpus-sized at crawl scale)"),
     ("corpus_token_stats_docs", 2, False, False,
      "corpus scanned ONCE: one map-side-combined groupBy on "
      "(source,lang) + a single-partition window over the few grouped "
@@ -235,12 +243,13 @@ AUDITS = [
     ("bpe_tokenize_docs", 0, False, False,
      "encode is a scan-stage replace chain — zero shuffles (the word-count "
      "training stage is a separate, vocabulary-bounded groupBy)"),
-    ("hamming_neardup_hashes", 6, False, False,
-     "generic banded Hamming engine, bounded-state bucket pairing (r7): "
-     "banded rows + size census + shuffle-hash self-join of the "
-     "within-cap buckets + over-cap reps + hub join + pair distinct; "
-     "every exchange carries one (band, id, hash) row per item-band — "
-     "same shape as simhash_near_dup, reused for aHash"),
+    ("hamming_neardup_hashes", 4, False, False,
+     "generic banded Hamming engine, census join-back shape (r8): one "
+     "banded-rows exchange + the map-combined census exchange + the "
+     "pair distinct; the within-cap self-join, rep min_by, and hub "
+     "join all run on the inherited bucket partitioning — every "
+     "exchange carries one (band, id, hash) row per item-band — same "
+     "shape as simhash_near_dup, reused for aHash"),
     ("tfidf_keywords_docs", 6, True, True,
      "token tf groupBy (doc,term) + the df-table re-agg and its term-"
      "keyed join side + per-doc top-k groupBy — all narrow (term, count)"
