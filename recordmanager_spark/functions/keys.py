@@ -246,6 +246,10 @@ _ICU_AVAILABLE: bool | None = None
 
 
 def icu_available() -> bool:
+    """True when an ICU transliterator can run: PyICU if installed,
+    else the in-repo ctypes binding over the system libicui18n
+    (functions/icu_ctypes.py) — present on every mainstream Linux
+    image even where the PyICU wheel is not."""
     global _ICU_AVAILABLE
     if _ICU_AVAILABLE is None:
         try:
@@ -253,7 +257,9 @@ def icu_available() -> bool:
 
             _ICU_AVAILABLE = True
         except Exception:
-            _ICU_AVAILABLE = False
+            from . import icu_ctypes
+
+            _ICU_AVAILABLE = icu_ctypes.available()
     return _ICU_AVAILABLE
 
 
@@ -270,20 +276,41 @@ def normalize_key_icu(col: Column | str) -> Column:
     """
     if not icu_available():
         raise RuntimeError(
-            "normalize_key_icu requires PyICU; install it or use the "
-            "default normalize_key (data-driven Latin/Cyrillic/Greek fold)"
+            "normalize_key_icu requires PyICU or a loadable system "
+            "libicui18n (see functions/icu_ctypes.py); install one or "
+            "use the default normalize_key (data-driven "
+            "Latin/Cyrillic/Greek fold)"
         )
     c = F.col(col) if isinstance(col, str) else col
     return _icu_fold_udf(c)
 
 
+def _make_icu_transliterator(rules: str):
+    """PyICU when importable, else the ctypes binding over the system
+    libicui18n — both run the same ICU rule engine, so the fold is
+    identical; only the wrapper differs. Runs INSIDE the pandas UDF on
+    each executor (each worker process builds its own transliterator —
+    ICU handles are not shared across threads/processes)."""
+    try:
+        import icu
+
+        return icu.Transliterator.createFromRules(
+            "rm_key_folding", rules, icu.UTransDirection.FORWARD
+        )
+    except Exception:
+        from recordmanager_spark.functions.icu_ctypes import (
+            Transliterator,
+            UTransDirection,
+        )
+
+        return Transliterator.createFromRules(
+            "rm_key_folding", rules, UTransDirection.FORWARD
+        )
+
+
 @pandas_udf(StringType())
 def _icu_fold_udf(s):
-    import icu
-
-    tr = icu.Transliterator.createFromRules(
-        "rm_key_folding", _ICU_KEY_FOLDING_RULES, icu.UTransDirection.FORWARD
-    )
+    tr = _make_icu_transliterator(_ICU_KEY_FOLDING_RULES)
     return s.map(lambda v: tr.transliterate(v) if v is not None else None)
 
 

@@ -24,8 +24,11 @@ shipped ``transformations/*.xsl`` use:
     Round-5 additions beyond the corpus: document()'s two-argument
     base-URI form (the base travels to the injected resolver as a second
     argument) and xsl:sort lang through an optional injected collator —
-    both keep the engine dependency- and network-free by default;
-    xsl:sort lang without a collator raises :class:`XsltError`.
+    both keep the engine dependency- and network-free by default. Since
+    round 8, xsl:sort lang without an injected collator defaults to the
+    system ICU collator (PyICU or the ctypes libicui18n binding in
+    functions/icu_ctypes.py — the reference's XSLTProcessor collation)
+    and raises :class:`XsltError` only when neither can load.
 """
 
 from __future__ import annotations
@@ -159,6 +162,32 @@ def _default_priority(pattern: str) -> float:
 _UNSUPPORTED: set = set()
 
 
+def _default_icu_collator(lang: str):
+    """Locale collation key factory for ``xsl:sort lang=`` when no
+    collator was injected — the reference transforms under PHP's
+    XSLTProcessor, whose sorting is ICU collation. Tries PyICU, then
+    the in-repo ctypes binding over the system libicui18n
+    (functions/icu_ctypes.py); raises :class:`XsltError` only when
+    neither can load, preserving the injectable seam for exotic
+    collations."""
+    try:
+        import icu
+
+        return icu.Collator.createInstance(icu.Locale(lang)).getSortKey
+    except Exception:
+        pass
+    try:
+        from recordmanager_spark.functions.icu_ctypes import Collator
+
+        return Collator.createInstance(lang).key()
+    except Exception as exc:
+        raise XsltError(
+            f"xsl:sort lang={lang!r} needs a collator: PyICU and the "
+            f"system libicui18n are both unavailable ({exc}); inject "
+            "MiniXSLT(source, collator=...)"
+        )
+
+
 class MiniXSLT:
     """Compile once, transform many — mirrors XSLTProcessor's lifecycle."""
 
@@ -185,12 +214,13 @@ class MiniXSLT:
         source document). Without a resolver, evaluating ``document()``
         raises :class:`XsltError`.
 
-        ``collator(lang) -> (str) -> sort_key`` enables ``xsl:sort
+        ``collator(lang) -> (str) -> sort_key`` overrides ``xsl:sort
         lang`` locale collation; inject e.g. PyICU's
         ``lambda lang: icu.Collator.createInstance(icu.Locale(lang))
-        .getSortKey`` where locale-correct ordering matters. The engine
-        stays dependency-free by default: a sort spec with ``lang`` and
-        no collator raises :class:`XsltError`.
+        .getSortKey`` for exotic collations. Without one, a sort spec
+        with ``lang`` uses the system ICU collator (PyICU if importable,
+        else the ctypes libicui18n binding) and raises
+        :class:`XsltError` only when neither can load.
         """
         self.resolver = resolver
         self.document_resolver = document_resolver
@@ -719,13 +749,10 @@ class _Run:
                 key_funcs.append(None)
                 continue
             lang = self.avt(lang_avt, ctx, self.nsmaps.get(id(s), {}))
-            if self.sheet.collator is None:
-                raise XsltError(
-                    "xsl:sort lang requires a collator "
-                    "(MiniXSLT(source, collator=...)); e.g. PyICU's "
-                    "Collator.getSortKey per locale"
-                )
-            key_funcs.append(self.sheet.collator(lang))
+            if self.sheet.collator is not None:
+                key_funcs.append(self.sheet.collator(lang))
+            else:
+                key_funcs.append(_default_icu_collator(lang))
         size = len(nodes)
         keyed = []
         for i, node in enumerate(nodes):

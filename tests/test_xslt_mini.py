@@ -718,7 +718,32 @@ def test_sort_lang_with_injected_collator():
     assert out == "<o>apa</o><o>zebra</o><o>åka</o><o>ärlig</o><o>öga</o>"
 
 
-def test_sort_lang_without_collator_raises():
+def test_sort_lang_default_icu_collator():
+    """Without an injected collator, xsl:sort lang falls back to the
+    system ICU collator (PyICU or the ctypes libicui18n binding) — the
+    reference transforms under PHP's XSLTProcessor, whose locale sort
+    is ICU collation. Swedish: å/ä/ö sort AFTER z (codepoint order
+    would interleave them with a/o)."""
+    xsl = _SHEET.format(
+        body="""<xsl:template match="/">
+          <xsl:for-each select="r/i"><xsl:sort select="." lang="sv"/>
+            <o><xsl:value-of select="."/></o></xsl:for-each></xsl:template>"""
+    )
+    xml = "<r><i>ärlig</i><i>zebra</i><i>apa</i><i>öga</i><i>åka</i></r>"
+    out = MiniXSLT(xsl).transform(xml)
+    assert out == "<o>apa</o><o>zebra</o><o>åka</o><o>ärlig</o><o>öga</o>"
+
+
+def test_sort_lang_without_any_collator_raises(monkeypatch):
+    """When no collator is injected AND neither PyICU nor libicui18n
+    can load, the seam still fails loudly instead of silently sorting
+    by codepoint."""
+    import sys
+
+    import recordmanager_spark.functions.icu_ctypes as IC
+
+    monkeypatch.setitem(IC._state, "lib", None)
+    monkeypatch.setitem(sys.modules, "icu", None)
     xsl = _SHEET.format(
         body="""<xsl:template match="/">
           <xsl:for-each select="r/i"><xsl:sort select="." lang="sv"/>
