@@ -156,3 +156,46 @@ def test_ivfadc_probe_pruning(spark):
     out = PQ.knn_ivfadc(enc, queries, coarse, books, k=50, n_probe=1)
     got_cells = {cells[r.neighbor_id] for r in out.collect()}
     assert len(got_cells) == 1  # exactly the single probed cell
+
+
+def test_ivfadc_indexed_search_prunes_partitions(spark):
+    """The persisted index (ivfadc_write_index: catalog table
+    partitioned by cell): (1) probe results are identical to the
+    inline-encode path; (2) the probe scan carries a dynamic partition
+    pruning filter on cell — a production search READS only the probed
+    cells' directories; (3) the corpus side never shuffles (its only
+    moves are the broadcast-join probe and the ranking window)."""
+    df = spark.createDataFrame(_clustered_vectors())
+    coarse = PQ.md5_grid_coarse(6, DIM)
+    books = PQ.md5_grid_codebooks(M, K, DIM // M)
+    table = "ivfadc_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    PQ.ivfadc_write_index(
+        df, table, "embedding", coarse, books, id_col="vec_id"
+    )
+    idx = PQ.ivfadc_read_index(spark, table)
+    queries = df.where(F.col("vec_id") < 5)
+
+    inline = PQ.ivfadc_encode(df, "embedding", coarse, books, "vec_id")
+    expect = sorted(
+        map(
+            tuple,
+            PQ.knn_ivfadc(
+                inline, queries, coarse, books, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    got_df = PQ.knn_ivfadc(idx, queries, coarse, books, k=5, n_probe=2)
+    assert sorted(map(tuple, got_df.collect())) == expect
+
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the index side contributes scan -> broadcast probe -> window; its
+    # only exchange is the per-query ranking window
+    from tools.plan_audit import unique_exchange_count
+
+    assert unique_exchange_count(got_df) <= 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
