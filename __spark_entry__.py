@@ -3151,6 +3151,20 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+def domain_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb/C4-style per-group frequency cap: thin every
+    (source, lang) group to ~8 documents — exact keep under the cap,
+    deterministic hash-thinning with probability cap/n above it. The
+    census join-back shape: one count groupBy, co-partitioned join,
+    scan-stage keep filter; no windows, no unbounded state
+    (operators/packing.py cap_per_group)."""
+    from recordmanager_spark.operators import packing as PK
+
+    d = _t(spark, sf, "documents")
+    out = PK.cap_per_group(d, ["source", "lang"], cap=8, id_col="doc_id")
+    return out.select("doc_id", "source", "lang")
+
+
 def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by cumulative hash intervals
     (exact-binary fractions so the cut points are engine-identical);
@@ -3598,9 +3612,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a driver-recorded oracle row.
-        # r4: 3 canaries + the 4 queries never yet in any
-        # CORRECTNESS_r*.json + the 6 operators new this round + 37
-        # r1/r2-era refreshes (VERDICT r3, next-round item 3).
+        # r8: lead with the 6 round-7 queries no driver window has ever
+        # sampled (green in every local sf0.1 sweep; VERDICT r7 item 6),
+        # then the canaries and the oldest-record refreshes.
+        "knn_pq_full": knn_pq_full,
+        "knn_ivfadc_full": knn_ivfadc_full,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
+        "shuffle_shards_docs": shuffle_shards_docs,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        # new this round (r8)
+        "domain_cap_docs": domain_cap_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,
@@ -3691,16 +3713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_pairs": winnow_neardup_pairs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "line_dedup_docs": line_dedup_docs,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
-        "shuffle_shards_docs": shuffle_shards_docs,
-        "paragraph_dedup_docs": paragraph_dedup_docs,
         "simhash_near_dup": simhash_near_dup,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf_full": knn_ivf_full,
         "knn_lsh": knn_lsh,
-        "knn_pq_full": knn_pq_full,
-        "knn_ivfadc_full": knn_ivfadc_full,
         "embedding_neardup": embedding_neardup,
         "solr_batch_sizes": solr_batch_sizes,
         "export_filtered_orders": export_filtered_orders,
@@ -5966,6 +5982,22 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
+        """,
+        "domain_cap_docs": """
+            WITH s AS (
+              SELECT source, lang, count(*) AS gn
+              FROM documents GROUP BY source, lang
+            )
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d
+            JOIN s ON d.source = s.source AND d.lang = s.lang
+            WHERE s.gn <= 8 OR
+              (CAST(list_sum(list_transform(range(1, 9), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5('cap' || CAST(d.doc_id AS VARCHAR)),
+                                i, 1)) - 1)::BIGINT
+                 * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+               / 4294967296.0) * s.gn < 8.0
         """,
         "train_split_docs": f"""
             SELECT doc_id,

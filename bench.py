@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "tfidf_keywords_docs",
     "shuffle_shards_docs",
     "paragraph_dedup_docs",
+    # round-8 additions
+    "domain_cap_docs",
 ]
 
 

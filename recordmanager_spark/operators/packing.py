@@ -47,6 +47,45 @@ def unit_hash(col: Column | str, salt: str = "") -> Column:
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Thin each group to ~``cap`` rows, deterministically and with
+    bounded state — the RefinedWeb/C4-style per-domain (or per-source)
+    frequency cap that stops one mega-site from dominating a crawl mix.
+
+    Groups at or under the cap keep EVERY row exactly. Over-cap groups
+    keep each row independently with probability ``cap / n`` keyed on
+    ``unit_hash(id)`` — expected ``cap`` survivors, deterministic
+    across reruns and engines (the DuckDB oracle replicates the md5
+    device digit-for-digit), and rerun-stable under corpus growth in
+    the same way the train/val/test splitter is.
+
+    Scale shape (the census join-back pattern from
+    ``operators/bucket_pairs.py``): one map-side-combinable
+    ``groupBy(group).count()`` census, equi-joined back CO-PARTITIONED
+    (shuffle_hash — never broadcast, the census is one row per group
+    and domains number in the hundreds of millions at crawl scale),
+    then a pure scan-stage keep filter. No windows — a hot domain
+    never concentrates rows in one task's sort buffer — and no
+    aggregation state beyond the census counters.
+
+    An exact top-k-by-quality variant is deliberately NOT offered: an
+    exact per-group rank is a window over an unbounded hot key (the r6
+    ADVICE class). Rank on quality instead by pre-filtering with
+    ``quality_buckets`` / ``nb_quality`` scores, then capping."""
+    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn"))
+    joined = df.join(sizes.hint("shuffle_hash"), list(group_cols))
+    keep = (F.col("__gn") <= cap) | (
+        unit_hash(F.col(id_col), salt) * F.col("__gn") < F.lit(float(cap))
+    )
+    return joined.where(keep).drop("__gn")
+
+
 def pack_sequences(
     df: DataFrame,
     *,

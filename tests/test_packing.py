@@ -383,3 +383,41 @@ def test_corpus_token_stats(spark):
     total = sum(r.ws_tokens for r in rows.values())
     assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-4
     assert total == 9
+
+
+def test_cap_per_group_semantics(spark):
+    """Under-cap groups keep every row exactly; over-cap groups thin to
+    ~cap deterministically (rerun-identical); survivors are a subset."""
+    from recordmanager_spark.operators.packing import cap_per_group
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = cap_per_group(df, ["grp"], cap=50, id_col="doc_id")
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b  # deterministic
+    small = [i for i in a if i >= 400]
+    assert small == list(range(400, 440))  # under-cap: exact keep
+    big = [i for i in a if i < 400]
+    # expected 50 of 400; binomial(400, 1/8) stays inside [20, 90]
+    # with overwhelming probability, and the value is FIXED by md5
+    assert 20 <= len(big) <= 90, len(big)
+    assert set(big) <= set(range(400))
+
+
+def test_cap_per_group_plan_shape(spark):
+    """Census join-back: co-partitioned shuffle-hash join (no broadcast
+    of the corpus-sized census), no window, bounded aggregation state."""
+    from recordmanager_spark.operators.packing import cap_per_group
+    from tools.plan_audit import unique_exchange_count
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    out = cap_per_group(df, ["grp"], cap=10, id_col="doc_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" not in plan  # census must never broadcast
+    assert unique_exchange_count(out) <= 2
