@@ -3165,6 +3165,20 @@ def domain_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+def lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality gate: hashed backoff bigram LM trained on
+    the English slice (construction-time bounded aggregations, logs
+    fixed to integer micros driver-side), scored corpus-wide as a pure
+    scan — zero exchanges (operators/lm_score.py). avg_logprob is the
+    mean per-transition natural log-probability; perplexity =
+    exp(-avg_logprob)."""
+    from recordmanager_spark.operators import lm_score as LM
+
+    d = _t(spark, sf, "documents")
+    model = LM.train_hash_lm(d.where(F.col("lang") == "en"), "text")
+    return LM.lm_logprob(d, model, "text", "doc_id")
+
+
 def train_split_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by cumulative hash intervals
     (exact-binary fractions so the cut points are engine-identical);
@@ -3623,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         # new this round (r8)
         "domain_cap_docs": domain_cap_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,
@@ -5982,6 +5997,81 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
+        """,
+        "lm_perplexity_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                    list_transform(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''), x -> lower(x)) AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                    CASE WHEN len(ws) >= 2
+                         THEN list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1])
+                         ELSE [] END AS gs,
+                    ws
+                FROM toks
+            ),
+            c1 AS (
+                SELECT {_HEX8.format(h="md5('lm1' || w)")} % 4096 AS b,
+                       COUNT(*) AS cnt
+                FROM toks, unnest(ws) AS u(w)
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            c2 AS (
+                SELECT {_HEX8.format(h="md5('lm2' || g)")} % 16384 AS b,
+                       COUNT(*) AS cnt
+                FROM grams, unnest(gs) AS u(g)
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            tot AS (SELECT COALESCE(SUM(cnt), 0) AS n FROM c1),
+            t1 AS (
+                SELECT r.b,
+                    CAST(round(ln(COALESCE(c.cnt, 0) + 0.5 * 4096)
+                               * 1000000) AS BIGINT) AS lnden,
+                    CAST(round((ln(0.4) + ln(COALESCE(c.cnt, 0) + 0.5)
+                                - ln(tot.n + 0.5 * 4096))
+                               * 1000000) AS BIGINT) AS lnuni
+                FROM range(0, 4096) AS r(b)
+                LEFT JOIN c1 c ON c.b = r.b, tot
+            ),
+            t2 AS (
+                SELECT r.b,
+                    CAST(round(ln(COALESCE(c.cnt, 0) + 0.5)
+                               * 1000000) AS BIGINT) AS lnc2,
+                    COALESCE(c.cnt, 0) AS cnt
+                FROM range(0, 16384) AS r(b)
+                LEFT JOIN c2 c ON c.b = r.b
+            ),
+            terms AS (
+                SELECT g.doc_id,
+                    CASE WHEN t2.cnt > 0
+                         THEN t2.lnc2 - tv.lnden
+                         ELSE tw.lnuni END AS term
+                FROM grams g, unnest(g.gs) AS u(gr)
+                JOIN t2 ON t2.b = {_HEX8.format(h="md5('lm2' || gr)")} % 16384
+                JOIN t1 tv ON tv.b =
+                    {_HEX8.format(h="md5('lm1' || string_split(gr, ' ')[1])")}
+                    % 4096
+                JOIN t1 tw ON tw.b =
+                    {_HEX8.format(h="md5('lm1' || string_split(gr, ' ')[-1])")}
+                    % 4096
+            ),
+            sums AS (
+                SELECT doc_id, CAST(SUM(term) AS BIGINT) AS s
+                FROM terms GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CASE WHEN len(t.ws) >= 2 THEN len(t.ws) - 1 END
+                       AS n_scored,
+                   CASE WHEN len(t.ws) >= 2 THEN
+                       CAST(floor(CAST(COALESCE(s.s, 0) AS DOUBLE)
+                                  / (len(t.ws) - 1)) AS BIGINT)
+                       / 1000000.0 END AS avg_logprob
+            FROM toks t LEFT JOIN sums s USING (doc_id)
         """,
         "domain_cap_docs": """
             WITH s AS (

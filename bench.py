@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "paragraph_dedup_docs",
     # round-8 additions
     "domain_cap_docs",
+    "lm_perplexity_docs",
 ]
 
 

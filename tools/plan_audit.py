@@ -218,6 +218,12 @@ AUDITS = [
      "added exchange carries BATCH rows only, never the index"),
     ("train_split_docs", 0, False, False,
      "hash-interval assignment is a scan-stage projection — zero shuffles"),
+    ("lm_perplexity_docs", 0, False, False,
+     "hashed backoff bigram LM gate (r8): training is construction-time "
+     "bounded aggregation (state <= b1/b2 hash buckets, logs fixed to "
+     "integer micros driver-side); scoring folds over the token array "
+     "with the micro tables as plan literals — zero shuffles, no join, "
+     "the corpus is read once at any scale"),
     ("domain_cap_docs", 2, False, False,
      "per-group frequency cap (census join-back, r8): one group-count "
      "census exchange + the co-partitioned stream-side exchange; the "
