@@ -92,31 +92,43 @@ def train_hash_lm(
     """
     toks = _tokens(F.col(text_col))
     base = reference.select(toks.alias("__ws"))
-    uni = (
-        base.select(F.explode("__ws").alias("w"))
-        .groupBy(_hash_bucket(F.col("w"), LM_SALT1, b1).alias("b"))
-        .count()
-        .collect()
+    # ONE corpus pass for both tables: unigram and bigram buckets emit
+    # as (kind, bucket) rows from the same tokenization, then a single
+    # map-side-combinable groupBy (state <= b1 + b2 counters). The
+    # two-pass form tokenized the reference twice — at 100 TB that is
+    # a whole redundant corpus scan.
+    h1 = (
+        f"CAST(CAST(conv(substring(md5(concat('{LM_SALT1}', t)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {b1} AS INT)"
     )
-    bi = (
-        base.select(
-            F.explode(
-                F.expr(
-                    "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
-                    " (v, i) -> concat(v, ' ', element_at(__ws, i + 2)))"
-                )
-            ).alias("g")
+    h2 = (
+        f"CAST(CAST(conv(substring(md5(concat('{LM_SALT2}', g)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {b2} AS INT)"
+    )
+    both = (
+        f"concat("
+        f"transform(__ws, t -> struct(0 AS kind, {h1} AS b)), "
+        f"transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
+        f" (v, i) -> struct(1 AS kind, "
+        + h2.replace(
+            "concat('" + LM_SALT2 + "', g)",
+            "concat('" + LM_SALT2 + "', v, ' ', element_at(__ws, i + 2))",
         )
-        .groupBy(_hash_bucket(F.col("g"), LM_SALT2, b2).alias("b"))
+        + " AS b)))"
+    )
+    counts = (
+        base.select(F.explode(F.expr(both)).alias("kb"))
+        .groupBy("kb.kind", "kb.b")
         .count()
         .collect()
     )
     c1 = [0] * b1
-    for r in uni:
-        c1[r.b] = r["count"]
     c2 = [0] * b2
-    for r in bi:
-        c2[r.b] = r["count"]
+    for r in counts:
+        if r.kind == 0:
+            c1[r.b] = r["count"]
+        else:
+            c2[r.b] = r["count"]
     n_tokens = sum(c1)
     # driver-side logs -> integer micros (the DSIR/NB device): engines
     # only ever add and compare integers, so scores hash identically
