@@ -192,19 +192,33 @@ def lm_logprob(
         f" CAST({h1.format(t=w_expr)} AS INT) + 1)"
         f" END"
     )
-    expr = (
-        "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
-        " (v, i) -> concat(v, ' ', element_at(__ws, i + 2)))"
+    grams = (
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+        " (v, i) -> concat(v, ' ', element_at(ws, i + 2)))"
+    )
+    toks_sql = (
+        f"transform(filter(split(trim({text_col}), '\\\\s+'),"
+        f" x -> x != ''), x -> lower(x))"
+    )
+    # the token array is LET-BOUND as the lambda variable ``ws`` of a
+    # one-element transform (the normalize_key idiom): a filter pushed
+    # below this projection (e.g. ``WHERE avg_logprob IS NOT NULL``
+    # under a count) cannot inline the split expression into the
+    # per-gram lambda — without the binding, CollapseProject +
+    # pushdown substituted the tokenization into ``element_at(__ws,
+    # i + 2)`` and re-split the document PER TRANSITION, O(len^2)
+    # (measured: 33 s vs 2.4 s on the 10x soak corpus)
+    packed = (
+        f"try_element_at(transform(array({toks_sql}), ws -> struct("
+        f"aggregate({grams}, 0L, (acc, g) -> acc + ({term})) AS s, "
+        f"size(ws) - 1 AS n)), 1)"
     )
     out = df.select(
-        F.col(id_col),
-        _tokens(F.col(text_col)).alias("__ws"),
+        F.col(id_col), F.expr(packed).alias("__p")
     ).select(
         id_col,
-        F.expr(
-            f"aggregate({expr}, 0L, (acc, g) -> acc + ({term}))"
-        ).alias("__s"),
-        (F.size("__ws") - 1).alias("n_scored"),
+        F.col("__p.s").alias("__s"),
+        F.col("__p.n").alias("n_scored"),
     )
     # the mean quantizes through floor() in integer-micro space, NOT
     # round(x, 6): a sum landing exactly on a half-micro boundary (it

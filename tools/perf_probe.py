@@ -475,6 +475,83 @@ def cmd_soak6(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_soak8(sf_dir: str) -> None:
+    """Round-8 soaks: (a) the per-group frequency cap on a fully
+    degenerate corpus — ONE domain holding 2M rows, the shape where a
+    rank window would serialize everything through a single task; the
+    census join-back must stay flat and keep ~cap survivors. (b) hash
+    LM training + scoring throughput on a 10x-replicated corpus —
+    training state must stay b1+b2-bounded and scoring scan-only."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+
+    from recordmanager_spark.operators.lm_score import (
+        lm_logprob,
+        train_hash_lm,
+    )
+    from recordmanager_spark.operators.packing import cap_per_group
+
+    # --- (a) one mega-domain x 2M rows + 1000 healthy domains ---------
+    n_mega, n_healthy = 2_000_000, 50_000
+    mega = spark.range(n_mega, numPartitions=CORES).select(
+        F.col("id").alias("doc_id"), F.lit("megasite.example").alias("dom")
+    )
+    healthy = spark.range(n_healthy, numPartitions=CORES).select(
+        (F.col("id") + n_mega).alias("doc_id"),
+        F.concat(F.lit("site"), F.pmod("id", F.lit(1000)).cast("string"))
+        .alias("dom"),
+    )
+    corpus = mega.unionByName(healthy)
+    out = cap_per_group(corpus, ["dom"], cap=100, id_col="doc_id")
+    t0 = time.time()
+    kept = out.groupBy(F.col("dom") == "megasite.example").count().collect()
+    secs = time.time() - t0
+    n = n_mega + n_healthy
+    by = {r[0]: r["count"] for r in kept}
+    print(
+        f"cap_per_group (2M one-domain)  {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"mega kept={by.get(True, 0)} (~cap, binomial around 100), "
+        f"healthy kept={by.get(False, 0)} (exact: every under-cap row)"
+    )
+
+    # --- (b) LM train + score over 10x corpus --------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        # the sf parquet is one row group; without this the whole soak
+        # scores on a single task (see testdata-single-partition note)
+        .repartition(CORES)
+        .localCheckpoint(eager=True)
+    )
+    n = big.count()
+    t0 = time.time()
+    model = train_hash_lm(big.where(F.col("lang") == "en"), "text")
+    t_train = time.time() - t0
+    t0 = time.time()
+    scored = lm_logprob(big, model, "text", "doc_id")
+    n_scored = scored.where(F.col("avg_logprob").isNotNull()).count()
+    t_score = time.time() - t0
+    print(
+        f"lm train (10x corpus)          {t_train:7.2f}s  "
+        f"state={len(model['lnc1den_micros'])}+{len(model['lnc2_micros'])} "
+        f"buckets regardless of corpus size"
+    )
+    print(
+        f"lm score (10x corpus)          {t_score:7.2f}s  "
+        f"{n / t_score:9.0f} rows/s  {n / t_score / CORES:7.0f} rows/s/core  "
+        f"scored={n_scored} (scan-only, zero exchanges)"
+    )
+
+
 def cmd_soak7(sf_dir: str) -> None:
     """Round-7 soaks: the DEGENERATE-bucket cases for the bounded-state
     bucket pairing (operators/bucket_pairs.py) — one boilerplate text /
@@ -599,5 +676,9 @@ if __name__ == "__main__":
         cmd_soak6(sf_dir)
     elif mode == "soak7":
         cmd_soak7(sf_dir)
+    elif mode == "soak8":
+        cmd_soak8(sf_dir)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
+        )
