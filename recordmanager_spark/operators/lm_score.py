@@ -105,16 +105,20 @@ def train_hash_lm(
         f"CAST(CAST(conv(substring(md5(concat('{LM_SALT2}', g)), 1, 8),"
         f" 16, 10) AS BIGINT) % {b2} AS INT)"
     )
+    # ws is let-bound through a one-element transform so the explode's
+    # inferred size()>0 filter can never inline the tokenization into
+    # the per-gram lambda (the O(len^2) substitution hazard — see
+    # lm_logprob and the winnowing explode_outer note in text_dedup.py)
     both = (
-        f"concat("
-        f"transform(__ws, t -> struct(0 AS kind, {h1} AS b)), "
-        f"transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
+        f"try_element_at(transform(array(__ws), ws -> concat("
+        f"transform(ws, t -> struct(0 AS kind, {h1} AS b)), "
+        f"transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
         f" (v, i) -> struct(1 AS kind, "
         + h2.replace(
             "concat('" + LM_SALT2 + "', g)",
-            "concat('" + LM_SALT2 + "', v, ' ', element_at(__ws, i + 2))",
+            "concat('" + LM_SALT2 + "', v, ' ', element_at(ws, i + 2))",
         )
-        + " AS b)))"
+        + " AS b)))), 1)"
     )
     counts = (
         base.select(F.explode(F.expr(both)).alias("kb"))
