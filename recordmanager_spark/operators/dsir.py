@@ -42,6 +42,7 @@ from ..functions.text import let, tokenize
 __all__ = [
     "hashed_ngram_buckets",
     "ngram_bucket_counts",
+    "tagged_bucket_counts",
     "dsir_log_ratio_micros",
     "dsir_score",
     "dsir_select",
@@ -109,6 +110,63 @@ def ngram_bucket_counts(
     )
 
 
+def tagged_bucket_counts(
+    frames: list,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    doc_marker: bool = False,
+) -> dict:
+    """Bucket counts for SEVERAL corpora in ONE job: each (kind, df)
+    pair unions in with a tag column, a single map-side-combinable
+    ``groupBy(kind, bucket)`` counts everything, and one collect
+    returns ``{kind: {bucket: cnt}}``. The un-fused form ran one
+    count job (plus one collect) PER corpus — at 100 TB that is a
+    redundant full scan per distribution, and at toy scale a
+    redundant Spark job submission per distribution (the LM trainer's
+    one-pass lesson, applied to the DSIR/NB stat passes).
+
+    ``doc_marker=True`` appends a sentinel bucket ``-1`` per DOCUMENT,
+    so per-corpus document counts ride in the same aggregation
+    (``out[kind][-1]``) instead of separate ``df.count()`` jobs; null
+    or empty texts still count one marker each."""
+    tagged = None
+    for kind, df in frames:
+        part = df.select(
+            F.lit(int(kind)).alias("__k"), F.col(text_col).alias("__t")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    buckets = F.coalesce(
+        hashed_ngram_buckets("__t", n_buckets, salt),
+        F.array().cast("array<int>"),
+    )
+    if doc_marker:
+        buckets = F.concat(buckets, F.array(F.lit(-1).cast("int")))
+    rows = (
+        tagged.select("__k", F.explode(buckets).alias("bucket"))
+        .groupBy("__k", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out: dict = {int(k): {} for k, _ in frames}
+    for r in rows:
+        out.setdefault(r["__k"], {})[r["bucket"]] = r["cnt"]
+    return out
+
+
+def _log_ratio_micros_from(
+    t: dict, r: dict, n_buckets: int, alpha: float
+) -> list[int]:
+    t_tot = sum(c for b, c in t.items() if b >= 0) + alpha * n_buckets
+    r_tot = sum(c for b, c in r.items() if b >= 0) + alpha * n_buckets
+    out = []
+    for b in range(n_buckets):
+        p = (t.get(b, 0) + alpha) / t_tot
+        q = (r.get(b, 0) + alpha) / r_tot
+        out.append(round(math.log(p / q) * MICRO))
+    return out
+
+
 def dsir_log_ratio_micros(
     target_counts: DataFrame,
     raw_counts: DataFrame,
@@ -117,17 +175,12 @@ def dsir_log_ratio_micros(
 ) -> list[int]:
     """Per-bucket ``round(log(p̂/q̂) * 1e6)`` as ints, Laplace-smoothed
     (α added per bucket). Two n_buckets-bounded collects; the result is
-    the literal table ``dsir_score`` folds over."""
+    the literal table ``dsir_score`` folds over. (Kept for callers that
+    already hold count DataFrames — :func:`dsir_select` uses the fused
+    :func:`tagged_bucket_counts` single-job path.)"""
     t = {r["bucket"]: r["cnt"] for r in target_counts.collect()}
     r = {r["bucket"]: r["cnt"] for r in raw_counts.collect()}
-    t_tot = sum(t.values()) + alpha * n_buckets
-    r_tot = sum(r.values()) + alpha * n_buckets
-    out = []
-    for b in range(n_buckets):
-        p = (t.get(b, 0) + alpha) / t_tot
-        q = (r.get(b, 0) + alpha) / r_tot
-        out.append(round(math.log(p / q) * MICRO))
-    return out
+    return _log_ratio_micros_from(t, r, n_buckets, alpha)
 
 
 def _long_array_lit(values: list[int]) -> Column:
@@ -201,9 +254,12 @@ def dsir_select(
     and keep the Gumbel top-``k`` (ties on the micro score break to the
     smaller id). Two bounded stat passes + one scan-stage scoring pass +
     a top-k merge; the corpus never shuffles."""
-    tc = ngram_bucket_counts(target, text_col, n_buckets, salt)
-    rc = ngram_bucket_counts(df, text_col, n_buckets, salt)
-    ratios = dsir_log_ratio_micros(tc, rc, n_buckets, alpha)
+    counts = tagged_bucket_counts(
+        [(0, target), (1, df)], text_col, n_buckets, salt
+    )
+    ratios = _log_ratio_micros_from(
+        counts.get(0, {}), counts.get(1, {}), n_buckets, alpha
+    )
     scored = dsir_score(
         df, ratios, text_col, id_col, salt, gumbel_salt, n_buckets
     )

@@ -41,9 +41,7 @@ from ..functions.text import let
 from .dsir import (
     MICRO,
     _long_array_lit,
-    dsir_log_ratio_micros,
     hashed_ngram_buckets,
-    ngram_bucket_counts,
 )
 
 __all__ = ["train_nb_quality", "nb_quality_score"]
@@ -60,13 +58,24 @@ def train_nb_quality(
     """Closed-form NB training: returns ``{"weights_micro": [int]*B,
     "prior_micro": int, "n_buckets": B, "salt": salt}``.
 
-    Two n_buckets-bounded aggregation passes + two scalar counts; the
-    driver holds B ints, never documents."""
-    pc = ngram_bucket_counts(positive, text_col, n_buckets, salt)
-    nc = ngram_bucket_counts(negative, text_col, n_buckets, salt)
-    weights = dsir_log_ratio_micros(pc, nc, n_buckets, alpha)
-    n_pos = positive.count()
-    n_neg = negative.count()
+    ONE fused job (r8): both classes' bucket counts AND both document
+    counts ride a single tagged groupBy (aggregation state bounded by
+    2 * (n_buckets + 1) counters) — the un-fused form ran four jobs,
+    i.e. four corpus scans at 100 TB. The driver holds B ints, never
+    documents."""
+    from .dsir import _log_ratio_micros_from, tagged_bucket_counts
+
+    counts = tagged_bucket_counts(
+        [(0, positive), (1, negative)],
+        text_col,
+        n_buckets,
+        salt,
+        doc_marker=True,
+    )
+    pc, nc = counts.get(0, {}), counts.get(1, {})
+    weights = _log_ratio_micros_from(pc, nc, n_buckets, alpha)
+    n_pos = pc.get(-1, 0)
+    n_neg = nc.get(-1, 0)
     prior = round(math.log((n_pos + 1) / (n_neg + 1)) * MICRO)
     return {
         "weights_micro": weights,
