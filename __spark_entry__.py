@@ -572,6 +572,30 @@ def exact_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return TD.exact_duplicates(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def exact_dup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest exact dedup against a persisted fingerprint index:
+    even doc_ids play the historical index (one (fp, min id) row per
+    distinct text), odd doc_ids are the new batch — index hits resolve
+    to the historical canonical, unseen texts dedup within the batch
+    (operators/text_dedup.py exact_dup_incremental; the bucketed
+    zero-index-exchange path is pinned in tests/test_text_dedup.py)."""
+    d = _t(spark, sf, "documents")
+    hist = d.where(F.pmod("doc_id", F.lit(2)) == 0)
+    index = (
+        hist.select(
+            TD.fingerprint("text").alias("fp"),
+            F.col("doc_id").alias("canonical_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    batch = d.where(F.pmod("doc_id", F.lit(2)) == 1)
+    annotated, _new_rows = TD.exact_dup_incremental(
+        batch, index, "doc_id", "text"
+    )
+    return annotated
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     ids = d.select(F.col("doc_id").alias("id"))
@@ -3638,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r8)
         "domain_cap_docs": domain_cap_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
+        "exact_dup_incremental_docs": exact_dup_incremental_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,
@@ -5997,6 +6022,27 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
+        """,
+        "exact_dup_incremental_docs": f"""
+            WITH f AS (
+                SELECT doc_id, md5(norm) AS fp
+                FROM (SELECT doc_id, {_NORM.format(c='text')} AS norm
+                      FROM documents)
+            ),
+            idx AS (
+                SELECT fp, min(doc_id) AS canon
+                FROM f WHERE doc_id % 2 = 0 GROUP BY fp
+            ),
+            batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1),
+            miss AS (
+                SELECT fp, min(doc_id) AS bc FROM batch
+                WHERE fp NOT IN (SELECT fp FROM idx) GROUP BY fp
+            )
+            SELECT b.doc_id AS id, b.fp,
+                   COALESCE(i.canon, m.bc) AS canonical_id
+            FROM batch b
+            LEFT JOIN idx i USING (fp)
+            LEFT JOIN miss m USING (fp)
         """,
         "lm_perplexity_docs": f"""
             WITH toks AS (

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # round-8 additions
     "domain_cap_docs",
     "lm_perplexity_docs",
+    "exact_dup_incremental_docs",
 ]
 
 

@@ -98,6 +98,86 @@ def distinct_by_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, df[id_col] == keep["__kid"], "left_semi")
 
 
+def write_fingerprint_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the exact-dedup fingerprint index: ONE row per distinct
+    normalized text — (fp, canonical_id = min id ever seen) — saved as
+    a catalog table bucketed on ``fp`` (sources/bucketed.py), so every
+    future batch probe reads the index co-located with ZERO index-side
+    exchange. The daily-crawl complement of :func:`exact_duplicates`,
+    mirroring :func:`write_minhash_index` for the exact-match tier."""
+    from ..sources.bucketed import write_bucketed
+
+    idx = (
+        df.select(
+            fingerprint(text_col).alias("fp"),
+            F.col(id_col).alias("canonical_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    write_bucketed(idx, table, "fp", n_buckets, mode=mode)
+
+
+def exact_dup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup of a new batch against a persisted
+    fingerprint index: returns ``(annotated, new_index_rows)``.
+
+    ``annotated`` = (id, fp, canonical_id): the smallest id among ALL
+    copies ever seen — an index hit resolves to the index's canonical;
+    within-batch first occurrences resolve among themselves (min batch
+    id), exactly :func:`exact_duplicates` semantics extended across
+    ingests. ``new_index_rows`` = (fp, canonical_id) for fingerprints
+    the index has not seen — append them via
+    :func:`write_fingerprint_index`'s bucket spec (``mode="append"``).
+
+    Scale shape: fingerprints are a scan-stage projection; the probe is
+    an equi-join on ``fp`` where a BUCKETED index side reads already
+    partitioned (zero index exchange — only the batch's narrow (id, fp)
+    rows shuffle to the bucket layout); the within-batch canonical is
+    the map-side-combinable ``groupBy(fp).min(id)`` + join-back of
+    :func:`exact_duplicates` — never a window over the hot boilerplate
+    fingerprint."""
+    fps = new_docs.select(
+        F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+    )
+    hit = fps.join(
+        index.select(
+            "fp", F.col("canonical_id").alias("__idx_canon")
+        ),
+        "fp",
+        "left",
+    )
+    miss_canon = (
+        hit.where(F.col("__idx_canon").isNull())
+        .groupBy("fp")
+        .agg(F.min("id").alias("__batch_canon"))
+    )
+    annotated = (
+        hit.join(miss_canon, "fp", "left")
+        .select(
+            "id",
+            "fp",
+            F.coalesce("__idx_canon", "__batch_canon").alias("canonical_id"),
+        )
+    )
+    new_rows = miss_canon.select(
+        "fp", F.col("__batch_canon").alias("canonical_id")
+    )
+    return annotated, new_rows
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

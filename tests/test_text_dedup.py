@@ -493,3 +493,65 @@ def test_minhash_incremental_bucketed_matches_broadcast_path(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mh_idx")
+
+
+def test_exact_dup_incremental_bucketed_index(spark):
+    """Incremental exact dedup against the PERSISTED bucketed
+    fingerprint index: semantics (index hits -> historical canonical,
+    unseen texts dedup within the batch) and the scale contract — the
+    index side of the probe join reads co-located, ZERO index-side
+    exchange."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from recordmanager_spark.operators.text_dedup import (
+        exact_dup_incremental,
+        write_fingerprint_index,
+    )
+    from recordmanager_spark.sources.bucketed import read_bucketed
+
+    hist = spark.createDataFrame(
+        [(1, "Alpha text!"), (2, "alpha TEXT"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS t_fp_idx")
+    write_fingerprint_index(hist, "t_fp_idx", n_buckets=4)
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA text"),   # index hit -> canonical 1
+            (11, "gamma new"),    # first occurrence -> itself
+            (12, "gamma NEW!"),   # within-batch dup -> 11
+            (13, "beta"),         # index hit -> canonical 3
+        ],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_bucketed(spark, "t_fp_idx")
+        annotated, new_rows = exact_dup_incremental(batch, idx)
+        got = {r.id: r.canonical_id for r in annotated.collect()}
+        assert got == {10: 1, 11: 11, 12: 11, 13: 3}
+        fresh = {r.canonical_id for r in new_rows.collect()}
+        assert fresh == {11}
+
+        # scale contract: the probe join's INDEX side must carry no
+        # exchange (bucket-co-located scan); only batch-side exchanges
+        # and the miss-canonical groupBy may appear
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            annotated.explain("formatted")
+        plan = buf.getvalue()
+        scan_to_exchange = [
+            sec
+            for sec in re.split(r"^\(\d+\) ", plan, flags=re.M)[1:]
+            if sec.startswith("Exchange") and "t_fp_idx" in sec
+        ]
+        assert scan_to_exchange == [], plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_fp_idx")
