@@ -218,6 +218,12 @@ AUDITS = [
      "added exchange carries BATCH rows only, never the index"),
     ("train_split_docs", 0, False, False,
      "hash-interval assignment is a scan-stage projection — zero shuffles"),
+    ("exact_dup_incremental_docs", 2, False, False,
+     "incremental exact dedup (r8): fingerprinting is scan-stage; the "
+     "contract query builds its index inline (index groupBy + probe "
+     "join sides + the within-batch miss groupBy + its join-back); the "
+     "production path replaces every index-side exchange with the "
+     "bucketed catalog read (zero, pinned in tests/test_text_dedup.py)"),
     ("lm_perplexity_docs", 0, False, False,
      "hashed backoff bigram LM gate (r8): training is construction-time "
      "bounded aggregation (state <= b1/b2 hash buckets, logs fixed to "
