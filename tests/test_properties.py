@@ -295,3 +295,75 @@ def test_quality_buckets_invariants(spark, rows):
         import math
 
         assert abs(heads - n / 3) <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            string.ascii_lowercase + "     ", min_size=0, max_size=80
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lm_logprob_invariants(spark, texts):
+    """Hashed-LM scoring invariants on arbitrary whitespace-y text:
+    n_scored = tokens - 1 (NULL under two tokens), avg_logprob is a
+    finite negative log-probability, and scoring is insensitive to
+    case and surrounding whitespace (tokenization lowercases+trims)."""
+    import math as _m
+
+    from recordmanager_spark.operators import lm_score as LM
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = LM.train_hash_lm(ref, "text", b1=64, b2=256)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in LM.lm_logprob(df, model).collect()}
+    up = spark.createDataFrame(
+        [(i, f"  {t.upper()} ") for i, t in rows], "doc_id long, text string"
+    )
+    out_up = {r.doc_id: r for r in LM.lm_logprob(up, model).collect()}
+    for i, t in rows:
+        n_toks = len([w for w in t.split() if w])
+        if n_toks < 2:
+            assert out[i].avg_logprob is None and out[i].n_scored is None
+        else:
+            assert out[i].n_scored == n_toks - 1
+            assert out[i].avg_logprob < 0
+            assert _m.isfinite(out[i].avg_logprob)
+        assert out_up[i].avg_logprob == out[i].avg_logprob
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=30),
+)
+def test_cap_per_group_invariants(spark, groups, cap):
+    """cap_per_group on arbitrary group layouts: under-cap groups keep
+    every row; survivors are always a subset; deterministic."""
+    from collections import Counter
+
+    from recordmanager_spark.operators.packing import cap_per_group
+
+    rows = [(i, f"g{g}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sorted(r.doc_id for r in cap_per_group(df, ["grp"], cap).collect())
+    out2 = sorted(r.doc_id for r in cap_per_group(df, ["grp"], cap).collect())
+    assert out == out2
+    sizes = Counter(g for _, g in ((i, f"g{g}") for i, g in enumerate(groups)))
+    kept = Counter()
+    all_ids = set(i for i, _ in rows)
+    for i in out:
+        assert i in all_ids
+        kept[f"g{groups[i]}"] += 1
+    for g, n in sizes.items():
+        if n <= cap:
+            assert kept[g] == n, (g, n, kept[g])
+        else:
+            assert 0 < kept[g] <= n
