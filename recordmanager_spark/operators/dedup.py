@@ -570,7 +570,7 @@ def connected_components(
     # match edges are tiny relative to the corpus) runs ONE job with no
     # checkpoint write. Only the distributed fallback materializes.
     edges = edges.select("id_a", "id_b")
-    pairs = edges.take(driver_threshold + 1)
+    pairs = _take_all_partitions(edges, driver_threshold + 1)
     if not pairs:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
@@ -585,6 +585,37 @@ def connected_components(
     # distributed fallback: materialize the edge set once — the iterative
     # propagation reads it every round and must not re-run verification
     return _cc_distributed(edges.localCheckpoint(eager=True), max_iterations)
+
+
+def _take_all_partitions(df: DataFrame, n: int) -> list:
+    """``df.take(n)`` with the limit scan starting on EVERY partition.
+
+    Spark's take/CollectLimit probes partitions incrementally (1, then
+    4x more per retry — ``spark.sql.limit.initialNumPartitions`` = 1,
+    ``spark.sql.limit.scaleUpFactor`` = 4). For the adaptive-CC sizing
+    take the threshold (2M edges) almost always exceeds the edge count,
+    so the final-stage probe would always walk the full retry ladder;
+    pinning initialNumPartitions for the one action removes it,
+    semantics identical. Honest measurement note: under AQE (the
+    session default) the construction wall-clock is dominated by the
+    SEQUENTIAL materialization of the pipeline's query stages (one job
+    per shuffle stage, ~2 s executor CPU vs ~4 s wall at sf0.1), which
+    this conf does not and cannot collapse — the win here is bounded
+    to the post-stage limit probe and to non-AQE deployments."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key, None)
+    # a large constant, NOT df.rdd.getNumPartitions(): accessing .rdd on
+    # an AQE plan materializes its query stages (a whole extra
+    # execution); the limit executor clamps to the actual partition count
+    spark.conf.set(key, "1000000")
+    try:
+        return df.take(n)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _union_find(pairs) -> dict:
@@ -733,7 +764,7 @@ def _assign_components(
     if strategy == "adaptive":
         strategy = "driver"
     if strategy == "driver":
-        rows = edges.take(driver_threshold + 1)
+        rows = _take_all_partitions(edges, driver_threshold + 1)
         spark = edges.sparkSession
         if not rows:
             return spark.createDataFrame([], "id string, component string")
