@@ -3189,6 +3189,37 @@ def domain_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+CORPUS_INI = """
+; config-driven curation: the datasources.ini surface applied to the
+; training-data stages (recordmanager_spark/corpus_config.py)
+[corpus:contract]
+languages[] = en
+dedup = exact
+min_tokens = 5
+max_tokens = 2000
+cap_group[] = source
+cap_n = 8
+split[] = 0.75
+split[] = 0.125
+split[] = 0.125
+"""
+
+
+def corpus_config_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-compiled curation pipeline: the [corpus:contract] ini
+    section sequences lang keep -> exact dedup (first copy) -> token
+    gate -> per-source frequency cap -> split, each stage the verified
+    operator the section names — a curation run as a reviewable config
+    artifact, the reference's datasources.ini architecture applied to
+    the LLM extension."""
+    from recordmanager_spark import corpus_config as CC
+
+    cfg = CC.parse_corpus_ini(CORPUS_INI)["contract"]
+    d = _t(spark, sf, "documents")
+    out = CC.apply_corpus_pipeline(d, cfg)
+    return out.select("doc_id", "source", "lang", "n_tokens", "split")
+
+
 def lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style LM quality gate: hashed backoff bigram LM trained on
     the English slice (construction-time bounded aggregations, logs
@@ -3663,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_docs": domain_cap_docs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "exact_dup_incremental_docs": exact_dup_incremental_docs,
+        "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,
@@ -6022,6 +6054,48 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS nb_prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
+        """,
+        "corpus_config_pipeline_docs": f"""
+            WITH en AS (
+                SELECT doc_id, source, lang, text,
+                       {_NORM.format(c='text')} AS norm
+                FROM documents WHERE lang = 'en'
+            ),
+            first_copy AS (
+                SELECT doc_id, source, lang, text FROM (
+                    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS c
+                    FROM en) WHERE doc_id = c
+            ),
+            gated AS (
+                SELECT doc_id, source, lang,
+                    CAST(len(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM first_copy
+            ),
+            tg AS (
+                SELECT * FROM gated WHERE n_tokens BETWEEN 5 AND 2000
+            ),
+            sz AS (SELECT source, count(*) AS gn FROM tg GROUP BY source),
+            capped AS (
+                SELECT t.* FROM tg t JOIN sz USING (source)
+                WHERE sz.gn <= 8 OR
+                  (CAST(list_sum(list_transform(range(1, 9), i ->
+                     (strpos('0123456789abcdef',
+                             substr(md5('cap' || CAST(t.doc_id AS VARCHAR)),
+                                    i, 1)) - 1)::BIGINT
+                     * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)
+                   / 4294967296.0) * sz.gn < 8.0
+            )
+            SELECT doc_id, source, lang, n_tokens,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT *,
+                    {_HEX8.format(h="md5('split' || CAST(doc_id AS VARCHAR))")}
+                        / 4294967296.0 AS u
+                FROM capped)
         """,
         "exact_dup_incremental_docs": f"""
             WITH f AS (

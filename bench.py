@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "domain_cap_docs",
     "lm_perplexity_docs",
     "exact_dup_incremental_docs",
+    "corpus_config_pipeline_docs",
 ]
 
 

@@ -224,6 +224,11 @@ AUDITS = [
      "join sides + the within-batch miss groupBy + its join-back); the "
      "production path replaces every index-side exchange with the "
      "bucketed catalog read (zero, pinned in tests/test_text_dedup.py)"),
+    ("corpus_config_pipeline_docs", 3, False, False,
+     "config-compiled curation (r8): lang keep + token gate are "
+     "scan-stage; the exchanges are exact-dedup's keeper groupBy + "
+     "semi join-back and the frequency cap's census join-back (both "
+     "map-side-combinable, no windows); sample/split scan-stage"),
     ("lm_perplexity_docs", 0, False, False,
      "hashed backoff bigram LM gate (r8): training is construction-time "
      "bounded aggregation (state <= b1/b2 hash buckets, logs fixed to "
