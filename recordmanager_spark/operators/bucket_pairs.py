@@ -18,19 +18,16 @@ The fix splits each bucket on its row count, and no aggregation buffer
 ever holds more than ``bucket_cap`` elements:
 
 - The bucket size census is one map-side-combinable ``groupBy(bucket)
-  .count()`` — O(1) state per bucket — and since r8 it routes rows in
-  the SAME shuffle: the census joins back to the banded rows with a
-  co-partitioned shuffle-hash join on the bucket key (never a
-  broadcast — the census has one row per bucket, corpus-sized at
-  100 TB), and the small/big branches are plain ``__n`` filters on
-  the joined rows. The r7 shape spent two extra prefilter joins
-  (anti + semi against the over-cap key set) and re-shuffled each
-  branch for its own aggregation; now every downstream aggregation
-  (the small-bucket pair collect, the rep min per salt slot) and the
-  hub join inherit the bucket-key partitioning from the join output,
-  so the banded subtree shuffles exactly ONCE (verified: the executed
-  plan shows one ShuffleExchange + ReusedExchange nodes, and
-  tools/plan_audit.py counts unique canonical exchanges).
+  .count()`` — O(1) state per bucket — and since r8 it ROUTES the rows:
+  the census joins back to the banded rows with a co-partitioned
+  shuffle-hash join on the bucket key (never a broadcast — the census
+  has one row per bucket, corpus-sized at 100 TB), and the small/big
+  branches are plain ``__n`` filters on the joined rows. The r7 shape
+  spent two extra prefilter joins (anti + semi against the over-cap
+  key set) and re-shuffled each branch for its own aggregation; now
+  every downstream aggregation (the small-bucket pair collect, the rep
+  min per salt slot) and the hub join inherit the bucket-key
+  partitioning from the join output and run exchange-free.
 - Small buckets (``n <= bucket_cap``, the overwhelmingly common case):
   exact all-pairs, identical to uncapped behavior. The collect_list
   buffer is genuinely bounded by the cap here because over-cap buckets
@@ -49,14 +46,18 @@ oracles reproduce it with the same hex15-of-md5 device the minhash
 oracle uses for signature hashes, so the capped semantics stay
 hash-checkable at every scale factor.
 
-Plan shape: the banded rows shuffle on the bucket key exactly once —
-the census aggregate and the join-back's stream side consume the SAME
-canonical exchange (ReuseExchange / the AQE stage cache), so the
-banded subtree (including any expensive signature computation below
-it) materializes once, and everything downstream (branch filters,
-pair collects, rep aggregation, hub join, the ``small_path="join"``
-self-join) runs exchange-free on the inherited bucket partitioning,
-up to the final pair ``distinct``.
+Plan shape (verified in the executed mini-plan and by plan_audit's
+unique-canonical-exchange counter): the banded FULL rows shuffle on
+the bucket key exactly once — every full-row consumer (the join-back
+stream side, the ``small_path="join"`` self-join sides, the hub join)
+reads that one exchange via ReuseExchange / the AQE stage cache. The
+census side deliberately does NOT reuse it: column pruning gives it
+its own exchange carrying only map-combined ``(bucket, partial
+count)`` rows — a second, far smaller shuffle in exchange for
+recomputing the pruned bucket-key projection map-side. Everything
+downstream (branch filters, pair collects, rep aggregation, hub join)
+runs exchange-free on the inherited bucket partitioning, up to the
+final pair ``distinct``.
 
 Bucket keys must be NON-NULL (every caller derives them from md5/hash
 expressions, which never produce null): the join-back routing drops
