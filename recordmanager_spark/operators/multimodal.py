@@ -338,6 +338,82 @@ def png_pixels(payload: bytes) -> "np.ndarray | None":
     return px[..., :3].copy()
 
 
+def webp_dims(payload: bytes) -> tuple[int, int] | None:
+    """WebP dimensions from the container headers (no pixel decode):
+    ``VP8 `` lossy (14-bit w/h in the frame header behind the 3-byte
+    start code), ``VP8L`` lossless (14-bit w-1/h-1 packed after the
+    0x2F signature), ``VP8X`` extended (24-bit canvas w-1/h-1)."""
+    if len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        # key frame: 3-byte frame tag, then start code 9D 01 2A, then
+        # 16-bit little-endian width/height (14 significant bits)
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+        return (w, h) if w and h else None
+    if fourcc == b"VP8L":
+        if payload[20] != 0x2F:
+            return None
+        bits = struct.unpack("<I", payload[21:25])[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return (w, h)
+    if fourcc == b"VP8X":
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return (w, h)
+    return None
+
+
+# MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables, frame header
+# spec (ISO/IEC 11172-3 §2.4.1.3 / 13818-3)
+_MP3_BITRATES = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000]}
+
+
+def mp3_meta(payload: bytes) -> dict | None:
+    """MP3 stream metadata from the first frame header, no decode:
+    ``{bitrate_kbps, sample_rate, duration_ms}``. Duration is the CBR
+    estimate ``audio_bytes * 8 / bitrate`` (VBR streams need a Xing
+    table — out of header-walk scope, the estimate is then the
+    first-frame-rate approximation). Skips a leading ID3v2 tag."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe 28-bit
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = min(len(payload) - 4, pos + 4096)
+    while pos <= end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2 = payload[pos + 1], payload[pos + 2]
+            version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2
+            layer = (b1 >> 1) & 0x03  # 1=Layer III
+            if version in (2, 3) and layer == 1:
+                v = 1 if version == 3 else 2
+                br = _MP3_BITRATES[v][(b2 >> 4) & 0x0F]
+                sr_i = (b2 >> 2) & 0x03
+                if br and sr_i < 3:
+                    sr = _MP3_RATES[v][sr_i]
+                    audio_bytes = len(payload) - pos
+                    dur = int(round(audio_bytes * 8 / (br * 1000) * 1000))
+                    return {
+                        "bitrate_kbps": br,
+                        "sample_rate": sr,
+                        "duration_ms": dur,
+                    }
+            pos += 1
+        else:
+            pos += 1
+    return None
+
+
 def ahash64(img: "np.ndarray") -> str:
     """aHash perceptual fingerprint: grayscale → 8x8 average-pool →
     bit per cell (1 iff cell ≥ global mean) → 16-hex-char string.
@@ -394,6 +470,14 @@ def media_probe(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             img = bmp_pixels(p)
             if img is not None:
                 ah = ahash64(img)
+        elif mime == "image/webp":
+            d = webp_dims(p)
+            width, height = d if d else (None, None)
+        elif mime == "audio/mpeg":
+            m = mp3_meta(p)
+            if m:
+                rate = m["sample_rate"]
+                dur = m["duration_ms"]
         elif mime == "audio/wav":
             m = wav_meta(p)
             if m:

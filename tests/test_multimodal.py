@@ -211,3 +211,72 @@ def test_media_probe_mixed_batch(spark):
     assert (got[2]["width"], got[2]["height"]) == (99, 66)
     assert got[3]["mime"] is None and got[3]["width"] is None
     assert got[4]["mime"] is None
+
+
+def make_webp_lossy(w, h):
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 8
+    chunk = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_lossless(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_webp_extended(w, h):
+    body = (
+        b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def make_mp3(seconds=2, bitrate_kbps=128, id3=False):
+    """CBR MPEG-1 Layer III header + filler bytes sized to the target
+    duration; optional ID3v2 tag in front."""
+    # 0xFF 0xFB: MPEG1 Layer III no-CRC; bitrate idx 9 = 128kbps,
+    # samplerate idx 0 = 44100
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    body = hdr + b"\x00" * (seconds * bitrate_kbps * 1000 // 8 - 4)
+    if id3:
+        tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        return tag + body
+    return body
+
+
+def test_webp_dims_all_variants():
+    assert MM.webp_dims(make_webp_lossy(320, 240)) == (320, 240)
+    assert MM.webp_dims(make_webp_lossless(12, 7)) == (12, 7)
+    assert MM.webp_dims(make_webp_extended(1920, 1080)) == (1920, 1080)
+    assert MM.webp_dims(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert MM.webp_dims(b"") is None
+
+
+def test_mp3_meta_cbr_estimate():
+    m = MM.mp3_meta(make_mp3(seconds=3))
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert abs(m["duration_ms"] - 3000) < 50
+    m2 = MM.mp3_meta(make_mp3(seconds=2, id3=True))
+    assert m2 is not None and abs(m2["duration_ms"] - 2000) < 50
+    assert MM.mp3_meta(b"\x00" * 64) is None
+
+
+def test_media_probe_webp_and_mp3(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_webp_lossy(64, 32))),
+            (2, bytearray(make_mp3(seconds=2))),
+        ],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in MM.media_probe(df).collect()}
+    assert out[1].mime == "image/webp"
+    assert (out[1].width, out[1].height) == (64, 32)
+    assert out[2].mime == "audio/mpeg"
+    assert out[2].sample_rate == 44100
+    assert abs(out[2].duration_ms - 2000) < 50
