@@ -596,6 +596,16 @@ def exact_dup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     return annotated
 
 
+def minhash_calibration_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banding-parameter calibration: signature-agreement Jaccard
+    estimate vs exact shingle Jaccard on the deterministic adjacent-id
+    pair sample (operators/text_dedup.py minhash_calibration) — the
+    pre-flight check that num_perm/bands/threshold fit a corpus."""
+    return TD.minhash_calibration(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     ids = d.select(F.col("doc_id").alias("id"))
@@ -3695,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": lm_perplexity_docs,
         "exact_dup_incremental_docs": exact_dup_incremental_docs,
         "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
+        "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
         "lrmi_extract": lrmi_extract,
@@ -6055,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS nb_label
             FROM scored
         """,
+        "minhash_calibration_docs": _minhash_calibration_oracle_sql(),
         "corpus_config_pipeline_docs": f"""
             WITH en AS (
                 SELECT doc_id, source, lang, text,
@@ -6473,6 +6485,58 @@ _HEX15 = (
     "(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)::BIGINT"
     " * CAST(power(16, 15 - i) AS BIGINT))) AS BIGINT)"
 )
+
+
+def _minhash_calibration_oracle_sql() -> str:
+    """minhash_calibration replica: md5-60bit shingle hashes, 16 XOR
+    permutation mins, signature-agreement estimate vs exact distinct-
+    shingle Jaccard on the adjacent-id pair sample
+    (operators/text_dedup.py minhash_calibration)."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    mins = ",\n                   ".join(
+        f"min(xor(h, {_PERM_XOR[p]})) AS h{p}" for p in range(16)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END)" for p in range(16)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s FROM toks),
+        h AS (
+            SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM sh),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+        est AS (
+            SELECT id_a, id_b,
+                   round(({agree}) / 16.0, 6) AS est_jaccard
+            FROM pairs
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b),
+        sets AS (
+            SELECT doc_id, {_SHINGLES3.format(t='t')} AS sh FROM toks),
+        ex AS (
+            SELECT id_a, id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh)))
+                                   > 0
+                              THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                                   / len(list_distinct(list_concat(a.sh,
+                                                                   b.sh)))
+                              ELSE 0.0 END, 6) AS jaccard
+            FROM pairs JOIN sets a ON id_a = a.doc_id
+                       JOIN sets b ON id_b = b.doc_id)
+        SELECT e.id_a, e.id_b, e.est_jaccard, x.jaccard,
+               round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+        FROM est e JOIN ex x USING (id_a, id_b)
+    """
 
 
 def _minhash_oracle_sql() -> str:

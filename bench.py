@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "lm_perplexity_docs",
     "exact_dup_incremental_docs",
     "corpus_config_pipeline_docs",
+    "minhash_calibration_docs",
 ]
 
 

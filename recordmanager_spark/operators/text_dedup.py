@@ -287,6 +287,68 @@ def jaccard_verify(
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Calibration report for the minhash family: per sampled pair,
+    the SIGNATURE-agreement Jaccard estimate (what banding thresholds
+    act on) next to the EXACT shingle Jaccard (ground truth) —
+    (id_a, id_b, est_jaccard, jaccard, abs_err). Use it to pick
+    num_perm / bands / threshold for a corpus before committing to a
+    full dedup run: est_jaccard is Broder's unbiased estimator, so
+    abs_err ~ sqrt(j(1-j)/num_perm); a systematically larger error
+    means the shingle distribution violates the estimator's
+    assumptions (degenerate short docs, boilerplate) and banding
+    thresholds need margin.
+
+    ``pairs``: any (id_a, id_b) sample; the default pairs each doc
+    with id+1 — deterministic, linear, no window/orderBy, and spanning
+    the id range (numeric-id corpora; pass explicit pairs otherwise).
+    Scale: signatures/shingle sets are the operators' own
+    map-side-combinable aggregations; the pair joins key on the unique
+    id (skew-free, AQE-sized)."""
+    ids = df.select(F.col(id_col).alias("id_a"))
+    if pairs is None:
+        pairs = ids.join(
+            df.select(F.col(id_col).alias("id_b")),
+            F.col("id_a") + 1 == F.col("id_b"),
+        )
+    sigs = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            minhash_sig_agreement(F.col("__sa"), F.col("__sb")).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    exact = jaccard_verify(
+        df, pairs, id_col, text_col, threshold=0.0, shingle_n=shingle_n
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            "jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -555,3 +555,29 @@ def test_exact_dup_incremental_bucketed_index(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_fp_idx")
+
+
+def test_minhash_calibration_estimator_quality(spark):
+    """The agreement estimate tracks true Jaccard: identical texts
+    estimate 1.0 with zero error; disjoint texts estimate ~0; the
+    mean absolute error over near-dup pairs stays within a few
+    binomial standard deviations of sqrt(j(1-j)/num_perm)."""
+    from recordmanager_spark.operators.text_dedup import minhash_calibration
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = []
+    for i in range(0, 40, 2):
+        rows.append((i, base + f" tail {i}"))
+        rows.append((i + 1, base + f" tail {i} extra"))  # near-dup of i
+    rows += [(100, "completely different words entirely"), (101, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r for r in
+           minhash_calibration(df, "doc_id", "text").collect()}
+    near = [r for (a, b), r in out.items() if b == a + 1 and a < 40]
+    assert near and all(r.jaccard > 0.5 for r in near)
+    mean_err = sum(r.abs_err for r in near) / len(near)
+    assert mean_err < 0.25, mean_err  # ~2x the binomial sd at n=16
+    far = out[(100, 101)]
+    assert far.jaccard < 0.1 and far.est_jaccard <= 0.25
+    assert all(abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-6
+               for r in out.values())
