@@ -224,6 +224,11 @@ AUDITS = [
      "join sides + the within-batch miss groupBy + its join-back); the "
      "production path replaces every index-side exchange with the "
      "bucketed catalog read (zero, pinned in tests/test_text_dedup.py)"),
+    ("minhash_calibration_docs", 3, False, False,
+     "calibration diagnostic (r8): the signature groupBy (map-side-"
+     "combined mins) + the shingle-set groupBy + the adjacent-id pair "
+     "join side; every scoring join keys on the unique doc id "
+     "(skew-free, AQE-sized) — no windows, no unbounded state"),
     ("corpus_config_pipeline_docs", 3, False, False,
      "config-compiled curation (r8): lang keep + token gate are "
      "scan-stage; the exchanges are exact-dedup's keeper groupBy + "
