@@ -117,14 +117,28 @@ def main() -> None:
     spark.range(10000, numPartitions=32).select(_warm(col("id"))).collect()
 
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
+        # build = queries() callable returning the DataFrame. This is where
+        # every eager construction action lives (adaptive-CC sizing takes,
+        # k-means / training collects, census stage materialization) — the
+        # costs that warm per-query medians amortize away and that every
+        # cross-round bench dispute so far has actually been about.
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        # noop sink: every output column materializes; nothing is written
+        t1 = time.time()
+        # exec = noop sink: every output column materializes; nothing is
+        # written. Pure plan-execution time of the returned DataFrame.
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        t2 = time.time()
+        timings[name] = round(t2 - t0, 3)
+        phases[name] = {"build": round(t1 - t0, 3), "exec": round(t2 - t1, 3)}
         n = df.count()  # row count for the log line only — untimed
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s"
+            f" (build {phases[name]['build']}s + exec {phases[name]['exec']}s)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -133,6 +147,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": sf,
             }
         )

@@ -160,14 +160,25 @@ def _capped_key_groups(
     """(key, __c) with __c = the key's sorted candidate array, truncated
     to ``cap`` members with BOUNDED aggregation state.
 
-    Keys within the cap collect exactly (buffer <= cap by the big-key
-    prefilter); over-cap keys contribute the min member per md5 salt
-    slot of the member id — <= cap representatives picked with O(1)
-    state per (key, slot) group, so no final-aggregation buffer ever
-    holds a poison key's full membership (collect_list partials
-    CONCATENATE — the r6 ADVICE buffer hazard — so slice-after-collect
-    is not a bound). The big-key census is tiny by the skew premise and
-    its anti/semi prefilter joins reuse the keys exchange at runtime.
+    Keys within the cap collect exactly; over-cap keys contribute the
+    min member per md5 salt slot of the member id — <= cap
+    representatives picked with O(1) state per (key, slot) group, so no
+    final-aggregation buffer ever holds a poison key's full membership
+    (collect_list partials CONCATENATE — the r6 ADVICE buffer hazard —
+    so slice-after-collect is not a bound).
+
+    Census join-back route (the operators/bucket_pairs.py shape, folded
+    here in r9 — the r7 anti/semi prefilter pair re-scanned the corpus
+    and re-ran the key-generation expressions once per branch): the
+    size census is a map-side-combinable count on its own pruned
+    exchange; it joins back CO-PARTITIONED on the key (shuffle_hash —
+    never broadcast: one census row per key is corpus-sized at 100 TB),
+    the small/big branches are plain ``__n`` filters on the joined
+    rows, and both branch aggregations inherit the key partitioning
+    exchange-free. The member payload (two normalize_key trees per
+    record) is computed and shuffled exactly once. The small-branch
+    collect_list buffer stays <= cap because over-cap rows are routed
+    away BEFORE the aggregation, not sliced after it.
 
     struct comparison orders by field position — callers put the id
     first so array_sort / min keep the reference's smallest-id
@@ -176,15 +187,20 @@ def _capped_key_groups(
 
     m = keys.select("key", member.alias("m"))
     sizes = m.groupBy("key").agg(F.count(F.lit(1)).alias("__n"))
-    big_keys = sizes.where(F.col("__n") > cap).select("key")
-    small = m.join(big_keys, "key", "left_anti")
-    small_g = small.groupBy("key").agg(
-        F.array_sort(F.collect_list("m")).alias("__c")
+    routed = m.join(sizes.hint("shuffle_hash"), "key")
+    small_g = (
+        routed.where(F.col("__n") <= cap)
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("m")).alias("__c"))
     )
-    big = m.join(big_keys, "key", "left_semi")
-    reps = big.groupBy(
-        "key", salt_slot(f"m.{member_id}", cap).alias("__slot")
-    ).agg(F.min("m").alias("m"))
+    # min_by on the member id equals the old min-over-struct pick (ids
+    # are unique and lead the struct) but plans as a HashAggregate
+    # instead of Sort + SortAggregate.
+    reps = (
+        routed.where(F.col("__n") > cap)
+        .groupBy("key", salt_slot(f"m.{member_id}", cap).alias("__slot"))
+        .agg(F.min_by("m", F.col(f"m.{member_id}")).alias("m"))
+    )
     big_g = reps.groupBy("key").agg(
         F.array_sort(F.collect_list("m")).alias("__c")
     )
@@ -384,8 +400,17 @@ def blocking_verified_edges(
     candidates_per_key: int = 101,
     verify_fields: list[str] | None = None,
     key_fold=None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Blocking + pairwise verification fused into ONE key shuffle.
+
+    ``distinct=False`` skips the final edge-set dedup exchange: a pair
+    sharing several blocking keys is emitted once per key. Every
+    component resolver downstream is idempotent under duplicate edges
+    (driver/task union-find, min-label propagation), so
+    :func:`deduplicate` opts out and saves one corpus-pair shuffle +
+    one sequential AQE stage; keep the default when the edge SET itself
+    is the product.
 
     The verification payload rides inside the per-key candidate structs,
     so pair generation runs in-partition on the grouped array. Compared to
@@ -488,16 +513,13 @@ def blocking_verified_edges(
     # sources ride along (functionally dependent on the ids, so the
     # distinct is unchanged) — they let ``deduplicate`` enforce the
     # one-per-source invariant driver-side without a second record pass.
-    return (
-        pairs.where(match)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
-        .distinct()
+    out = pairs.where(match).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
     )
+    return out.distinct() if distinct else out
 
 
 def verified_edges(
@@ -942,6 +964,12 @@ def deduplicate(
         candidates_per_key,
         verify_fields,
         key_fold,
+        # every CC strategy below is idempotent under duplicate edges —
+        # skipping the edge-set distinct saves one shuffle + one
+        # sequential AQE stage; the adaptive sizing threshold then
+        # counts raw pair emissions (strictly conservative: it can only
+        # switch to the distributed path EARLIER)
+        distinct=False,
     )
     comps = _assign_components(edges, records, id_col, source_col,
                                strategy=cc_strategy)
