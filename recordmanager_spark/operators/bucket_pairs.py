@@ -181,17 +181,23 @@ def capped_bucket_pairs(
     pay = list(payload_cols)
     if hub_cap is None:
         hub_cap = min(bucket_cap, 64)
-    # Normalize the null-filters across every branch: join-key and
-    # ``__rid != id`` predicates make Catalyst infer isnotnull() and
-    # push it into individual branches' scans, which breaks canonical
-    # equality between the otherwise-identical banded subtrees — the
-    # exchange (and any expensive signature computation below it) would
-    # materialize twice instead of being stage-reused. Ids and bucket
-    # keys are non-null by contract, so filtering up front is a no-op
-    # semantically and restores one-materialization reuse (measured:
-    # the minhash signature pipeline ran 2x without this line).
+    # Normalize the null-filters across every branch: join-key,
+    # ``__rid != id``, and caller post-filter predicates (e.g. the
+    # Hamming ``bit_count(__h_a ^ __h_b) <= k`` pushed into the small
+    # self-join) make Catalyst infer isnotnull() and push it into
+    # individual branches' scans, which breaks canonical equality
+    # between the otherwise-identical banded subtrees — the exchange
+    # (and any expensive signature computation below it) would
+    # materialize twice instead of being stage-reused. Ids, bucket
+    # keys, AND payloads are non-null by contract (all derived hash
+    # values), so filtering up front is a no-op semantically and
+    # restores one-materialization reuse (measured: the minhash
+    # signature pipeline ran 2x without the id/key filters; the r9
+    # executed-plan probe showed the hamming banded exchange STILL
+    # materializing twice because only the small branch inferred
+    # isnotnull on the payload hash).
     nn = F.col(id_col).isNotNull()
-    for c in bucket_cols:
+    for c in [*bucket_cols, *payload_cols]:
         nn = nn & F.col(c).isNotNull()
     banded = banded.where(nn)
     sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
@@ -202,6 +208,11 @@ def capped_bucket_pairs(
     # shuffles once, and the join output keeps the bucket partitioning —
     # every aggregation below runs exchange-free. NEVER broadcast here:
     # the census has one row per bucket, which is corpus-sized at 100 TB.
+    # (An explicit repartition shared by census + stream was probed in
+    # r9 and REJECTED: Catalyst pushes the census's column prune below
+    # the repartition, which splits it into a second corpus-sized band
+    # exchange — strictly worse than the tiny map-combined count
+    # partials this shape shuffles.)
     routed = banded.join(
         sizes.hint(join_hint or "shuffle_hash"), bucket_cols
     )
