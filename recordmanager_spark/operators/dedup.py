@@ -623,21 +623,39 @@ def _take_all_partitions(df: DataFrame, n: int) -> list:
     SEQUENTIAL materialization of the pipeline's query stages (one job
     per shuffle stage, ~2 s executor CPU vs ~4 s wall at sf0.1), which
     this conf does not and cannot collapse — the win here is bounded
-    to the post-stage limit probe and to non-AQE deployments."""
+    to the post-stage limit probe and to non-AQE deployments.
+
+    Concurrency scope (r9, was an r8 ADVICE item): the pin lives in a
+    ``newSession()`` clone — isolated SQLConf, shared SparkContext /
+    catalog / shuffle state — and the ALREADY-ANALYZED plan is rebound
+    to the clone via ``Dataset.ofRows``, so queries submitted
+    concurrently on the parent session never observe the conf (re-using
+    the analyzed plan also means no re-analysis under the clone's
+    defaults — Cast eval modes etc. stay exactly as the parent resolved
+    them). If the JVM internals ever move, the fallback is a plain
+    ``take`` on the parent session with NO conf mutation (the retry
+    ladder costs ~0.4 s at sf0.1; correctness identical)."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    prev = spark.conf.get(key, None)
-    # a large constant, NOT df.rdd.getNumPartitions(): accessing .rdd on
-    # an AQE plan materializes its query stages (a whole extra
-    # execution); the limit executor clamps to the actual partition count
-    spark.conf.set(key, "1000000")
     try:
+        sub = spark.newSession()
+        # a large constant, NOT df.rdd.getNumPartitions(): accessing
+        # .rdd on an AQE plan materializes its query stages (a whole
+        # extra execution); the limit executor clamps to the actual
+        # partition count
+        sub.conf.set(key, "1000000")
+        jvm = spark._jvm
+        try:
+            ds_cls = jvm.org.apache.spark.sql.classic.Dataset
+        except Exception:  # pragma: no cover - Spark < 4 layout
+            ds_cls = jvm.org.apache.spark.sql.Dataset
+        jdf = ds_cls.ofRows(
+            sub._jsparkSession, df._jdf.queryExecution().analyzed()
+        )
+        return DataFrame(jdf, sub).take(n)
+    except Exception:
+        # never mutate the shared session conf; eat the retry ladder
         return df.take(n)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
 
 
 def _union_find(pairs) -> dict:
