@@ -3214,6 +3214,18 @@ split[] = 0.125
 split[] = 0.125
 """
 
+# the r9 vocabulary: near-dup tier + bad-words gate + benchmark
+# decontamination, all from config ({blocklist} = driver-local file path)
+CORPUS_INI2 = """
+[corpus:contract2]
+languages[] = en
+blocklist = {blocklist}
+dedup = minhash
+minhash_threshold = 0.2
+decontaminate = benchmark
+decontaminate_ngram = 5
+"""
+
 
 def corpus_config_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Config-compiled curation pipeline: the [corpus:contract] ini
@@ -3228,6 +3240,33 @@ def corpus_config_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     out = CC.apply_corpus_pipeline(d, cfg)
     return out.select("doc_id", "source", "lang", "n_tokens", "split")
+
+
+def corpus_config_minhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-compiled curation with the r9 stage vocabulary: lang keep
+    -> C4-style bad-words gate (blocklist FILE, whole-token match) ->
+    minhash/LSH near-dup prune (one min-id representative per verified
+    cluster) -> benchmark n-gram decontamination against a named table
+    — the flagship dedup tier and eval-leak scrub expressed as a
+    reviewable datasources.ini-dialect artifact, every stage the
+    already-verified operator the section names."""
+    import os
+    import tempfile
+
+    from recordmanager_spark import corpus_config as CC
+
+    bl_path = os.path.join(
+        tempfile.gettempdir(), "rm_corpus_blocklist_contract2.txt"
+    )
+    with open(bl_path, "w", encoding="utf-8") as fh:
+        fh.write("# eval-leak marker tokens\ndup\n")
+    cfg = CC.parse_corpus_ini(CORPUS_INI2.format(blocklist=bl_path))[
+        "contract2"
+    ]
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod("doc_id", F.lit(97)) == 0)
+    out = CC.apply_corpus_pipeline(d, cfg, tables={"benchmark": bench})
+    return out.select("doc_id", "source", "lang")
 
 
 def lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -3705,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": lm_perplexity_docs,
         "exact_dup_incremental_docs": exact_dup_incremental_docs,
         "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
+        "corpus_config_minhash_docs": corpus_config_minhash_docs,
         "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
@@ -6067,6 +6107,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "minhash_calibration_docs": _minhash_calibration_oracle_sql(),
+        "corpus_config_minhash_docs": _corpus_config_minhash_oracle_sql(),
         "corpus_config_pipeline_docs": f"""
             WITH en AS (
                 SELECT doc_id, source, lang, text,
@@ -6605,6 +6646,120 @@ def _minhash_oracle_sql() -> str:
             FROM cand JOIN sets a ON cand.id_a = a.doc_id
                       JOIN sets b ON cand.id_b = b.doc_id)
         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """
+
+
+def _corpus_config_minhash_oracle_sql() -> str:
+    """corpus_config_minhash_docs replica: en keep -> blocklist token
+    gate ('dup', max 0 hits) -> the full minhash pipeline (md5-60bit
+    shingles, 16 XOR perms, 4x4 bands, 200-cap buckets with 64-slot hub
+    reps, exact Jaccard >= 0.2) over the SURVIVORS -> connected
+    components via a recursive transitive closure (keep min-id per
+    cluster) -> normalized 5-gram decontamination vs the doc_id%97
+    benchmark slice."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    toks = f"string_split_regex({_NORM.format(c='text')}, '\\s+')"
+    mins = ",\n                   ".join(
+        f"CAST(min(xor(h, {_PERM_XOR[p]})) AS VARCHAR) AS h{p}"
+        for p in range(16)
+    )
+    band_keys = ", ".join(
+        "h%d || '|' || h%d || '|' || h%d || '|' || h%d"
+        % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+        for b in range(4)
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, source, lang, text FROM documents
+            WHERE lang = 'en'
+              AND len(list_filter(['dup'], w -> list_contains(
+                    list_transform(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x <> ''), x -> lower(x)), w))) <= 0),
+        toksb AS (
+            SELECT doc_id, {toks} AS t FROM base),
+        sh AS (
+            SELECT doc_id, unnest({_SHINGLES3.format(t='t')}) AS s
+            FROM toksb),
+        h AS (
+            SELECT doc_id, {_HEX15.format(h='md5(s)')} AS h FROM sh),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, g.band, ([{band_keys}])[g.band + 1] AS key
+            FROM sig, range(0, 4) g(band)),
+        bsz AS (
+            SELECT band, key, count(*) AS n FROM banded GROUP BY band, key),
+        sized AS (
+            SELECT banded.doc_id, banded.band, banded.key, bsz.n
+            FROM banded JOIN bsz USING (band, key)),
+        small_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE a.n <= 200),
+        reps AS (
+            SELECT band, key, min(doc_id) AS rep
+            FROM sized WHERE n > 200
+            GROUP BY band, key,
+                     ({_HEX15.format(h="md5(CAST(doc_id AS VARCHAR))")} % 64)),
+        big_pairs AS (
+            SELECT least(s.doc_id, r.rep) AS id_a,
+                   greatest(s.doc_id, r.rep) AS id_b
+            FROM sized s JOIN reps r ON s.band = r.band AND s.key = r.key
+            WHERE s.n > 200 AND r.rep <> s.doc_id),
+        cand AS (
+            SELECT id_a, id_b FROM small_pairs
+            UNION
+            SELECT id_a, id_b FROM big_pairs),
+        sets AS (
+            SELECT doc_id, {_SHINGLES3.format(t='t')} AS shg FROM toksb),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sets a ON cand.id_a = a.doc_id
+                      JOIN sets b ON cand.id_b = b.doc_id
+            WHERE round(len(list_intersect(a.shg, b.shg))::DOUBLE
+                        / len(list_distinct(list_concat(a.shg, b.shg))), 6)
+                  >= 0.2),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            WHERE r.a <> s.b),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS c
+            FROM reach GROUP BY a),
+        pruned AS (
+            SELECT bs.doc_id, bs.source, bs.lang, bs.text
+            FROM base bs LEFT JOIN comp ON bs.doc_id = comp.doc_id
+            WHERE comp.doc_id IS NULL OR bs.doc_id = comp.c),
+        tkall AS (
+            SELECT doc_id, list_filter(
+                string_split_regex({_NORM.format(c='text')}, '\\s+'),
+                x -> x <> '') AS w
+            FROM documents),
+        g5 AS (
+            SELECT doc_id, CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, len(w) - 3),
+                     i -> array_to_string(w[i:i+4], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS g
+            FROM tkall),
+        bg AS (
+            SELECT DISTINCT unnest(g) AS g FROM g5 WHERE doc_id % 97 = 0),
+        hits AS (
+            SELECT dg.doc_id, count(*) AS n_hits
+            FROM (SELECT doc_id, unnest(g) AS g FROM g5) dg
+            JOIN bg USING (g) GROUP BY dg.doc_id)
+        SELECT p.doc_id, p.source, p.lang
+        FROM pruned p LEFT JOIN hits USING (doc_id)
+        WHERE COALESCE(hits.n_hits, 0) < 1
     """
 
 

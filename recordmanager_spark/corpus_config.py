@@ -15,17 +15,54 @@ Stage order is FIXED and documented (the SolrUpdater-style contract —
 the reference applies field rules -> mappings -> extras in code order,
 not ini order):
 
-1. ``languages[]``        — keep listed language codes
-2. ``dedup = exact``      — keep the first (min-id) copy per distinct
-                            normalized text (``distinct_by_text``)
-3. ``min_tokens`` / ``max_tokens`` — whitespace-token quality gate
-4. ``cap_group[]`` + ``cap_n``     — per-group frequency cap
-                            (``cap_per_group``, census join-back)
-5. ``lm_min_avg_logprob`` + ``lm_reference_lang`` — hashed-LM
-                            perplexity gate (``lm_score``), trained on
-                            the surviving reference-language slice
-6. ``sample_rate``        — deterministic hash sample
-7. ``split[]``            — train/val/test fractions
+1.  ``languages[]``        — keep listed language codes
+2.  ``blocklist``          — C4-style bad-words gate: a file of one
+                             word per line (``#`` comments); documents
+                             with more than ``blocklist_max_hits``
+                             (default 0) distinct blocklist words as
+                             whole tokens are dropped
+                             (``functions.quality.blocklist_hits``)
+3.  ``dedup = exact``      — keep the first (min-id) copy per distinct
+                             normalized text (``distinct_by_text``)
+    ``dedup = minhash``    — near-duplicate prune: minhash/LSH
+                             candidates verified at
+                             ``minhash_threshold`` exact Jaccard, then
+                             one representative (min id) per connected
+                             cluster (``minhash_near_duplicates`` +
+                             ``near_dup_prune``); tunables
+                             ``minhash_num_perm`` / ``minhash_bands``
+                             / ``minhash_rows`` / ``minhash_shingle_n``
+4.  ``decontaminate``      — benchmark decontamination against the
+                             named table (resolved from the ``tables``
+                             mapping, else the session catalog):
+                             documents sharing >=
+                             ``decontaminate_min_hits`` (default 1)
+                             distinct ``decontaminate_ngram`` (default
+                             8)-grams with the benchmark are dropped.
+                             ``decontaminate_method = ngram`` (exact
+                             gram join, the default) or ``bloom``
+                             (fixed-size Bloom bit array — the 100 TB
+                             path when the benchmark gram set is too
+                             big to broadcast; false positives only
+                             ever over-drop)
+5.  ``min_tokens`` / ``max_tokens`` — whitespace-token quality gate
+6.  ``cap_group[]`` + ``cap_n``     — per-group frequency cap
+                             (``cap_per_group``, census join-back)
+7.  ``lm_min_avg_logprob`` + ``lm_reference_lang`` — hashed-LM
+                             perplexity gate (``lm_score``), trained on
+                             the surviving reference-language slice.
+                             Documents with NULL avg_logprob (fewer
+                             than two tokens — no bigram transitions)
+                             PASS THROUGH: length gating belongs to
+                             ``min_tokens``, not the LM stage
+8.  ``dsir_target`` + ``dsir_k`` — DSIR importance resampling: keep
+                             the Gumbel top-``dsir_k`` documents scored
+                             against the surviving ``dsir_target``-
+                             language slice (``dsir_select``;
+                             ``dsir_buckets`` tunes the hashed feature
+                             space, default 1024)
+9.  ``sample_rate``        — deterministic hash sample
+10. ``split[]``            — train/val/test fractions
 
 Every stage is optional; omitted keys skip the stage. All stages are
 the oracle-twinned operators — the compiler only sequences them.
@@ -34,7 +71,10 @@ Example::
 
     [corpus:web_en]
     languages[] = en
-    dedup = exact
+    blocklist = conf/badwords.txt
+    dedup = minhash
+    minhash_threshold = 0.5
+    decontaminate = eval_benchmark
     min_tokens = 5
     max_tokens = 2000
     cap_group[] = source
@@ -60,13 +100,28 @@ __all__ = ["CorpusConfig", "parse_corpus_ini", "apply_corpus_pipeline"]
 class CorpusConfig:
     name: str
     languages: list[str] = field(default_factory=list)
-    dedup: str | None = None  # None | "exact"
+    blocklist: str | None = None  # path to one-word-per-line file
+    blocklist_max_hits: int = 0
+    dedup: str | None = None  # None | "exact" | "minhash"
+    minhash_threshold: float = 0.5
+    minhash_num_perm: int = 16
+    minhash_bands: int = 4
+    minhash_rows: int = 4
+    minhash_shingle_n: int = 3
+    decontaminate: str | None = None  # benchmark table name
+    decontaminate_method: str = "ngram"  # "ngram" | "bloom"
+    decontaminate_ngram: int = 8
+    decontaminate_min_hits: int = 1
+    decontaminate_text_col: str = "text"
     min_tokens: int | None = None
     max_tokens: int | None = None
     cap_group: list[str] = field(default_factory=list)
     cap_n: int | None = None
     lm_min_avg_logprob: float | None = None
     lm_reference_lang: str | None = None
+    dsir_target: str | None = None
+    dsir_k: int | None = None
+    dsir_buckets: int = 1024
     sample_rate: float | None = None
     split: list[float] = field(default_factory=list)
     keep_text: bool = False
@@ -80,16 +135,42 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
             continue
         name = section.split(":", 1)[1]
         dedup = kv.get("dedup")
-        if dedup is not None and dedup != "exact":
+        if dedup is not None and dedup not in ("exact", "minhash"):
             raise ValueError(
-                f"[{section}] dedup={dedup!r}: only 'exact' is "
-                "config-compilable; near-dup tiers need corpus-specific "
-                "banding parameters — call the operators directly"
+                f"[{section}] dedup={dedup!r}: 'exact' and 'minhash' are "
+                "the config-compilable tiers; other near-dup detectors "
+                "(simhash/winnowing/embedding) need corpus-specific "
+                "parameters — call the operators directly"
             )
+        method = kv.get("decontaminate_method", "ngram")
+        if method not in ("ngram", "bloom"):
+            raise ValueError(
+                f"[{section}] decontaminate_method={method!r}: "
+                "'ngram' or 'bloom'"
+            )
+
+        def _i(key: str, default: int) -> int:
+            return int(kv[key]) if key in kv else default
+
+        def _f(key: str, default: float) -> float:
+            return float(kv[key]) if key in kv else default
+
         cfg = CorpusConfig(
             name=name,
             languages=list(kv.get("languages", [])),
+            blocklist=kv.get("blocklist"),
+            blocklist_max_hits=_i("blocklist_max_hits", 0),
             dedup=dedup,
+            minhash_threshold=_f("minhash_threshold", 0.5),
+            minhash_num_perm=_i("minhash_num_perm", 16),
+            minhash_bands=_i("minhash_bands", 4),
+            minhash_rows=_i("minhash_rows", 4),
+            minhash_shingle_n=_i("minhash_shingle_n", 3),
+            decontaminate=kv.get("decontaminate"),
+            decontaminate_method=method,
+            decontaminate_ngram=_i("decontaminate_ngram", 8),
+            decontaminate_min_hits=_i("decontaminate_min_hits", 1),
+            decontaminate_text_col=kv.get("decontaminate_text_col", "text"),
             min_tokens=int(kv["min_tokens"]) if "min_tokens" in kv else None,
             max_tokens=int(kv["max_tokens"]) if "max_tokens" in kv else None,
             cap_group=list(kv.get("cap_group", [])),
@@ -100,6 +181,9 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
                 else None
             ),
             lm_reference_lang=kv.get("lm_reference_lang"),
+            dsir_target=kv.get("dsir_target"),
+            dsir_k=int(kv["dsir_k"]) if "dsir_k" in kv else None,
+            dsir_buckets=_i("dsir_buckets", 1024),
             sample_rate=(
                 float(kv["sample_rate"]) if "sample_rate" in kv else None
             ),
@@ -112,8 +196,33 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
             raise ValueError(
                 f"[{section}] lm_min_avg_logprob needs lm_reference_lang"
             )
+        if cfg.dsir_target is not None and cfg.dsir_k is None:
+            raise ValueError(f"[{section}] dsir_target needs dsir_k")
         out[name] = cfg
     return out
+
+
+def _read_blocklist(path: str) -> list[str]:
+    """One word per line; blank lines and ``#`` comments skipped."""
+    words: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            w = line.split("#", 1)[0].strip()
+            if w:
+                words.append(w)
+    return words
+
+
+def _resolve_table(
+    df: DataFrame, name: str, tables: dict[str, DataFrame] | None
+) -> DataFrame:
+    """Benchmark table by name: the explicit ``tables`` mapping wins,
+    else the session catalog (a registered temp view / catalog table) —
+    the same two-tier lookup datasources.ini uses for mapping files
+    (local override, then installation defaults)."""
+    if tables and name in tables:
+        return tables[name]
+    return df.sparkSession.table(name)
 
 
 def apply_corpus_pipeline(
@@ -122,12 +231,17 @@ def apply_corpus_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Run the compiled stages in the documented order. Returns the
     surviving rows with ``n_tokens`` (when a token gate ran) and
     ``split`` (when fractions were configured); ``text`` is dropped
     unless ``keep_text`` (a 100 TB output should not carry the corpus
-    body through downstream shuffles by default)."""
+    body through downstream shuffles by default).
+
+    ``tables`` resolves ``decontaminate = <name>`` benchmark tables;
+    names absent from the mapping fall back to the session catalog."""
+    from .functions.quality import blocklist_hits
     from .functions.text import token_count
     from .operators.packing import (
         cap_per_group,
@@ -139,8 +253,72 @@ def apply_corpus_pipeline(
     out = df
     if cfg.languages:
         out = out.where(F.col(lang_col).isin(cfg.languages))
+    if cfg.blocklist is not None:
+        words = _read_blocklist(cfg.blocklist)
+        if words:
+            out = out.where(
+                blocklist_hits(text_col, words) <= cfg.blocklist_max_hits
+            )
     if cfg.dedup == "exact":
         out = distinct_by_text(out, id_col, text_col)
+    elif cfg.dedup == "minhash":
+        from .operators.text_dedup import (
+            minhash_near_duplicates,
+            near_dup_prune,
+        )
+
+        pairs = minhash_near_duplicates(
+            out,
+            id_col,
+            text_col,
+            num_perm=cfg.minhash_num_perm,
+            bands=cfg.minhash_bands,
+            rows_per_band=cfg.minhash_rows,
+            threshold=cfg.minhash_threshold,
+            shingle_n=cfg.minhash_shingle_n,
+        )
+        out = (
+            near_dup_prune(out, pairs, id_col=id_col)
+            .where(F.col("keep"))
+            .drop("cluster_id", "keep")
+        )
+    if cfg.decontaminate is not None:
+        bench = _resolve_table(df, cfg.decontaminate, tables)
+        if cfg.decontaminate_method == "bloom":
+            from .operators.contamination import (
+                bloom_contaminated,
+                bloom_filter_words,
+            )
+
+            m_bits = 1 << 20
+            blm = bloom_filter_words(
+                bench,
+                cfg.decontaminate_text_col,
+                n=cfg.decontaminate_ngram,
+                m_bits=m_bits,
+            )
+            out = bloom_contaminated(
+                out,
+                id_col,
+                text_col,
+                blm,
+                m_bits=m_bits,
+                n=cfg.decontaminate_ngram,
+                min_hits=cfg.decontaminate_min_hits,
+            )
+        else:
+            from .operators.contamination import flag_contaminated
+
+            out = flag_contaminated(
+                out,
+                id_col,
+                text_col,
+                bench,
+                cfg.decontaminate_text_col,
+                n=cfg.decontaminate_ngram,
+                min_hits=cfg.decontaminate_min_hits,
+            )
+        out = out.where(~F.col("contaminated")).drop("n_hits", "contaminated")
     if cfg.min_tokens is not None or cfg.max_tokens is not None:
         out = out.withColumn(
             "n_tokens", token_count(text_col).cast("long")
@@ -160,8 +338,23 @@ def apply_corpus_pipeline(
         scores = lm_logprob(out, model, text_col, id_col).select(
             F.col(id_col), "avg_logprob"
         )
+        # NULL avg_logprob (a <2-token document has no bigram
+        # transitions) passes through: length gating is min_tokens'
+        # job, not an implicit side effect of the LM stage (r8 ADVICE)
         out = out.join(scores, id_col).where(
-            F.col("avg_logprob") >= cfg.lm_min_avg_logprob
+            F.col("avg_logprob").isNull()
+            | (F.col("avg_logprob") >= cfg.lm_min_avg_logprob)
+        )
+    if cfg.dsir_target is not None:
+        from .operators.dsir import dsir_select
+
+        out = dsir_select(
+            out,
+            out.where(F.col(lang_col) == cfg.dsir_target),
+            cfg.dsir_k,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=cfg.dsir_buckets,
         )
     if cfg.sample_rate is not None:
         out = stratified_sample(

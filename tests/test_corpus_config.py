@@ -43,12 +43,47 @@ def test_parse_sections_and_dialect():
 
 
 def test_parse_rejects_bad_specs():
-    with pytest.raises(ValueError, match="only 'exact'"):
-        CC.parse_corpus_ini("[corpus:x]\ndedup = minhash\n")
+    with pytest.raises(ValueError, match="config-compilable"):
+        CC.parse_corpus_ini("[corpus:x]\ndedup = simhash\n")
     with pytest.raises(ValueError, match="cap_n"):
         CC.parse_corpus_ini("[corpus:x]\ncap_group[] = source\n")
     with pytest.raises(ValueError, match="lm_reference_lang"):
         CC.parse_corpus_ini("[corpus:x]\nlm_min_avg_logprob = -9\n")
+    with pytest.raises(ValueError, match="dsir_k"):
+        CC.parse_corpus_ini("[corpus:x]\ndsir_target = en\n")
+    with pytest.raises(ValueError, match="decontaminate_method"):
+        CC.parse_corpus_ini(
+            "[corpus:x]\ndecontaminate = b\ndecontaminate_method = magic\n"
+        )
+
+
+def test_parse_minhash_and_decontaminate_keys():
+    ini = """
+[corpus:m]
+dedup = minhash
+minhash_threshold = 0.3
+minhash_num_perm = 32
+minhash_bands = 8
+minhash_rows = 4
+blocklist = /tmp/words.txt
+blocklist_max_hits = 1
+decontaminate = bench
+decontaminate_method = bloom
+decontaminate_ngram = 6
+decontaminate_min_hits = 2
+dsir_target = en
+dsir_k = 100
+dsir_buckets = 256
+"""
+    m = CC.parse_corpus_ini(ini)["m"]
+    assert m.dedup == "minhash" and m.minhash_threshold == 0.3
+    assert m.minhash_num_perm == 32 and m.minhash_bands == 8
+    assert m.blocklist == "/tmp/words.txt" and m.blocklist_max_hits == 1
+    assert m.decontaminate == "bench"
+    assert m.decontaminate_method == "bloom"
+    assert m.decontaminate_ngram == 6 and m.decontaminate_min_hits == 2
+    assert m.dsir_target == "en" and m.dsir_k == 100
+    assert m.dsir_buckets == 256
 
 
 def test_pipeline_stage_order_and_outputs(spark):
@@ -103,3 +138,136 @@ def test_pipeline_sample_deterministic(spark):
     b = sorted(r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect())
     assert a == b
     assert 120 <= len(a) <= 280  # ~200 of 400
+
+
+def test_pipeline_blocklist_gate(spark, tmp_path):
+    bl = tmp_path / "bad.txt"
+    bl.write_text("# comment line\nfoo\nBAR\n\n")
+    cfg = CC.parse_corpus_ini(
+        f"[corpus:bl]\nblocklist = {bl}\nkeep_text = true\n"
+    )["bl"]
+    df = spark.createDataFrame(
+        [
+            (1, "en", "clean text here"),
+            (2, "en", "this has foo inside"),       # hit: foo
+            (3, "en", "loud BAR word"),             # hit: bar (ci)
+            (4, "en", "foobar is one token"),       # whole-token: no hit
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kept = {r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()}
+    assert kept == {1, 4}
+    # max_hits = 1 tolerates a single distinct word
+    cfg.blocklist_max_hits = 1
+    kept = {r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()}
+    assert kept == {1, 2, 3, 4}
+
+
+def test_pipeline_minhash_dedup_matches_direct_operators(spark):
+    from recordmanager_spark.operators.text_dedup import (
+        minhash_near_duplicates,
+        near_dup_prune,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "en", base),
+            (2, "en", base + " lambda"),   # near-dup of 1 -> pruned
+            (3, "en", "completely different words entirely unrelated"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    cfg = CC.parse_corpus_ini(
+        "[corpus:m]\ndedup = minhash\nminhash_threshold = 0.5\n"
+    )["m"]
+    got = sorted(
+        r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()
+    )
+    pairs = minhash_near_duplicates(df, "doc_id", "text", threshold=0.5)
+    want = sorted(
+        r.doc_id
+        for r in near_dup_prune(df, pairs, id_col="doc_id")
+        .where(F.col("keep"))
+        .collect()
+    )
+    assert got == want == [1, 3]
+
+
+def test_pipeline_decontaminate_ngram_and_bloom(spark):
+    doc = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, "en", doc), (2, "en", "totally clean words " * 3)],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(doc,)], "text string"
+    )
+    for method in ("ngram", "bloom"):
+        cfg = CC.parse_corpus_ini(
+            "[corpus:d]\ndecontaminate = benchmark\n"
+            f"decontaminate_method = {method}\ndecontaminate_ngram = 5\n"
+        )["d"]
+        out = CC.apply_corpus_pipeline(
+            df, cfg, tables={"benchmark": bench}
+        )
+        kept = {r.doc_id for r in out.collect()}
+        assert kept == {2}, method
+        assert "contaminated" not in out.columns
+
+
+def test_pipeline_decontaminate_resolves_catalog_table(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "aa bb cc dd ee ff gg hh"), (2, "en", "clean doc")],
+        "doc_id long, lang string, text string",
+    )
+    spark.createDataFrame(
+        [("aa bb cc dd ee ff gg hh",)], "text string"
+    ).createOrReplaceTempView("rm_test_bench_view")
+    cfg = CC.parse_corpus_ini(
+        "[corpus:d]\ndecontaminate = rm_test_bench_view\n"
+        "decontaminate_ngram = 5\n"
+    )["d"]
+    kept = {r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()}
+    assert kept == {2}
+
+
+def test_pipeline_dsir_stage_matches_direct(spark):
+    from recordmanager_spark.operators.dsir import dsir_select
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else "de",
+          f"token{i % 7} word{i % 5} common text body") for i in range(60)],
+        "doc_id long, lang string, text string",
+    )
+    cfg = CC.parse_corpus_ini(
+        "[corpus:ds]\ndsir_target = en\ndsir_k = 10\ndsir_buckets = 128\n"
+    )["ds"]
+    got = sorted(
+        r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in dsir_select(
+            df, df.where(F.col("lang") == "en"), 10, n_buckets=128
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+
+
+def test_pipeline_lm_gate_null_passthrough(spark):
+    """<2-token documents have NULL avg_logprob and must PASS the LM
+    gate (length gating belongs to min_tokens) — r8 ADVICE."""
+    ini = """
+[corpus:q]
+lm_min_avg_logprob = -6.5
+lm_reference_lang = en
+"""
+    cfg = CC.parse_corpus_ini(ini)["q"]
+    ref_text = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(i, "en", ref_text) for i in range(20)] + [(200, "en", "solo")],
+        "doc_id long, lang string, text string",
+    )
+    kept = {r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()}
+    assert 200 in kept
