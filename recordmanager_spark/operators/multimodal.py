@@ -546,8 +546,16 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling placeholder: real impl would demux + decode;
-    raises to make the gap explicit rather than silently wrong."""
+    raises to make the gap explicit rather than silently wrong.
+
+    The production path is ``examples/video_frames.py`` (r9): an
+    INJECTED ``frame_sampler(payload, n) -> list[ndarray]`` (PyAV when
+    importable, a fake in tests) feeds sampled frames through
+    :func:`ahash64` into the banded Hamming near-dup engine — the same
+    injected-decoder pattern that closed the JPEG seam
+    (``examples/pil_images.py``)."""
     raise NotImplementedError(
         "video decode requires ffmpeg/pyav (not in this container); "
-        "the mapInPandas pattern in extract_features is the execution shape"
+        "inject a sampler via examples/video_frames.py "
+        "(video_frame_ahashes + video_near_duplicates)"
     )
