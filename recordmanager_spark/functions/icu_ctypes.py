@@ -95,9 +95,38 @@ def _load() -> dict | None:
                         "ucol_close",
                     ):
                         fns[sym] = getattr(raw, sym + suffix)
+                    # declare full prototypes: relying on ctypes'
+                    # default int conversion for int32/pointer params
+                    # is UB on ABIs where the widths differ (r8 ADVICE)
+                    u16p = ctypes.POINTER(ctypes.c_uint16)
+                    i32p = ctypes.POINTER(ctypes.c_int32)
                     fns["utrans_openU"].restype = ctypes.c_void_p
+                    fns["utrans_openU"].argtypes = [
+                        u16p, ctypes.c_int32,  # id, idLength
+                        ctypes.c_int32,        # direction
+                        u16p, ctypes.c_int32,  # rules, rulesLength
+                        ctypes.POINTER(_UParseError), i32p,
+                    ]
+                    fns["utrans_transUChars"].restype = None
+                    fns["utrans_transUChars"].argtypes = [
+                        ctypes.c_void_p,       # trans
+                        u16p, i32p,            # text, textLength
+                        ctypes.c_int32,        # textCapacity
+                        ctypes.c_int32, i32p,  # start, limit
+                        i32p,                  # status
+                    ]
+                    fns["utrans_close"].restype = None
+                    fns["utrans_close"].argtypes = [ctypes.c_void_p]
                     fns["ucol_open"].restype = ctypes.c_void_p
+                    fns["ucol_open"].argtypes = [ctypes.c_char_p, i32p]
                     fns["ucol_strcoll"].restype = ctypes.c_int32
+                    fns["ucol_strcoll"].argtypes = [
+                        ctypes.c_void_p,
+                        u16p, ctypes.c_int32,
+                        u16p, ctypes.c_int32,
+                    ]
+                    fns["ucol_close"].restype = None
+                    fns["ucol_close"].argtypes = [ctypes.c_void_p]
                     lib = {"raw": raw, "fns": fns, "path": path}
             except OSError:
                 lib = None
@@ -200,7 +229,16 @@ class Collator:
             raise ICUError("libicui18n not loadable on this machine")
         fns = lib["fns"]
         status = ctypes.c_int32(0)
-        h = fns["ucol_open"](locale.encode("ascii"), ctypes.byref(status))
+        try:
+            # ICU locale IDs are ASCII by definition (BCP-47 subtags);
+            # a non-ASCII tag is an invalid locale, reported as the
+            # documented ICUError rather than a UnicodeEncodeError
+            loc = locale.encode("ascii")
+        except UnicodeEncodeError as e:
+            raise ICUError(
+                f"ucol_open: non-ASCII locale tag {locale!r}"
+            ) from e
+        h = fns["ucol_open"](loc, ctypes.byref(status))
         if status.value > 0 or not h:
             raise ICUError(f"ucol_open({locale!r}): status={status.value}")
         return cls(h, fns)

@@ -314,6 +314,18 @@ def minhash_calibration(
     id (skew-free, AQE-sized)."""
     ids = df.select(F.col(id_col).alias("id_a"))
     if pairs is None:
+        # the id+1 default needs arithmetic ids; failing HERE with the
+        # fix beats the raw ANSI cast error a string-id corpus would
+        # otherwise hit mid-job (r8 ADVICE)
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(df.schema[id_col].dataType, NumericType):
+            raise ValueError(
+                f"minhash_calibration: default pair sample needs a "
+                f"numeric {id_col!r} (got "
+                f"{df.schema[id_col].dataType.simpleString()}); pass "
+                f"an explicit (id_a, id_b) `pairs` sample"
+            )
         pairs = ids.join(
             df.select(F.col(id_col).alias("id_b")),
             F.col("id_a") + 1 == F.col("id_b"),

@@ -125,3 +125,23 @@ def test_embedding_degenerate_corpus_reports_all(spark):
     covered = {r.id_a for r in out} | {r.id_b for r in out}
     assert covered == set(range(40))
     assert all(abs(r.cosine - 1.0) < 1e-6 for r in out)
+
+
+def test_null_bucket_and_null_payload_rows_excluded(spark):
+    """Contract pin (r8/r9): rows with NULL bucket keys or NULL payloads
+    are filtered up front — they never pair, on either path. In-repo
+    callers derive both from md5/hash expressions (never null); the
+    filter also keeps every branch's scan canonically identical so the
+    banded exchange is stage-reused."""
+    rows = [
+        Row(band=0, bkey="k", id=1, h=10),
+        Row(band=0, bkey="k", id=2, h=20),
+        Row(band=0, bkey=None, id=3, h=30),   # null bucket: excluded
+        Row(band=0, bkey=None, id=4, h=40),   # would have paired with 3
+        Row(band=0, bkey="k", id=5, h=None),  # null payload: excluded
+    ]
+    df = spark.createDataFrame(rows, "band int, bkey string, id bigint, h bigint")
+    pairs = capped_bucket_pairs(
+        df, ["band", "bkey"], "id", bucket_cap=10, payload_cols=("h",)
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(1, 2)]

@@ -581,3 +581,19 @@ def test_minhash_calibration_estimator_quality(spark):
     assert far.jaccard < 0.1 and far.est_jaccard <= 0.25
     assert all(abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-6
                for r in out.values())
+
+
+def test_minhash_calibration_rejects_string_ids_without_pairs(spark):
+    import pytest
+
+    from recordmanager_spark.operators import text_dedup as TD
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y w")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="explicit .* `pairs`"):
+        TD.minhash_calibration(df, "doc_id", "text")
+    # explicit pairs keep string-id corpora fully supported
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    out = TD.minhash_calibration(df, "doc_id", "text", pairs=pairs).collect()
+    assert len(out) == 1 and out[0].id_a == "a"
