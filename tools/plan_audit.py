@@ -234,6 +234,14 @@ AUDITS = [
      "scan-stage; the exchanges are exact-dedup's keeper groupBy + "
      "semi join-back and the frequency cap's census join-back (both "
      "map-side-combinable, no windows); sample/split scan-stage"),
+    ("corpus_config_minhash_docs", 6, False, False,
+     "r9 config vocabulary: lang keep + blocklist token gate are "
+     "scan-stage; the 6 unique exchanges are the minhash engine's 4 "
+     "(signature groupBy, banded rows, census partials, pair "
+     "distinct — CC itself resolves driver-side at construction) + "
+     "near_dup_prune's clustered-rows window + the decontamination "
+     "hit-count groupBy; the benchmark gram set broadcasts, the "
+     "corpus never joins anything corpus-sized"),
     ("lm_perplexity_docs", 0, False, False,
      "hashed backoff bigram LM gate (r8): training is construction-time "
      "bounded aggregation (state <= b1/b2 hash buckets, logs fixed to "
