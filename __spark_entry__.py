@@ -3717,6 +3717,93 @@ def uri_cache_ttl(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("_id")
 
 
+def bm25_topk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-5 over the documents corpus for 8
+    query texts (each query doc's first 80 chars). Inverted-index
+    postings built in one scan; query-vocabulary prune broadcasts
+    before any corpus shuffle; two-stage bounded top-k. The other half
+    of the similarity family (the reference delegates this to its Solr
+    cluster; here it's a native plan)."""
+    from recordmanager_spark.operators import retrieval as RET
+
+    docs = _t(spark, sf, "documents")
+    queries_df = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("query_text"),
+    )
+    return RET.bm25_topk(docs, queries_df, k=5)
+
+
+def hybrid_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of a BM25 top-10
+    lexical leg over documents and an exact cosine top-10 vector leg
+    over the aligned embeddings table (doc_id == vec_id), re-ranked to
+    a fused top-5 per query. Union+groupBy fusion — one exchange
+    regardless of leg count, group state bounded by the leg count."""
+    from recordmanager_spark.operators import retrieval as RET
+    from recordmanager_spark.operators import similarity as SIM2
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    queries_df = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("query_text"),
+    )
+    lex = RET.bm25_topk(docs, queries_df, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = SIM2.knn_bruteforce(
+        emb,
+        emb.where(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=10,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return RET.rrf_fuse([lex, vec], k=5)
+
+
+def mojibake_repair_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding hygiene: repair UTF-8-as-cp1252 mojibake (the ftfy
+    sloppy-windows-1252 family) as a pure scan-stage replace fold —
+    zero shuffles, codegen-friendly. Corruptions are synthesized
+    deterministically per doc_id (the paragraph_dedup fixture pattern)
+    so the oracle sees identical inputs."""
+    from recordmanager_spark.functions.text import fix_mojibake, has_mojibake
+
+    docs = _t(spark, sf, "documents")
+    p0, p1 = _mojibake_prefixes()
+    corrupted = F.when(F.col("doc_id") % 3 == 0, F.lit(p0)).when(
+        F.col("doc_id") % 3 == 1, F.lit(p1)
+    ).otherwise(F.lit("")).cast("string")
+    c = F.concat(corrupted, F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(fix_mojibake(c), 1, 60).alias("fixed_head"),
+        has_mojibake(c).alias("had_mojibake"),
+    )
+
+
+def _mojibake_prefixes() -> tuple[str, str]:
+    """Deterministic corrupted prefixes, derived from MOJIBAKE_MAP so
+    the Spark literal and the oracle SQL literal are the same string."""
+    from recordmanager_spark.functions.text import MOJIBAKE_MAP
+
+    inv = {good: bad for bad, good in MOJIBAKE_MAP}
+    p0 = "Caf" + inv["é"] + " " + inv["—"] + " na" + inv["ï"] + "ve "
+    p1 = (
+        inv["“"]
+        + "qu"
+        + inv["’"]
+        + "oted"
+        + inv["”"]
+        + " "
+        + inv["ü"]
+        + "ber "
+    )
+    return p0, p1
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3730,9 +3817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a driver-recorded oracle row.
-        # r8: lead with the 6 round-7 queries no driver window has ever
-        # sampled (green in every local sf0.1 sweep; VERDICT r7 item 6),
-        # then the canaries and the oldest-record refreshes.
+        # r9: lead with this round's new queries (retrieval family +
+        # encoding hygiene), then the r8 head (canaries + refreshes).
+        "bm25_topk_docs": bm25_topk_docs,
+        "hybrid_search_docs": hybrid_search_docs,
+        "mojibake_repair_docs": mojibake_repair_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -3901,6 +3990,10 @@ def oracle_sql() -> dict[str, str]:
     raw_toks = "string_split_regex(trim(text), '\\s+')"
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
+        # new this round (r9)
+        "bm25_topk_docs": _bm25_oracle_sql(5),
+        "hybrid_search_docs": _hybrid_oracle_sql(),
+        "mojibake_repair_docs": _mojibake_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -7020,4 +7113,118 @@ def _knn_lsh_oracle_sql() -> str:
             FROM scored)
         SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
         FROM ranked WHERE rnk <= 5
+    """
+
+
+def _bm25_body_sql() -> str:
+    """Shared BM25 CTE chain (through ``s``: rounded per-doc scores per
+    query) — the bm25_topk_docs oracle ranks it directly; the hybrid
+    oracle reuses it as its lexical leg."""
+    norm_text = _NORM.format(c="text")
+    norm_q = _NORM.format(c="substr(text, 1, 80)")
+    return f"""
+        base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex({norm_text}, '\\s+'),
+                             t -> t <> '') AS ts
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+        tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+               FROM toks GROUP BY 1, 2),
+        qb AS (
+          SELECT doc_id AS query_id,
+                 list_filter(string_split_regex({norm_q}, '\\s+'),
+                             t -> t <> '') AS qs
+          FROM documents WHERE doc_id < 8
+        ),
+        qt AS (SELECT query_id, unnest(qs) AS term FROM qb),
+        qtf AS (SELECT query_id, term, count(*) AS qtf FROM qt GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf
+                WHERE term IN (SELECT DISTINCT term FROM qtf) GROUP BY 1),
+        stats AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM base),
+        s AS (
+          SELECT q.query_id, t.doc_id,
+                 round(sum(q.qtf
+                       * ln(1 + (n - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / avgdl))), 6)
+                   AS score
+          FROM qtf q JOIN tf t ON q.term = t.term
+               JOIN dfq d ON t.term = d.term, stats
+          GROUP BY 1, 2
+        )"""
+
+
+def _bm25_oracle_sql(k: int) -> str:
+    return f"""
+        WITH {_bm25_body_sql()},
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rnk
+              FROM s)
+        SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rank
+        FROM r WHERE rnk <= {k}
+    """
+
+
+def _hybrid_oracle_sql() -> str:
+    return f"""
+        WITH {_bm25_body_sql()},
+        lexr AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id) AS rnk
+                 FROM s),
+        qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 8),
+        cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        cs AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+               FROM qv, cv WHERE query_id <> neighbor_id),
+        vecr AS (SELECT query_id, neighbor_id AS doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id)
+                          AS rnk
+                 FROM cs),
+        u AS (SELECT query_id, doc_id, 1.0 / (60 + rnk) AS w
+              FROM lexr WHERE rnk <= 10
+              UNION ALL
+              SELECT query_id, doc_id, 1.0 / (60 + rnk) AS w
+              FROM vecr WHERE rnk <= 10),
+        f AS (SELECT query_id, doc_id, round(sum(w), 6) AS rrf
+              FROM u GROUP BY 1, 2),
+        fr AS (SELECT query_id, doc_id, rrf,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf DESC, doc_id) AS rnk
+               FROM f)
+        SELECT query_id, doc_id, rrf, CAST(rnk AS INTEGER) AS rank
+        FROM fr WHERE rnk <= 5
+    """
+
+
+def _mojibake_oracle_sql() -> str:
+    """Folds the SAME ordered MOJIBAKE_MAP the Spark expression folds,
+    over the SAME derived corrupted prefixes — parity by construction."""
+    from recordmanager_spark.functions.text import MOJIBAKE_MAP
+
+    p0, p1 = _mojibake_prefixes()
+
+    def q(sv: str) -> str:
+        return "'" + sv.replace("'", "''") + "'"
+
+    expr = "c"
+    for bad, good in MOJIBAKE_MAP:
+        expr = f"replace({expr}, {q(bad)}, {q(good)})"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN {q(p0)}
+                       WHEN doc_id % 3 = 1 THEN {q(p1)}
+                       ELSE '' END) || text AS c
+          FROM documents
+        ), fx AS (SELECT doc_id, c, {expr} AS fixed FROM d)
+        SELECT doc_id, substr(fixed, 1, 60) AS fixed_head,
+               (fixed <> c) AS had_mojibake
+        FROM fx
     """

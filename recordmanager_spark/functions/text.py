@@ -199,3 +199,62 @@ def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
 def token_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
     return ngrams_from_tokens(tokenize(normalize_for_fingerprint(col)), n)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 read as Windows-1252/Latin-1)
+# ---------------------------------------------------------------------------
+
+# Characters whose UTF-8 encodings commonly get mis-decoded as cp1252
+# somewhere in a crawl pipeline (double-encoding at one hop). The
+# corrupted forms are DERIVED from codepoints at import time — never
+# spelled as literals — via cp1252 with a latin-1 fallback for the five
+# bytes cp1252 leaves unmapped (that mixed decoding is what tolerant
+# decoders actually produce; cf. ftfy's sloppy-windows-1252, same
+# family, reimplemented here as plan expressions).
+_MOJIBAKE_CHARS = (
+    "’“”‘„–—…"  # ’ “ ” ‘ „ – — …
+    "éèêëâäçï"  # é è ê ë â ä ç ï
+    "îôöüûñáó"  # î ô ö ü û ñ á ó
+    "úßž"  # ú ß ž
+)
+
+
+def _corrupt(ch: str) -> str:
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))  # latin-1 fallback for 81/8D/8F/90/9D
+    return "".join(out)
+
+
+# Longest corruption first: 3-byte forms (curly quotes, dashes) repair
+# before their 2-byte prefixes, so the fold order is never ambiguous.
+MOJIBAKE_MAP: list[tuple[str, str]] = sorted(
+    ((_corrupt(ch), ch) for ch in _MOJIBAKE_CHARS),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair common UTF-8-as-cp1252 corruptions in a string column.
+
+    A sequential fold of ``replace`` expressions over MOJIBAKE_MAP —
+    pure scan-stage JVM string work, zero shuffles, codegen-friendly;
+    at 100 TB this is free next to the scan that reads the text. The
+    DuckDB oracle folds the SAME ordered list, so results match
+    byte-for-byte.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def has_mojibake(col: Column | str) -> Column:
+    """True when the column contains any MOJIBAKE_MAP corruption
+    (equivalently: when ``fix_mojibake`` would change it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return fix_mojibake(c) != c

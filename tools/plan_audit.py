@@ -313,6 +313,23 @@ AUDITS = [
      "as two map-side-combined aggregates (keys+fingerprint, then "
      "keys) — approx mode (the 100 TB path) is ONE exchange of "
      "sketch state"),
+    ("bm25_topk_docs", 9, True, False,
+     "lexical retrieval (r9): the corpus-scale exchanges are the "
+     "postings groupBy (map-side-combined, paid once if the index is "
+     "persisted/bucketed by term) and the (query,doc) score groupBy of "
+     "the PRUNED hits; everything query-sided (vocab, per-term query "
+     "weights, per-term df, the 1-row N/avgdl census) broadcasts — "
+     "structurally asserted: no SortMergeJoin may appear, so the "
+     "corpus never shuffles for a join; top-k is two-stage bounded "
+     "(per-salt slice then a window over <= n_partial*k survivors)"),
+    ("hybrid_search_docs", 10, True, False,
+     "RRF fusion (r9): the bm25 leg's exchanges plus the cosine leg's "
+     "window and the fusion's union+groupBy (leg outputs are top-k "
+     "lists — query-bounded rows); fusing N legs is ONE exchange "
+     "regardless of N, never an outer-join ladder"),
+    ("mojibake_repair_docs", 0, False, False,
+     "encoding hygiene (r9): a replace fold is pure scan-stage string "
+     "work — zero exchanges, zero joins at any scale"),
     ("near_dup_prune_docs", 3, True, False,
      "window shuffle over clustered rows + the keep-flag join WITHOUT a "
      "planted broadcast hint: this contract corpus is 100% clustered, "
@@ -398,6 +415,16 @@ def main() -> None:
             if "BroadcastNestedLoopJoin" in plan:
                 problems.append(
                     "IVFADC probe fell back to a nested-loop predicate scan"
+                )
+        if name in ("bm25_topk_docs", "hybrid_search_docs"):
+            # every join in the retrieval family keys on the (tiny)
+            # query side — a SortMergeJoin here means the corpus-scale
+            # postings stream shuffled for a join it should broadcast
+            if "SortMergeJoin" in plan:
+                problems.append(
+                    "retrieval join fell back to SortMergeJoin — the "
+                    "corpus side must never shuffle for the vocab/df/"
+                    "qtf joins"
                 )
         if name == "quality_buckets_docs":
             # the contract query must pin the EXACT percentile path (the
