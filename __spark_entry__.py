@@ -3763,6 +3763,23 @@ def hybrid_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     return RET.rrf_fuse([lex, vec], k=5)
 
 
+def ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN calibration: per-query recall@5 of the hyperplane-LSH search
+    against exact brute force — the num_planes pre-flight (the LSH
+    sibling of minhash_calibration_docs). Both legs are the verified
+    knn queries; the report itself joins top-k lists co-partitioned on
+    query_id, bounded state at any query count."""
+    from recordmanager_spark.operators import diagnostics as DG
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    exact = SIM.knn_bruteforce(e, q, "vec_id", "embedding", dim=64, k=5)
+    approx = SIM.knn_lsh(
+        e, q, "vec_id", "embedding", k=5, num_planes=6, dim=64
+    )
+    return DG.ann_recall_report(exact, approx)
+
+
 def mojibake_repair_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Encoding hygiene: repair UTF-8-as-cp1252 mojibake (the ftfy
     sloppy-windows-1252 family) as a pure scan-stage replace fold —
@@ -3822,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_search_docs": hybrid_search_docs,
         "mojibake_repair_docs": mojibake_repair_docs,
+        "ann_recall_lsh": ann_recall_lsh,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4816,20 +4834,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
             FROM r WHERE rnk <= 5
         """,
-        "knn_bruteforce": """
-            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id < 20),
-            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-                  FROM embeddings),
-            s AS (SELECT query_id, neighbor_id,
-                         round(list_cosine_similarity(qv, cv), 6) AS cosine
-                  FROM q, c WHERE query_id <> neighbor_id),
-            r AS (SELECT *, row_number() OVER (
-                      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-                  FROM s)
-            SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
-            FROM r WHERE rnk <= 5
-        """,
+        "knn_bruteforce": _knn_bruteforce_oracle_sql(),
+        "ann_recall_lsh": _ann_recall_oracle_sql(),
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -7227,4 +7233,44 @@ def _mojibake_oracle_sql() -> str:
         SELECT doc_id, substr(fixed, 1, 60) AS fixed_head,
                (fixed <> c) AS had_mojibake
         FROM fx
+    """
+
+
+def _knn_bruteforce_oracle_sql() -> str:
+    return """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings),
+        s AS (SELECT query_id, neighbor_id,
+                     round(list_cosine_similarity(qv, cv), 6) AS cosine
+              FROM q, c WHERE query_id <> neighbor_id),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM s)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+        FROM r WHERE rnk <= 5
+    """
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@5 of the LSH search against exact brute force — both
+    legs ARE the already-verified knn oracles, wrapped as subqueries."""
+    return f"""
+        WITH ex AS ({_knn_bruteforce_oracle_sql()}),
+        ap AS ({_knn_lsh_oracle_sql()}),
+        hit AS (SELECT ex.query_id, count(*) AS n_hit
+                FROM ex JOIN ap ON ex.query_id = ap.query_id
+                                AND ex.neighbor_id = ap.neighbor_id
+                GROUP BY 1),
+        exn AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+        apn AS (SELECT query_id, count(*) AS n_approx FROM ap GROUP BY 1)
+        SELECT e.query_id, e.n_exact,
+               coalesce(a.n_approx, 0) AS n_approx,
+               coalesce(h.n_hit, 0) AS n_hit,
+               round(coalesce(h.n_hit, 0) / CAST(e.n_exact AS DOUBLE), 6)
+                 AS recall
+        FROM exn e
+        LEFT JOIN apn a ON e.query_id = a.query_id
+        LEFT JOIN hit h ON e.query_id = h.query_id
     """

@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "exact_dup_incremental_docs",
     "corpus_config_pipeline_docs",
     "minhash_calibration_docs",
+    # round-9 additions
+    "corpus_config_minhash_docs",
+    "bm25_topk_docs",
+    "hybrid_search_docs",
+    "mojibake_repair_docs",
+    "ann_recall_lsh",
 ]
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score, token_count
 
-__all__ = ["heavy_hitters", "skew_report", "corpus_datacard"]
+__all__ = ["heavy_hitters", "skew_report", "corpus_datacard", "ann_recall_report"]
 
 
 def _key_counts(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
@@ -169,4 +169,45 @@ def corpus_datacard(
         ).alias("dup_rate"),
         F.round(F.avg("__q"), 4).alias("mean_quality"),
         F.round(med, 4).alias("median_quality"),
+    )
+
+
+def ann_recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the exact
+    one: (query_id, n_exact, n_approx, n_hit, recall).
+
+    The num_planes/n_probe pre-flight the minhash calibration report is
+    for LSH band config: run both searches on a bounded query sample,
+    read the recall distribution, then commit the index parameters for
+    the full corpus. Inputs are top-k lists — (query_id, neighbor_id,
+    ...) — so every join here carries at most k rows per query and
+    co-partitions on query_id: bounded state at any query count. The
+    expensive parts are the searches that PRODUCED the inputs; this
+    report is free by comparison.
+
+    Recall is |approx ∩ exact| / |exact| per query (round 6); queries
+    the approximate index missed entirely still appear (n_approx = 0,
+    recall = 0) via the exact-side left joins.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hit = ex.join(ap, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    exn = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    apn = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exn.join(apn, "query_id", "left")
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
     )

@@ -113,3 +113,24 @@ def test_heavy_hitters_multi_key_and_model(spark):
     # ordering: count desc then keys asc
     counts = [r["cnt"] for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ann_recall_report(spark):
+    from recordmanager_spark.operators.diagnostics import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2), (2, 30, 1)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    # q0: perfect; q1: one of two; q2: missed entirely (absent approx)
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 21, 1), (1, 99, 2)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    out = {
+        r["query_id"]: (r["n_exact"], r["n_approx"], r["n_hit"], r["recall"])
+        for r in ann_recall_report(exact, approx).collect()
+    }
+    assert out[0] == (2, 2, 2, 1.0)
+    assert out[1] == (2, 2, 1, 0.5)
+    assert out[2] == (1, 0, 0, 0.0)

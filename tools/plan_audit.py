@@ -327,6 +327,11 @@ AUDITS = [
      "window and the fusion's union+groupBy (leg outputs are top-k "
      "lists — query-bounded rows); fusing N legs is ONE exchange "
      "regardless of N, never an outer-join ladder"),
+    ("ann_recall_lsh", 5, True, False,
+     "ANN calibration (r9): the legs' own exchanges (LSH bucket "
+     "groupBys + both legs' ranking windows) plus the report's three "
+     "query-id-keyed aggregations over TOP-K lists — every report-side "
+     "join carries <= k rows per query, co-partitioned on query_id"),
     ("mojibake_repair_docs", 0, False, False,
      "encoding hygiene (r9): a replace fold is pure scan-stage string "
      "work — zero exchanges, zero joins at any scale"),
