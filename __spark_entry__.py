@@ -2857,6 +2857,65 @@ def streaming_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def streaming_neardup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming minhash/LSH near-dup (rows-only check — stateful
+    streaming is not SQL-expressible): batch 1 registers 40 corpus docs
+    as bucket representatives (zero emissions), batch 2 delivers
+    near-duplicates (same text + a short tail, ids shifted +40) that
+    must match their originals via checkpointed state. Deterministic:
+    the whole md5/XOR family is engine-stable, so the emission set is
+    fixed."""
+    import tempfile
+    import uuid
+
+    from recordmanager_spark.streaming.pipeline import (
+        streaming_minhash_neardup,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    batch1 = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    batch2 = d.select(
+        (F.col("doc_id") + 40).cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny appended tail")).alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="rm_sneardup_")
+    schema = "doc_id string, text string"
+    rows = []
+    for i, batch in enumerate((batch1, batch2)):
+        batch.coalesce(1).write.mode("append").json(f"{base}/in")
+        stream = spark.readStream.schema(schema).json(f"{base}/in")
+        out = streaming_minhash_neardup(stream, threshold=0.5)
+
+        def gather(bdf, _epoch, run=i):
+            rows.extend(
+                (
+                    r["doc_id"],
+                    r["band"],
+                    r["matched_id"],
+                    r["est_jaccard"],
+                    run,
+                )
+                for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("stream_sneardup_" + uuid.uuid4().hex[:10])
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, band int, matched_id string, "
+        "est_jaccard double, run int",
+    )
+
+
 def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher repetition-filter battery (Rae et al. 2021 §A.1.1):
     duplicate-line fractions over a synthesized multi-line rendering (the
@@ -3840,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_docs": hybrid_search_docs,
         "mojibake_repair_docs": mojibake_repair_docs,
         "ann_recall_lsh": ann_recall_lsh,
+        "streaming_neardup_docs": streaming_neardup_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,

@@ -248,3 +248,134 @@ def streaming_first_seen(
             ),
         )
     )
+
+
+def streaming_minhash_neardup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    reps_per_bucket: int = 16,
+):
+    """Streaming NEAR-duplicate detection: minhash/LSH as a stateful
+    streaming operator (streaming_first_seen's fuzzy sibling).
+
+    Everything before the keyed state is SCAN-STAGE on the micro-batch:
+    the per-document minhash signature evaluates as one row-local
+    expression (the shingle-hash array is let-bound through a
+    one-element ``transform`` so its md5 pass runs ONCE per row, not
+    once per permutation — the lm_score idiom; a groupBy-based
+    signature like the batch path's would be a second stateful operator,
+    which Structured Streaming restricts), then LSH band keys explode
+    exactly as in the batch engine (same md5→60-bit→XOR-permutation
+    family, same banding — a corpus deduped in batch and a stream
+    deduped here agree on the family).
+
+    The ONE stateful hop groups by (band, band_key):
+    ``applyInPandasWithState`` holds up to ``reps_per_bucket``
+    (id, signature) representatives per bucket — the streaming analogue
+    of the batch engine's bucket/hub cap, so state per bucket is
+    bounded no matter how much boilerplate collapses into it. Each
+    arriving document compares against the stored representatives
+    (signature agreement >= ``threshold``, the Broder estimate) and
+    either EMITS its best match — ``(doc_id, band, band_key,
+    matched_id, est_jaccard)``, deterministic: highest agreement, then
+    smallest matched id; within a batch docs process in id order — or
+    registers as a new representative while the bucket has room. A
+    saturated bucket neither matches nor registers the doc (it still
+    probes its other ``bands - 1`` buckets). A doc may emit in several
+    bands; consumers wanting one verdict per doc take min(matched_id)
+    per doc_id in their sink batch — kept out of this operator because
+    a second keyed aggregation would again chain stateful operators.
+
+    State cardinality = distinct occupied buckets x reps_per_bucket
+    signatures, hash-partitioned across executors.
+    """
+    from ..functions.text import normalize_for_fingerprint, tokenize
+    from ..operators.text_dedup import _PERM_XOR, _band_key_array
+
+    toks = tokenize(normalize_for_fingerprint(text_col))
+    # shingles: distinct word n-grams, whole-text fallback for short
+    # docs (token_ngrams semantics, rebuilt here over the bound column)
+    from ..functions.text import ngrams_from_tokens
+
+    shingles = ngrams_from_tokens(toks, shingle_n)
+    xors = ",".join(f"{int(_PERM_XOR[p])}L" for p in range(num_perm))
+    sig_sql = (
+        "try_element_at(transform(array(transform(__sh, s -> "
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))), "
+        f"hs -> transform(array({xors}), x -> "
+        "array_min(transform(hs, h -> h ^ x)))), 1)"
+    )
+    banded = (
+        stream.select(
+            F.col(id_col).cast("string").alias("__id"),
+            shingles.alias("__sh"),
+        )
+        .select("__id", F.expr(sig_sql).alias("sig"))
+        .select(
+            "__id",
+            F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+                "band", "band_key"
+            ),
+            "sig",
+        )
+    )
+
+    out_schema = (
+        f"{id_col} string, band int, band_key string, "
+        "matched_id string, est_jaccard double"
+    )
+    state_schema = "ids array<string>, sigs array<string>"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids = list(state.get[0])
+            sigs = [[int(x) for x in s.split(",")] for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        out = []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["__id"], pdf["sig"]))
+        # id order makes within-batch rep registration deterministic
+        # regardless of arrow batch partitioning
+        rows.sort(key=lambda r: r[0])
+        for doc, sig in rows:
+            sigl = [int(x) for x in sig]
+            best_id, best_agr = None, -1.0
+            for rid, rsig in zip(ids, sigs):
+                n_eq = sum(1 for a, b in zip(sigl, rsig) if a == b)
+                agr = n_eq / float(len(sigl))
+                if agr >= threshold and (
+                    agr > best_agr
+                    or (agr == best_agr and (best_id is None or rid < best_id))
+                ):
+                    best_id, best_agr = rid, agr
+            if best_id is not None:
+                out.append(
+                    (doc, int(key[0]), key[1], best_id, round(best_agr, 6))
+                )
+            elif len(ids) < reps_per_bucket:
+                ids.append(doc)
+                sigs.append(sigl)
+        state.update((ids, [",".join(map(str, s)) for s in sigs]))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "band", "band_key", "matched_id", "est_jaccard"],
+            )
+
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
