@@ -3860,6 +3860,56 @@ def mojibake_repair_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# deterministic markup fixture shared character-for-character with the
+# oracle: <title>/h1 carry the doc id, nav + (doc_id%4==0) footer carry
+# the link-density signal, script/style/comment/entities exercise the
+# stripping chain
+_HTML_P1 = "<html><head><title>Doc "
+_HTML_P2 = (
+    ' pages</title><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>.nav{color:red}</style></head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About <b>us</b></a></nav>'
+    "<h1>Doc "
+)
+_HTML_P3 = "</h1><p>"
+_HTML_P4 = "</p><!-- hidden comment --><div>tail &amp; more &lt;escaped&gt;</div>"
+_HTML_FOOTER = '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+_HTML_P5 = "</body></html>"
+
+
+def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML text extraction (WET-grade crawl step 0): tag/script/style/
+    comment strip, entity decode, title pull, and the jusText-style
+    link-density boilerplate signal — all scan-stage expression chains
+    (zero shuffles). Markup is synthesized deterministically around each
+    corpus doc (nav + optional footer links vary by doc_id % 4) so the
+    oracle replays the identical chain."""
+    from recordmanager_spark.functions.html import (
+        html_title,
+        html_to_text,
+        link_density,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_HTML_P1), ids, F.lit(_HTML_P2), ids, F.lit(_HTML_P3),
+        F.substring("text", 1, 150),
+        F.lit(_HTML_P4),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HTML_FOOTER)).otherwise(
+            F.lit("")
+        ),
+        F.lit(_HTML_P5),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        F.substring(html_to_text(html), 1, 100).alias("text_head"),
+        F.length(html_to_text(html)).alias("n_chars"),
+        link_density(html).alias("link_density"),
+    )
+
+
 def _mojibake_prefixes() -> tuple[str, str]:
     """Deterministic corrupted prefixes, derived from MOJIBAKE_MAP so
     the Spark literal and the oracle SQL literal are the same string."""
@@ -3900,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair_docs": mojibake_repair_docs,
         "ann_recall_lsh": ann_recall_lsh,
         "streaming_neardup_docs": streaming_neardup_docs,
+        "html_extract_docs": html_extract_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4072,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _bm25_oracle_sql(5),
         "hybrid_search_docs": _hybrid_oracle_sql(),
         "mojibake_repair_docs": _mojibake_oracle_sql(),
+        "html_extract_docs": _html_extract_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -7333,4 +7385,57 @@ def _ann_recall_oracle_sql() -> str:
         FROM exn e
         LEFT JOIN apn a ON e.query_id = a.query_id
         LEFT JOIN hit h ON e.query_id = h.query_id
+    """
+
+
+def _html_extract_oracle_sql() -> str:
+    """Replays functions/html.py's expression chain in DuckDB (RE2:
+    same inline (?is) flags, no backreferences) over the same fixture
+    constants — parity by construction."""
+    from recordmanager_spark.functions.html import HTML_ENTITIES
+
+    def q(sv: str) -> str:
+        return "'" + sv.replace("'", "''") + "'"
+
+    ent = "regexp_replace(sb, '(?s)<[^>]*>', ' ', 'g')"
+    for e, ch in HTML_ENTITIES:
+        ent = f"replace({ent}, {q(e)}, {q(ch)})"
+    text_of = "trim(regexp_replace(" + ent + ", '\\s+', ' ', 'g'))"
+    anchor_len = (
+        "length(trim(regexp_replace(regexp_replace(a, '(?s)<[^>]*>', ' ',"
+        " 'g'), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 {q(_HTML_P1)} || CAST(doc_id AS VARCHAR) || {q(_HTML_P2)}
+                 || CAST(doc_id AS VARCHAR) || {q(_HTML_P3)}
+                 || substr(text, 1, 150) || {q(_HTML_P4)}
+                 || (CASE WHEN doc_id % 4 = 0 THEN {q(_HTML_FOOTER)}
+                          ELSE '' END)
+                 || {q(_HTML_P5)} AS html
+          FROM documents
+        ), sbt AS (
+          SELECT doc_id, html,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g') AS sb
+          FROM h
+        ), txt AS (
+          SELECT doc_id, html, sb, {text_of} AS text_all
+          FROM sbt
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_extract(html,
+                 '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g'))
+                 AS title,
+               substr(text_all, 1, 100) AS text_head,
+               length(text_all) AS n_chars,
+               round(coalesce(list_sum(list_transform(
+                       regexp_extract_all(sb, '(?is)<a[^>]*>(.*?)</a>', 1),
+                       a -> {anchor_len})), 0)
+                     / CAST(greatest(length(text_all), 1) AS DOUBLE), 6)
+                 AS link_density
+        FROM txt
     """

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "hybrid_search_docs",
     "mojibake_repair_docs",
     "ann_recall_lsh",
+    "html_extract_docs",
 ]
 
 

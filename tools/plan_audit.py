@@ -332,6 +332,10 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("html_extract_docs", 0, False, False,
+     "HTML text extraction (r9): strip/decode/title/link-density are "
+     "all regexp/replace expression chains — zero exchanges, zero "
+     "joins; extraction parallelism == scan parallelism at any scale"),
     ("mojibake_repair_docs", 0, False, False,
      "encoding hygiene (r9): a replace fold is pure scan-stage string "
      "work — zero exchanges, zero joins at any scale"),
