@@ -156,3 +156,57 @@ def test_rrf_tie_breaks_on_doc_id(spark):
     )
     out = sorted(rrf_fuse([a, b], k=2).collect(), key=lambda r: r["rank"])
     assert [r["doc_id"] for r in out] == [3, 5]  # equal rrf -> id asc
+
+
+def test_bm25_bucketed_postings_index(spark, corpus):
+    """Probing a PERSISTED term-bucketed postings index: identical
+    ranking to the inline build, the index scan reads its bucket spec
+    (co-located term groupBys), and the probe plan drops the postings
+    build's exchanges — the BM25 analogue of the fingerprint/banded
+    index contracts."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from recordmanager_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    def _ex(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n = sum(
+            1
+            for sec in re.split(r"^\(\d+\) ", plan, flags=re.M)[1:]
+            if sec.startswith("Exchange")
+        )
+        return n, plan
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy dog")], ["query_id", "query_text"]
+    )
+    inline = bm25_topk(corpus, queries, k=5)
+    n_inline, _ = _ex(inline)
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
+    shutil.rmtree("spark-warehouse/t_bm25_postings", ignore_errors=True)
+    write_bucketed(build_postings(corpus), "t_bm25_postings", "term", 4)
+    try:
+        idx = read_bucketed(spark, "t_bm25_postings")
+        probed = bm25_topk(corpus, queries, k=5, postings=idx)
+        n_bucketed, plan = _ex(probed)
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, probed.collect())
+        )
+        # the index arrives pre-partitioned: the postings-build exchange
+        # disappears and the term-keyed df census inherits the bucket
+        # partitioning (measured 10 -> 7 when pinned)
+        assert n_bucketed <= n_inline - 3, (n_bucketed, n_inline)
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
