@@ -15,6 +15,13 @@ Stage order is FIXED and documented (the SolrUpdater-style contract —
 the reference applies field rules -> mappings -> extras in code order,
 not ini order):
 
+0.  ``strip_html`` / ``fix_mojibake`` — text hygiene, applied IN PLACE
+                             to the text column before any gate reads
+                             it: WET-grade HTML extraction
+                             (``functions.html.html_to_text``) and
+                             UTF-8-as-cp1252 repair
+                             (``functions.text.fix_mojibake``); both
+                             scan-stage, so stage 0 adds zero shuffles
 1.  ``languages[]``        — keep listed language codes
 2.  ``blocklist``          — C4-style bad-words gate: a file of one
                              word per line (``#`` comments); documents
@@ -99,6 +106,8 @@ __all__ = ["CorpusConfig", "parse_corpus_ini", "apply_corpus_pipeline"]
 @dataclass
 class CorpusConfig:
     name: str
+    strip_html: bool = False
+    fix_mojibake: bool = False
     languages: list[str] = field(default_factory=list)
     blocklist: str | None = None  # path to one-word-per-line file
     blocklist_max_hits: int = 0
@@ -157,6 +166,8 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
 
         cfg = CorpusConfig(
             name=name,
+            strip_html=_bool(kv.get("strip_html"), False),
+            fix_mojibake=_bool(kv.get("fix_mojibake"), False),
             languages=list(kv.get("languages", [])),
             blocklist=kv.get("blocklist"),
             blocklist_max_hits=_i("blocklist_max_hits", 0),
@@ -251,6 +262,14 @@ def apply_corpus_pipeline(
     from .operators.text_dedup import distinct_by_text
 
     out = df
+    if cfg.strip_html:
+        from .functions.html import html_to_text
+
+        out = out.withColumn(text_col, html_to_text(text_col))
+    if cfg.fix_mojibake:
+        from .functions.text import fix_mojibake
+
+        out = out.withColumn(text_col, fix_mojibake(text_col))
     if cfg.languages:
         out = out.where(F.col(lang_col).isin(cfg.languages))
     if cfg.blocklist is not None:

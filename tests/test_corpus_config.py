@@ -271,3 +271,48 @@ lm_reference_lang = en
     )
     kept = {r.doc_id for r in CC.apply_corpus_pipeline(df, cfg).collect()}
     assert 200 in kept
+
+
+def test_hygiene_stage_strip_html_and_mojibake(spark):
+    """Stage 0 rewrites the text column in place before any gate reads
+    it: HTML strips to visible text, mojibake repairs, and downstream
+    token gates see the CLEANED token counts."""
+    from recordmanager_spark.corpus_config import (
+        apply_corpus_pipeline,
+        parse_corpus_ini,
+    )
+    from recordmanager_spark.functions.text import MOJIBAKE_MAP
+
+    inv = {g: b for b, g in MOJIBAKE_MAP}
+    ini = """
+[corpus:clean]
+strip_html = true
+fix_mojibake = true
+min_tokens = 3
+keep_text = true
+"""
+    cfg = parse_corpus_ini(ini)["clean"]
+    assert cfg.strip_html and cfg.fix_mojibake
+    rows = [
+        # 5 visible tokens after stripping; nav text would add 2 more
+        (0, "<p>one two three four five</p><script>var x;</script>", "en"),
+        # mojibake repairs; 3 tokens pass the gate
+        (1, "caf" + inv["é"] + " au lait", "en"),
+        # after stripping only 2 tokens remain -> dropped by min_tokens
+        (2, "<div>too short</div>", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in apply_corpus_pipeline(df, cfg).collect()
+    }
+    assert out[0] == "one two three four five"
+    assert out[1] == "café au lait"
+    assert 2 not in out
+
+
+def test_hygiene_stage_defaults_off(spark):
+    from recordmanager_spark.corpus_config import parse_corpus_ini
+
+    cfg = parse_corpus_ini("[corpus:x]\nmin_tokens = 1\n")["x"]
+    assert not cfg.strip_html and not cfg.fix_mojibake
