@@ -317,8 +317,10 @@ AUDITS = [
      "lexical retrieval (r9): the corpus-scale exchanges are the "
      "postings groupBy (map-side-combined, paid once if the index is "
      "persisted/bucketed by term) and the (query,doc) score groupBy of "
-     "the PRUNED hits; everything query-sided (vocab, per-term query "
-     "weights, per-term df, the 1-row N/avgdl census) broadcasts — "
+     "the PRUNED hits; the per-term df census joins back CO-PARTITIONED "
+     "on the shared pruned-hits exchange (broadcasting it re-executed "
+     "the whole postings build — one extra corpus scan); query vocab, "
+     "query weights, and the 1-row N/avgdl census broadcast — "
      "structurally asserted: no SortMergeJoin may appear, so the "
      "corpus never shuffles for a join; top-k is two-stage bounded "
      "(per-salt slice then a window over <= n_partial*k survivors)"),
