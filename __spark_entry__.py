@@ -3910,6 +3910,60 @@ def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_WARC_HTTP_PREFIX = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+
+def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC source round-trip: documents render into framed WARC
+    response records (Content-Length envelopes, 25 segments of docs
+    ordered by id — the splitter fixture pattern), the mapInPandas
+    cursor parser extracts them back, and the oracle computes the
+    expected records INDEPENDENTLY (no parsing) — so a framing bug on
+    either side breaks the hash."""
+    from recordmanager_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf, "documents")
+    body = F.concat(F.lit("<p>"), F.substring("text", 1, 120), F.lit("</p>"))
+    block = F.concat(F.lit(_WARC_HTTP_PREFIX), body)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nWARC-Target-URI: https://corpus.example/"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "Content-Length: "
+        ),
+        F.length(block).cast("string"),
+        F.lit("\r\n\r\n"),
+        block,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(
+            (F.col("doc_id") % 25).cast("string").alias("path"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("value")
+        )
+    )
+    return warc_records(files).select(
+        F.col("warc_file").cast("int").alias("warc_file"),
+        "record_ord",
+        "target_uri",
+        "content_length",
+        "payload",
+    )
+
+
 def _mojibake_prefixes() -> tuple[str, str]:
     """Deterministic corrupted prefixes, derived from MOJIBAKE_MAP so
     the Spark literal and the oracle SQL literal are the same string."""
@@ -3951,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": ann_recall_lsh,
         "streaming_neardup_docs": streaming_neardup_docs,
         "html_extract_docs": html_extract_docs,
+        "warc_extract_docs": warc_extract_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4124,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_docs": _hybrid_oracle_sql(),
         "mojibake_repair_docs": _mojibake_oracle_sql(),
         "html_extract_docs": _html_extract_oracle_sql(),
+        "warc_extract_docs": _warc_extract_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -7438,4 +7494,27 @@ def _html_extract_oracle_sql() -> str:
                      / CAST(greatest(length(text_all), 1) AS DOUBLE), 6)
                  AS link_density
         FROM txt
+    """
+
+
+def _warc_extract_oracle_sql() -> str:
+    """Computes the EXPECTED parse of the WARC fixture independently —
+    per-document arithmetic, no parsing — so the Spark side's framing
+    (Content-Length envelopes, per-segment record order, HTTP body
+    split) is validated end-to-end, not replayed."""
+    http_len = len(_WARC_HTTP_PREFIX)
+    return f"""
+        WITH b AS (
+          SELECT doc_id, doc_id % 25 AS f,
+                 '<p>' || substr(text, 1, 120) || '</p>' AS body
+          FROM documents
+        )
+        SELECT CAST(f AS INT) AS warc_file,
+               CAST(row_number() OVER (PARTITION BY f ORDER BY doc_id) - 1
+                    AS INT) AS record_ord,
+               'https://corpus.example/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST({http_len} + length(body) AS BIGINT) AS content_length,
+               body AS payload
+        FROM b
     """

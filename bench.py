@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "mojibake_repair_docs",
     "ann_recall_lsh",
     "html_extract_docs",
+    "warc_extract_docs",
 ]
 
 

@@ -1,0 +1,95 @@
+"""WARC source: framing edge cases (pure parser goldens) + the
+distributed mapInPandas path."""
+
+from __future__ import annotations
+
+from recordmanager_spark.sources.warc import parse_warc_text, warc_records
+
+
+def _rec(wtype, uri, body, ctype="text/plain", extra=""):
+    block = body
+    if wtype == "response":
+        ctype = "application/http; msgtype=response"
+        block = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{uri}-id>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n"
+        f"{extra}\r\n"
+        + block
+        + "\r\n\r\n"
+    )
+
+
+def test_parse_basic_records():
+    text = _rec("warcinfo", "meta", "software: test") + _rec(
+        "response", "http://a.example/", "<html><body>hello</body></html>"
+    )
+    rows = parse_warc_text("f1", text)
+    assert [r[2] for r in rows] == ["warcinfo", "response"]
+    assert rows[1][4] == "http://a.example/"
+    # HTTP envelope stripped from the response payload
+    assert rows[1][8] == "<html><body>hello</body></html>"
+    assert rows[0][8] == "software: test"
+    assert [r[1] for r in rows] == [0, 1]
+
+
+def test_payload_containing_warc_marker_is_not_a_boundary():
+    tricky = "before WARC/1.0\r\nWARC-Type: fake\r\n\r\n after"
+    text = _rec("resource", "u1", tricky) + _rec("resource", "u2", "tail")
+    rows = parse_warc_text("f", text)
+    assert len(rows) == 2
+    assert rows[0][8] == tricky  # Content-Length wins over the marker
+    assert rows[1][8] == "tail"
+
+
+def test_bare_lf_and_truncated_tail():
+    text = (
+        "WARC/1.0\n"
+        "WARC-Type: resource\n"
+        "WARC-Target-URI: u\n"
+        "Content-Length: 100\n"
+        "\n"
+        "short"  # EOF before Content-Length octets
+    )
+    rows = parse_warc_text("f", text)
+    assert len(rows) == 1
+    assert rows[0][8] == "short"
+    assert rows[0][7] == 100
+
+
+def test_unframed_garbage_skipped():
+    text = "WARC/1.0\r\nNo-Length: x\r\n\r\njunk" + _rec(
+        "resource", "ok", "good"
+    )
+    rows = parse_warc_text("f", text)
+    assert [r[4] for r in rows] == ["ok"]
+
+
+def test_warc_records_distributed(spark):
+    f1 = _rec("response", "http://a/", "<p>one</p>") + _rec(
+        "resource", "http://b/", "raw bytes"
+    )
+    f2 = _rec("response", "http://c/", "<p>two</p>")
+    df = spark.createDataFrame(
+        [("seg-1.warc", f1), ("seg-2.warc", f2)], ["path", "value"]
+    )
+    out = warc_records(df).collect()
+    got = {(r["warc_file"], r["record_ord"]): r for r in out}
+    assert len(out) == 3
+    assert got[("seg-1.warc", 0)]["payload"] == "<p>one</p>"
+    assert got[("seg-1.warc", 1)]["warc_type"] == "resource"
+    assert got[("seg-2.warc", 0)]["target_uri"] == "http://c/"
+    # scan-stage: no exchange in the plan
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        warc_records(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()

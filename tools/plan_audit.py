@@ -334,6 +334,11 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("warc_extract_docs", 1, False, False,
+     "WARC source (r9): the parse itself is scan-stage mapInPandas "
+     "(parallelism = segment files, zero shuffles); the single "
+     "exchange is the contract FIXTURE assembling documents into "
+     "segments (groupBy file) — a real crawl reads segments directly"),
     ("html_extract_docs", 0, False, False,
      "HTML text extraction (r9): strip/decode/title/link-density are "
      "all regexp/replace expression chains — zero exchanges, zero "
