@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401 (callers compose)
 from pyspark.sql import types as T
 
-__all__ = ["WARC_SCHEMA", "parse_warc_text", "warc_records"]
+__all__ = ["WARC_SCHEMA", "gunzip_members", "parse_warc_text", "warc_records"]
 
 WARC_SCHEMA = T.StructType(
     [
@@ -120,6 +120,26 @@ def parse_warc_text(name: str, text: str) -> list[tuple]:
     return out
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip blob — Common Crawl
+    WARC segments are one gzip MEMBER PER RECORD concatenated, so a
+    plain single-member gunzip would stop after the first record.
+    Non-gzip input passes through unchanged."""
+    import zlib
+
+    if len(data) < 2 or data[:2] != b"\x1f\x8b":
+        return data
+    out = bytearray()
+    view = memoryview(data)
+    while len(view) >= 2 and bytes(view[:2]) == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out += d.decompress(bytes(view))
+        if not d.eof:  # truncated final member: keep what decoded
+            break
+        view = memoryview(d.unused_data)
+    return bytes(out)
+
+
 def warc_records(
     files: DataFrame,
     name_col: str = "path",
@@ -128,9 +148,13 @@ def warc_records(
     """Parse a DataFrame of whole WARC files into one row per record.
 
     ``files`` is the landing-zone read — ``spark.read.text(dir,
-    wholetext=True).withColumn("path", F.input_file_name())`` or any
-    (name, content) pair. Scan-stage mapInPandas: parallelism = input
-    files, zero shuffles, Arrow-batched.
+    wholetext=True).withColumn("path", F.input_file_name())`` for plain
+    segments, or ``spark.read.format("binaryFile")`` for ``.warc.gz``
+    (the content column may be bytes: multi-member gzip — Common
+    Crawl's one-member-per-record layout — decompresses in the same
+    task via :func:`gunzip_members`; segment gzip is NOT splittable,
+    which is fine because the segment file IS the parallelism unit).
+    Scan-stage mapInPandas: zero shuffles, Arrow-batched.
     """
     import pandas as pd
 
@@ -141,6 +165,10 @@ def warc_records(
         for pdf in batches:
             rows: list[tuple] = []
             for name, content in zip(pdf[names[0]], pdf[names[1]]):
+                if isinstance(content, (bytes, bytearray)):
+                    content = gunzip_members(bytes(content)).decode(
+                        "utf-8", errors="replace"
+                    )
                 rows.extend(parse_warc_text(name, content))
             yield pd.DataFrame(rows, columns=cols)
 

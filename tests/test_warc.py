@@ -93,3 +93,34 @@ def test_warc_records_distributed(spark):
     with redirect_stdout(buf):
         warc_records(df).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_gunzip_members_multi_member_and_passthrough():
+    import gzip
+
+    from recordmanager_spark.sources.warc import gunzip_members
+
+    a = gzip.compress(b"first record ")
+    b = gzip.compress(b"second record")
+    assert gunzip_members(a + b) == b"first record second record"
+    assert gunzip_members(b"plain text") == b"plain text"
+    assert gunzip_members(b"") == b""
+    # truncated second member: first member still decodes
+    assert gunzip_members(a + b[: len(b) // 2]).startswith(b"first record ")
+
+
+def test_warc_records_gz_binary_content(spark):
+    import gzip
+
+    f1 = _rec("response", "http://a/", "<p>one</p>")
+    f2 = _rec("resource", "http://b/", "raw")
+    # Common Crawl layout: one gzip member per record, concatenated
+    blob = gzip.compress(f1.encode()) + gzip.compress(f2.encode())
+    df = spark.createDataFrame(
+        [("seg.warc.gz", bytearray(blob))], "path string, value binary"
+    )
+    out = {r["target_uri"]: r for r in warc_records(df).collect()}
+    assert out["http://a/"]["payload"] == "<p>one</p>"
+    assert out["http://b/"]["payload"] == "raw"
+    assert out["http://a/"]["record_ord"] == 0
+    assert out["http://b/"]["record_ord"] == 1
