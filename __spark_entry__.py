@@ -3910,6 +3910,26 @@ def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content-overlap report for mixture planning:
+    pairwise shared-fingerprint counts + Jaccard between corpus
+    sources. Overlap is synthesized deterministically (fingerprint =
+    md5 of a doc_id%50 boilerplate token — the paragraph_dedup fixture
+    pattern) so every source pair shares some content; per-fingerprint
+    join state is bounded by the source count, never doc²."""
+    from recordmanager_spark.operators import diagnostics as DG
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.md5(
+            F.concat(
+                F.lit("boiler:"), (F.col("doc_id") % 50).cast("string")
+            )
+        ).alias("fingerprint"),
+    )
+    return DG.source_overlap_report(docs, "source", "fingerprint")
+
+
 _WARC_HTTP_PREFIX = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
 
 
@@ -4006,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_docs": streaming_neardup_docs,
         "html_extract_docs": html_extract_docs,
         "warc_extract_docs": warc_extract_docs,
+        "source_overlap_docs": source_overlap_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4180,6 +4201,26 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair_docs": _mojibake_oracle_sql(),
         "html_extract_docs": _html_extract_oracle_sql(),
         "warc_extract_docs": _warc_extract_oracle_sql(),
+        "source_overlap_docs": """
+            WITH fp AS (
+              SELECT DISTINCT source AS g,
+                     md5('boiler:' || CAST(doc_id % 50 AS VARCHAR)) AS f
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+              FROM fp a JOIN fp b ON a.f = b.f AND a.g < b.g
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT g, count(*) AS nf FROM fp GROUP BY 1)
+            SELECT source_a, source_b, n_shared,
+                   ta.nf AS n_a, tb.nf AS n_b,
+                   round(n_shared / CAST(ta.nf + tb.nf - n_shared AS DOUBLE),
+                         6) AS jaccard
+            FROM pairs
+            JOIN tot ta ON pairs.source_a = ta.g
+            JOIN tot tb ON pairs.source_b = tb.g
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

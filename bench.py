@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "ann_recall_lsh",
     "html_extract_docs",
     "warc_extract_docs",
+    "source_overlap_docs",
 ]
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score, token_count
 
-__all__ = ["heavy_hitters", "skew_report", "corpus_datacard", "ann_recall_report"]
+__all__ = ["heavy_hitters", "skew_report", "corpus_datacard", "ann_recall_report", "source_overlap_report"]
 
 
 def _key_counts(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
@@ -209,5 +209,65 @@ def ann_recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
                 / F.col("n_exact").cast("double"),
                 6,
             ).alias("recall"),
+        )
+    )
+
+
+def source_overlap_report(
+    df: DataFrame,
+    group_col: str = "source",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices: for every pair
+    of groups sharing at least one content fingerprint, (source_a,
+    source_b, n_shared, n_a, n_b, jaccard) with jaccard =
+    |A ∩ B| / |A ∪ B| over distinct fingerprints.
+
+    The mixture-planning companion to corpus_datacard: two crawls with
+    high overlap double-weight their shared content in a naive mixture
+    (RefinedWeb/RedPajama both report this before setting weights).
+
+    Shape: distinct (group, fp) first — per-fingerprint state is then
+    bounded by the GROUP COUNT (a boilerplate fp present everywhere
+    contributes at most |groups|² pair rows, never doc²); the pair
+    join keys on fp (equi-join over co-partitioned distinct sets) and
+    aggregates to group-pair cardinality rows. Group totals join back
+    broadcast (group count is small by definition of "sources").
+    Pairs with zero shared fingerprints are absent by construction.
+    """
+    sf = df.select(
+        F.col(group_col).alias("g"), F.col(fp_col).alias("fp")
+    ).distinct()
+    a = sf.select(F.col("g").alias("source_a"), "fp")
+    b = sf.select(F.col("g").alias("source_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    tot = sf.groupBy("g").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("g").alias("source_a"), F.col("nf").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("g").alias("source_b"), F.col("nf").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

@@ -134,3 +134,24 @@ def test_ann_recall_report(spark):
     assert out[0] == (2, 2, 2, 1.0)
     assert out[1] == (2, 2, 1, 0.5)
     assert out[2] == (1, 0, 0, 0.0)
+
+
+def test_source_overlap_report(spark):
+    from recordmanager_spark.operators.diagnostics import (
+        source_overlap_report,
+    )
+
+    rows = [
+        ("s1", "f1"), ("s1", "f2"), ("s1", "f2"),  # dup fp collapses
+        ("s2", "f2"), ("s2", "f3"),
+        ("s3", "f9"),  # no overlap with anyone
+    ]
+    df = spark.createDataFrame(rows, ["source", "fingerprint"])
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"],
+        )
+        for r in source_overlap_report(df).collect()
+    }
+    # only the overlapping pair appears; jaccard = 1 shared / 3 union
+    assert out == {("s1", "s2"): (1, 2, 2, round(1 / 3, 6))}

@@ -334,6 +334,11 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("source_overlap_docs", 4, True, False,
+     "cross-source overlap (r9): the (group, fp) distinct + the "
+     "fp-keyed pair self-join side + the group-pair aggregation + the "
+     "group totals census; per-fp pair state bounded by |groups|, "
+     "totals join back broadcast"),
     ("warc_extract_docs", 1, False, False,
      "WARC source (r9): the parse itself is scan-stage mapInPandas "
      "(parallelism = segment files, zero shuffles); the single "
