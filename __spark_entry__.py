@@ -3910,6 +3910,23 @@ def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def pack_bins_ffd_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-document FFD bin packing (rows-only check — FFD's
+    sequential first-fit is not SQL-expressible; budget/quality
+    properties are pytest-pinned): documents pack into 256-token bins
+    across 8 hash shards without splitting. Deterministic: md5 shard +
+    (tokens desc, id) fit order."""
+    from recordmanager_spark.functions.text import token_count
+    from recordmanager_spark.operators.packing import pack_bins_ffd
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_bins_ffd(
+        d, id_col="doc_id", tokens_col="n_tokens", budget=256, num_shards=8
+    )
+
+
 def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source content-overlap report for mixture planning:
     pairwise shared-fingerprint counts + Jaccard between corpus
@@ -4027,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": html_extract_docs,
         "warc_extract_docs": warc_extract_docs,
         "source_overlap_docs": source_overlap_docs,
+        "pack_bins_ffd_docs": pack_bins_ffd_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,

@@ -520,3 +520,98 @@ def write_shuffled_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Whole-document bin packing, first-fit-decreasing per shard.
+
+    pack_sequences cuts the concatenated stream every ``budget`` tokens
+    (pretraining-style — documents may split across bins); THIS variant
+    never splits a document: SFT/instruction corpora and long-context
+    eval sets need each document intact in one sequence, and FFD is the
+    classic 11/9·OPT+6/9 guarantee (Johnson 1973) for minimizing the
+    bins that costs.
+
+    FFD is inherently sequential, so it runs PER SHARD: documents hash
+    into ``num_shards`` independent packing problems (deterministic
+    md5 shard — the pack_sequences/shuffle_shards key), each shard
+    packs in one ``applyInPandas`` group sorted by (tokens desc, id).
+    Sharding costs at most the few partially-filled last bins per shard
+    in efficiency; at 100 TB shard count scales with the cluster while
+    each group's state is the shard's bin fill table (bounded by
+    shard_tokens/budget). Documents longer than ``budget`` get a bin
+    alone and flag ``oversize`` (callers chunk or drop them — this
+    operator never truncates).
+
+    Output: (id, n_tokens, shard, bin_id, bin_fill, oversize) where
+    bin_id is globally unique (shard-prefixed) and bin_fill is the
+    bin's total AFTER packing — the packing-efficiency report is
+    ``1 - avg(slack)/budget`` over distinct bins.
+    """
+    import pandas as pd
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(num_shards),
+    )
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    out_schema = (
+        "id long, n_tokens long, shard long, bin_id long, "
+        "bin_fill long, oversize boolean"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sh = int(pdf["shard"].iloc[0])
+        rows = sorted(
+            zip(pdf["id"], pdf["n_tokens"]),
+            key=lambda r: (-int(r[1]), int(r[0])),
+        )
+        fills: list[int] = []  # fill per local bin
+        assign: list[tuple] = []
+        for doc, nt in rows:
+            nt = int(nt)
+            if nt >= budget:
+                fills.append(nt)
+                assign.append((int(doc), nt, len(fills) - 1, nt > budget))
+                continue
+            # first fit over open bins (linear scan; bins per shard is
+            # bounded by shard_tokens/budget)
+            for b, fill in enumerate(fills):
+                if fill + nt <= budget:
+                    fills[b] = fill + nt
+                    assign.append((int(doc), nt, b, False))
+                    break
+            else:
+                fills.append(nt)
+                assign.append((int(doc), nt, len(fills) - 1, False))
+        return pd.DataFrame(
+            [
+                (
+                    doc,
+                    nt,
+                    sh,
+                    sh * 10_000_000 + b,
+                    fills[b],
+                    oversize,
+                )
+                for doc, nt, b, oversize in assign
+            ],
+            columns=[
+                "id", "n_tokens", "shard", "bin_id", "bin_fill", "oversize",
+            ],
+        )
+
+    return src.groupBy("shard").applyInPandas(pack, out_schema)

@@ -334,6 +334,11 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("pack_bins_ffd_docs", 1, False, False,
+     "whole-doc FFD packing (r9): ONE shard exchange feeds the "
+     "per-shard applyInPandas; group state = the shard's bin fill "
+     "table (shard_tokens/budget), shard count scales with the "
+     "cluster"),
     ("source_overlap_docs", 4, True, False,
      "cross-source overlap (r9): the (group, fp) distinct + the "
      "fp-keyed pair self-join side + the group-pair aggregation + the "
