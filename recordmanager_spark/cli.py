@@ -506,6 +506,38 @@ def cmd_preview(args) -> None:
     print()
 
 
+def cmd_curate(args) -> None:
+    """Run a [corpus:<name>] curation pipeline end-to-end: parquet in,
+    compiled stages (hygiene / gates / dedup / decontamination / caps /
+    LM / DSIR / sample / split), parquet out — the corpus-side sibling
+    of update-index."""
+    spark = _spark("rm-curate")
+    from .corpus_config import apply_corpus_pipeline, parse_corpus_ini
+
+    cfgs = parse_corpus_ini(open(args.config).read())
+    if args.corpus not in cfgs:
+        raise SystemExit(
+            f"no [corpus:{args.corpus}] section in {args.config} "
+            f"(found: {sorted(cfgs)})"
+        )
+    df = spark.read.parquet(args.input)
+    tables = {}
+    if args.benchmark:
+        name, path = args.benchmark.split("=", 1)
+        tables[name] = spark.read.parquet(path)
+    out = apply_corpus_pipeline(
+        df,
+        cfgs[args.corpus],
+        id_col=args.id_col,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        tables=tables or None,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"curated {args.corpus}: {n} rows -> {args.out}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -617,6 +649,22 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--config")
     s.add_argument("--source")
     s.set_defaults(fn=cmd_preview)
+
+    s = sub.add_parser(
+        "curate", help="corpus parquet -> [corpus:] pipeline -> parquet"
+    )
+    s.add_argument("--config", required=True, help="ini with [corpus:...]")
+    s.add_argument("--corpus", required=True, help="section name")
+    s.add_argument("--input", required=True, help="input parquet")
+    s.add_argument("--out", required=True, help="output parquet")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--lang-col", default="lang")
+    s.add_argument(
+        "--benchmark",
+        help="NAME=path.parquet for decontaminate table resolution",
+    )
+    s.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

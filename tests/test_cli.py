@@ -245,3 +245,60 @@ def test_cli_rewrite_cleans_tmp(workspace, spark):
     # a mark-deleted pass also rewrites in place
     main(["mark-deleted", "--records", records, "--id", "B.b2"])
     assert not os.path.exists(records + ".tmp")
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """curate: parquet -> [corpus:] pipeline (hygiene + token gate +
+    exact dedup + split) -> parquet, via the console entry point."""
+    from recordmanager_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "<p>alpha beta gamma delta epsilon</p>", "en"),
+            (1, "<p>alpha beta gamma delta epsilon</p>", "en"),  # dup of 0
+            (2, "<div>too short</div>", "en"),
+            (3, "ein deutscher satz mit sechs woertern hier", "de"),
+            (4, "zeta eta theta iota kappa lambda", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    ini = tmp_path / "corpus.ini"
+    ini.write_text(
+        "[corpus:web_en]\n"
+        "strip_html = true\n"
+        "languages[] = en\n"
+        "dedup = exact\n"
+        "min_tokens = 4\n"
+        "split[] = 0.5\n"
+        "split[] = 0.5\n"
+    )
+    out = str(tmp_path / "curated")
+    main(
+        [
+            "curate",
+            "--config", str(ini),
+            "--corpus", "web_en",
+            "--input", src,
+            "--out", out,
+        ]
+    )
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 4}  # 1 deduped, 2 gated, 3 wrong lang
+    assert all(r["split"] in ("train", "val") for r in got.values())
+
+
+def test_cli_curate_unknown_corpus(tmp_path):
+    import pytest as _pytest
+
+    from recordmanager_spark.cli import main
+
+    ini = tmp_path / "c.ini"
+    ini.write_text("[corpus:a]\nmin_tokens = 1\n")
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "curate", "--config", str(ini), "--corpus", "missing",
+                "--input", "x", "--out", "y",
+            ]
+        )
