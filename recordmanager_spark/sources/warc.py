@@ -35,7 +35,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401 (callers compose)
 from pyspark.sql import types as T
 
-__all__ = ["WARC_SCHEMA", "gunzip_members", "parse_warc_text", "warc_records"]
+__all__ = [
+    "WARC_SCHEMA",
+    "gunzip_members",
+    "parse_warc_bytes",
+    "parse_warc_text",
+    "warc_records",
+]
 
 WARC_SCHEMA = T.StructType(
     [
@@ -52,28 +58,31 @@ WARC_SCHEMA = T.StructType(
 )
 
 
-def parse_warc_text(name: str, text: str) -> list[tuple]:
+def parse_warc_bytes(name: str, data: bytes) -> list[tuple]:
     """Cursor-walk one WARC file's records (driver/worker-side helper;
     pure function so the golden tests pin framing edge cases directly).
 
     Framing per ISO 28500: ``WARC/<ver>CRLF``, header lines until a
-    blank line, ``Content-Length`` octets of block, then CRLF CRLF.
-    Lenient where real crawls are: bare-LF line endings accepted,
-    whitespace around header values trimmed, unknown headers ignored,
-    a missing/short final separator tolerated at EOF. A payload
-    containing ``WARC/1.0`` is NOT a record boundary — only the cursor
-    position after Content-Length octets is.
+    blank line, ``Content-Length`` OCTETS of block, then CRLF CRLF —
+    so the walk runs over BYTES (a char-based cursor desyncs on the
+    first multibyte payload; golden-pinned) and payloads decode
+    utf-8-replace only after slicing. Lenient where real crawls are:
+    bare-LF line endings accepted, whitespace around header values
+    trimmed, unknown headers ignored, a missing/short final separator
+    tolerated at EOF. A payload containing ``WARC/1.0`` is NOT a
+    record boundary — only the cursor position after Content-Length
+    octets is.
     """
     out: list[tuple] = []
     i, ord_ = 0, 0
-    n = len(text)
+    n = len(data)
     while True:
-        start = text.find("WARC/", i)
+        start = data.find(b"WARC/", i)
         if start < 0:
             break
         # headers end at the first blank line
-        he_crlf = text.find("\r\n\r\n", start)
-        he_lf = text.find("\n\n", start)
+        he_crlf = data.find(b"\r\n\r\n", start)
+        he_lf = data.find(b"\n\n", start)
         if he_crlf < 0 and he_lf < 0:
             break
         if he_crlf >= 0 and (he_lf < 0 or he_crlf + 1 <= he_lf):
@@ -81,7 +90,8 @@ def parse_warc_text(name: str, text: str) -> list[tuple]:
         else:
             hend, bstart = he_lf, he_lf + 2
         headers: dict[str, str] = {}
-        for line in text[start:hend].splitlines()[1:]:
+        htext = data[start:hend].decode("utf-8", errors="replace")
+        for line in htext.splitlines()[1:]:
             k, _, v = line.partition(":")
             if _:
                 headers[k.strip().lower()] = v.strip()
@@ -91,13 +101,13 @@ def parse_warc_text(name: str, text: str) -> list[tuple]:
             # unframed record: skip to the next candidate marker
             i = start + 5
             continue
-        block = text[bstart : min(bstart + clen, n)]
+        block = data[bstart : min(bstart + clen, n)]
         wtype = headers.get("warc-type", "")
         ctype = headers.get("content-type", "")
         payload = block
         if wtype == "response" and ctype.startswith("application/http"):
             # drop the HTTP envelope; body is what curation consumes
-            for sep in ("\r\n\r\n", "\n\n"):
+            for sep in (b"\r\n\r\n", b"\n\n"):
                 j = block.find(sep)
                 if j >= 0:
                     payload = block[j + len(sep) :]
@@ -112,12 +122,20 @@ def parse_warc_text(name: str, text: str) -> list[tuple]:
                 headers.get("warc-date", ""),
                 ctype,
                 clen,
-                payload,
+                payload.decode("utf-8", errors="replace"),
             )
         )
         ord_ += 1
         i = bstart + clen
     return out
+
+
+def parse_warc_text(name: str, text: str) -> list[tuple]:
+    """String-input convenience over :func:`parse_warc_bytes` — the
+    text encodes to utf-8 first so Content-Length still counts octets
+    (for ASCII fixtures the two are the same; for anything else only
+    the byte walk is correct)."""
+    return parse_warc_bytes(name, text.encode("utf-8"))
 
 
 def gunzip_members(data: bytes) -> bytes:
@@ -166,10 +184,13 @@ def warc_records(
             rows: list[tuple] = []
             for name, content in zip(pdf[names[0]], pdf[names[1]]):
                 if isinstance(content, (bytes, bytearray)):
-                    content = gunzip_members(bytes(content)).decode(
-                        "utf-8", errors="replace"
+                    rows.extend(
+                        parse_warc_bytes(
+                            name, gunzip_members(bytes(content))
+                        )
                     )
-                rows.extend(parse_warc_text(name, content))
+                else:
+                    rows.extend(parse_warc_text(name, content))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select(*names).mapInPandas(gen, WARC_SCHEMA)

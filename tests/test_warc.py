@@ -124,3 +124,22 @@ def test_warc_records_gz_binary_content(spark):
     assert out["http://b/"]["payload"] == "raw"
     assert out["http://a/"]["record_ord"] == 0
     assert out["http://b/"]["record_ord"] == 1
+
+
+def test_content_length_counts_octets_not_chars():
+    """A multibyte payload: the byte cursor stays aligned where a
+    char cursor would desync into the next record's headers."""
+    from recordmanager_spark.sources.warc import parse_warc_bytes
+
+    body = "café — naïve"  # 12 chars, 16 utf-8 octets
+    rec1 = (
+        "WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u1\r\n"
+        f"Content-Length: {len(body.encode('utf-8'))}\r\n\r\n"
+    ).encode() + body.encode() + b"\r\n\r\n"
+    rec2 = (
+        "WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u2\r\n"
+        "Content-Length: 4\r\n\r\ntail\r\n\r\n"
+    ).encode()
+    rows = parse_warc_bytes("f", rec1 + rec2)
+    assert [(r[4], r[8]) for r in rows] == [("u1", body), ("u2", "tail")]
+    assert rows[0][7] == len(body.encode("utf-8")) != len(body)
