@@ -3972,7 +3972,7 @@ def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
             "Content-Type: application/http; msgtype=response\r\n"
             "Content-Length: "
         ),
-        F.length(block).cast("string"),
+        F.octet_length(block).cast("string"),
         F.lit("\r\n\r\n"),
         block,
         F.lit("\r\n\r\n"),
@@ -7573,7 +7573,8 @@ def _warc_extract_oracle_sql() -> str:
                     AS INT) AS record_ord,
                'https://corpus.example/' || CAST(doc_id AS VARCHAR)
                  AS target_uri,
-               CAST({http_len} + length(body) AS BIGINT) AS content_length,
+               CAST({http_len} + strlen(body) AS BIGINT)
+                 AS content_length,
                body AS payload
         FROM b
     """
