@@ -107,6 +107,8 @@ def bm25_topk(
     postings side is fresh enough to reuse — at 100 TB keep both the
     postings AND the stats table from ingest.
     """
+    if k < 1 or n_partial < 1:
+        raise ValueError(f"k={k} and n_partial={n_partial} must be >= 1")
     if postings is None:
         postings = build_postings(corpus, id_col, text_col)
 
@@ -221,6 +223,8 @@ def rrf_fuse(
     (small per query by construction), so the whole fusion is tiny
     next to the legs that produced it.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     unioned = None
     for r in rankings:
         leg = r.select(
