@@ -4034,8 +4034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a driver-recorded oracle row.
-        # r9: lead with this round's new queries (retrieval family +
-        # encoding hygiene), then the r8 head (canaries + refreshes).
+        # r9: lead with this round's ten new queries (BM25/hybrid
+        # retrieval, ANN recall, streaming near-dup, encoding/HTML
+        # hygiene, WARC source, source overlap, FFD packing), then the
+        # r8 head (canaries + refreshes).
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_search_docs": hybrid_search_docs,
         "mojibake_repair_docs": mojibake_repair_docs,
