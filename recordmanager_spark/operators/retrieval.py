@@ -57,7 +57,20 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalize_for_fingerprint, tokenize
 
-__all__ = ["build_postings", "bm25_topk", "rrf_fuse"]
+__all__ = ["build_corpus_stats", "build_postings", "bm25_topk", "rrf_fuse"]
+
+
+def build_corpus_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The 1-row (N, avgdl) BM25 statistics table — persist it next to
+    the postings index at ingest so probes never touch the corpus."""
+    return df.select(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg(F.size(tokenize(normalize_for_fingerprint(text_col)))).alias(
+            "__avgdl"
+        ),
+    )
 
 
 def build_postings(
@@ -96,16 +109,18 @@ def bm25_topk(
     b: float = 0.75,
     n_partial: int = 32,
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
 
     ``queries`` is small by contract (it broadcasts twice: the distinct
     term vocabulary into the postings prune, the per-term query weights
     into scoring). Pass ``postings`` to probe a prebuilt/persisted
-    index instead of re-deriving it from ``corpus``; ``corpus`` is
-    still scanned once for the 1-row (N, avgdl) census unless the
-    postings side is fresh enough to reuse — at 100 TB keep both the
-    postings AND the stats table from ingest.
+    index instead of re-deriving it from ``corpus``, and ``stats``
+    (``build_corpus_stats`` output, persisted at ingest) to skip the
+    1-row (N, avgdl) census scan too — with both, a probe touches the
+    corpus ZERO times (pinned in tests/test_retrieval.py), which is
+    the 100 TB serving shape.
     """
     if k < 1 or n_partial < 1:
         raise ValueError(f"k={k} and n_partial={n_partial} must be >= 1")
@@ -135,12 +150,9 @@ def bm25_topk(
     # a second time just to build the broadcast, a full extra corpus
     # scan at 100 TB (measured: 3 corpus scans -> 2 at sf0.1).
 
-    stats = corpus.select(
-        F.count(F.lit(1)).alias("__N"),
-        F.avg(F.size(tokenize(normalize_for_fingerprint(text_col)))).alias(
-            "__avgdl"
-        ),
-    )  # 1 row -> broadcast nested loop; keeps the plan lazy
+    if stats is None:
+        stats = build_corpus_stats(corpus, text_col)
+    # 1 row -> broadcast nested loop; keeps the plan lazy
 
     scored_terms = (
         hits.join(dfreq, "term")

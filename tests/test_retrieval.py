@@ -210,3 +210,36 @@ def test_bm25_bucketed_postings_index(spark, corpus):
         assert "Bucketed: true" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
+
+
+def test_bm25_persisted_stats_zero_corpus_scans(spark, corpus):
+    """postings + stats both persisted: the probe plan contains ZERO
+    scans of the corpus source — the 100 TB serving shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    from recordmanager_spark.operators.retrieval import build_corpus_stats
+
+    queries = spark.createDataFrame(
+        [(0, "quick fox"), (1, "lazy dog")], ["query_id", "query_text"]
+    )
+    # materialize index + stats as if written at ingest
+    postings = spark.createDataFrame(
+        build_postings(corpus).collect(),
+        "term string, doc_id long, tf long, dl int",
+    )
+    stats = spark.createDataFrame(
+        build_corpus_stats(corpus).collect(), "__N long, __avgdl double"
+    )
+    inline = bm25_topk(corpus, queries, k=5)
+    probed = bm25_topk(corpus, queries, k=5, postings=postings, stats=stats)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    # the corpus is an in-memory LocalTableScan of (doc_id, text); with
+    # index + stats injected, no node reads the text column at all
+    assert "text" not in plan.lower().replace("query_text", ""), plan
