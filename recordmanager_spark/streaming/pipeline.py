@@ -260,6 +260,7 @@ def streaming_minhash_neardup(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     reps_per_bucket: int = 16,
+    state_ttl_seconds: float | None = None,
 ):
     """Streaming NEAR-duplicate detection: minhash/LSH as a stateful
     streaming operator (streaming_first_seen's fuzzy sibling).
@@ -294,6 +295,12 @@ def streaming_minhash_neardup(
 
     State cardinality = distinct occupied buckets x reps_per_bucket
     signatures, hash-partitioned across executors.
+    ``state_ttl_seconds`` additionally bounds it in TIME for unbounded
+    streams: a bucket idle past the TTL evicts its representatives via
+    a processing-time timeout, so a later near-duplicate of evicted
+    content re-registers instead of matching — the same
+    exact-within-the-window trade (and the same RUNNING-trigger
+    requirement) as streaming_first_seen's TTL.
     """
     from ..functions.text import normalize_for_fingerprint, tokenize
     from ..operators.text_dedup import _PERM_XOR, _band_key_array
@@ -332,9 +339,16 @@ def streaming_minhash_neardup(
     )
     state_schema = "ids array<string>, sigs array<string>"
 
+    ttl_ms = (
+        int(state_ttl_seconds * 1000) if state_ttl_seconds is not None else None
+    )
+
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if getattr(state, "hasTimedOut", False):
+            state.remove()  # cold bucket: forget its representatives
+            return
         if state.exists:
             ids = list(state.get[0])
             sigs = [[int(x) for x in s.split(",")] for s in state.get[1]]
@@ -366,6 +380,8 @@ def streaming_minhash_neardup(
                 ids.append(doc)
                 sigs.append(sigl)
         state.update((ids, [",".join(map(str, s)) for s in sigs]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(
                 out,
@@ -377,5 +393,7 @@ def streaming_minhash_neardup(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+        ),
     )

@@ -147,3 +147,51 @@ def test_streaming_sig_matches_batch_signature(spark):
     ).select("id", F.expr(sig_sql).alias("sig"))
     streaming = {r["id"]: list(r["sig"]) for r in stream_like.collect()}
     assert streaming == batch
+
+
+def test_streaming_neardup_state_ttl_evicts_reps(spark, tmp_path):
+    """TTL mode: a bucket idle past state_ttl_seconds loses its reps,
+    so a later near-duplicate re-registers instead of matching (one
+    continuous processingTime query — the first_seen TTL harness)."""
+    import time
+    import uuid
+
+    base = str(tmp_path)
+    rows = []
+
+    def write_file(data, name):
+        spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(f"{base}/in/{name}")
+
+    write_file([("a", BASE)], "b1")
+    out = streaming_minhash_neardup(
+        spark.readStream.schema(SCHEMA).json(f"{base}/in/*"),
+        threshold=0.5,
+        state_ttl_seconds=1.0,
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _e: rows.extend(
+                (r["doc_id"], r["matched_id"]) for r in bdf.collect()
+            )
+        )
+        .outputMode("update")
+        .queryName("t_nd_ttl_" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while not q.lastProgress and time.time() < deadline:
+            time.sleep(0.2)
+        time.sleep(4.0)  # idle past the TTL: a's reps evict
+        write_file([("b", NEAR)], "b2")
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            time.sleep(0.5)
+        # b arrived after eviction: it must NOT match a anywhere
+        assert rows == [], rows
+    finally:
+        q.stop()
