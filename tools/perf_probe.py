@@ -552,6 +552,111 @@ def cmd_soak8(sf_dir: str) -> None:
     )
 
 
+def cmd_soak9(sf_dir: str) -> None:
+    """Round-9 soaks: (a) BM25 with a fully degenerate HOT TERM — a
+    token present in EVERY document, so one query term matches the
+    whole corpus: the (query, doc) aggregation and the two-stage top-k
+    must stay bounded (a single-window top-k would pull every matching
+    doc through one task). (b) scan throughput of the hygiene chain
+    (HTML strip + mojibake repair) and (c) the WARC byte-walk parse,
+    both pure scan-stage."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+
+    from recordmanager_spark.functions.html import html_to_text
+    from recordmanager_spark.functions.text import fix_mojibake
+    from recordmanager_spark.operators.retrieval import bm25_topk
+    from recordmanager_spark.sources.warc import warc_records
+
+    big = _docs10(spark, sf_dir)
+    n = big.count()
+
+    # --- (a) hot-term BM25: "soakterm" in all n docs -------------------
+    hot = big.select(
+        "doc_id",
+        F.concat(F.lit("soakterm "), "text").alias("text"),
+    )
+    queries = spark.createDataFrame(
+        [(0, "soakterm"), (1, "soakterm quick data lorem")],
+        "query_id long, query_text string",
+    )
+    t0 = time.time()
+    rows = bm25_topk(
+        hot, queries, k=10, query_id_col="query_id",
+        query_text_col="query_text",
+    ).collect()
+    secs = time.time() - t0
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q[0] == 10 and per_q[1] == 10, per_q
+    print(
+        f"bm25 hot-term ({n} docs, term in 100%)  {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"top-k exact at k=10 per query (two-stage bound held)"
+    )
+
+    # --- (b) hygiene chain: HTML strip + mojibake repair ---------------
+    marked = big.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><nav><a href='/'>Home</a></nav><p>Caf"),
+            F.lit("\u00c3\u00a9 "),  # corrupted e-acute
+            F.col("text"),
+            F.lit("</p><script>x()</script></body></html>"),
+        ).alias("html"),
+    )
+    t0 = time.time()
+    out = marked.select(
+        F.sum(F.length(fix_mojibake(html_to_text("html")))).alias("chars")
+    ).collect()[0]["chars"]
+    secs = time.time() - t0
+    print(
+        f"hygiene chain (strip+repair)   {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"({out / 1e6:.0f}M visible chars, zero exchanges)"
+    )
+
+    # --- (c) WARC render + byte-walk parse ------------------------------
+    body = F.concat(F.lit("<p>"), F.substring("text", 1, 200), F.lit("</p>"))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+        F.lit("\r\n\r\n"),
+    )
+    segs = (
+        big.select(
+            F.pmod(F.col("doc_id"), F.lit(CORES * 4)).cast("string").alias(
+                "path"
+            ),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("value")
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    parsed = warc_records(segs).count()
+    secs = time.time() - t0
+    assert parsed == n, (parsed, n)
+    print(
+        f"warc byte-walk parse           {secs:7.2f}s  "
+        f"{n / secs:9.0f} rec/s  {n / secs / CORES:7.0f} rec/s/core  "
+        f"({CORES * 4} segments, all records recovered)"
+    )
+
+
 def cmd_soak7(sf_dir: str) -> None:
     """Round-7 soaks: the DEGENERATE-bucket cases for the bounded-state
     bucket pairing (operators/bucket_pairs.py) — one boilerplate text /
@@ -678,6 +783,8 @@ if __name__ == "__main__":
         cmd_soak7(sf_dir)
     elif mode == "soak8":
         cmd_soak8(sf_dir)
+    elif mode == "soak9":
+        cmd_soak9(sf_dir)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
