@@ -3927,6 +3927,25 @@ def pack_bins_ffd_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft deduplication (reweight-don't-remove): every copy of a
+    duplicated text keeps sampling weight 1/n_copies — duplicated
+    content contributes once in expectation while the loader keeps its
+    stream order. Duplicates are synthesized (doc_id%100 buckets, the
+    streaming fixture pattern); census join-back, never a hot-key
+    window."""
+    from recordmanager_spark.operators.text_dedup import duplication_weights
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("copy bucket "),
+            F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        ).alias("text"),
+    )
+    return duplication_weights(d, "doc_id", "text")
+
+
 def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source content-overlap report for mixture planning:
     pairwise shared-fingerprint counts + Jaccard between corpus
@@ -4047,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_docs": warc_extract_docs,
         "source_overlap_docs": source_overlap_docs,
         "pack_bins_ffd_docs": pack_bins_ffd_docs,
+        "soft_dedup_weights_docs": soft_dedup_weights_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4221,6 +4241,18 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair_docs": _mojibake_oracle_sql(),
         "html_extract_docs": _html_extract_oracle_sql(),
         "warc_extract_docs": _warc_extract_oracle_sql(),
+        "soft_dedup_weights_docs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     md5({_NORM.format(c="'copy bucket ' || CAST(doc_id % 100 AS VARCHAR)")})
+                       AS fp
+              FROM documents
+            ),
+            c AS (SELECT fp, count(*) AS n_copies FROM d GROUP BY 1)
+            SELECT d.doc_id AS id, d.fp, c.n_copies,
+                   round(1.0 / c.n_copies, 6) AS weight
+            FROM d JOIN c ON d.fp = c.fp
+        """,
         "source_overlap_docs": """
             WITH fp AS (
               SELECT DISTINCT source AS g,

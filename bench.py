@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "html_extract_docs",
     "warc_extract_docs",
     "source_overlap_docs",
+    "soft_dedup_weights_docs",
 ]
 
 

@@ -1189,3 +1189,32 @@ def near_dup_prune(
         .withColumn("keep", F.coalesce(F.col("__nd_keep"), F.lit(True)))
         .drop("__nd_id", "__nd_comp", "__nd_keep")
     )
+
+
+def duplication_weights(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp, n_copies, weight) — soft deduplication: every copy of a
+    duplicated text survives but carries sampling weight 1/n_copies, so
+    the CONTENT's total contribution to training matches a deduped
+    corpus while the loader keeps its natural data order ("SoftDedup",
+    He et al. 2024 — reweight, don't remove; the hard-removal tier is
+    :func:`exact_duplicates` / :func:`distinct_by_text`).
+
+    Same hot-key shape as exact_duplicates: the copy census is a
+    map-side-combined ``groupBy(fp).count()`` joined back on fp
+    (AQE-skew-eligible) — never a ``count() OVER (PARTITION BY fp)``
+    window, which would ship a boilerplate fingerprint's hundred
+    million rows through one reducer. Weight rounds to 6 decimals so
+    external engines reproduce it.
+    """
+    with_fp = df.select(
+        F.col(id_col).alias("id"), fingerprint(text_col).alias("fp")
+    )
+    census = with_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return with_fp.join(census, "fp").select(
+        "id",
+        "fp",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+    )

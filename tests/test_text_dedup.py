@@ -597,3 +597,21 @@ def test_minhash_calibration_rejects_string_ids_without_pairs(spark):
     pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
     out = TD.minhash_calibration(df, "doc_id", "text", pairs=pairs).collect()
     assert len(out) == 1 and out[0].id_a == "a"
+
+
+def test_duplication_weights(spark):
+    from recordmanager_spark.operators.text_dedup import duplication_weights
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT!"), (3, "unique"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_copies"], r["weight"])
+           for r in duplication_weights(df).collect()}
+    # normalization folds case/punct/whitespace: 1,2,4 share a fingerprint
+    assert out[1] == (3, round(1 / 3, 6))
+    assert out[2] == (3, round(1 / 3, 6))
+    assert out[4] == (3, round(1 / 3, 6))
+    assert out[3] == (1, 1.0)
+    # expectation preserved: weights per fingerprint sum to 1
+    assert abs(sum(w for n, w in out.values() if n == 3) - 1.0) < 1e-5

@@ -334,6 +334,10 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("soft_dedup_weights_docs", 1, False, False,
+     "soft dedup (r9): ONE map-side-combined fingerprint census "
+     "exchange + AQE-skew-eligible join-back — never a count() window "
+     "over the unbounded fp key; weighting itself is scan-stage"),
     ("pack_bins_ffd_docs", 1, False, False,
      "whole-doc FFD packing (r9): ONE shard exchange feeds the "
      "per-shard applyInPandas; group state = the shard's bin fill "
