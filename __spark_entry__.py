@@ -3946,6 +3946,21 @@ def soft_dedup_weights_docs(spark: SparkSession, sf: str) -> DataFrame:
     return duplication_weights(d, "doc_id", "text")
 
 
+def token_divergence_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise token-distribution drift between sources (Jensen-
+    Shannon + total variation over 256 hashed token buckets) — the
+    distribution-shift companion to source_overlap_docs: overlap sees
+    shared documents, this sees vocabulary drift with zero shared
+    documents. One corpus scan; per-source state bounded by the bucket
+    count."""
+    from recordmanager_spark.operators.diagnostics import (
+        token_divergence_report,
+    )
+
+    d = _t(spark, sf, "documents")
+    return token_divergence_report(d, "source", "text", n_buckets=256)
+
+
 def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source content-overlap report for mixture planning:
     pairwise shared-fingerprint counts + Jaccard between corpus
@@ -4067,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_docs": source_overlap_docs,
         "pack_bins_ffd_docs": pack_bins_ffd_docs,
         "soft_dedup_weights_docs": soft_dedup_weights_docs,
+        "token_divergence_docs": token_divergence_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4252,6 +4268,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id, d.fp, c.n_copies,
                    round(1.0 / c.n_copies, 6) AS weight
             FROM d JOIN c ON d.fp = c.fp
+        """,
+        "token_divergence_docs": f"""
+            WITH tok AS (
+              SELECT source AS g,
+                     unnest(list_filter(string_split_regex(
+                       {_NORM.format(c='text')}, '\\s+'), t -> t <> ''))
+                       AS t
+              FROM documents
+            ),
+            cen AS (
+              SELECT g, {_HEX8.format(h="md5(t)")} % 256 AS b, count(*) AS c
+              FROM tok GROUP BY 1, 2
+            ),
+            tot AS (SELECT g, sum(c) AS n FROM cen GROUP BY 1),
+            p AS (SELECT g, b, c / CAST(n AS DOUBLE) AS p
+                  FROM cen JOIN tot USING (g)),
+            m AS (
+              SELECT a.g AS sa, bb.g AS sb,
+                     sum(0.5 * a.p * ln(2 * a.p / (a.p + bb.p))
+                         + 0.5 * bb.p * ln(2 * bb.p / (a.p + bb.p)))
+                       AS js_m,
+                     sum(a.p) AS ma, sum(bb.p) AS mb,
+                     sum(abs(a.p - bb.p)) AS tv_m
+              FROM p a JOIN p bb ON a.b = bb.b AND a.g < bb.g
+              GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT a.g AS sa, b.g AS sb
+              FROM tot a JOIN tot b ON a.g < b.g
+            )
+            SELECT prs.sa AS source_a, prs.sb AS source_b,
+                   round(coalesce(m.js_m, 0)
+                         + 0.5 * ln(2) * ((1 - coalesce(m.ma, 0))
+                                          + (1 - coalesce(m.mb, 0))), 6)
+                     AS js_divergence,
+                   round(0.5 * (coalesce(m.tv_m, 0)
+                                + (1 - coalesce(m.ma, 0))
+                                + (1 - coalesce(m.mb, 0))), 6)
+                     AS total_variation
+            FROM prs LEFT JOIN m ON prs.sa = m.sa AND prs.sb = m.sb
         """,
         "source_overlap_docs": """
             WITH fp AS (

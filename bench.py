@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "warc_extract_docs",
     "source_overlap_docs",
     "soft_dedup_weights_docs",
+    "token_divergence_docs",
 ]
 
 

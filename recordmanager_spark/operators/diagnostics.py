@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score, token_count
 
-__all__ = ["heavy_hitters", "skew_report", "corpus_datacard", "ann_recall_report", "source_overlap_report"]
+__all__ = ["heavy_hitters", "skew_report", "corpus_datacard", "ann_recall_report", "source_overlap_report", "token_divergence_report"]
 
 
 def _key_counts(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
@@ -270,4 +270,98 @@ def source_overlap_report(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def token_divergence_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Pairwise token-distribution divergence between corpus slices:
+    (source_a, source_b, js_divergence, total_variation) over hashed
+    token buckets — the distribution-shift companion to
+    source_overlap_report (overlap sees shared DOCUMENTS; this sees
+    vocabulary drift even with zero shared documents — two crawls of
+    the same sites months apart overlap little but diverge little).
+
+    Shape: ONE corpus scan explodes tokens into ``n_buckets`` hash
+    buckets (the lm_score/DSIR feature space) -> a map-side-combined
+    (group, bucket) census — per-group state bounded by n_buckets
+    regardless of corpus size -> bucket-keyed self-join of the tiny
+    census for every group pair. Jensen-Shannon handles disjoint
+    support exactly: buckets present in only one side contribute
+    0.5*ln2 of that side's unmatched mass (the closed form of the
+    p*ln(2p/(p+q)) terms at q=0), so no smoothing constant is needed.
+    Rounded to 6; natural-log JS (max ln 2).
+    """
+    from ..functions.text import normalize_for_fingerprint, tokenize
+
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokenize(normalize_for_fingerprint(text_col))).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    census = tok.select("g", bucket.alias("b")).groupBy("g", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = census.groupBy("g").agg(F.sum("c").alias("n"))
+    probs = census.join(F.broadcast(tot), "g").select(
+        "g", "b", (F.col("c") / F.col("n")).alias("p")
+    )
+    a = probs.select(
+        F.col("g").alias("source_a"), "b", F.col("p").alias("pa")
+    )
+    bb = probs.select(
+        F.col("g").alias("source_b"), "b", F.col("p").alias("pb")
+    )
+    matched = (
+        a.join(bb, "b")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                0.5 * F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + 0.5 * F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("js_matched"),
+            F.sum("pa").alias("ma"),
+            F.sum("pb").alias("mb"),
+            F.sum(F.abs(F.col("pa") - F.col("pb"))).alias("tv_matched"),
+        )
+    )
+    # pairs with DISJOINT bucket support never meet the bucket equi-join
+    # — build the pair universe from the (tiny) group list so they
+    # still report, at the closed-form maxima (js = ln 2, tv = 1)
+    groups = tot.select("g")
+    pairs = (
+        groups.select(F.col("g").alias("source_a"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("source_b"))))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ln2 = 0.6931471805599453
+    full = pairs.join(matched, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("js_matched"), F.lit(0.0)).alias("js_matched"),
+        F.coalesce(F.col("ma"), F.lit(0.0)).alias("ma"),
+        F.coalesce(F.col("mb"), F.lit(0.0)).alias("mb"),
+        F.coalesce(F.col("tv_matched"), F.lit(0.0)).alias("tv_matched"),
+    )
+    return full.select(
+        "source_a",
+        "source_b",
+        F.round(
+            F.col("js_matched")
+            + F.lit(0.5 * ln2) * ((1.0 - F.col("ma")) + (1.0 - F.col("mb"))),
+            6,
+        ).alias("js_divergence"),
+        F.round(
+            F.lit(0.5)
+            * (F.col("tv_matched") + (1.0 - F.col("ma")) + (1.0 - F.col("mb"))),
+            6,
+        ).alias("total_variation"),
     )

@@ -155,3 +155,43 @@ def test_source_overlap_report(spark):
     }
     # only the overlapping pair appears; jaccard = 1 shared / 3 union
     assert out == {("s1", "s2"): (1, 2, 2, round(1 / 3, 6))}
+
+
+def test_token_divergence_report(spark):
+    import math
+
+    from recordmanager_spark.operators.diagnostics import (
+        token_divergence_report,
+    )
+
+    # identical distributions -> 0; fully disjoint vocab -> ln2 / 1.0
+    rows = [
+        ("a", "apple banana cherry"),
+        ("b", "apple banana cherry"),
+        ("c", "delta echo foxtrot"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["js_divergence"], r["total_variation"],
+        )
+        for r in token_divergence_report(df, n_buckets=64).collect()
+    }
+    assert out[("a", "b")] == (0.0, 0.0)
+    assert out[("a", "c")] == (round(math.log(2), 6), 1.0)
+    assert out[("b", "c")] == (round(math.log(2), 6), 1.0)
+    # symmetry of the metric: overlapping-but-different distributions
+    df2 = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x y y")], ["source", "text"]
+    )
+    js, tv = next(
+        (r["js_divergence"], r["total_variation"])
+        for r in token_divergence_report(df2, n_buckets=64).collect()
+    )
+    # p=(2/3,1/3) vs q=(1/3,2/3): tv = 1/3; js closed form
+    p, q = 2 / 3, 1 / 3
+    expect = 0.5 * (
+        p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+    ) * 2
+    assert tv == round(1 / 3, 6)
+    assert js == round(expect, 6)

@@ -334,6 +334,11 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("token_divergence_docs", 6, True, False,
+     "token drift report (r9): one corpus scan -> map-side-combined "
+     "(group, bucket) census (state <= n_buckets per group at any "
+     "corpus size) + totals census; the pair join and the all-pairs "
+     "base operate on the TINY census/group tables only"),
     ("soft_dedup_weights_docs", 1, False, False,
      "soft dedup (r9): ONE map-side-combined fingerprint census "
      "exchange + AQE-skew-eligible join-back — never a count() window "
