@@ -3961,6 +3961,24 @@ def token_divergence_docs(spark: SparkSession, sf: str) -> DataFrame:
     return token_divergence_report(d, "source", "text", n_buckets=256)
 
 
+def ngram_novelty_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty (inverse-boilerplate): fraction of a
+    doc's distinct 3-grams unseen in any other document. Half the docs
+    get a shared preamble (doc_id%2, the fixture pattern) so the
+    shared-gram path is exercised; census join-back on the gram key,
+    never a hot-key window."""
+    from recordmanager_spark.operators.text_dedup import ngram_novelty
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("shared preamble words here "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return ngram_novelty(d, "doc_id", "text", n=3)
+
+
 def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source content-overlap report for mixture planning:
     pairwise shared-fingerprint counts + Jaccard between corpus
@@ -4083,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_ffd_docs": pack_bins_ffd_docs,
         "soft_dedup_weights_docs": soft_dedup_weights_docs,
         "token_divergence_docs": token_divergence_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
         "knn_pq_full": knn_pq_full,
         "knn_ivfadc_full": knn_ivfadc_full,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -4268,6 +4287,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id, d.fp, c.n_copies,
                    round(1.0 / c.n_copies, 6) AS weight
             FROM d JOIN c ON d.fp = c.fp
+        """,
+        "ngram_novelty_docs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'shared preamble words here ' || text
+                          ELSE text END AS t
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       {_NORM.format(c='t')}, '\\s+'), x -> x <> '') AS ts
+              FROM base
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= 3 THEN {_SHINGLES3.format(t='ts')}
+                          ELSE [array_to_string(ts, ' ')] END AS sh
+              FROM toks
+            ),
+            g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+            c AS (SELECT g, count(*) AS dfn FROM g GROUP BY 1),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS n_novel
+              FROM g JOIN c USING (g) GROUP BY 1
+            )
+            SELECT doc_id AS id, n_grams, n_novel,
+                   round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+            FROM per
         """,
         "token_divergence_docs": f"""
             WITH tok AS (

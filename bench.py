@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "source_overlap_docs",
     "soft_dedup_weights_docs",
     "token_divergence_docs",
+    "ngram_novelty_docs",
 ]
 
 

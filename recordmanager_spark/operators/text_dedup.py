@@ -1218,3 +1218,53 @@ def duplication_weights(
         "n_copies",
         F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_novel, novelty) — per-document fraction of its
+    distinct token ``n``-grams that appear in NO other document: the
+    inverse-boilerplate signal (near-0 = assembled from corpus-common
+    phrasing — templates, mirrors, spam farms; near-1 = original
+    prose). The per-document complement of the corpus-level dedup
+    family: dedup asks "which documents repeat?", novelty asks "how
+    much of THIS document is repeated material?" — the
+    quality-weighting signal RefinedWeb-class pipelines derive from
+    their dedup side products.
+
+    Shape: distinct grams explode once; the gram census is a
+    map-side-combined groupBy (grams are distinct per doc, so the
+    count IS document frequency) joined back on the gram key
+    (AQE-skew-eligible — boilerplate grams are exactly the hot keys);
+    the per-doc ratio re-aggregates on the doc id. No windows, no
+    unbounded state.
+    """
+    from ..functions.text import token_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_ngrams(text_col, n)).alias("g"),
+    )
+    census = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(census, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

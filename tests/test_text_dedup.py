@@ -615,3 +615,23 @@ def test_duplication_weights(spark):
     assert out[3] == (1, 1.0)
     # expectation preserved: weights per fingerprint sum to 1
     assert abs(sum(w for n, w in out.values() if n == 3) - 1.0) < 1e-5
+
+
+def test_ngram_novelty(spark):
+    from recordmanager_spark.operators.text_dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # grams: a b g, b g d
+            (2, "alpha beta gamma epsilon"),        # shares "alpha beta gamma"
+            (3, "totally different words entirely"),
+            (4, "hi"),                              # short-doc fallback gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df).collect()}
+    assert out[1] == (2, 1, 0.5)   # "beta gamma delta" novel
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 2, 1.0)
+    assert out[4] == (1, 1, 1.0)   # whole-text fallback gram is unique

@@ -334,6 +334,11 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
+    ("ngram_novelty_docs", 2, False, False,
+     "n-gram novelty (r9): gram census groupBy (distinct grams per "
+     "doc, map-side-combined — the count IS document frequency) + the "
+     "AQE-skew-eligible join-back; per-doc ratio re-aggregates on the "
+     "doc id; no windows over the hot gram key"),
     ("token_divergence_docs", 6, True, False,
      "token drift report (r9): one corpus scan -> map-side-combined "
      "(group, bucket) census (state <= n_buckets per group at any "
