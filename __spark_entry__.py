@@ -2858,13 +2858,17 @@ def streaming_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def streaming_neardup_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming minhash/LSH near-dup (rows-only check — stateful
-    streaming is not SQL-expressible): batch 1 registers 40 corpus docs
+    """Streaming minhash/LSH near-dup: batch 1 registers 40 corpus docs
     as bucket representatives (zero emissions), batch 2 delivers
     near-duplicates (same text + a short tail, ids shifted +40) that
     must match their originals via checkpointed state. Deterministic:
     the whole md5/XOR family is engine-stable, so the emission set is
-    fixed."""
+    fixed — and SQL-replayable: the DuckDB oracle replays the bucket
+    state machine sequentially with a recursive CTE (one document per
+    bucket per step, arrival order, capped representative lists), so
+    batch-1 self-matches and register-order effects reproduce exactly
+    at any sf (parity-pinned at sf0.001 by
+    tests/test_streaming_oracle_parity.py)."""
     import tempfile
     import uuid
 
@@ -3911,16 +3915,21 @@ def html_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def pack_bins_ffd_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """Whole-document FFD bin packing (rows-only check — FFD's
-    sequential first-fit is not SQL-expressible; budget/quality
-    properties are pytest-pinned): documents pack into 256-token bins
-    across 8 hash shards without splitting. Deterministic: md5 shard +
-    (tokens desc, id) fit order."""
+    """Whole-document FFD bin packing: documents pack into 256-token
+    bins across 8 hash shards without splitting. Deterministic (md5
+    shard + (tokens desc, id) fit order), so the DuckDB oracle replays
+    first-fit-decreasing exactly with a recursive CTE that carries each
+    shard's bin-fill list as state. The contract window is capped at
+    doc_id < 500 on BOTH sides so the oracle's sequential replay stays
+    cheap at any sf (the Spark side's scale story is pytest-pinned
+    Johnson bounds + the sharded applyInPandas shape)."""
     from recordmanager_spark.functions.text import token_count
     from recordmanager_spark.operators.packing import pack_bins_ffd
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", token_count("text").cast("long").alias("n_tokens"))
     )
     return pack_bins_ffd(
         d, id_col="doc_id", tokens_col="n_tokens", budget=256, num_shards=8
@@ -4276,6 +4285,8 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair_docs": _mojibake_oracle_sql(),
         "html_extract_docs": _html_extract_oracle_sql(),
         "warc_extract_docs": _warc_extract_oracle_sql(),
+        "streaming_neardup_docs": _streaming_neardup_oracle_sql(),
+        "pack_bins_ffd_docs": _pack_bins_ffd_oracle_sql(),
         "soft_dedup_weights_docs": f"""
             WITH d AS (
               SELECT doc_id,
@@ -4311,12 +4322,19 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
             c AS (SELECT g, count(*) AS dfn FROM g GROUP BY 1),
             per AS (
+              -- CAST the sum: DuckDB sum(INTEGER) returns HUGEINT (int128),
+              -- which a driver-side hasher may canonicalize differently from
+              -- BIGINT even when values and printed schema agree (r9's one
+              -- unreproducible hash-FAIL). Spark's sum is LongType; pin the
+              -- oracle to the same 64-bit type.
               SELECT doc_id, count(*) AS n_grams,
-                     sum(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS n_novel
+                     CAST(sum(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
               FROM g JOIN c USING (g) GROUP BY 1
             )
             SELECT doc_id AS id, n_grams, n_novel,
-                   round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+                   round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                     AS novelty
             FROM per
         """,
         "token_divergence_docs": f"""
@@ -7527,6 +7545,180 @@ def _bm25_body_sql() -> str:
                JOIN dfq d ON t.term = d.term, stats
           GROUP BY 1, 2
         )"""
+
+
+def _streaming_neardup_oracle_sql() -> str:
+    """streaming_neardup_docs replica: replays the stateful bucket
+    machine of streaming_minhash_neardup (streaming/pipeline.py:253)
+    EXACTLY in SQL — same md5-60bit shingle hashes, 16 XOR
+    permutations, 4x4 banding, then a recursive CTE that advances one
+    document per (band, bucket) per step in the operator's arrival
+    order (batch asc, string id asc), carrying each bucket's
+    representative list (ids + signatures, capped at 16) as state. A
+    document that matches a representative (agreement >= 0.5, best by
+    agreement desc then id asc) emits and does NOT register; a
+    non-matching document registers while the bucket has room. This is
+    the full sequential semantics — within-batch register-order,
+    batch-1 self-matches, and bucket saturation all replay faithfully
+    at any sf (pinned against the live streaming operator at sf0.001,
+    where batch-1 emissions and within-batch registrations actually
+    occur, by tests/test_streaming_oracle_parity.py)."""
+    return f"""
+        WITH RECURSIVE {_streaming_neardup_banded_sql()},
+        members AS (
+          SELECT band, key, run, id, hs,
+                 row_number() OVER (PARTITION BY band, key
+                                    ORDER BY run, id) AS rn
+          FROM banded),
+        st AS (
+          SELECT band, key, CAST(0 AS BIGINT) AS rn,
+                 CAST([] AS STRUCT(id VARCHAR, hs VARCHAR[])[]) AS reps,
+                 CAST(NULL AS VARCHAR) AS doc_id,
+                 CAST(NULL AS VARCHAR) AS matched_id,
+                 CAST(NULL AS DOUBLE) AS agr, CAST(NULL AS INT) AS run
+          FROM (SELECT DISTINCT band, key FROM members)
+          UNION ALL
+          SELECT band, key, rn,
+                 CASE WHEN len(f) > 0 THEN reps
+                      WHEN len(reps) < 16
+                        THEN list_append(reps, {{'id': id, 'hs': hs}})
+                      ELSE reps END AS reps,
+                 id,
+                 CASE WHEN len(f) > 0 THEN
+                   list_min(list_transform(
+                     list_filter(f, s -> s.agr =
+                       list_max(list_transform(f, x -> x.agr))),
+                     s -> s.id)) END AS matched_id,
+                 CASE WHEN len(f) > 0 THEN
+                   list_max(list_transform(f, s -> s.agr)) END AS agr,
+                 run
+          FROM (
+            -- the scored-representative list computes HERE, in a plain
+            -- subquery: a LATERAL would be natural but DuckDB 1.0
+            -- cannot bind an outer lambda parameter inside a lambda
+            -- nested in a LATERAL subquery
+            SELECT m.band, m.key, st.rn + 1 AS rn, st.reps, m.id, m.hs,
+                   CAST(m.run AS INT) AS run,
+                   list_filter(
+                     list_transform(st.reps, r ->
+                       {{'agr': len(list_filter(range(1, 17),
+                                    i -> r.hs[i] = m.hs[i])) / 16.0,
+                        'id': r.id}}),
+                     s -> s.agr >= 0.5) AS f
+            FROM st JOIN members m
+              ON m.band = st.band AND m.key = st.key AND m.rn = st.rn + 1
+          )
+        )
+        SELECT doc_id, CAST(band AS INT) AS band, matched_id,
+               round(agr, 6) AS est_jaccard, run
+        FROM st WHERE matched_id IS NOT NULL
+    """
+
+
+def _streaming_neardup_banded_sql() -> str:
+    """The shared CTE chain (two-batch logical docs -> minhash
+    signatures -> band rows) feeding the streaming near-dup oracle's
+    recursive bucket replay."""
+    from recordmanager_spark.operators.text_dedup import _PERM_XOR
+
+    mins = ",\n                   ".join(
+        f"CAST(min(xor(h, {_PERM_XOR[p]})) AS VARCHAR) AS h{p}"
+        for p in range(16)
+    )
+    band_keys = ", ".join(
+        "h%d || '|' || h%d || '|' || h%d || '|' || h%d"
+        % (b * 4, b * 4 + 1, b * 4 + 2, b * 4 + 3)
+        for b in range(4)
+    )
+    return f"""logical AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, 0 AS run, text AS t
+          FROM documents WHERE doc_id < 40
+          UNION ALL
+          SELECT CAST(doc_id + 40 AS VARCHAR) AS id, 1 AS run,
+                 text || ' tiny appended tail' AS t
+          FROM documents WHERE doc_id < 40),
+        toks AS (
+          SELECT id, run,
+                 list_filter(string_split_regex(
+                   {_NORM.format(c='t')}, '\\s+'), x -> x <> '') AS ts
+          FROM logical),
+        sh AS (
+          SELECT id, run,
+                 unnest(CASE WHEN len(ts) >= 3 THEN {_SHINGLES3.format(t='ts')}
+                        ELSE [array_to_string(ts, ' ')] END) AS s
+          FROM toks),
+        h AS (SELECT id, run, {_HEX15.format(h='md5(s)')} AS h FROM sh),
+        sig AS (
+          SELECT id, run,
+                 {mins}
+          FROM h GROUP BY id, run),
+        banded AS (
+          SELECT id, run, g.band, ([{band_keys}])[g.band + 1] AS key,
+                 [h0,h1,h2,h3,h4,h5,h6,h7,h8,h9,h10,h11,h12,h13,h14,h15]
+                   AS hs
+          FROM sig, range(0, 4) g(band))"""
+
+
+def _pack_bins_ffd_oracle_sql() -> str:
+    """pack_bins_ffd replica: replays first-fit-decreasing exactly via a
+    recursive CTE that advances one document per shard per step,
+    carrying each shard's bin-fill list as state
+    (operators/packing.py:523 — same md5 shard hash, (tokens desc, id)
+    order, nt >= budget opens a bin, first fit otherwise,
+    shard * 2**40 + local_bin ids, bin_fill = final fill)."""
+    budget, ns = 256, 8
+    return f"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(string_split_regex(trim(text),
+                      '\\s+'), x -> x <> '')) AS BIGINT) AS nt,
+                 {_HEX8.format(h="md5(CAST(doc_id AS VARCHAR))")} % {ns}
+                   AS shard
+          FROM documents WHERE doc_id < 500
+        ),
+        ord AS (
+          SELECT *, row_number() OVER (PARTITION BY shard
+                                       ORDER BY nt DESC, id ASC) AS rn
+          FROM docs
+        ),
+        r AS (
+          SELECT shard, CAST(0 AS BIGINT) AS rn,
+                 CAST([] AS BIGINT[]) AS fills,
+                 CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS nt,
+                 CAST(NULL AS BIGINT) AS bin
+          FROM (SELECT DISTINCT shard FROM docs)
+          UNION ALL
+          SELECT d.shard, r.rn + 1,
+                 CASE
+                   WHEN d.nt >= {budget} THEN list_append(r.fills, d.nt)
+                   WHEN fit.i IS NOT NULL THEN
+                     r.fills[1:fit.i-1] || [r.fills[fit.i] + d.nt]
+                       || r.fills[fit.i+1:len(r.fills)]
+                   ELSE list_append(r.fills, d.nt)
+                 END AS fills,
+                 d.id, d.nt,
+                 CASE
+                   WHEN d.nt >= {budget} THEN len(r.fills)
+                   WHEN fit.i IS NOT NULL THEN fit.i - 1
+                   ELSE len(r.fills)
+                 END AS bin
+          FROM r
+          JOIN ord d ON d.shard = r.shard AND d.rn = r.rn + 1,
+          LATERAL (SELECT list_filter(range(1, len(r.fills) + 1),
+                          j -> r.fills[j] + d.nt <= {budget})[1] AS i) fit
+        ),
+        final AS (
+          SELECT shard, fills FROM r
+          QUALIFY row_number() OVER (PARTITION BY shard
+                                     ORDER BY rn DESC) = 1
+        )
+        SELECT r.id, r.nt AS n_tokens, r.shard,
+               r.shard * (CAST(1 AS BIGINT) << 40) + r.bin AS bin_id,
+               f.fills[r.bin + 1] AS bin_fill,
+               r.nt > {budget} AS oversize
+        FROM r JOIN final f USING (shard)
+        WHERE r.id IS NOT NULL
+    """
 
 
 def _bm25_oracle_sql(k: int) -> str:

@@ -152,16 +152,37 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Full per-query timings + build/exec phases go to a sidecar file and
+    # stderr; the driver captures only the LAST 2000 characters of stdout
+    # and parses the final JSON line, so that line must stay small.
+    # Round 9's full phases dict grew the line to ~5.7 KB and the driver
+    # recorded `parsed: null` (BENCH_r09.json) — keep stdout compact:
+    # total, sf, query count, and the five slowest queries.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "phases": phases,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "phases": phases,
+                "queries": top5,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -551,11 +551,17 @@ def pack_bins_ffd(
     operator never truncates).
 
     Output: (id, n_tokens, shard, bin_id, bin_fill, oversize) where
-    bin_id is globally unique (shard-prefixed) and bin_fill is the
-    bin's total AFTER packing — the packing-efficiency report is
-    ``1 - avg(slack)/budget`` over distinct bins.
+    bin_id is globally unique (``shard * 2**40 + local_bin`` — the
+    2**40 stride cannot be exceeded: a shard would need >1.1e12 bins,
+    i.e. >2.2e15 tokens at any budget >= 2048, and ``pack`` asserts the
+    invariant) and bin_fill is the bin's total AFTER packing — the
+    packing-efficiency report is ``1 - avg(slack)/budget`` over
+    distinct bins. ``id`` keeps the input column's type (string ids
+    pass through unchanged).
     """
     import pandas as pd
+
+    _BIN_STRIDE = 1 << 40
 
     shard = F.pmod(
         F.conv(
@@ -568,16 +574,19 @@ def pack_bins_ffd(
         F.col(tokens_col).cast("long").alias("n_tokens"),
         shard.alias("shard"),
     )
+    id_type = src.schema["id"].dataType.simpleString()
     out_schema = (
-        "id long, n_tokens long, shard long, bin_id long, "
+        f"id {id_type}, n_tokens long, shard long, bin_id long, "
         "bin_fill long, oversize boolean"
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         sh = int(pdf["shard"].iloc[0])
+        # (tokens desc, id asc) — ids compare in their native type, so
+        # string and numeric id columns both pack deterministically
         rows = sorted(
             zip(pdf["id"], pdf["n_tokens"]),
-            key=lambda r: (-int(r[1]), int(r[0])),
+            key=lambda r: (-int(r[1]), r[0]),
         )
         fills: list[int] = []  # fill per local bin
         assign: list[tuple] = []
@@ -585,25 +594,29 @@ def pack_bins_ffd(
             nt = int(nt)
             if nt >= budget:
                 fills.append(nt)
-                assign.append((int(doc), nt, len(fills) - 1, nt > budget))
+                assign.append((doc, nt, len(fills) - 1, nt > budget))
                 continue
             # first fit over open bins (linear scan; bins per shard is
             # bounded by shard_tokens/budget)
             for b, fill in enumerate(fills):
                 if fill + nt <= budget:
                     fills[b] = fill + nt
-                    assign.append((int(doc), nt, b, False))
+                    assign.append((doc, nt, b, False))
                     break
             else:
                 fills.append(nt)
-                assign.append((int(doc), nt, len(fills) - 1, False))
+                assign.append((doc, nt, len(fills) - 1, False))
+        assert len(fills) < _BIN_STRIDE, (
+            f"shard {sh} packed {len(fills)} bins >= 2**40; "
+            "bin_id would collide across shards"
+        )
         return pd.DataFrame(
             [
                 (
                     doc,
                     nt,
                     sh,
-                    sh * 10_000_000 + b,
+                    sh * _BIN_STRIDE + b,
                     fills[b],
                     oversize,
                 )

@@ -142,7 +142,12 @@ def gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip blob — Common Crawl
     WARC segments are one gzip MEMBER PER RECORD concatenated, so a
     plain single-member gunzip would stop after the first record.
-    Non-gzip input passes through unchanged."""
+    Non-gzip input passes through unchanged. Corrupt members are
+    handled like truncated ones — keep every byte decoded so far and
+    stop — because a real-crawl segment with one damaged record must
+    not fail the whole task (the parser's lenient contract; the
+    partial record ahead of the corruption parses or drops downstream
+    exactly like a truncated tail)."""
     import zlib
 
     if len(data) < 2 or data[:2] != b"\x1f\x8b":
@@ -151,7 +156,10 @@ def gunzip_members(data: bytes) -> bytes:
     view = memoryview(data)
     while len(view) >= 2 and bytes(view[:2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out += d.decompress(bytes(view))
+        try:
+            out += d.decompress(bytes(view))
+        except zlib.error:  # corrupt member: keep what decoded
+            break
         if not d.eof:  # truncated final member: keep what decoded
             break
         view = memoryview(d.unused_data)

@@ -293,6 +293,19 @@ def streaming_minhash_neardup(
     per doc_id in their sink batch — kept out of this operator because
     a second keyed aggregation would again chain stateful operators.
 
+    DIVERGENCE FROM BATCH near-dup semantics (beyond the documented
+    bucket-cap/TTL trades): a document that MATCHES a representative is
+    never itself registered, so drifting chains diverge from the batch
+    connected-component behavior — if B matches rep A and is dropped, a
+    later C near B but below threshold vs A re-registers as novel
+    instead of joining A's component. Batch dedup of the same corpus
+    (minhash_near_duplicates + connected components) would merge
+    A-B-C transitively; this operator's recall on slowly-mutating
+    boilerplate is therefore strictly lower, in exchange for state that
+    never grows past reps_per_bucket per bucket. Consumers needing
+    batch-equivalent transitive recall should run the batch engine
+    over a window of the stream instead.
+
     State cardinality = distinct occupied buckets x reps_per_bucket
     signatures, hash-partitioned across executors.
     ``state_ttl_seconds`` additionally bounds it in TIME for unbounded

@@ -107,6 +107,16 @@ def test_gunzip_members_multi_member_and_passthrough():
     assert gunzip_members(b"") == b""
     # truncated second member: first member still decodes
     assert gunzip_members(a + b[: len(b) // 2]).startswith(b"first record ")
+    # CORRUPT second member (flipped deflate bytes, intact header):
+    # lenient like truncation — earlier members survive, no zlib.error
+    bad = bytearray(b)
+    for i in range(12, min(len(bad), 20)):
+        bad[i] ^= 0xFF
+    assert gunzip_members(a + bytes(bad)) == b"first record "
+    # corruption mid-stream with a third member after it: parsing stops
+    # at the damage (conservative — later members need resync logic)
+    c = gzip.compress(b"third")
+    assert gunzip_members(a + bytes(bad) + c) == b"first record "
 
 
 def test_warc_records_gz_binary_content(spark):
