@@ -3290,6 +3290,42 @@ decontaminate_ngram = 5
 """
 
 
+# the r10 crawl tier: WARC segments as a config-declared source, WET
+# extraction + derived language-ID + dedup + token gate from one section
+CORPUS_INI_WARC = """
+[corpus:warcdemo]
+; source = warc:<dir> drives the CLI path; the contract query feeds the
+; rendered segment DataFrame directly through the same operator chain
+strip_html = true
+languages[] = en
+dedup = exact
+min_tokens = 3
+"""
+
+
+def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC -> curate end-to-end: the corpus renders into framed WARC
+    response segments (the warc_extract_docs fixture machinery), the
+    warc_documents source maps content records onto (doc_id=target
+    URI, source=segment, text=HTTP body), and a [corpus:] section
+    curates them — WET-grade HTML strip, language-ID DERIVED
+    per-document (crawls carry no lang column), exact dedup, token
+    gate. This is the reference's harvest-source -> pipeline
+    architecture (conf/datasources.ini.sample:23-101) applied to the
+    crawl tier; the CLI equivalent is `curate --config ... --corpus
+    warcdemo` with `source = warc:<dir>` in the section
+    (tests/test_cli_curate_warc.py runs that path over rendered
+    segment FILES)."""
+    from recordmanager_spark import corpus_config as CC
+    from recordmanager_spark.sources.warc import warc_documents
+
+    files = _warc_fixture_files(_t(spark, sf, "documents"))
+    docs = warc_documents(files)
+    cfg = CC.parse_corpus_ini(CORPUS_INI_WARC)["warcdemo"]
+    out = CC.apply_corpus_pipeline(docs, cfg)
+    return out.select("doc_id", "source", "lang", "n_tokens")
+
+
 def corpus_config_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Config-compiled curation pipeline: the [corpus:contract] ini
     section sequences lang keep -> exact dedup (first copy) -> token
@@ -4011,16 +4047,12 @@ def source_overlap_docs(spark: SparkSession, sf: str) -> DataFrame:
 _WARC_HTTP_PREFIX = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
 
 
-def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """WARC source round-trip: documents render into framed WARC
-    response records (Content-Length envelopes, 25 segments of docs
-    ordered by id — the splitter fixture pattern), the mapInPandas
-    cursor parser extracts them back, and the oracle computes the
-    expected records INDEPENDENTLY (no parsing) — so a framing bug on
-    either side breaks the hash."""
-    from recordmanager_spark.sources.warc import warc_records
-
-    docs = _t(spark, sf, "documents")
+def _warc_fixture_files(docs: DataFrame) -> DataFrame:
+    """Render the corpus into framed WARC response segments (path,
+    value): Content-Length HTTP envelopes over '<p>' + the first 120
+    chars + '</p>', 25 segments of docs ordered by id — the splitter
+    fixture pattern. Shared by warc_extract_docs (parser round-trip)
+    and corpus_config_warc_docs (source -> curate end-to-end)."""
     body = F.concat(F.lit("<p>"), F.substring("text", 1, 120), F.lit("</p>"))
     block = F.concat(F.lit(_WARC_HTTP_PREFIX), body)
     rec = F.concat(
@@ -4038,7 +4070,7 @@ def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
         block,
         F.lit("\r\n\r\n"),
     )
-    files = (
+    return (
         docs.select(
             (F.col("doc_id") % 25).cast("string").alias("path"),
             F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
@@ -4053,6 +4085,18 @@ def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("value")
         )
     )
+
+
+def warc_extract_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC source round-trip: documents render into framed WARC
+    response records (Content-Length envelopes, 25 segments of docs
+    ordered by id — the splitter fixture pattern), the mapInPandas
+    cursor parser extracts them back, and the oracle computes the
+    expected records INDEPENDENTLY (no parsing) — so a framing bug on
+    either side breaks the hash."""
+    from recordmanager_spark.sources.warc import warc_records
+
+    files = _warc_fixture_files(_t(spark, sf, "documents"))
     return warc_records(files).select(
         F.col("warc_file").cast("int").alias("warc_file"),
         "record_ord",
@@ -4123,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_incremental_docs": exact_dup_incremental_docs,
         "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
         "corpus_config_minhash_docs": corpus_config_minhash_docs,
+        "corpus_config_warc_docs": corpus_config_warc_docs,
         "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
@@ -4287,6 +4332,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract_docs": _warc_extract_oracle_sql(),
         "streaming_neardup_docs": _streaming_neardup_oracle_sql(),
         "pack_bins_ffd_docs": _pack_bins_ffd_oracle_sql(),
+        "corpus_config_warc_docs": _corpus_config_warc_oracle_sql(),
         "soft_dedup_weights_docs": f"""
             WITH d AS (
               SELECT doc_id,
@@ -7718,6 +7764,79 @@ def _pack_bins_ffd_oracle_sql() -> str:
                r.nt > {budget} AS oversize
         FROM r JOIN final f USING (shard)
         WHERE r.id IS NOT NULL
+    """
+
+
+def _corpus_config_warc_oracle_sql() -> str:
+    """corpus_config_warc_docs replica: WARC render -> curate,
+    end-to-end. The WARC hop is replayed by CONSTRUCTION (the fixture's
+    response payload is '<p>' + first 120 chars + '</p>', doc_id the
+    target URI, source the segment — per-document arithmetic, no
+    parsing: the parser itself is hash-gated by warc_extract_docs),
+    then the [corpus:warcdemo] stages replay operator-for-operator:
+    html_to_text's expression chain, lang_id's stopword argmax over the
+    STRIPPED text, exact dedup (min URI per normalized fingerprint),
+    and the >=3 token gate."""
+    from recordmanager_spark.functions.html import HTML_ENTITIES
+
+    def q(sv: str) -> str:
+        return "'" + sv.replace("'", "''") + "'"
+
+    ent = "regexp_replace(sb, '(?s)<[^>]*>', ' ', 'g')"
+    for e, ch in HTML_ENTITIES:
+        ent = f"replace({ent}, {q(e)}, {q(ch)})"
+    text_of = "trim(regexp_replace(" + ent + ", '\\s+', ' ', 'g'))"
+    hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
+    return f"""
+        WITH rendered AS (
+          SELECT 'https://corpus.example/' || CAST(doc_id AS VARCHAR)
+                   AS doc_id,
+                 CAST(doc_id % 25 AS VARCHAR) AS source,
+                 '<p>' || substr(text, 1, 120) || '</p>' AS html
+          FROM documents
+        ), sbt AS (
+          SELECT doc_id, source,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g') AS sb
+          FROM rendered
+        ), txt AS (
+          SELECT doc_id, source, {text_of} AS text FROM sbt
+        ), langd AS (
+          SELECT doc_id, source, text,
+                 {hits.format(t='lt', lst=_EN)} AS en,
+                 {hits.format(t='lt', lst=_DE)} AS de,
+                 {hits.format(t='lt', lst=_FR)} AS fr,
+                 {hits.format(t='lt', lst=_ES)} AS es,
+                 {hits.format(t='lt', lst=_FI)} AS fi
+          FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+')
+                       AS lt
+                FROM txt)
+        ), en_docs AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN greatest(en, de, fr, es, fi) = 0 THEN 'und'
+                      WHEN en = greatest(en, de, fr, es, fi) THEN 'en'
+                      WHEN de = greatest(en, de, fr, es, fi) THEN 'de'
+                      WHEN fr = greatest(en, de, fr, es, fi) THEN 'fr'
+                      WHEN es = greatest(en, de, fr, es, fi) THEN 'es'
+                      ELSE 'fi' END AS lang
+          FROM langd
+        ), kept AS (
+          SELECT * FROM en_docs WHERE lang = 'en'
+        ), first_copy AS (
+          SELECT doc_id, source, lang, text FROM (
+            SELECT *, min(doc_id) OVER (
+              PARTITION BY {_NORM.format(c='text')}) AS c
+            FROM kept) WHERE doc_id = c
+        )
+        SELECT doc_id, source, lang, n_tokens FROM (
+          SELECT doc_id, source, lang,
+                 CAST(len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM first_copy)
+        WHERE n_tokens >= 3
     """
 
 

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "soft_dedup_weights_docs",
     "token_divergence_docs",
     "ngram_novelty_docs",
+    # round-10 additions
+    "corpus_config_warc_docs",
 ]
 
 

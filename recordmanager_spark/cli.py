@@ -512,7 +512,11 @@ def cmd_curate(args) -> None:
     LM / DSIR / sample / split), parquet out — the corpus-side sibling
     of update-index."""
     spark = _spark("rm-curate")
-    from .corpus_config import apply_corpus_pipeline, parse_corpus_ini
+    from .corpus_config import (
+        apply_corpus_pipeline,
+        load_corpus_source,
+        parse_corpus_ini,
+    )
 
     cfgs = parse_corpus_ini(open(args.config).read())
     if args.corpus not in cfgs:
@@ -520,7 +524,18 @@ def cmd_curate(args) -> None:
             f"no [corpus:{args.corpus}] section in {args.config} "
             f"(found: {sorted(cfgs)})"
         )
-    df = spark.read.parquet(args.input)
+    if args.input:
+        df = spark.read.parquet(args.input)
+    elif cfgs[args.corpus].source:
+        # the section names its own transport (source = warc:<dir> /
+        # parquet:<path>) — segment directory to curated parquet in
+        # one command, the datasources.ini harvest architecture
+        df = load_corpus_source(spark, cfgs[args.corpus].source)
+    else:
+        raise SystemExit(
+            f"--input not given and [corpus:{args.corpus}] has no "
+            "source = entry"
+        )
     tables = {}
     if args.benchmark:
         name, path = args.benchmark.split("=", 1)
@@ -655,7 +670,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     s.add_argument("--config", required=True, help="ini with [corpus:...]")
     s.add_argument("--corpus", required=True, help="section name")
-    s.add_argument("--input", required=True, help="input parquet")
+    s.add_argument(
+        "--input",
+        help="input parquet (optional when the section has source =)",
+    )
     s.add_argument("--out", required=True, help="output parquet")
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")

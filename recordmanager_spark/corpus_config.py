@@ -11,6 +11,17 @@ treatment: a ``[corpus:<name>]`` ini section (same PHP-ini dialect —
 of the engine's verified operators, so a data-curation run is a CONFIG
 ARTIFACT, reviewable and diffable, not a bespoke script.
 
+A section may also declare WHERE its documents come from —
+``source = warc:<dir>`` (a crawl landing zone of WARC/WET segments,
+plain or gzip, parsed by ``sources/warc.py``) or
+``source = parquet:<path>`` — resolved by :func:`load_corpus_source`;
+the ``curate`` console command uses it when ``--input`` is not given,
+so a segment-directory-to-curated-parquet run is one command against
+one config section. When a ``languages[]`` gate is configured and the
+source carries no ``lang`` column (crawls don't), the pipeline derives
+it per-document with ``functions.text.lang_id`` AFTER stage-0 hygiene
+(language-ID reads stripped text, not raw HTML).
+
 Stage order is FIXED and documented (the SolrUpdater-style contract —
 the reference applies field rules -> mappings -> extras in code order,
 not ini order):
@@ -100,12 +111,18 @@ from pyspark.sql import functions as F
 
 from .config import _bool, _parse_php_ini  # the shared ini dialect
 
-__all__ = ["CorpusConfig", "parse_corpus_ini", "apply_corpus_pipeline"]
+__all__ = [
+    "CorpusConfig",
+    "parse_corpus_ini",
+    "load_corpus_source",
+    "apply_corpus_pipeline",
+]
 
 
 @dataclass
 class CorpusConfig:
     name: str
+    source: str | None = None  # "warc:<dir>" | "parquet:<path>"
     strip_html: bool = False
     fix_mojibake: bool = False
     languages: list[str] = field(default_factory=list)
@@ -164,8 +181,18 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
         def _f(key: str, default: float) -> float:
             return float(kv[key]) if key in kv else default
 
+        src = kv.get("source")
+        if src is not None and src.split(":", 1)[0] not in (
+            "warc",
+            "parquet",
+        ):
+            raise ValueError(
+                f"[{section}] source={src!r}: expected "
+                "'warc:<dir>' or 'parquet:<path>'"
+            )
         cfg = CorpusConfig(
             name=name,
+            source=src,
             strip_html=_bool(kv.get("strip_html"), False),
             fix_mojibake=_bool(kv.get("fix_mojibake"), False),
             languages=list(kv.get("languages", [])),
@@ -236,6 +263,38 @@ def _resolve_table(
     return df.sparkSession.table(name)
 
 
+def load_corpus_source(spark, source: str) -> DataFrame:
+    """Resolve a ``[corpus:]`` ``source =`` entry to a document
+    DataFrame — the reference's harvest-source architecture
+    (conf/datasources.ini.sample:23-101: a source is a CONFIG ENTRY
+    naming a transport, not code) applied to the corpus tier.
+
+    ``parquet:<path>`` reads an existing document table.
+    ``warc:<dir>`` reads a crawl landing zone: ``binaryFile`` over the
+    segment directory (works for both plain and ``.warc.gz`` segments
+    — the parser gunzips per task; one file = one task = the Common
+    Crawl parallelism unit), then
+    :func:`recordmanager_spark.sources.warc.warc_documents` maps
+    content-bearing records onto (doc_id, source, text). Chain
+    ``strip_html = true`` in the section for WET-grade text.
+    """
+    kind, _, arg = source.partition(":")
+    if not arg:
+        raise ValueError(f"source={source!r}: missing path after ':'")
+    if kind == "parquet":
+        return spark.read.parquet(arg)
+    if kind == "warc":
+        from .sources.warc import warc_documents
+
+        files = (
+            spark.read.format("binaryFile")
+            .load(arg)
+            .select(F.col("path"), F.col("content").alias("value"))
+        )
+        return warc_documents(files)
+    raise ValueError(f"source={source!r}: unknown scheme {kind!r}")
+
+
 def apply_corpus_pipeline(
     df: DataFrame,
     cfg: CorpusConfig,
@@ -271,6 +330,13 @@ def apply_corpus_pipeline(
 
         out = out.withColumn(text_col, fix_mojibake(text_col))
     if cfg.languages:
+        if lang_col not in out.columns:
+            # sources without language metadata (WARC/WET crawls):
+            # derive it HERE, after stage-0 hygiene — language-ID over
+            # stripped text, not raw HTML — as a scan-stage expression
+            from .functions.text import lang_id
+
+            out = out.withColumn(lang_col, lang_id(text_col))
         out = out.where(F.col(lang_col).isin(cfg.languages))
     if cfg.blocklist is not None:
         words = _read_blocklist(cfg.blocklist)

@@ -40,6 +40,7 @@ __all__ = [
     "gunzip_members",
     "parse_warc_bytes",
     "parse_warc_text",
+    "warc_documents",
     "warc_records",
 ]
 
@@ -202,3 +203,39 @@ def warc_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select(*names).mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_documents(
+    files: DataFrame,
+    name_col: str = "path",
+    content_col: str = "value",
+    keep_types: tuple[str, ...] = ("response", "conversion"),
+) -> DataFrame:
+    """Crawl records as corpus DOCUMENTS: the bridge from a WARC
+    landing zone to the corpus-curation pipeline
+    (``corpus_config.apply_corpus_pipeline``).
+
+    Keeps the content-bearing record types (HTTP ``response`` for WARC
+    segments, ``conversion`` for WET) and maps them onto the document
+    columns every downstream stage expects: ``doc_id`` = the target
+    URI (falling back to the WARC record id — metadata-less test
+    fixtures), ``source`` = the segment file, ``text`` = the payload
+    (HTTP body for responses — callers chain
+    ``functions.html.html_to_text`` / the ``strip_html`` config stage
+    for WET-grade extraction). A ``lang`` column is NOT fabricated
+    here: the pipeline derives it per-document (after hygiene, where
+    language-ID belongs) when a language gate needs it.
+
+    This is the reference's harvest-source -> pipeline architecture
+    (conf/datasources.ini.sample:23-101 — sources are config entries)
+    applied to the crawl tier: ``[corpus:x] source = warc:<dir>``
+    compiles to exactly this chain. Same scan-stage shape as
+    :func:`warc_records` — zero shuffles until the pipeline's own
+    keyed stages.
+    """
+    recs = warc_records(files, name_col=name_col, content_col=content_col)
+    return recs.where(F.col("warc_type").isin(*keep_types)).select(
+        F.coalesce(F.col("target_uri"), F.col("record_id")).alias("doc_id"),
+        F.col("warc_file").alias("source"),
+        F.col("payload").alias("text"),
+    )
