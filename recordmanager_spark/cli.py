@@ -21,6 +21,10 @@ same.
     python -m recordmanager_spark count-values --records /data/records \\
         --field format [--top 20]
     python -m recordmanager_spark preview --file rec.xml --format marc
+    python -m recordmanager_spark index --input /data/docs \\
+        --table bm25_idx --buckets 64
+    python -m recordmanager_spark search --table bm25_idx \\
+        --query "solr replacement" --k 10
 
 Record-table schema (SURVEY §1.5 subset): _id, source_id, format,
 original_data, deleted, created, updated.
@@ -553,6 +557,64 @@ def cmd_curate(args) -> None:
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
 
 
+def cmd_index(args) -> None:
+    """Build and persist the BM25 serving index: term-bucketed postings
+    plus the 1-row (N, avgdl) stats table as catalog tables — the
+    reference's `solr update-index` story
+    (src/RecordManager/Base/Command/Solr/UpdateIndex.php — behavioral
+    spec: indexing is a console command away) with the Lucene cluster
+    replaced by native tables. Probes against the result touch the
+    corpus ZERO times and read only matching term buckets' files."""
+    spark = _spark("rm-index")
+    from .operators.retrieval import build_corpus_stats, build_postings
+    from .sources.bucketed import write_bucketed
+
+    df = spark.read.parquet(args.input)
+    postings = build_postings(
+        df, id_col=args.id_col, text_col=args.text_col
+    )
+    write_bucketed(postings, args.table, "term", args.buckets)
+    build_corpus_stats(df, text_col=args.text_col).write.mode(
+        "overwrite"
+    ).saveAsTable(args.table + "_stats")
+    n = spark.table(args.table).count()
+    print(f"indexed {n} postings -> {args.table} (+ {args.table}_stats)")
+
+
+def cmd_search(args) -> None:
+    """Probe a persisted BM25 index: top-k per query, corpus-zero (the
+    bucketed postings + stats tables are everything scoring needs).
+    One ad-hoc --query prints JSON lines; --queries <parquet> with
+    (query_id, query_text) batches, and --out writes parquet instead
+    of printing."""
+    spark = _spark("rm-search")
+    from .operators.retrieval import bm25_topk
+    from .sources.bucketed import read_bucketed
+
+    if bool(args.query) == bool(args.queries):
+        raise SystemExit("exactly one of --query / --queries required")
+    if args.query:
+        queries = spark.createDataFrame(
+            [(0, args.query)], "query_id int, query_text string"
+        )
+    else:
+        queries = spark.read.parquet(args.queries)
+    out = bm25_topk(
+        corpus=None,  # never touched: postings + stats both supplied
+        queries=queries,
+        k=args.k,
+        postings=read_bucketed(spark, args.table),
+        stats=spark.table(args.table + "_stats"),
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"search results -> {args.out}")
+    else:
+        for r in out.orderBy("query_id", "rank").collect():
+            json.dump(r.asDict(), sys.stdout, sort_keys=True)
+            print()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -683,6 +745,29 @@ def main(argv: list[str] | None = None) -> None:
         help="NAME=path.parquet for decontaminate table resolution",
     )
     s.set_defaults(fn=cmd_curate)
+
+    s = sub.add_parser(
+        "index",
+        help="documents parquet -> bucketed BM25 postings + stats tables",
+    )
+    s.add_argument("--input", required=True, help="documents parquet")
+    s.add_argument("--table", required=True, help="index table name")
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser(
+        "search", help="probe a persisted BM25 index (corpus-zero)"
+    )
+    s.add_argument("--table", required=True, help="index table name")
+    s.add_argument("--query", help="ad-hoc query text")
+    s.add_argument(
+        "--queries", help="parquet of (query_id, query_text) for batch"
+    )
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--out", help="write results parquet instead of printing")
+    s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,87 @@
+"""index -> search console lifecycle: the reference's whole search
+story is a console command away (`solr update-index`;
+src/RecordManager/Base/Command/Solr/UpdateIndex.php — behavioral
+spec); here `index` writes the bucketed postings + stats catalog
+tables and `search` probes them corpus-zero.
+"""
+
+import json
+
+from recordmanager_spark.cli import main
+
+
+def _docs(spark, path):
+    spark.createDataFrame(
+        [
+            (0, "spark engine spark engine spark"),  # tf(spark)=3
+            (1, "spark engine and other words here padding tokens"),
+            (2, "nothing relevant whatsoever in this document"),
+            (3, "spark appears once in a long document " + "pad " * 20),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_index_then_search_lifecycle(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    _docs(spark, src)
+    main(
+        [
+            "index",
+            "--input", src,
+            "--table", "t_cli_bm25",
+            "--buckets", "4",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "t_cli_bm25" in out and "_stats" in out
+
+    # ad-hoc query prints ranked JSON lines
+    main(["search", "--table", "t_cli_bm25", "--query", "spark", "--k", "2"])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["rank"] for r in lines] == [1, 2]
+    # highest tf + short doc wins; doc 2 (no term) never appears
+    assert lines[0]["doc_id"] == 0
+    assert all(r["doc_id"] != 2 for r in lines)
+    assert lines[0]["score"] > lines[1]["score"]
+
+    # batch path: parquet of queries in, parquet of results out
+    qsrc = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "spark engine"), (2, "padding tokens")],
+        "query_id int, query_text string",
+    ).write.parquet(qsrc)
+    res = str(tmp_path / "results")
+    main(
+        [
+            "search",
+            "--table", "t_cli_bm25",
+            "--queries", qsrc,
+            "--k", "3",
+            "--out", res,
+        ]
+    )
+    rows = spark.read.parquet(res).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}
+    top_padding = min(by_q[2], key=lambda r: r["rank"])
+    assert top_padding["doc_id"] == 1  # the only doc with both terms
+
+
+def test_search_requires_exactly_one_query_form(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="query"):
+        main(["search", "--table", "t_cli_bm25"])
+    with pytest.raises(SystemExit, match="query"):
+        main(
+            [
+                "search", "--table", "t_cli_bm25",
+                "--query", "x", "--queries", "y",
+            ]
+        )
