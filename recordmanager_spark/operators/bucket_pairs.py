@@ -151,6 +151,7 @@ def capped_bucket_pairs(
     small_path: str = "array",
     join_hint: str | None = "shuffle_hash",
     hub_cap: int | None = None,
+    assume_under_cap: bool = False,
 ) -> DataFrame:
     """DISTINCT candidate pairs per bucket with bounded aggregation state.
 
@@ -177,6 +178,23 @@ def capped_bucket_pairs(
     produced 1.8 BILLION pre-distinct hub rows. Connectivity and
     member coverage only need a hub SET, not bucket_cap reps: every
     beyond-cap member still pairs with all ~hub_cap representatives.
+
+    ``assume_under_cap=True`` is the CALLER-CONTRACT fast path: skip
+    the census + routing join entirely and run the small-bucket pair
+    generation over every bucket. Semantically identical whenever no
+    bucket exceeds ``bucket_cap`` — but nothing verifies that (a
+    verification IS the census), so an over-cap bucket silently
+    regains unbounded aggregation state and O(n²) pair volume. Opt in
+    only where the bound is structural (unit fixtures, pre-deduped id
+    joins, interactive audits over bounded slices). Why it exists: the
+    census machinery is ~5 extra scheduler stages, a fixed ~0.5 s
+    floor that dominates toy-scale runs (sf0.1 Hamming: 0.91 s ->
+    0.34 s median, identical pairs); an AUTOMATIC gate was probed and
+    rejected — deciding needs the bucket sizes, i.e. either the census
+    itself or an eager count (an extra corpus scan at construction,
+    the r5/r6 anti-pattern). The default stays census-routed: at
+    100 TB the floor amortizes to nothing and the bound is what makes
+    degenerate buckets survivable.
     """
     pay = list(payload_cols)
     if hub_cap is None:
@@ -200,6 +218,14 @@ def capped_bucket_pairs(
     for c in [*bucket_cols, *payload_cols]:
         nn = nn & F.col(c).isNotNull()
     banded = banded.where(nn)
+    if assume_under_cap:
+        if small_path == "array":
+            return _array_pairs(banded, bucket_cols, id_col, pay).distinct()
+        if small_path == "join":
+            return _join_pairs(
+                banded, bucket_cols, id_col, pay, join_hint
+            ).distinct()
+        raise ValueError(f"unknown small_path {small_path!r}")
     sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
     # Join the census back on the bucket key. The shuffle_hash hint (the
     # default merge hint works too, paying two sorts) pins a

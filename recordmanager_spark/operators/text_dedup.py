@@ -819,6 +819,7 @@ def hamming_near_duplicates(
     max_hamming: int = 3,
     band_bits: int | None = None,
     bucket_cap: int = 2000,
+    assume_under_cap: bool = False,
 ) -> DataFrame:
     """Near-dup pairs among 64-bit-or-less integer fingerprints by
     Hamming distance — the generic banded engine behind
@@ -838,7 +839,14 @@ def hamming_near_duplicates(
     Scale shape: one explode to n_bands rows per item, one bucket-cap
     groupBy (degenerate buckets bounded to ``bucket_cap`` members),
     one codegen shuffle-hash self-join per band bucket. Returns
-    (id_a, id_b, hamming), distinct."""
+    (id_a, id_b, hamming), distinct.
+
+    ``assume_under_cap=True`` skips the bucket-size census entirely
+    (caller asserts no band bucket exceeds ``bucket_cap`` — see
+    ``capped_bucket_pairs``): the census is a fixed ~0.5 s of
+    scheduler stages that dominates small interactive runs but is
+    what bounds degenerate-bucket state at corpus scale. Default off.
+    """
     if band_bits is None:
         band_bits = max(1, total_bits // (max_hamming + 1))
     n_bands = total_bits // band_bits
@@ -873,6 +881,7 @@ def hamming_near_duplicates(
         payload_cols=("__h",),
         small_path="join",
         join_hint="shuffle_hash",
+        assume_under_cap=assume_under_cap,
     )
     hamming = F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b")))
     return pairs.where(hamming <= max_hamming).select(

@@ -145,3 +145,33 @@ def test_null_bucket_and_null_payload_rows_excluded(spark):
         df, ["band", "bkey"], "id", bucket_cap=10, payload_cols=("h",)
     ).collect()
     assert sorted((r.id_a, r.id_b) for r in pairs) == [(1, 2)]
+
+
+def test_assume_under_cap_equivalence(spark):
+    """The census-skipping caller-contract path (assume_under_cap=True)
+    must be row-identical — multiplicity included — to the routed
+    default whenever no bucket exceeds the cap, on both small paths.
+    (Rationale + measurements: PERFORMANCE.md round-10 census-floor
+    probe; an automatic gate was rejected because deciding needs the
+    census itself or an eager corpus scan.)"""
+    rows = [
+        Row(band=b, bkey=f"k{i % 4}", id=i, h=i * 10)
+        for b in range(3)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "band int, bkey string, id bigint, h bigint"
+    )
+    for path in ("array", "join"):
+        routed = capped_bucket_pairs(
+            df, ["band", "bkey"], "id", bucket_cap=10,
+            payload_cols=("h",), small_path=path,
+        )
+        direct = capped_bucket_pairs(
+            df, ["band", "bkey"], "id", bucket_cap=10,
+            payload_cols=("h",), small_path=path, assume_under_cap=True,
+        )
+        key = lambda r: (r.id_a, r.id_b, r.h_a, r.h_b)
+        assert sorted(map(key, routed.collect())) == sorted(
+            map(key, direct.collect())
+        ), path
