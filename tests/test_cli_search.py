@@ -6,8 +6,23 @@ tables and `search` probes them corpus-zero.
 """
 
 import json
+import uuid
+
+import pytest
 
 from recordmanager_spark.cli import main
+
+
+@pytest.fixture
+def table(spark):
+    """Unique catalog name per run + cleanup: saveAsTable refuses a
+    stale warehouse LOCATION left by a previous session even in
+    overwrite mode (the table is gone from the fresh catalog, the
+    directory is not)."""
+    name = "t_cli_bm25_" + uuid.uuid4().hex[:8]
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
 
 
 def _docs(spark, path):
@@ -22,22 +37,22 @@ def _docs(spark, path):
     ).write.mode("overwrite").parquet(path)
 
 
-def test_index_then_search_lifecycle(spark, tmp_path, capsys):
+def test_index_then_search_lifecycle(spark, tmp_path, capsys, table):
     src = str(tmp_path / "docs")
     _docs(spark, src)
     main(
         [
             "index",
             "--input", src,
-            "--table", "t_cli_bm25",
+            "--table", table,
             "--buckets", "4",
         ]
     )
     out = capsys.readouterr().out
-    assert "t_cli_bm25" in out and "_stats" in out
+    assert table in out and "_stats" in out
 
     # ad-hoc query prints ranked JSON lines
-    main(["search", "--table", "t_cli_bm25", "--query", "spark", "--k", "2"])
+    main(["search", "--table", table, "--query", "spark", "--k", "2"])
     lines = [
         json.loads(ln)
         for ln in capsys.readouterr().out.strip().splitlines()
@@ -58,7 +73,7 @@ def test_index_then_search_lifecycle(spark, tmp_path, capsys):
     main(
         [
             "search",
-            "--table", "t_cli_bm25",
+            "--table", table,
             "--queries", qsrc,
             "--k", "3",
             "--out", res,
@@ -77,11 +92,11 @@ def test_search_requires_exactly_one_query_form(tmp_path):
     import pytest
 
     with pytest.raises(SystemExit, match="query"):
-        main(["search", "--table", "t_cli_bm25"])
+        main(["search", "--table", "t_missing"])
     with pytest.raises(SystemExit, match="query"):
         main(
             [
-                "search", "--table", "t_cli_bm25",
+                "search", "--table", "t_missing",
                 "--query", "x", "--queries", "y",
             ]
         )
