@@ -3316,11 +3316,21 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     warcdemo` with `source = warc:<dir>` in the section
     (tests/test_cli_curate_warc.py runs that path over rendered
     segment FILES)."""
+    import tempfile
+
     from recordmanager_spark import corpus_config as CC
     from recordmanager_spark.sources.warc import warc_documents
 
     files = _warc_fixture_files(_t(spark, sf, "documents"))
     docs = warc_documents(files)
+    # stage the parsed landing zone like cmd_curate does: the dedup
+    # stage's fingerprint-census join-back executes its source subtree
+    # once per side, which over a crawl transport means parsing every
+    # segment twice (two MapInPandas in the executed plan); one staging
+    # write turns both passes into pruned parquet reads
+    staging = tempfile.mkdtemp(prefix="rm_warc_stage_")
+    docs.write.mode("overwrite").parquet(staging)
+    docs = spark.read.parquet(staging)
     cfg = CC.parse_corpus_ini(CORPUS_INI_WARC)["warcdemo"]
     out = CC.apply_corpus_pipeline(docs, cfg)
     return out.select("doc_id", "source", "lang", "n_tokens")

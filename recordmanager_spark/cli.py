@@ -535,6 +535,20 @@ def cmd_curate(args) -> None:
         # parquet:<path>) — segment directory to curated parquet in
         # one command, the datasources.ini harvest architecture
         df = load_corpus_source(spark, cfgs[args.corpus].source)
+        if not cfgs[args.corpus].source.startswith("parquet:"):
+            # STAGE parsed documents to parquet before the pipeline —
+            # the reference's harvest -> landing zone -> pipeline hop.
+            # Why: pipeline stages that derive a keep-set from the
+            # corpus and join it back (exact dedup's fingerprint
+            # census, caps) execute their SOURCE subtree once per
+            # side; over a parquet scan that is two cheap pruned
+            # reads, but over a crawl transport it re-parses every
+            # segment (verified in the executed plan: two MapInPandas
+            # parse nodes). One staging write makes every downstream
+            # pass a column-pruned parquet read.
+            staging = args.staging or args.out.rstrip("/") + "_staging"
+            df.write.mode("overwrite").parquet(staging)
+            df = spark.read.parquet(staging)
     else:
         raise SystemExit(
             f"--input not given and [corpus:{args.corpus}] has no "
@@ -743,6 +757,11 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument(
         "--benchmark",
         help="NAME=path.parquet for decontaminate table resolution",
+    )
+    s.add_argument(
+        "--staging",
+        help="landing-zone parquet for non-parquet sources "
+        "(default: <out>_staging)",
     )
     s.set_defaults(fn=cmd_curate)
 

@@ -363,6 +363,13 @@ AUDITS = [
      "(parallelism = segment files, zero shuffles); the single "
      "exchange is the contract FIXTURE assembling documents into "
      "segments (groupBy file) — a real crawl reads segments directly"),
+    ("corpus_config_warc_docs", 3, True, False,
+     "WARC->curate (r10): the returned plan must read the STAGED "
+     "landing-zone parquet, never the crawl transport — an "
+     "un-staged chain re-executes the segment parse once per "
+     "keep-set side (two MapInPandas, verified before the fix). "
+     "Exchanges: dedup fingerprint census + its min-id agg + the "
+     "final reassembly; keep-set joins back broadcast at this sf"),
     ("html_extract_docs", 0, False, False,
      "HTML text extraction (r9): strip/decode/title/link-density are "
      "all regexp/replace expression chains — zero exchanges, zero "
@@ -455,6 +462,15 @@ def main() -> None:
             if "BroadcastNestedLoopJoin" in plan:
                 problems.append(
                     "IVFADC probe fell back to a nested-loop predicate scan"
+                )
+        if name == "corpus_config_warc_docs":
+            # staged landing zone: the curate plan must be pure parquet
+            # reads — any MapInPandas here means the crawl parse leaked
+            # back into the (multi-pass) pipeline plan
+            if "MapInPandas" in plan:
+                problems.append(
+                    "crawl parse in the curate plan — the landing zone "
+                    "is not being staged to parquet"
                 )
         if name in ("bm25_topk_docs", "hybrid_search_docs"):
             # every join in the retrieval family keys on the (tiny)
