@@ -88,6 +88,8 @@ the oracle-twinned operators — the compiler only sequences them.
 Example::
 
     [corpus:web_en]
+    source = warc:/crawl/segments
+    strip_html = true
     languages[] = en
     blocklist = conf/badwords.txt
     dedup = minhash
