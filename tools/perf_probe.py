@@ -657,6 +657,147 @@ def cmd_soak9(sf_dir: str) -> None:
     )
 
 
+def cmd_soak10(sf_dir: str) -> None:
+    """Round-10 soaks over the 10x corpus (~50k docs at sf0.1):
+    (a) curate-from-WARC end-to-end — REAL segment files on disk
+    through load_corpus_source -> landing-zone staging -> the
+    [corpus:] pipeline (strip_html, derived language-ID gate, exact
+    dedup, token gate); (b) whole-document FFD bin packing at the
+    docstring design point (budget 2048, 64 shards) with the packing
+    efficiency it exists to deliver; (c) the streaming minhash/LSH
+    near-dup state machine draining one availableNow pass."""
+    import shutil
+    import tempfile
+
+    spark = _spark()
+    _warm(spark, sf_dir)
+
+    from recordmanager_spark.corpus_config import (
+        apply_corpus_pipeline,
+        load_corpus_source,
+        parse_corpus_ini,
+    )
+
+    big = _docs10(spark, sf_dir)
+    n = big.count()
+
+    # --- (a) curate from WARC segment FILES -----------------------------
+    n_segs = CORES * 4
+    http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    body = F.concat(F.lit("<p>"), F.substring("text", 1, 200), F.lit("</p>"))
+    block = F.concat(F.lit(http), body)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://soak.example/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Type: application/http; msgtype=response"
+              "\r\nContent-Length: "),
+        F.octet_length(block).cast("string"),
+        F.lit("\r\n\r\n"),
+        block,
+        F.lit("\r\n\r\n"),
+    )
+    segs = (
+        big.select(
+            F.pmod(F.col("doc_id"), F.lit(n_segs)).alias("path"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("path")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("value")
+        )
+        .collect()
+    )
+    seg_dir = tempfile.mkdtemp(prefix="rm_soak10_segs_")
+    stage_dir = tempfile.mkdtemp(prefix="rm_soak10_stage_")
+    for r in segs:
+        with open(f"{seg_dir}/seg{r['path']}.warc", "w") as fh:
+            fh.write(r["value"])
+    cfg = parse_corpus_ini(
+        f"[corpus:soak]\nsource = warc:{seg_dir}\nstrip_html = true\n"
+        "languages[] = en\ndedup = exact\nmin_tokens = 3\n"
+    )["soak"]
+    t0 = time.time()
+    docs = load_corpus_source(spark, cfg.source)
+    docs.write.mode("overwrite").parquet(stage_dir)  # the landing-zone hop
+    kept = apply_corpus_pipeline(
+        spark.read.parquet(stage_dir), cfg
+    ).count()
+    secs = time.time() - t0
+    print(
+        f"curate from WARC files         {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"({n_segs} segments -> parse+stage+strip+langID+dedup+gate "
+        f"-> {kept} kept)"
+    )
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # --- (b) FFD bin packing at the design point ------------------------
+    from recordmanager_spark.functions.text import token_count
+    from recordmanager_spark.operators.packing import pack_bins_ffd
+
+    d = big.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    t0 = time.time()
+    bins = pack_bins_ffd(
+        d, id_col="doc_id", tokens_col="n_tokens",
+        budget=2048, num_shards=64,
+    )
+    eff = (
+        bins.select("bin_id", "bin_fill")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg(F.lit(2048) - F.col("bin_fill")).alias("slack"),
+        )
+        .collect()[0]
+    )
+    secs = time.time() - t0
+    print(
+        f"FFD packing (2048, 64 shards)  {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"({eff['nb']} bins, efficiency "
+        f"{1 - eff['slack'] / 2048:.3f})"
+    )
+
+    # --- (c) streaming near-dup drain -----------------------------------
+    from recordmanager_spark.streaming.pipeline import (
+        streaming_minhash_neardup,
+    )
+
+    base = tempfile.mkdtemp(prefix="rm_soak10_stream_")
+    big.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).write.mode("overwrite").json(f"{base}/in")
+    stream = spark.readStream.schema("doc_id string, text string").json(
+        f"{base}/in"
+    )
+    out = streaming_minhash_neardup(stream, threshold=0.5)
+    t0 = time.time()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = time.time() - t0
+    print(
+        f"streaming near-dup drain       {secs:7.2f}s  "
+        f"{n / secs:9.0f} rows/s  {n / secs / CORES:7.0f} rows/s/core  "
+        f"(one availableNow pass, signatures + keyed bucket state)"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def cmd_soak7(sf_dir: str) -> None:
     """Round-7 soaks: the DEGENERATE-bucket cases for the bounded-state
     bucket pairing (operators/bucket_pairs.py) — one boilerplate text /
@@ -785,6 +926,8 @@ if __name__ == "__main__":
         cmd_soak8(sf_dir)
     elif mode == "soak9":
         cmd_soak9(sf_dir)
+    elif mode == "soak10":
+        cmd_soak10(sf_dir)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
