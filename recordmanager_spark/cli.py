@@ -629,6 +629,31 @@ def cmd_search(args) -> None:
             print()
 
 
+def cmd_datacard(args) -> None:
+    """Per-group corpus summary (doc/token/char budgets, duplicate
+    rate, quality distribution) — the dataset-release table as a
+    console command, the count-values pattern applied to the corpus
+    tier. ``--approx`` swaps in the bounded-state sketches (HLL++ +
+    KLL percentile), the 100 TB path."""
+    spark = _spark("rm-datacard")
+    from .operators.diagnostics import corpus_datacard
+
+    df = spark.read.parquet(args.input)
+    card = corpus_datacard(
+        df,
+        by=tuple(args.by),
+        text_col=args.text_col,
+        approach="approx" if args.approx else "exact",
+    )
+    if args.out:
+        card.write.mode("overwrite").parquet(args.out)
+        print(f"datacard -> {args.out}")
+    else:
+        for r in card.orderBy(*args.by).collect():
+            json.dump(r.asDict(), sys.stdout, sort_keys=True, default=str)
+            print()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -787,6 +812,21 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--out", help="write results parquet instead of printing")
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser(
+        "datacard", help="documents parquet -> per-group corpus summary"
+    )
+    s.add_argument("--input", required=True, help="documents parquet")
+    s.add_argument(
+        "--by", nargs="+", default=["source", "lang"], help="group columns"
+    )
+    s.add_argument("--text-col", default="text")
+    s.add_argument(
+        "--approx", action="store_true",
+        help="bounded-state sketches (HLL++/KLL) instead of exact",
+    )
+    s.add_argument("--out", help="write parquet instead of printing JSON")
+    s.set_defaults(fn=cmd_datacard)
 
     args = p.parse_args(argv)
     args.fn(args)
