@@ -3336,6 +3336,44 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_tokens")
 
 
+# the r10 incremental tier: dedup against a persisted fingerprint index
+CORPUS_INI_INCR = """
+[corpus:incr]
+languages[] = en
+dedup_index = fpindex
+min_tokens = 3
+"""
+
+
+def corpus_config_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental curate: `dedup_index` probes a fingerprint index
+    built by a prior ingest (here: the even-doc_id half of the corpus)
+    instead of deduping the full corpus — the reference's changed-since
+    ingest architecture (SURVEY §2.14) applied to the corpus tier. The
+    odd-id batch keeps only first-EVER occurrences: an index hit
+    (canonical is an even id) drops the document, within-batch copies
+    resolve to the min odd id; then the token gate. The CLI twin
+    (tests/test_cli_curate_incremental.py) additionally covers the
+    index-append side effect across two real runs."""
+    from recordmanager_spark import corpus_config as CC
+    from recordmanager_spark.functions.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    prior = d.where(F.pmod("doc_id", F.lit(2)) == 0)
+    idx = (
+        prior.select(
+            fingerprint("text").alias("fp"),
+            F.col("doc_id").alias("canonical_id"),
+        )
+        .groupBy("fp")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    batch = d.where(F.pmod("doc_id", F.lit(2)) == 1)
+    cfg = CC.parse_corpus_ini(CORPUS_INI_INCR)["incr"]
+    out = CC.apply_corpus_pipeline(batch, cfg, tables={"fpindex": idx})
+    return out.select("doc_id", "source", "lang", "n_tokens")
+
+
 def corpus_config_pipeline_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Config-compiled curation pipeline: the [corpus:contract] ini
     section sequences lang keep -> exact dedup (first copy) -> token
@@ -4178,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
         "corpus_config_minhash_docs": corpus_config_minhash_docs,
         "corpus_config_warc_docs": corpus_config_warc_docs,
+        "corpus_config_incremental_docs": corpus_config_incremental_docs,
         "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
@@ -4343,6 +4382,36 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup_docs": _streaming_neardup_oracle_sql(),
         "pack_bins_ffd_docs": _pack_bins_ffd_oracle_sql(),
         "corpus_config_warc_docs": _corpus_config_warc_oracle_sql(),
+        "corpus_config_incremental_docs": f"""
+            WITH idx AS (
+              SELECT md5({_NORM.format(c='text')}) AS fp,
+                     min(doc_id) AS cid
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            batch AS (
+              SELECT doc_id, source, lang, text,
+                     md5({_NORM.format(c='text')}) AS fp
+              FROM documents WHERE doc_id % 2 = 1 AND lang = 'en'
+            ),
+            miss AS (
+              SELECT fp, min(doc_id) AS bc FROM batch
+              WHERE fp NOT IN (SELECT fp FROM idx) GROUP BY fp
+            ),
+            kept AS (
+              SELECT b.doc_id, b.source, b.lang, b.text
+              FROM batch b
+              LEFT JOIN idx i USING (fp)
+              LEFT JOIN miss m USING (fp)
+              WHERE b.doc_id = coalesce(i.cid, m.bc)
+            )
+            SELECT doc_id, source, lang, n_tokens FROM (
+              SELECT doc_id, source, lang,
+                     CAST(len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM kept)
+            WHERE n_tokens >= 3
+        """,
         "soft_dedup_weights_docs": f"""
             WITH d AS (
               SELECT doc_id,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ngram_novelty_docs",
     # round-10 additions
     "corpus_config_warc_docs",
+    "corpus_config_incremental_docs",
 ]
 
 

@@ -558,9 +558,22 @@ def cmd_curate(args) -> None:
     if args.benchmark:
         name, path = args.benchmark.split("=", 1)
         tables[name] = spark.read.parquet(path)
+    cfg = cfgs[args.corpus]
+    if cfg.dedup_index:
+        # resolve (or bootstrap) the persisted fingerprint index — a
+        # first run sees an empty index, so every fingerprint is new
+        from .sources.bucketed import read_bucketed
+
+        id_type = df.schema[args.id_col].dataType.simpleString()
+        if spark.catalog.tableExists(cfg.dedup_index):
+            tables[cfg.dedup_index] = read_bucketed(spark, cfg.dedup_index)
+        else:
+            tables[cfg.dedup_index] = spark.createDataFrame(
+                [], f"fp string, canonical_id {id_type}"
+            )
     out = apply_corpus_pipeline(
         df,
-        cfgs[args.corpus],
+        cfg,
         id_col=args.id_col,
         text_col=args.text_col,
         lang_col=args.lang_col,
@@ -568,6 +581,25 @@ def cmd_curate(args) -> None:
     )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
+    if cfg.dedup_index:
+        # the index-append side effect, AFTER the output write: the
+        # batch's first-seen fingerprints join the index so the next
+        # ingest dedups against them (write_fingerprint_index's bucket
+        # spec; the first run creates the table)
+        from .operators.text_dedup import exact_dup_incremental
+        from .sources.bucketed import write_bucketed
+
+        _, new_rows = exact_dup_incremental(
+            df, tables[cfg.dedup_index], id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        write_bucketed(
+            new_rows, cfg.dedup_index, "fp", 64,
+            mode="append" if spark.catalog.tableExists(cfg.dedup_index)
+            else "overwrite",
+        )
+        added = new_rows.count()
+        print(f"fingerprint index {cfg.dedup_index}: +{added} rows")
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
 
 

@@ -42,6 +42,16 @@ not ini order):
                              (``functions.quality.blocklist_hits``)
 3.  ``dedup = exact``      — keep the first (min-id) copy per distinct
                              normalized text (``distinct_by_text``)
+    ``dedup_index = <tbl>``— INCREMENTAL exact tier (the daily-ingest
+                             path): probe the persisted fingerprint
+                             index instead of the full corpus — an
+                             index hit drops the document (a prior
+                             ingest owns the canonical), within-batch
+                             copies keep the min id
+                             (``exact_dup_incremental``). ``curate``
+                             resolves the table, creates it on the
+                             first run, and appends the batch's new
+                             fingerprints after writing the output
     ``dedup = minhash``    — near-duplicate prune: minhash/LSH
                              candidates verified at
                              ``minhash_threshold`` exact Jaccard, then
@@ -131,6 +141,7 @@ class CorpusConfig:
     blocklist: str | None = None  # path to one-word-per-line file
     blocklist_max_hits: int = 0
     dedup: str | None = None  # None | "exact" | "minhash"
+    dedup_index: str | None = None  # fingerprint-index table (incremental)
     minhash_threshold: float = 0.5
     minhash_num_perm: int = 16
     minhash_bands: int = 4
@@ -192,9 +203,16 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
                 f"[{section}] source={src!r}: expected "
                 "'warc:<dir>' or 'parquet:<path>'"
             )
+        didx = kv.get("dedup_index")
+        if didx is not None and dedup not in (None, "exact"):
+            raise ValueError(
+                f"[{section}] dedup_index is the exact tier's incremental "
+                f"path; it cannot combine with dedup={dedup!r}"
+            )
         cfg = CorpusConfig(
             name=name,
             source=src,
+            dedup_index=didx,
             strip_html=_bool(kv.get("strip_html"), False),
             fix_mojibake=_bool(kv.get("fix_mojibake"), False),
             languages=list(kv.get("languages", [])),
@@ -346,7 +364,23 @@ def apply_corpus_pipeline(
             out = out.where(
                 blocklist_hits(text_col, words) <= cfg.blocklist_max_hits
             )
-    if cfg.dedup == "exact":
+    if cfg.dedup_index is not None:
+        # incremental exact tier: probe the persisted fingerprint index
+        # (the daily-ingest path — O(batch + matches), never O(corpus));
+        # keep only first-EVER occurrences: an index hit means a prior
+        # ingest owns the canonical, a within-batch duplicate resolves
+        # to the min batch id. The index-append side effect (new
+        # fingerprints) belongs to the runner (cmd_curate), not this
+        # pure transform.
+        from .operators.text_dedup import exact_dup_incremental
+
+        idx = _resolve_table(df, cfg.dedup_index, tables)
+        annotated, _ = exact_dup_incremental(out, idx, id_col, text_col)
+        keep = annotated.where(
+            F.col("id") == F.col("canonical_id")
+        ).select(F.col("id").alias("__kid"))
+        out = out.join(keep, out[id_col] == keep["__kid"], "left_semi")
+    elif cfg.dedup == "exact":
         out = distinct_by_text(out, id_col, text_col)
     elif cfg.dedup == "minhash":
         from .operators.text_dedup import (
