@@ -363,6 +363,11 @@ AUDITS = [
      "(parallelism = segment files, zero shuffles); the single "
      "exchange is the contract FIXTURE assembling documents into "
      "segments (groupBy file) — a real crawl reads segments directly"),
+    ("corpus_config_incremental_docs", 4, True, False,
+     "incremental curate (r10): the index probe is an equi-join on fp "
+     "(broadcast at contract scale; a production BUCKETED index side "
+     "reads pre-partitioned) + the within-batch min-id census — "
+     "O(batch) rows through every exchange, never the prior corpus"),
     ("corpus_config_warc_docs", 3, True, False,
      "WARC->curate (r10): the returned plan must read the STAGED "
      "landing-zone parquet, never the crawl transport — an "
