@@ -6738,10 +6738,14 @@ def oracle_sql() -> dict[str, str]:
             tg AS (
                 SELECT * FROM gated WHERE n_tokens BETWEEN 5 AND 2000
             ),
-            sz AS (SELECT source, count(*) AS gn FROM tg GROUP BY source),
+            sz AS (SELECT source, count(*) AS gn,
+                          arg_min(doc_id,
+                            {_HEX8.format(h="md5('cap' || CAST(doc_id AS VARCHAR))")})
+                            AS k1
+                   FROM tg GROUP BY source),
             capped AS (
                 SELECT t.* FROM tg t JOIN sz USING (source)
-                WHERE sz.gn <= 8 OR
+                WHERE sz.gn <= 8 OR t.doc_id = sz.k1 OR
                   (CAST(list_sum(list_transform(range(1, 9), i ->
                      (strpos('0123456789abcdef',
                              substr(md5('cap' || CAST(t.doc_id AS VARCHAR)),
@@ -6855,15 +6859,18 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 END AS avg_logprob
             FROM toks t LEFT JOIN sums s USING (doc_id)
         """,
-        "domain_cap_docs": """
+        "domain_cap_docs": f"""
             WITH s AS (
-              SELECT source, lang, count(*) AS gn
+              SELECT source, lang, count(*) AS gn,
+                     arg_min(doc_id,
+                       {_HEX8.format(h="md5('cap' || CAST(doc_id AS VARCHAR))")})
+                       AS k1
               FROM documents GROUP BY source, lang
             )
             SELECT d.doc_id, d.source, d.lang
             FROM documents d
             JOIN s ON d.source = s.source AND d.lang = s.lang
-            WHERE s.gn <= 8 OR
+            WHERE s.gn <= 8 OR d.doc_id = s.k1 OR
               (CAST(list_sum(list_transform(range(1, 9), i ->
                  (strpos('0123456789abcdef',
                          substr(md5('cap' || CAST(d.doc_id AS VARCHAR)),

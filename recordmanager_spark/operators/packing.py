@@ -63,7 +63,13 @@ def cap_per_group(
     ``unit_hash(id)`` — expected ``cap`` survivors, deterministic
     across reruns and engines (the DuckDB oracle replicates the md5
     device digit-for-digit), and rerun-stable under corpus growth in
-    the same way the train/val/test splitter is.
+    the same way the train/val/test splitter is. Every over-cap group
+    additionally keeps AT LEAST its min-``unit_hash`` row: a pure
+    Bernoulli thinning drops an entire group with probability
+    ~``e^-cap`` (37% at cap=1 — a capped domain silently vanishing
+    from the mix), so the census aggregates an O(1)-state ``min_by``
+    representative alongside the count (hypothesis-pinned in
+    tests/test_properties.py).
 
     Scale shape (the census join-back pattern from
     ``operators/bucket_pairs.py``): one map-side-combinable
@@ -78,12 +84,19 @@ def cap_per_group(
     exact per-group rank is a window over an unbounded hot key (the r6
     ADVICE class). Rank on quality instead by pre-filtering with
     ``quality_buckets`` / ``nb_quality`` scores, then capping."""
-    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn"))
-    joined = df.join(sizes.hint("shuffle_hash"), list(group_cols))
-    keep = (F.col("__gn") <= cap) | (
-        unit_hash(F.col(id_col), salt) * F.col("__gn") < F.lit(float(cap))
+    sizes = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__gn"),
+        F.min_by(F.col(id_col), unit_hash(F.col(id_col), salt)).alias(
+            "__keep1"
+        ),
     )
-    return joined.where(keep).drop("__gn")
+    joined = df.join(sizes.hint("shuffle_hash"), list(group_cols))
+    keep = (
+        (F.col("__gn") <= cap)
+        | (unit_hash(F.col(id_col), salt) * F.col("__gn") < F.lit(float(cap)))
+        | (F.col(id_col) == F.col("__keep1"))
+    )
+    return joined.where(keep).drop("__gn", "__keep1")
 
 
 def pack_sequences(
