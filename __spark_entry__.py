@@ -4187,10 +4187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a driver-recorded oracle row.
-        # r9: lead with this round's ten new queries (BM25/hybrid
-        # retrieval, ANN recall, streaming near-dup, encoding/HTML
-        # hygiene, WARC source, source overlap, FFD packing), then the
-        # r8 head (canaries + refreshes).
+        # r10 must-haves are all inside: ngram_novelty (r9's one
+        # hash-FAIL, oracle hardened), streaming_neardup + pack_bins_ffd
+        # (now value-checked via recursive-CTE replays, no more
+        # no_oracle errs), corpus_config_warc/incremental (new),
+        # domain_cap + corpus_config_pipeline (cap oracle gained the
+        # min-hash keeper clause).
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_search_docs": hybrid_search_docs,
         "mojibake_repair_docs": mojibake_repair_docs,
