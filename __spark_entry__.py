@@ -3336,6 +3336,29 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_tokens")
 
 
+def boilerplate_ngrams_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate mining: even-id docs carry an injected
+    shared preamble (the ngram_novelty fixture), so its 3-grams must
+    surface as the top document-frequency grams. The removal-list
+    complement of the per-document novelty signal; top-k is a bounded
+    sort-limit (TakeOrderedAndProject), ties broken on the gram string
+    so the oracle reproduces the exact set."""
+    from recordmanager_spark.operators.diagnostics import (
+        boilerplate_ngram_report,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(F.lit("shared preamble words here "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_ngram_report(d, top_k=20, min_doc_frac=0.01)
+
+
 # the r10 incremental tier: dedup against a persisted fingerprint index
 CORPUS_INI_INCR = """
 [corpus:incr]
@@ -4219,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_config_minhash_docs": corpus_config_minhash_docs,
         "corpus_config_warc_docs": corpus_config_warc_docs,
         "corpus_config_incremental_docs": corpus_config_incremental_docs,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
@@ -4384,6 +4408,36 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup_docs": _streaming_neardup_oracle_sql(),
         "pack_bins_ffd_docs": _pack_bins_ffd_oracle_sql(),
         "corpus_config_warc_docs": _corpus_config_warc_oracle_sql(),
+        "boilerplate_ngrams_docs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'shared preamble words here ' || text
+                          ELSE text END AS t
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       {_NORM.format(c='t')}, '\\s+'), x -> x <> '') AS ts
+              FROM base
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) >= 3 THEN {_SHINGLES3.format(t='ts')}
+                          ELSE [array_to_string(ts, ' ')] END AS sh
+              FROM toks
+            ),
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+            c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1),
+            t AS (SELECT count(*) AS total FROM documents)
+            SELECT gram, n_docs,
+                   round(n_docs / CAST(total AS DOUBLE), 6) AS doc_frac
+            FROM c, t
+            WHERE n_docs >= total * 0.01
+            ORDER BY n_docs DESC, gram ASC
+            LIMIT 20
+        """,
         "corpus_config_incremental_docs": f"""
             WITH idx AS (
               SELECT md5({_NORM.format(c='text')}) AS fp,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "corpus_config_warc_docs",
     "corpus_config_incremental_docs",
+    "boilerplate_ngrams_docs",
 ]
 
 

@@ -365,3 +365,53 @@ def token_divergence_report(
             6,
         ).alias("total_variation"),
     )
+
+
+def boilerplate_ngram_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+    top_k: int = 100,
+) -> DataFrame:
+    """The corpus's most over-represented token ``n``-grams —
+    (gram, n_docs, doc_frac), top ``top_k`` by document frequency.
+
+    The corpus-level complement of :func:`ngram_novelty
+    <recordmanager_spark.operators.text_dedup.ngram_novelty>`: novelty
+    scores each DOCUMENT by how much repeated material it carries;
+    this report names the repeated MATERIAL itself — the
+    template/footer/mirror phrasing a curation pass turns into a
+    removal or down-weighting list (the CCNet/RefinedWeb boilerplate
+    side product), and the first thing a human reads when a source's
+    novelty distribution collapses.
+
+    Shape: distinct grams per document explode once (so the count IS
+    document frequency); the census is one map-side-combinable
+    groupBy; ``min_doc_frac`` (against a lazily-joined 1-row corpus
+    census — nothing collects) prunes the long unique tail BEFORE the
+    ranking; the final top-k is a sort-limit, which Spark executes as
+    TakeOrderedAndProject — O(top_k) state per partition, never a
+    window. Determinism: ties break on the gram string ascending, so
+    the DuckDB oracle reproduces rows exactly.
+    """
+    from ..functions.text import token_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_ngrams(text_col, n)).alias("gram"),
+    )
+    census = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        census.crossJoin(F.broadcast(total))
+        .where(F.col("n_docs") >= F.col("__total") * F.lit(min_doc_frac))
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_frac"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
