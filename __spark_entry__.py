@@ -3336,6 +3336,23 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "n_tokens")
 
 
+def shard_manifest_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard manifests for the deterministic training shuffle: per-shard
+    doc count, token budget, and an order-insensitive bit-XOR content
+    hash — the artifact a loader validates before an epoch and re-runs
+    diff (operators/packing.py shard_manifest; same md5(seed:id) device
+    as shuffle_shards_docs, so the oracle replays it exactly)."""
+    from recordmanager_spark.functions.text import token_count
+    from recordmanager_spark.operators.packing import shard_manifest
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return shard_manifest(
+        d, id_col="doc_id", n_shards=16, seed="0", tokens_col="n_tokens"
+    )
+
+
 def boilerplate_ngrams_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level boilerplate mining: even-id docs carry an injected
     shared preamble (the ngram_novelty fixture), so its 3-grams must
@@ -4243,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_config_warc_docs": corpus_config_warc_docs,
         "corpus_config_incremental_docs": corpus_config_incremental_docs,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "shard_manifest_docs": shard_manifest_docs,
         "minhash_calibration_docs": minhash_calibration_docs,
         "dedup_er": dedup_er,
         "marc_rich_extract": marc_rich_extract,
@@ -5865,6 +5883,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, term, tf, dfn AS df, score,
                    CAST(rnk AS INT) AS "rank"
             FROM r WHERE rnk <= 5
+        """,
+        "shard_manifest_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text),
+                          '\\s+'), x -> x <> '')) AS BIGINT) AS nt,
+                     {_HEX15.format(h="md5('0:' || CAST(doc_id AS VARCHAR))")}
+                       AS mh
+              FROM documents
+            )
+            SELECT CAST(mh % 16 AS INT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   bit_xor(mh) AS content_hash
+            FROM h GROUP BY 1
         """,
         "shuffle_shards_docs": f"""
             WITH h AS (

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "corpus_config_warc_docs",
     "corpus_config_incremental_docs",
     "boilerplate_ngrams_docs",
+    "shard_manifest_docs",
 ]
 
 

@@ -512,6 +512,44 @@ def shuffle_shards(
     return df.withColumn("shard", shard).withColumn("sort_key", h)
 
 
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "0",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest of the deterministic shuffle — the artifact a
+    training loader validates before an epoch and operators diff across
+    pipeline re-runs (the contract :func:`shuffle_shards` promises):
+    (shard, n_docs[, n_tokens], content_hash).
+
+    ``content_hash`` is the bit-XOR of each member's 60-bit shuffle
+    hash: ORDER-INSENSITIVE (no within-shard sort needed to verify a
+    shard's membership), O(1) aggregation state, overflow-free, and
+    engine-replicable (DuckDB's bit_xor over the same md5 device) — so
+    two runs disagree on a manifest row iff a shard's membership
+    actually changed. ``tokens_col`` adds the per-shard token budget a
+    loader uses for scheduling. One map-side-combinable groupBy; the
+    corpus never shuffles beyond the count partials.
+    """
+    sharded = shuffle_shards(df, id_col, n_shards, seed)
+    member_hash = F.conv(F.substring("sort_key", 1, 15), 16, 10).cast(
+        "long"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(__mh)").alias("content_hash"),
+    ]
+    if tokens_col is not None:
+        aggs.insert(1, F.sum(tokens_col).cast("long").alias("n_tokens"))
+    return (
+        sharded.withColumn("__mh", member_hash)
+        .groupBy("shard")
+        .agg(*aggs)
+    )
+
+
 def write_shuffled_shards(
     df: DataFrame,
     id_col: str,

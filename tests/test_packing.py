@@ -421,3 +421,36 @@ def test_cap_per_group_plan_shape(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" not in plan  # census must never broadcast
     assert unique_exchange_count(out) <= 2
+
+
+def test_shard_manifest_detects_membership_change(spark):
+    """The manifest's bit-XOR content hash is order-insensitive and
+    flips iff a shard's membership changes — the diffable re-run
+    contract shuffle_shards documents."""
+    from recordmanager_spark.operators.packing import shard_manifest
+
+    rows = [(i, 10 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    m1 = {r["shard"]: r for r in shard_manifest(
+        df, "doc_id", 4, seed="7", tokens_col="n_tokens").collect()}
+    # order-insensitive: a reversed/replayed input gives byte-equal rows
+    m2 = {r["shard"]: r for r in shard_manifest(
+        spark.createDataFrame(list(reversed(rows)),
+                              "doc_id long, n_tokens long"),
+        "doc_id", 4, seed="7", tokens_col="n_tokens").collect()}
+    assert m1 == m2
+    assert sum(r["n_docs"] for r in m1.values()) == 50
+    assert sum(r["n_tokens"] for r in m1.values()) == sum(t for _, t in rows)
+    # dropping one doc changes exactly its shard's row
+    df2 = df.where("doc_id <> 13")
+    m3 = {r["shard"]: r for r in shard_manifest(
+        df2, "doc_id", 4, seed="7", tokens_col="n_tokens").collect()}
+    changed = [s for s in m1 if m1[s] != m3.get(s)]
+    assert len(changed) == 1
+    s = changed[0]
+    assert m3[s]["n_docs"] == m1[s]["n_docs"] - 1
+    assert m3[s]["content_hash"] != m1[s]["content_hash"]
+    # different seed reshuffles -> different manifest
+    m4 = {r["shard"]: r for r in shard_manifest(
+        df, "doc_id", 4, seed="8", tokens_col="n_tokens").collect()}
+    assert m4 != m1
