@@ -593,6 +593,7 @@ def cmd_curate(args) -> None:
             df, tables[cfg.dedup_index], id_col=args.id_col,
             text_col=args.text_col,
         )
+        _clear_orphan_table_location(spark, cfg.dedup_index)
         write_bucketed(
             new_rows, cfg.dedup_index, "fp", 64,
             mode="append" if spark.catalog.tableExists(cfg.dedup_index)
@@ -601,6 +602,26 @@ def cmd_curate(args) -> None:
         added = new_rows.count()
         print(f"fingerprint index {cfg.dedup_index}: +{added} rows")
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
+
+
+def _clear_orphan_table_location(spark, table: str) -> None:
+    """saveAsTable(mode="overwrite") refuses to create a managed table
+    whose warehouse LOCATION survives from a previous session while the
+    (per-session derby) catalog no longer knows the table — a re-run of
+    `index`/`curate` after any restart would die on
+    LOCATION_ALREADY_EXISTS. When the catalog lacks the table, remove
+    the orphan directory; when it has it, the overwrite path handles
+    everything."""
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, table.lower()), ignore_errors=True
+        )
 
 
 def cmd_index(args) -> None:
@@ -619,6 +640,8 @@ def cmd_index(args) -> None:
     postings = build_postings(
         df, id_col=args.id_col, text_col=args.text_col
     )
+    _clear_orphan_table_location(spark, args.table)
+    _clear_orphan_table_location(spark, args.table + "_stats")
     write_bucketed(postings, args.table, "term", args.buckets)
     build_corpus_stats(df, text_col=args.text_col).write.mode(
         "overwrite"

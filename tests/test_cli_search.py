@@ -100,3 +100,19 @@ def test_search_requires_exactly_one_query_form(tmp_path):
                 "--query", "x", "--queries", "y",
             ]
         )
+
+
+def test_index_recovers_from_orphan_warehouse_dir(spark, tmp_path, table):
+    """A managed-table directory left by a DEAD session (the catalog is
+    per-session, the warehouse dir is not) must not fail a re-run of
+    `index` with LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    src = str(tmp_path / "docs")
+    _docs(spark, src)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(os.path.join(wh, table.lower()), exist_ok=True)
+    os.makedirs(os.path.join(wh, table.lower() + "_stats"), exist_ok=True)
+    main(["index", "--input", src, "--table", table, "--buckets", "2"])
+    assert spark.table(table).count() > 0
