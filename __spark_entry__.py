@@ -3316,6 +3316,8 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     warcdemo` with `source = warc:<dir>` in the section
     (tests/test_cli_curate_warc.py runs that path over rendered
     segment FILES)."""
+    import hashlib
+    import os
     import tempfile
 
     from recordmanager_spark import corpus_config as CC
@@ -3327,8 +3329,15 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     # stage's fingerprint-census join-back executes its source subtree
     # once per side, which over a crawl transport means parsing every
     # segment twice (two MapInPandas in the executed plan); one staging
-    # write turns both passes into pruned parquet reads
-    staging = tempfile.mkdtemp(prefix="rm_warc_stage_")
+    # write turns both passes into pruned parquet reads. The staging
+    # path is DETERMINISTIC per scale factor (not mkdtemp): repeated
+    # contract/bench invocations overwrite one directory instead of
+    # accumulating temp dirs (r10 ADVICE). Runs are sequential per
+    # driver contract, so the shared path cannot race.
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        "rm_warc_stage_" + hashlib.md5(sf.encode()).hexdigest()[:12],
+    )
     docs.write.mode("overwrite").parquet(staging)
     docs = spark.read.parquet(staging)
     cfg = CC.parse_corpus_ini(CORPUS_INI_WARC)["warcdemo"]

@@ -560,17 +560,24 @@ def cmd_curate(args) -> None:
         tables[name] = spark.read.parquet(path)
     cfg = cfgs[args.corpus]
     if cfg.dedup_index:
-        # resolve (or bootstrap) the persisted fingerprint index — a
-        # first run sees an empty index, so every fingerprint is new
+        # resolve (or bootstrap) the persisted fingerprint index. A
+        # fresh process has a fresh in-memory catalog, so the table
+        # from a previous run looks absent even though its warehouse
+        # data survived — RE-REGISTER it (CREATE TABLE ... LOCATION
+        # with the original bucket spec) instead of bootstrapping an
+        # empty index and clobbering the old one (r10 ADVICE: that
+        # silently skipped cross-run dedup AND destroyed the index).
         from .sources.bucketed import read_bucketed
 
         id_type = df.schema[args.id_col].dataType.simpleString()
+        schema_ddl = f"fp string, canonical_id {id_type}"
+        _recover_orphan_index(
+            spark, cfg.dedup_index, schema_ddl, "fp", _INDEX_BUCKETS
+        )
         if spark.catalog.tableExists(cfg.dedup_index):
             tables[cfg.dedup_index] = read_bucketed(spark, cfg.dedup_index)
         else:
-            tables[cfg.dedup_index] = spark.createDataFrame(
-                [], f"fp string, canonical_id {id_type}"
-            )
+            tables[cfg.dedup_index] = spark.createDataFrame([], schema_ddl)
     out = apply_corpus_pipeline(
         df,
         cfg,
@@ -584,18 +591,25 @@ def cmd_curate(args) -> None:
     if cfg.dedup_index:
         # the index-append side effect, AFTER the output write: the
         # batch's first-seen fingerprints join the index so the next
-        # ingest dedups against them (write_fingerprint_index's bucket
-        # spec; the first run creates the table)
+        # ingest dedups against them. Fingerprint the GATED frame —
+        # the exact frame the pipeline's dedup stage probed — not the
+        # raw input: with strip_html/fix_mojibake on, raw-text
+        # fingerprints would never match a future probe, and gated-out
+        # (language/blocklist) documents must not enter the index as
+        # phantom canonicals suppressing future content (r10 ADVICE).
+        from .corpus_config import pre_dedup_gates
         from .operators.text_dedup import exact_dup_incremental
         from .sources.bucketed import write_bucketed
 
+        gated = pre_dedup_gates(
+            df, cfg, text_col=args.text_col, lang_col=args.lang_col
+        )
         _, new_rows = exact_dup_incremental(
-            df, tables[cfg.dedup_index], id_col=args.id_col,
+            gated, tables[cfg.dedup_index], id_col=args.id_col,
             text_col=args.text_col,
         )
-        _clear_orphan_table_location(spark, cfg.dedup_index)
         write_bucketed(
-            new_rows, cfg.dedup_index, "fp", 64,
+            new_rows, cfg.dedup_index, "fp", _INDEX_BUCKETS,
             mode="append" if spark.catalog.tableExists(cfg.dedup_index)
             else "overwrite",
         )
@@ -604,24 +618,91 @@ def cmd_curate(args) -> None:
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
 
 
+# bucket count for the persisted fingerprint index; must be identical
+# across every run that appends (a mismatched spec silently reintroduces
+# the probe-side exchange). At 100 TB size this at ingest (~corpus_fp
+# bytes / 256 MB) and keep it constant for the index's lifetime.
+_INDEX_BUCKETS = 64
+
+
+def _table_location(spark, table: str) -> str | None:
+    """Filesystem path a MANAGED table of this name would occupy in the
+    session warehouse. Handles qualified names: ``db.tbl`` lives at
+    ``<wh>/db.db/tbl``, not ``<wh>/db.tbl`` (r10 ADVICE — the naive
+    join made orphan recovery a no-op for qualified names)."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not wh:
+        return None
+    parts = table.lower().split(".")
+    if parts and parts[0] == "spark_catalog":
+        parts = parts[1:]
+    if len(parts) == 1 or parts[0] == "default":
+        return os.path.join(wh, parts[-1])
+    if len(parts) == 2:
+        return os.path.join(wh, parts[0] + ".db", parts[1])
+    return None
+
+
+def _has_parquet_files(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _clear_orphan_table_location(spark, table: str) -> None:
     """saveAsTable(mode="overwrite") refuses to create a managed table
     whose warehouse LOCATION survives from a previous session while the
     (per-session derby) catalog no longer knows the table — a re-run of
-    `index`/`curate` after any restart would die on
-    LOCATION_ALREADY_EXISTS. When the catalog lacks the table, remove
-    the orphan directory; when it has it, the overwrite path handles
-    everything."""
+    `index` after any restart would die on LOCATION_ALREADY_EXISTS.
+    When the catalog lacks the table, remove the orphan directory; when
+    it has it, the overwrite path handles everything.
+
+    ONLY for rebuild-semantics commands (`index`, where the input IS
+    the full corpus and rebuilding is the contract). Incremental state
+    (`curate`'s fingerprint index) must use :func:`_recover_orphan_index`
+    instead — deleting it would erase every prior ingest's fingerprints
+    (r10 ADVICE, high)."""
     import shutil
-    from urllib.parse import urlparse
 
     if spark.catalog.tableExists(table):
         return
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh:
-        shutil.rmtree(
-            os.path.join(wh, table.lower()), ignore_errors=True
-        )
+    loc = _table_location(spark, table)
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _recover_orphan_index(
+    spark, table: str, schema_ddl: str, key: str, n_buckets: int
+) -> bool:
+    """Re-register a persisted index whose data survived a process
+    restart but whose catalog entry (per-session in-memory derby) did
+    not. The bucket spec lives in the catalog, but the bucket id also
+    lives in every file NAME Spark wrote (``part-*_<bucket>.c000``), so
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the surviving
+    files restores both the data AND the shuffle-free probe plan.
+    Returns True when a table was re-registered.
+
+    A location holding no parquet files (a crash mid-first-write) is
+    genuine debris: cleared, not registered."""
+    import shutil
+
+    if spark.catalog.tableExists(table):
+        return False
+    loc = _table_location(spark, table)
+    if not loc or not os.path.isdir(loc):
+        return False
+    if not _has_parquet_files(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+        return False
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return True
 
 
 def cmd_index(args) -> None:

@@ -315,30 +315,25 @@ def load_corpus_source(spark, source: str) -> DataFrame:
     raise ValueError(f"source={source!r}: unknown scheme {kind!r}")
 
 
-def apply_corpus_pipeline(
+def pre_dedup_gates(
     df: DataFrame,
     cfg: CorpusConfig,
-    id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
-    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Run the compiled stages in the documented order. Returns the
-    surviving rows with ``n_tokens`` (when a token gate ran) and
-    ``split`` (when fractions were configured); ``text`` is dropped
-    unless ``keep_text`` (a 100 TB output should not carry the corpus
-    body through downstream shuffles by default).
+    """The stage-0 hygiene + gate prefix (strip_html, fix_mojibake,
+    language gate, blocklist) exactly as :func:`apply_corpus_pipeline`
+    runs it BEFORE the dedup tier.
 
-    ``tables`` resolves ``decontaminate = <name>`` benchmark tables;
-    names absent from the mapping fall back to the session catalog."""
+    Exposed (not just an inline block) so runners that persist the
+    fingerprint index (``curate``'s index-append side effect) can
+    fingerprint the SAME frame the pipeline deduped: index rows must
+    come from the gated, cleaned text — raw-text fingerprints would
+    never match a future probe when ``strip_html``/``fix_mojibake`` is
+    on, and gated-out documents must not enter the index as phantom
+    canonicals that permanently suppress future identical documents
+    (r10 ADVICE)."""
     from .functions.quality import blocklist_hits
-    from .functions.text import token_count
-    from .operators.packing import (
-        cap_per_group,
-        stratified_sample,
-        train_val_test_split,
-    )
-    from .operators.text_dedup import distinct_by_text
 
     out = df
     if cfg.strip_html:
@@ -364,6 +359,34 @@ def apply_corpus_pipeline(
             out = out.where(
                 blocklist_hits(text_col, words) <= cfg.blocklist_max_hits
             )
+    return out
+
+
+def apply_corpus_pipeline(
+    df: DataFrame,
+    cfg: CorpusConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Run the compiled stages in the documented order. Returns the
+    surviving rows with ``n_tokens`` (when a token gate ran) and
+    ``split`` (when fractions were configured); ``text`` is dropped
+    unless ``keep_text`` (a 100 TB output should not carry the corpus
+    body through downstream shuffles by default).
+
+    ``tables`` resolves ``decontaminate = <name>`` benchmark tables;
+    names absent from the mapping fall back to the session catalog."""
+    from .functions.text import token_count
+    from .operators.packing import (
+        cap_per_group,
+        stratified_sample,
+        train_val_test_split,
+    )
+    from .operators.text_dedup import distinct_by_text
+
+    out = pre_dedup_gates(df, cfg, text_col=text_col, lang_col=lang_col)
     if cfg.dedup_index is not None:
         # incremental exact tier: probe the persisted fingerprint index
         # (the daily-ingest path — O(batch + matches), never O(corpus));
