@@ -4235,108 +4235,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
-        # every contract query gets a driver-recorded oracle row.
-        # r10 must-haves are all inside: ngram_novelty (r9's one
-        # hash-FAIL, oracle hardened), streaming_neardup + pack_bins_ffd
-        # (now value-checked via recursive-CTE replays, no more
-        # no_oracle errs), corpus_config_warc/incremental (new),
-        # domain_cap + corpus_config_pipeline (cap oracle gained the
-        # min-hash keeper clause).
-        "bm25_topk_docs": bm25_topk_docs,
-        "hybrid_search_docs": hybrid_search_docs,
-        "mojibake_repair_docs": mojibake_repair_docs,
-        "ann_recall_lsh": ann_recall_lsh,
-        "streaming_neardup_docs": streaming_neardup_docs,
-        "html_extract_docs": html_extract_docs,
-        "warc_extract_docs": warc_extract_docs,
-        "source_overlap_docs": source_overlap_docs,
-        "pack_bins_ffd_docs": pack_bins_ffd_docs,
-        "soft_dedup_weights_docs": soft_dedup_weights_docs,
-        "token_divergence_docs": token_divergence_docs,
-        "ngram_novelty_docs": ngram_novelty_docs,
-        "knn_pq_full": knn_pq_full,
-        "knn_ivfadc_full": knn_ivfadc_full,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
-        "shuffle_shards_docs": shuffle_shards_docs,
-        "paragraph_dedup_docs": paragraph_dedup_docs,
-        # new this round (r8)
-        "domain_cap_docs": domain_cap_docs,
-        "lm_perplexity_docs": lm_perplexity_docs,
-        "exact_dup_incremental_docs": exact_dup_incremental_docs,
-        "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
-        "corpus_config_minhash_docs": corpus_config_minhash_docs,
-        "corpus_config_warc_docs": corpus_config_warc_docs,
-        "corpus_config_incremental_docs": corpus_config_incremental_docs,
-        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-        "shard_manifest_docs": shard_manifest_docs,
-        "minhash_calibration_docs": minhash_calibration_docs,
-        "dedup_er": dedup_er,
-        "marc_rich_extract": marc_rich_extract,
-        "lrmi_extract": lrmi_extract,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "fulltext_trait_docs": fulltext_trait_docs,
-        "uri_cache_ttl": uri_cache_ttl,
-        "eaccpf_extract": eaccpf_extract,
-        "exact_substring_dedup_docs": exact_substring_dedup_docs,
-        "temperature_mix_docs": temperature_mix_docs,
-        "url_blocklist_docs": url_blocklist_docs,
-        "url_canonical_dedup_docs": url_canonical_dedup_docs,
-        "dsir_select_docs": dsir_select_docs,
-        "nb_quality_docs": nb_quality_docs,
-        "train_split_docs": train_split_docs,
-        "minhash_incremental_docs": minhash_incremental_docs,
-        "cluster_corpus_embeddings": cluster_corpus_embeddings,
-        "bloom_contamination_docs": bloom_contamination_docs,
-        "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
-        "corpus_token_stats_docs": corpus_token_stats_docs,
-        "skew_report_events": skew_report_events,
-        "corpus_datacard_docs": corpus_datacard_docs,
-        "media_probe_docs": media_probe_docs,
-        "hamming_neardup_hashes": hamming_neardup_hashes,
-        "streaming_content_dedup": streaming_content_dedup,
-        "config_pipeline_orders": config_pipeline_orders,
-        "quality_buckets_docs": quality_buckets_docs,
-        "near_dup_prune_docs": near_dup_prune_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "bpe_tokenize_docs": bpe_tokenize_docs,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "filter_dsl_orders": filter_dsl_orders,
-        "filter_dsl_events_page": filter_dsl_events_page,
-        "range_scan_page": range_scan_page,
-        "count_values_lang": count_values_lang,
-        "count_values_event_type": count_values_event_type,
-        "count_values_tokens": count_values_tokens,
-        "count_values_mapped": count_values_mapped,
-        "deletion_antijoin": deletion_antijoin,
-        "incremental_changed": incremental_changed,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_json_extract": events_json_extract,
-        "host_component_merge": host_component_merge,
-        "component_parts_policy": component_parts_policy,
-        "group_merge_orders": group_merge_orders,
-        "dedup_incremental": dedup_incremental,
-        "dedup_check": dedup_check,
-        "component_dedup": component_dedup,
-        "marc_extract": marc_extract,
-        "ead_extract": ead_extract,
-        "lido_extract": lido_extract,
-        "qdc_extract": qdc_extract,
-        "upsert_orders": upsert_orders,
-        "copy_down_merged": copy_down_merged,
-        "suppression_filter": suppression_filter,
-        "work_keys_marc": work_keys_marc,
-        "dc_extract": dc_extract,
-        "dc_extract_struct": dc_extract_struct,
-        "marc_holdings_normalize": marc_holdings_normalize,
-        "oai_harvest_parse": oai_harvest_parse,
-        "sierra_harvest_extract": sierra_harvest_extract,
-        "genieplus_harvest_extract": genieplus_harvest_extract,
-        "rdf_import_entities": rdf_import_entities,
-        "pipeline_end_to_end": pipeline_end_to_end,
-        # --- driver-verified in r2/r3; rotate back as needed ---
+        # every contract query gets a fresh driver-recorded oracle row.
+        # r11 rotation: STALEST-FIRST — the r1-r3 vintage rows whose
+        # most recent driver evidence predates r4 (xml_split/geocode r1,
+        # the r2 extractor cohort, the large r3 cohort). Newly added
+        # queries go at the very top (never driver-checked = stalest).
+        # last driver-green: r1
+        "geocode_customers": geocode_customers,
+        "xml_split_customers": xml_split_customers,
+        # last driver-green: r2
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
@@ -4344,6 +4251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ead3_split_extract": ead3_split_extract,
         "value_mapping_orders": value_mapping_orders,
         "hierarchical_facets_geo": hierarchical_facets_geo,
+        "callnumber_sort_keys": callnumber_sort_keys,
+        "geo_centers": geo_centers,
+        "enrich_topics_nation": enrich_topics_nation,
+        "link_resolution_lineitem": link_resolution_lineitem,
+        # last driver-green: r3
         "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
@@ -4392,12 +4304,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "mix_sources_docs": mix_sources_docs,
         "stratified_sample_docs": stratified_sample_docs,
-        "callnumber_sort_keys": callnumber_sort_keys,
-        "geo_centers": geo_centers,
-        "enrich_topics_nation": enrich_topics_nation,
-        "link_resolution_lineitem": link_resolution_lineitem,
-        "geocode_customers": geocode_customers,
-        "xml_split_customers": xml_split_customers,
+        # last driver-green: r4
+        "ead_extract": ead_extract,
+        "lido_extract": lido_extract,
+        "qdc_extract": qdc_extract,
+        "upsert_orders": upsert_orders,
+        "copy_down_merged": copy_down_merged,
+        "suppression_filter": suppression_filter,
+        "work_keys_marc": work_keys_marc,
+        "dc_extract": dc_extract,
+        "dc_extract_struct": dc_extract_struct,
+        "marc_holdings_normalize": marc_holdings_normalize,
+        "oai_harvest_parse": oai_harvest_parse,
+        "sierra_harvest_extract": sierra_harvest_extract,
+        "genieplus_harvest_extract": genieplus_harvest_extract,
+        "rdf_import_entities": rdf_import_entities,
+        "pipeline_end_to_end": pipeline_end_to_end,
+        # last driver-green: r7
+        "deletion_antijoin": deletion_antijoin,
+        "incremental_changed": incremental_changed,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_json_extract": events_json_extract,
+        "host_component_merge": host_component_merge,
+        "component_parts_policy": component_parts_policy,
+        "group_merge_orders": group_merge_orders,
+        "dedup_incremental": dedup_incremental,
+        "dedup_check": dedup_check,
+        "component_dedup": component_dedup,
+        "marc_extract": marc_extract,
+        # last driver-green: r8
+        "near_dup_prune_docs": near_dup_prune_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "bpe_tokenize_docs": bpe_tokenize_docs,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "filter_dsl_orders": filter_dsl_orders,
+        "filter_dsl_events_page": filter_dsl_events_page,
+        "range_scan_page": range_scan_page,
+        "count_values_lang": count_values_lang,
+        "count_values_event_type": count_values_event_type,
+        "count_values_tokens": count_values_tokens,
+        "count_values_mapped": count_values_mapped,
+        # last driver-green: r9
+        "hamming_neardup_hashes": hamming_neardup_hashes,
+        "streaming_content_dedup": streaming_content_dedup,
+        "config_pipeline_orders": config_pipeline_orders,
+        "quality_buckets_docs": quality_buckets_docs,
+        # last driver-green: r10
+        "bm25_topk_docs": bm25_topk_docs,
+        "hybrid_search_docs": hybrid_search_docs,
+        "mojibake_repair_docs": mojibake_repair_docs,
+        "ann_recall_lsh": ann_recall_lsh,
+        "streaming_neardup_docs": streaming_neardup_docs,
+        "html_extract_docs": html_extract_docs,
+        "warc_extract_docs": warc_extract_docs,
+        "source_overlap_docs": source_overlap_docs,
+        "pack_bins_ffd_docs": pack_bins_ffd_docs,
+        "soft_dedup_weights_docs": soft_dedup_weights_docs,
+        "token_divergence_docs": token_divergence_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
+        "knn_pq_full": knn_pq_full,
+        "knn_ivfadc_full": knn_ivfadc_full,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
+        "shuffle_shards_docs": shuffle_shards_docs,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        "domain_cap_docs": domain_cap_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
+        "exact_dup_incremental_docs": exact_dup_incremental_docs,
+        "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
+        "corpus_config_minhash_docs": corpus_config_minhash_docs,
+        "corpus_config_warc_docs": corpus_config_warc_docs,
+        "corpus_config_incremental_docs": corpus_config_incremental_docs,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "shard_manifest_docs": shard_manifest_docs,
+        "minhash_calibration_docs": minhash_calibration_docs,
+        "dedup_er": dedup_er,
+        "marc_rich_extract": marc_rich_extract,
+        "lrmi_extract": lrmi_extract,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "fulltext_trait_docs": fulltext_trait_docs,
+        "uri_cache_ttl": uri_cache_ttl,
+        "eaccpf_extract": eaccpf_extract,
+        "exact_substring_dedup_docs": exact_substring_dedup_docs,
+        "temperature_mix_docs": temperature_mix_docs,
+        "url_blocklist_docs": url_blocklist_docs,
+        "url_canonical_dedup_docs": url_canonical_dedup_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "nb_quality_docs": nb_quality_docs,
+        "train_split_docs": train_split_docs,
+        "minhash_incremental_docs": minhash_incremental_docs,
+        "cluster_corpus_embeddings": cluster_corpus_embeddings,
+        "bloom_contamination_docs": bloom_contamination_docs,
+        "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
+        "corpus_token_stats_docs": corpus_token_stats_docs,
+        "skew_report_events": skew_report_events,
+        "corpus_datacard_docs": corpus_datacard_docs,
+        "media_probe_docs": media_probe_docs,
     }
 
 
