@@ -4223,6 +4223,91 @@ def _mojibake_prefixes() -> tuple[str, str]:
     return p0, p1
 
 
+def index_diff_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The `solr compare-records` analogue (SolrComparer.php:220) on a
+    deterministic fixture: the would-be index docs perturb lang
+    (upper-cased on doc_id%5==0) and the published index perturbs
+    n_chars (+1 on doc_id%7==0), drops doc_id%11==0 rows entirely
+    (missing-from-index → every field added) and carries a legacy
+    field the new docs no longer compute (index-only field → removed).
+    Output is the reference's log line as rows: (id, field, added,
+    removed) with the value lists pipe-joined for the driver hash."""
+    from recordmanager_spark.operators.index_compare import (
+        compare_index_docs,
+    )
+
+    d = _t(spark, sf, "documents")
+    new_docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("Title "), F.col("doc_id").cast("string")).alias(
+            "title"
+        ),
+        F.when(
+            F.pmod("doc_id", F.lit(5)) == 0, F.upper("lang")
+        ).otherwise(F.col("lang")).alias("lang"),
+        "n_chars",
+    )
+    indexed = d.where(F.pmod("doc_id", F.lit(11)) != 0).select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("Title "), F.col("doc_id").cast("string")).alias(
+            "title"
+        ),
+        "lang",
+        (
+            F.col("n_chars")
+            + F.when(F.pmod("doc_id", F.lit(7)) == 0, 1).otherwise(0)
+        ).alias("n_chars"),
+        F.concat(
+            F.lit("old-"), F.pmod("doc_id", F.lit(3)).cast("string")
+        ).alias("legacy"),
+    )
+    diff = compare_index_docs(new_docs, indexed)
+    return diff.select(
+        "id",
+        "field",
+        F.array_join("added", "|").alias("added"),
+        F.array_join("removed", "|").alias("removed"),
+    )
+
+
+def check_index_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The `solr check-index` analogue (SolrUpdater.php:1476): the
+    published index carries phantom rows (doc_id%13==0 shifted by 1e6,
+    never in the record store) and merged rows (doc_id%10==0) that
+    check the DEDUP table instead of records. Records drop doc_id%3==0
+    (missing) and flag doc_id%7==0 deleted; the dedup table drops
+    doc_id%30==0 and flags doc_id%20==0. Output = the orphan delete
+    list (id, merged, reason, deleted_at)."""
+    from recordmanager_spark.operators.index_compare import check_index
+
+    d = _t(spark, sf, "documents")
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    indexed = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.pmod("doc_id", F.lit(10)) == 0, F.lit("merged"))
+        .otherwise(F.lit("standard"))
+        .alias("record_format"),
+    ).unionByName(
+        d.where(F.pmod("doc_id", F.lit(13)) == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.lit("standard").alias("record_format"),
+        )
+    )
+    records = d.where(F.pmod("doc_id", F.lit(3)) != 0).select(
+        F.col("doc_id").alias("id"),
+        (F.pmod("doc_id", F.lit(7)) == 0).alias("deleted"),
+        ts.alias("updated"),
+    )
+    dedup = d.where(F.pmod("doc_id", F.lit(30)) != 0).select(
+        F.col("doc_id").alias("id"),
+        (F.pmod("doc_id", F.lit(20)) == 0).alias("deleted"),
+        ts.alias("updated"),
+    )
+    return check_index(
+        indexed, records, dedup=dedup, updated_col="updated"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4240,6 +4325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most recent driver evidence predates r4 (xml_split/geocode r1,
         # the r2 extractor cohort, the large r3 cohort). Newly added
         # queries go at the very top (never driver-checked = stalest).
+        # never driver-checked (new in r11)
+        "index_diff_docs": index_diff_docs,
+        "check_index_docs": check_index_docs,
         # last driver-green: r1
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
@@ -4430,7 +4518,92 @@ def oracle_sql() -> dict[str, str]:
     raw_toks = "string_split_regex(trim(text), '\\s+')"
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
-        # new this round (r9)
+        # new this round (r11)
+        "index_diff_docs": """
+            WITH newd AS (
+                SELECT doc_id::VARCHAR AS id,
+                       'Title ' || doc_id::VARCHAR AS title,
+                       CASE WHEN doc_id % 5 = 0 THEN upper(lang)
+                            ELSE lang END AS lang,
+                       n_chars
+                FROM documents
+            ), oldd AS (
+                SELECT doc_id::VARCHAR AS id,
+                       'Title ' || doc_id::VARCHAR AS title,
+                       lang,
+                       n_chars + CASE WHEN doc_id % 7 = 0 THEN 1
+                                      ELSE 0 END AS n_chars,
+                       'old-' || (doc_id % 3)::VARCHAR AS legacy
+                FROM documents WHERE doc_id % 11 <> 0
+            ), newm AS (
+                SELECT id, 'title' AS field, [title] AS vals
+                FROM newd WHERE title IS NOT NULL
+                UNION ALL SELECT id, 'lang', [lang]
+                FROM newd WHERE lang IS NOT NULL
+                UNION ALL SELECT id, 'n_chars', [n_chars::VARCHAR]
+                FROM newd WHERE n_chars IS NOT NULL
+            ), oldm AS (
+                SELECT id, 'title' AS field, [title] AS vals
+                FROM oldd WHERE title IS NOT NULL
+                UNION ALL SELECT id, 'lang', [lang]
+                FROM oldd WHERE lang IS NOT NULL
+                UNION ALL SELECT id, 'n_chars', [n_chars::VARCHAR]
+                FROM oldd WHERE n_chars IS NOT NULL
+                UNION ALL SELECT id, 'legacy', [legacy]
+                FROM oldd WHERE legacy IS NOT NULL
+            ), j AS (
+                SELECT coalesce(n.id, o.id) AS id,
+                       coalesce(n.field, o.field) AS field,
+                       coalesce(n.vals, []) AS nv,
+                       coalesce(o.vals, []) AS ov
+                FROM newm n FULL OUTER JOIN oldm o
+                  ON n.id = o.id AND n.field = o.field
+            )
+            SELECT id, field,
+                   coalesce(array_to_string(list_sort(list_filter(nv,
+                       x -> NOT list_contains(ov, x))), '|'), '') AS added,
+                   coalesce(array_to_string(list_sort(list_filter(ov,
+                       x -> NOT list_contains(nv, x))), '|'), '') AS removed
+            FROM j
+            WHERE len(list_filter(nv, x -> NOT list_contains(ov, x))) > 0
+               OR len(list_filter(ov, x -> NOT list_contains(nv, x))) > 0
+        """,
+        "check_index_docs": """
+            WITH idx AS (
+                SELECT doc_id::VARCHAR AS id, doc_id AS key,
+                       CASE WHEN doc_id % 10 = 0 THEN 'merged'
+                            ELSE 'standard' END AS fmt
+                FROM documents
+                UNION ALL
+                SELECT (doc_id + 1000000)::VARCHAR, doc_id + 1000000,
+                       'standard'
+                FROM documents WHERE doc_id % 13 = 0
+            ), rec AS (
+                SELECT doc_id, doc_id % 7 = 0 AS deleted,
+                       make_timestamp((1704067200 + doc_id) * 1000000)
+                           AS updated
+                FROM documents WHERE doc_id % 3 <> 0
+            ), ded AS (
+                SELECT doc_id, doc_id % 20 = 0 AS deleted,
+                       make_timestamp((1704067200 + doc_id) * 1000000)
+                           AS updated
+                FROM documents WHERE doc_id % 30 <> 0
+            )
+            SELECT i.id, false AS merged,
+                   CASE WHEN r.doc_id IS NULL THEN 'missing'
+                        ELSE 'deleted' END AS reason,
+                   CASE WHEN r.deleted THEN r.updated END AS deleted_at
+            FROM idx i LEFT JOIN rec r ON i.key = r.doc_id
+            WHERE i.fmt = 'standard' AND (r.doc_id IS NULL OR r.deleted)
+            UNION ALL
+            SELECT i.id, true,
+                   CASE WHEN d.doc_id IS NULL THEN 'missing'
+                        ELSE 'deleted' END,
+                   CASE WHEN d.deleted THEN d.updated END
+            FROM idx i LEFT JOIN ded d ON i.key = d.doc_id
+            WHERE i.fmt = 'merged' AND (d.doc_id IS NULL OR d.deleted)
+        """,
+        # new in r9
         "bm25_topk_docs": _bm25_oracle_sql(5),
         "hybrid_search_docs": _hybrid_oracle_sql(),
         "mojibake_repair_docs": _mojibake_oracle_sql(),

@@ -790,6 +790,88 @@ def cmd_datacard(args) -> None:
             print()
 
 
+def cmd_compare_records(args) -> None:
+    """Command/Solr/CompareRecords.php: field-level diff of the
+    would-be index docs against the currently-published index — the
+    re-index validation a user runs after every mapping change. The
+    reference fetches each doc over HTTP (SolrComparer.php:241);
+    natively both sides melt to (id, field, values) and diff in one
+    full-outer join. Prints the reference's log lines (--- removed /
+    +++ added per field) or writes the diff table with --out."""
+    spark = _spark("rm-compare-records")
+    from .operators.index_compare import compare_index_docs
+
+    records = spark.read.parquet(args.records)
+    indexed = spark.read.parquet(args.index)
+    if args.single_id:
+        records = records.where(
+            F.col(args.id_col).cast("string") == args.single_id
+        )
+    if args.source and "source_id" in records.columns:
+        records = records.where(F.col("source_id").isin(args.source))
+    diff = compare_index_docs(
+        records,
+        indexed,
+        id_col=args.id_col,
+        fields=args.fields.split(",") if args.fields else None,
+        skip_missing=args.skip_missing,
+    )
+    if args.out:
+        diff.write.mode("overwrite").parquet(args.out)
+        print(f"index diff -> {args.out}")
+        return
+    n = 0
+    for r in diff.orderBy("id", "field").collect():
+        n += 1
+        print(f"Record {r['id']} field {r['field']} would be changed:")
+        for v in r["removed"]:
+            print(f"--- {v}")
+        for v in r["added"]:
+            print(f"+++ {v}")
+    print(f"{n} field differences")
+
+
+def cmd_check_index(args) -> None:
+    """Command/Solr/CheckIndex.php: find index rows whose backing
+    record is missing or deleted (merged rows check the dedup table,
+    SolrUpdater.php:1476). --report-only prints the reference's
+    warning lines; otherwise the orphan delete list is written to
+    --out, ready for the Solr sink's batched deletes."""
+    spark = _spark("rm-check-index")
+    from .operators.index_compare import check_index
+
+    indexed = spark.read.parquet(args.index)
+    records = spark.read.parquet(args.records)
+    dedup = spark.read.parquet(args.dedup) if args.dedup else None
+    orphans = check_index(
+        indexed,
+        records,
+        dedup=dedup,
+        id_col=args.id_col,
+        updated_col=args.updated_col,
+    )
+    if args.report_only:
+        n = 0
+        for r in orphans.orderBy("id").collect():
+            n += 1
+            kind = "merged" if r["merged"] else "single"
+            detail = (
+                f"deleted {r['deleted_at']}"
+                if r["reason"] == "deleted"
+                else "missing"
+            )
+            print(
+                f"Found orphan {kind} record {r['id']} in index "
+                f"(database record {detail})"
+            )
+        print(f"{n} orphaned records")
+    else:
+        if not args.out:
+            raise SystemExit("--out required unless --report-only")
+        orphans.write.mode("overwrite").parquet(args.out)
+        print(f"orphan delete list -> {args.out}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -963,6 +1045,41 @@ def main(argv: list[str] | None = None) -> None:
     )
     s.add_argument("--out", help="write parquet instead of printing JSON")
     s.set_defaults(fn=cmd_datacard)
+
+    s = sub.add_parser(
+        "compare-records",
+        help="would-be index docs vs published index: field-level diff",
+    )
+    s.add_argument("--records", required=True, help="new index docs parquet")
+    s.add_argument("--index", required=True, help="published index parquet")
+    s.add_argument("--id-col", default="id")
+    s.add_argument("--fields", help="comma-separated fields to compare")
+    s.add_argument("--single-id", help="compare only this record id")
+    s.add_argument(
+        "--source", nargs="+", help="restrict to these source_id values"
+    )
+    s.add_argument(
+        "--skip-missing", action="store_true",
+        help="skip records missing from the index",
+    )
+    s.add_argument("--out", help="write diff parquet instead of printing")
+    s.set_defaults(fn=cmd_compare_records)
+
+    s = sub.add_parser(
+        "check-index",
+        help="find index rows whose backing record is missing/deleted",
+    )
+    s.add_argument("--index", required=True, help="published index parquet")
+    s.add_argument("--records", required=True, help="record store parquet")
+    s.add_argument("--dedup", help="dedup-group parquet for merged rows")
+    s.add_argument("--id-col", default="id")
+    s.add_argument("--updated-col", default="updated")
+    s.add_argument(
+        "--report-only", action="store_true",
+        help="print orphan report instead of writing the delete list",
+    )
+    s.add_argument("--out", help="orphan delete list parquet")
+    s.set_defaults(fn=cmd_check_index)
 
     args = p.parse_args(argv)
     args.fn(args)
