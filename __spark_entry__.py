@@ -4308,6 +4308,90 @@ def check_index_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def optout_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-tier opt-out gate (C4/RefinedWeb compliance practice; REP
+    robots-meta + X-Robots-Tag): deterministic fixture plants a robots
+    noindex meta on doc_id%4==0, an unquoted upper-case NONE variant on
+    doc_id%8==1, a benign robots meta on %4==2, a 'nonevent' trap on
+    %4==3 (word boundary must not trip), an X-Robots-Tag: noindex
+    response header on %5==0, a body echoing the header phrase on
+    %7==0 (only the header column may count), and hosts cycling
+    through 3 domains of which optout.example (%3==0) is on the domain
+    opt-out list. Returns every doc with its three verdicts + kept."""
+    from recordmanager_spark.functions.html import (
+        robots_header_noindex,
+        robots_meta_noindex,
+    )
+    from recordmanager_spark.functions.quality import (
+        host_blocked,
+        url_host,
+    )
+
+    d = _t(spark, sf, "documents")
+    host = F.element_at(
+        F.array(
+            F.lit("optout.example"),
+            F.lit("news.example"),
+            F.lit("blog.example"),
+        ),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    meta = (
+        F.when(
+            F.pmod("doc_id", F.lit(8)) == 1,
+            F.lit('<META NAME=ROBOTS CONTENT="NONE">'),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.lit('<meta name="robots" content="index, follow">'),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 3,
+            F.lit('<meta name="robots" content="nonevent">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    body_trap = F.when(
+        F.pmod("doc_id", F.lit(7)) == 0,
+        F.lit(" x-robots-tag: noindex"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.col("text"), body_trap, F.lit("</body></html>"),
+    )
+    headers = F.when(
+        F.pmod("doc_id", F.lit(5)) == 0,
+        F.lit("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\nServer: x"),
+    ).when(
+        F.pmod("doc_id", F.lit(5)) == 1,
+        F.lit("HTTP/1.1 200 OK\r\nServer: x"),
+    )
+    out = d.select(
+        "doc_id",
+        robots_meta_noindex(html).alias("meta_optout"),
+        robots_header_noindex(headers).alias("header_optout"),
+        host_blocked(url_host(url), ["optout.example"]).alias(
+            "domain_optout"
+        ),
+    )
+    return out.withColumn(
+        "kept",
+        ~(
+            F.col("meta_optout")
+            | F.col("header_optout")
+            | F.col("domain_optout")
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4328,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new in r11)
         "index_diff_docs": index_diff_docs,
         "check_index_docs": check_index_docs,
+        "optout_filter_docs": optout_filter_docs,
         # last driver-green: r1
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
@@ -4519,6 +4604,15 @@ def oracle_sql() -> dict[str, str]:
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
         # new this round (r11)
+        "optout_filter_docs": """
+            SELECT doc_id,
+                   (doc_id % 4 = 0 OR doc_id % 8 = 1) AS meta_optout,
+                   doc_id % 5 = 0 AS header_optout,
+                   doc_id % 3 = 0 AS domain_optout,
+                   NOT (doc_id % 4 = 0 OR doc_id % 8 = 1
+                        OR doc_id % 5 = 0 OR doc_id % 3 = 0) AS kept
+            FROM documents
+        """,
         "index_diff_docs": """
             WITH newd AS (
                 SELECT doc_id::VARCHAR AS id,

@@ -602,7 +602,8 @@ def cmd_curate(args) -> None:
         from .sources.bucketed import write_bucketed
 
         gated = pre_dedup_gates(
-            df, cfg, text_col=args.text_col, lang_col=args.lang_col
+            df, cfg, text_col=args.text_col, lang_col=args.lang_col,
+            id_col=args.id_col,
         )
         _, new_rows = exact_dup_incremental(
             gated, tables[cfg.dedup_index], id_col=args.id_col,

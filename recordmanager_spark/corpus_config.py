@@ -135,6 +135,8 @@ __all__ = [
 class CorpusConfig:
     name: str
     source: str | None = None  # "warc:<dir>" | "parquet:<path>"
+    optout: bool = False  # robots-meta / X-Robots-Tag noindex gate
+    optout_domains: str | None = None  # domain opt-out list file
     strip_html: bool = False
     fix_mojibake: bool = False
     languages: list[str] = field(default_factory=list)
@@ -213,6 +215,8 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
             name=name,
             source=src,
             dedup_index=didx,
+            optout=_bool(kv.get("optout"), False),
+            optout_domains=kv.get("optout_domains"),
             strip_html=_bool(kv.get("strip_html"), False),
             fix_mojibake=_bool(kv.get("fix_mojibake"), False),
             languages=list(kv.get("languages", [])),
@@ -320,10 +324,11 @@ def pre_dedup_gates(
     cfg: CorpusConfig,
     text_col: str = "text",
     lang_col: str = "lang",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """The stage-0 hygiene + gate prefix (strip_html, fix_mojibake,
-    language gate, blocklist) exactly as :func:`apply_corpus_pipeline`
-    runs it BEFORE the dedup tier.
+    """The stage-0 hygiene + gate prefix (opt-out, strip_html,
+    fix_mojibake, language gate, blocklist) exactly as
+    :func:`apply_corpus_pipeline` runs it BEFORE the dedup tier.
 
     Exposed (not just an inline block) so runners that persist the
     fingerprint index (``curate``'s index-append side effect) can
@@ -336,6 +341,29 @@ def pre_dedup_gates(
     from .functions.quality import blocklist_hits
 
     out = df
+    if cfg.optout:
+        # the robots opt-out gate runs FIRST, on the RAW markup —
+        # strip_html would remove the very <meta> elements it reads.
+        # WARC sources carry the HTTP envelope in http_headers
+        # (X-Robots-Tag); sources without one gate on the meta alone.
+        from .functions.html import robots_optout
+
+        hdr = (
+            F.col("http_headers")
+            if "http_headers" in out.columns
+            else None
+        )
+        out = out.where(~robots_optout(text_col, hdr))
+    if cfg.optout_domains is not None:
+        # domain-level opt-out list (one domain per line): the
+        # crawl-tier doc id IS the target URI (sources/warc.py
+        # warc_documents), and the match is exact-or-subdomain, never
+        # substring — the same membership rule as the C4 blocklist.
+        from .functions.quality import host_blocked, url_host
+
+        doms = _read_blocklist(cfg.optout_domains)
+        if doms:
+            out = out.where(~host_blocked(url_host(id_col), doms))
     if cfg.strip_html:
         from .functions.html import html_to_text
 
@@ -386,7 +414,9 @@ def apply_corpus_pipeline(
     )
     from .operators.text_dedup import distinct_by_text
 
-    out = pre_dedup_gates(df, cfg, text_col=text_col, lang_col=lang_col)
+    out = pre_dedup_gates(
+        df, cfg, text_col=text_col, lang_col=lang_col, id_col=id_col
+    )
     if cfg.dedup_index is not None:
         # incremental exact tier: probe the persisted fingerprint index
         # (the daily-ingest path — O(batch + matches), never O(corpus));

@@ -35,6 +35,9 @@ __all__ = [
     "html_to_text",
     "html_title",
     "link_density",
+    "robots_header_noindex",
+    "robots_meta_noindex",
+    "robots_optout",
 ]
 
 # literal entity decode, order is semantic: &amp; must fold LAST
@@ -112,3 +115,52 @@ def link_density(col: Column | str) -> Column:
     return F.round(
         anchor_chars / F.greatest(text_chars, F.lit(1)).cast("double"), 6
     )
+
+
+# -- crawl opt-out signals ---------------------------------------------------
+# The compliance gate every production crawl pipeline runs before a page
+# enters a corpus (C4/RefinedWeb practice; REP: RFC 9309 §2.3.1 +
+# Google's robots-meta extension): a page can opt out of indexing via a
+# robots <meta> element in the markup or an X-Robots-Tag HTTP response
+# header. 'none' is the documented shorthand for 'noindex, nofollow'.
+
+_META_TAG = r"(?is)<meta[^>]*>"
+_ROBOTS_NAME = r"(?i)name\s*=\s*[\"']?robots\b"
+_NOINDEX_CONTENT = r"(?i)content\s*=\s*[\"']?[^\"'>]*\b(noindex|none)\b"
+_NOINDEX_HEADER = r"(?im)^x-robots-tag\s*:[^\r\n]*\b(noindex|none)\b"
+
+
+def robots_meta_noindex(col: Column | str) -> Column:
+    """True when any ``<meta name="robots" ...>`` element's content
+    carries a ``noindex`` (or ``none``) directive. Attribute order and
+    quoting are free; directives are comma-separated tokens, so the
+    match is word-bounded ('nonevent' never trips it). False for
+    documents with no such meta (and for NULL text)."""
+    metas = F.regexp_extract_all(_c(col), F.lit(_META_TAG), F.lit(0))
+    return F.coalesce(
+        F.exists(
+            metas,
+            lambda m: m.rlike(_ROBOTS_NAME) & m.rlike(_NOINDEX_CONTENT),
+        ),
+        F.lit(False),
+    )
+
+
+def robots_header_noindex(col: Column | str) -> Column:
+    """True when an HTTP header block carries
+    ``X-Robots-Tag: ... noindex|none`` (case-insensitive, per-line
+    anchored — a body echoing the phrase doesn't count because only
+    the header text is passed). False for NULL."""
+    return F.coalesce(_c(col).rlike(_NOINDEX_HEADER), F.lit(False))
+
+
+def robots_optout(
+    html: Column | str, headers: Column | str | None = None
+) -> Column:
+    """Combined opt-out verdict: robots-meta noindex in the markup OR
+    X-Robots-Tag noindex in the response headers (when a header column
+    is available — WARC responses keep theirs in ``http_headers``)."""
+    verdict = robots_meta_noindex(html)
+    if headers is not None:
+        verdict = verdict | robots_header_noindex(headers)
+    return verdict

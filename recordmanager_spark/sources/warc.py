@@ -55,6 +55,10 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("payload", T.StringType()),
+        # raw HTTP header text for response records (the envelope the
+        # body split removes) — crawl-tier gates read X-Robots-Tag etc.
+        # from here; None for non-HTTP records
+        T.StructField("http_headers", T.StringType()),
     ]
 )
 
@@ -106,12 +110,18 @@ def parse_warc_bytes(name: str, data: bytes) -> list[tuple]:
         wtype = headers.get("warc-type", "")
         ctype = headers.get("content-type", "")
         payload = block
+        http_headers = None
         if wtype == "response" and ctype.startswith("application/http"):
-            # drop the HTTP envelope; body is what curation consumes
+            # split the HTTP envelope from the body; the body is what
+            # curation consumes, the envelope is kept for header-level
+            # gates (X-Robots-Tag opt-out, content negotiation)
             for sep in (b"\r\n\r\n", b"\n\n"):
                 j = block.find(sep)
                 if j >= 0:
                     payload = block[j + len(sep) :]
+                    http_headers = block[:j].decode(
+                        "utf-8", errors="replace"
+                    )
                     break
         out.append(
             (
@@ -124,6 +134,7 @@ def parse_warc_bytes(name: str, data: bytes) -> list[tuple]:
                 ctype,
                 clen,
                 payload.decode("utf-8", errors="replace"),
+                http_headers,
             )
         )
         ord_ += 1
@@ -238,4 +249,8 @@ def warc_documents(
         F.coalesce(F.col("target_uri"), F.col("record_id")).alias("doc_id"),
         F.col("warc_file").alias("source"),
         F.col("payload").alias("text"),
+        # the HTTP envelope rides along for crawl-tier opt-out gates
+        # ([corpus:] optout = true reads X-Robots-Tag from it); column
+        # pruning drops it for pipelines that never look
+        "http_headers",
     )
