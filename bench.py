@@ -110,7 +110,113 @@ BENCH_QUERIES = [
     "corpus_config_incremental_docs",
     "boilerplate_ngrams_docs",
     "shard_manifest_docs",
+    # round-11 additions
+    "index_diff_docs",
+    "check_index_docs",
+    "pack_bins_ffd_docs",
 ]
+
+# Every registered query is either benched above or listed here with the
+# reason it is excluded from the headline number (r10 verdict: exclusions
+# must be committed and justified, not implicit). Reasons are one of:
+# - fixture-bound: the query synthesizes its XML corpus inline, so wall
+#   time measures fixture GENERATION, not the operator (the family's
+#   engines are benched via representatives: ead_extract, lido_extract,
+#   dc_extract_struct, xml_split_customers)
+# - duplicate plan shape of <q>: same physical plan as a benched query;
+#   timing it twice adds noise, not coverage
+# - scan-stage: a zero-exchange expression chain over one scan — the
+#   bench's noop-sink floor dominates; correctness is oracle-checked and
+#   the plan shape is pinned by tools/plan_audit.py
+# - streaming harness: micro-batch scheduling dominates at sf0.1; soak
+#   throughput is tracked in PERFORMANCE.md instead
+# tests/test_bench_registry.py enforces benched + excluded == registered.
+BENCH_EXCLUSIONS = {
+    "allfields_customer": "scan-stage concat/normalize chain",
+    "authority_enrich_customers": "duplicate plan shape of enrich_topics_nation (broadcast dim join)",
+    "bloom_contamination_docs": "duplicate plan shape of contamination_docs (bloom bit-array literal swap)",
+    "c4_clean_docs": "scan-stage line-filter expressions",
+    "callnumber_sort_keys": "scan-stage call-number parse expressions",
+    "cluster_corpus_embeddings": "duplicate core of knn_ivf_full (same centroid-assign pandas UDF)",
+    "component_dedup": "duplicate plan shape of dedup_er (shared blocking/verify/CC machinery)",
+    "component_parts_policy": "duplicate plan shape of group_merge_orders",
+    "config_pipeline_orders": "composition of benched stages (filter_dsl/value_mapping/field_rules); adds only ini compilation",
+    "copy_down_parent": "duplicate plan shape of copy_down_merged",
+    "corpus_token_stats_docs": "duplicate plan shape of corpus_datacard_docs (same census agg)",
+    "count_values_event_type": "duplicate plan shape of count_values_tokens",
+    "count_values_lang": "duplicate plan shape of count_values_tokens",
+    "count_values_mapped": "duplicate plan shape of count_values_tokens",
+    "dc_extract": "pins the xpath FALLBACK engine (~10x struct cost by design); production twin dc_extract_struct is benched",
+    "dedup_check": "duplicate plan shape of dedup_er (invariant re-verify over its output)",
+    "dedup_incremental": "duplicate plan shape of dedup_er (batch-sized probe of the same machinery)",
+    "deletion_antijoin": "scan-stage broadcast anti-join; no corpus-sized exchange",
+    "dirty_hosts_propagation": "scan-stage broadcast semi-join propagation",
+    "doaj_extract": "fixture-bound",
+    "eaccpf_extract": "fixture-bound",
+    "ead3_split_extract": "fixture-bound",
+    "ead_split_extract": "fixture-bound",
+    "embedding_neardup": "duplicate banded-bucket plan shape of hamming_neardup_hashes",
+    "ese_extract": "fixture-bound",
+    "events_json_extract": "scan-stage get_json_object chain",
+    "export_filtered_orders": "write-dominated export manifest; sink behavior pinned by pytest",
+    "filter_dsl_events_page": "duplicate plan shape of filter_dsl_orders",
+    "forward_authority_extract": "fixture-bound",
+    "forward_film_extract": "fixture-bound",
+    "fulltext_trait_docs": "scan-stage trait projection",
+    "genieplus_harvest_extract": "fixture-bound",
+    "geo_centers": "scan-stage WKT/DMS expressions",
+    "geocode_customers": "duplicate plan shape of enrich_topics_nation (broadcast cache join)",
+    "geocode_simplify_customers": "duplicate plan shape of enrich_topics_nation (broadcast cache join + ladder)",
+    "gopher_quality_docs": "scan-stage quality-gate expressions (gopher_repetition_docs carries the family's cost)",
+    "hierarchical_facets_geo": "scan-stage facet-path concat",
+    "id_sort_keys": "scan-stage scalar key grid",
+    "incremental_changed": "scan-stage watermark filter",
+    "knn_lsh": "duplicate plan shape of ann_recall_lsh (same LSH probe, plus the recall join)",
+    "lang_id_pred": "scan-stage n-gram scoring (text_quality carries the family)",
+    "line_dedup_docs": "duplicate plan shape of paragraph_dedup_docs (same gram census join-back)",
+    "linemarc_extract": "fixture-bound",
+    "llm_corpus_pipeline_docs": "composition of benched stages (corpus_config_pipeline_docs is the benched composition)",
+    "lrmi_extract": "fixture-bound",
+    "marc_authority_extract": "fixture-bound",
+    "marc_extract": "fixture-bound",
+    "marc_holdings_normalize": "fixture-bound",
+    "marc_rich_extract": "fixture-bound",
+    "mix_sources_docs": "scan-stage deterministic hash device",
+    "music_enrich_orders": "duplicate plan shape of enrich_topics_nation (broadcast dim join)",
+    "ngram_jaccard_pairs": "duplicate plan shape of minhash_near_dup (same shingle + pair-verify machinery)",
+    "oai_harvest_parse": "fixture-bound",
+    "oai_provider_serve": "fixture-bound",
+    "once_per_group_orders": "scan-stage dropDuplicates on the group key",
+    "optout_filter_docs": "scan-stage robots-directive regex expressions",
+    "pack_sequences_docs": "duplicate plan shape of chunk_documents_docs (same posexplode packing core)",
+    "pipeline_end_to_end": "fixture-bound composition of benched stages",
+    "preview_marc_record": "one-record command surface; nothing corpus-sized to time",
+    "qdc_extract": "fixture-bound",
+    "range_scan_page": "bounded top-k (TakeOrderedAndProject); plan-audited",
+    "rdf_import_entities": "fixture-bound",
+    "regexp_mapping_orders": "duplicate plan shape of value_mapping_orders",
+    "scalar_functions_grid": "scan-stage scalar grid (ICU parity pinned by pytest)",
+    "scalar_functions_grid2": "scan-stage scalar grid",
+    "semantic_dedup_embeddings": "duplicate core of knn_ivf_full (k-means assign + within-cluster cosine)",
+    "sfx_harvest_files": "fixture-bound",
+    "sierra_harvest_extract": "fixture-bound",
+    "solr_batch_sizes": "sink batch accounting; write-path behavior pinned by pytest",
+    "stateful_skip_unchanged": "streaming harness",
+    "stratified_sample_docs": "scan-stage deterministic hash device",
+    "streaming_content_dedup": "streaming harness",
+    "streaming_hourly_rollup": "streaming harness",
+    "streaming_neardup_docs": "streaming harness",
+    "temperature_mix_docs": "scan-stage deterministic hash device",
+    "title_keys_docs": "scan-stage scalar key grid",
+    "token_stats": "scan-stage 1-row aggregate (text_quality carries the family)",
+    "train_split_docs": "scan-stage deterministic hash device",
+    "uri_cache_ttl": "scan-stage TTL split + broadcast upsert join",
+    "url_blocklist_docs": "scan-stage host/badword expressions",
+    "winnow_fingerprint_docs": "scan-stage rolling-hash windows",
+    "winnow_neardup_pairs": "duplicate banded pair-join plan shape of minhash_near_dup",
+    "work_keys_marc": "fixture-bound",
+    "xslt_normalize_orders": "fixture-bound",
+}
 
 
 def main() -> None:
