@@ -261,6 +261,7 @@ def streaming_minhash_neardup(
     threshold: float = 0.5,
     reps_per_bucket: int = 16,
     state_ttl_seconds: float | None = None,
+    register_matches: bool = False,
 ):
     """Streaming NEAR-duplicate detection: minhash/LSH as a stateful
     streaming operator (streaming_first_seen's fuzzy sibling).
@@ -294,17 +295,23 @@ def streaming_minhash_neardup(
     a second keyed aggregation would again chain stateful operators.
 
     DIVERGENCE FROM BATCH near-dup semantics (beyond the documented
-    bucket-cap/TTL trades): a document that MATCHES a representative is
-    never itself registered, so drifting chains diverge from the batch
-    connected-component behavior — if B matches rep A and is dropped, a
-    later C near B but below threshold vs A re-registers as novel
-    instead of joining A's component. Batch dedup of the same corpus
-    (minhash_near_duplicates + connected components) would merge
-    A-B-C transitively; this operator's recall on slowly-mutating
-    boilerplate is therefore strictly lower, in exchange for state that
-    never grows past reps_per_bucket per bucket. Consumers needing
-    batch-equivalent transitive recall should run the batch engine
-    over a window of the stream instead.
+    bucket-cap/TTL trades): by default a document that MATCHES a
+    representative is never itself registered, so drifting chains
+    diverge from the batch connected-component behavior — if B matches
+    rep A and is dropped, a later C near B but below threshold vs A
+    re-registers as novel instead of joining A's component. Batch dedup
+    of the same corpus (minhash_near_duplicates + connected components)
+    would merge A-B-C transitively; the default's recall on
+    slowly-mutating boilerplate is therefore strictly lower, in
+    exchange for state that never grows past reps_per_bucket per
+    bucket. ``register_matches=True`` narrows the gap WITHOUT
+    unbounding state: a matched document also registers as a
+    representative while its bucket has room, so C finds B and chains
+    into A's component (consumers resolve the chain with their usual
+    min(matched_id) sink step) — the bucket cap still bounds state, so
+    a chain longer than reps_per_bucket still truncates. Consumers
+    needing exact batch-equivalent transitive recall should run the
+    batch engine over a window of the stream instead.
 
     State cardinality = distinct occupied buckets x reps_per_bucket
     signatures, hash-partitioned across executors.
@@ -389,6 +396,11 @@ def streaming_minhash_neardup(
                 out.append(
                     (doc, int(key[0]), key[1], best_id, round(best_agr, 6))
                 )
+                if register_matches and len(ids) < reps_per_bucket:
+                    # matched docs become reps too (while room): later
+                    # drift-chain members match B where they miss A
+                    ids.append(doc)
+                    sigs.append(sigl)
             elif len(ids) < reps_per_bucket:
                 ids.append(doc)
                 sigs.append(sigl)

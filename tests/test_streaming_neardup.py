@@ -195,3 +195,99 @@ def test_streaming_neardup_state_ttl_evicts_reps(spark, tmp_path):
         assert rows == [], rows
     finally:
         q.stop()
+
+
+# -- register_matches: the drift-chain recall flag (r10 verdict item) --------
+
+# A 14-word base; B edits word 11, C additionally edits word 7. Chosen
+# (searched offline against the engine's own signature family) so that:
+# - sig agreement A-B = 0.75, B-C = 0.625 (both match at threshold 0.5),
+#   A-C = 0.375 (below threshold: C can never match A directly),
+# - B meets A ONLY in band 1's bucket, and C meets B ONLY in that same
+#   bucket — so under the default (matched docs don't register) C finds
+#   nothing there but A, misses, and registers as novel: the documented
+#   drift-chain divergence. With register_matches=True, B registered on
+#   match, so C chains to B — the batch connected component A-B-C.
+_W = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november".split()
+CHAIN_A = " ".join(_W)
+CHAIN_B = " ".join(w if i != 11 else "e1x" for i, w in enumerate(_W))
+CHAIN_C = " ".join(
+    w if i != 7 else "e1y" for i, w in enumerate(CHAIN_B.split())
+)
+
+
+def _run_chain(spark, tmp_path, register_matches):
+    import uuid
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    rows = []
+    for i, data in enumerate(
+        [[("a", CHAIN_A)], [("b", CHAIN_B)], [("c", CHAIN_C)]]
+    ):
+        spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        out = streaming_minhash_neardup(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            threshold=0.5,
+            register_matches=register_matches,
+        )
+
+        def gather(bdf, _epoch):
+            rows.extend(
+                (r["doc_id"], r["matched_id"]) for r in bdf.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(gather)
+            .outputMode("update")
+            .queryName("t_nd_chain_" + uuid.uuid4().hex[:8])
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return set(rows)
+
+
+def test_chain_divergence_default_vs_register_matches(spark, tmp_path):
+    # default: B matches A, C is (wrongly, vs batch semantics) novel
+    base = tmp_path / "default"
+    base.mkdir()
+    edges = _run_chain(spark, base, register_matches=False)
+    assert ("b", "a") in edges
+    assert not any(d == "c" for d, _ in edges), edges
+
+    # flag: C chains to B; chased edges reproduce the batch component
+    base = tmp_path / "flag"
+    base.mkdir()
+    edges = _run_chain(spark, base, register_matches=True)
+    assert ("b", "a") in edges
+    assert ("c", "b") in edges
+    parent = {}
+    for d, m in edges:
+        parent.setdefault(d, m)
+    def root(x):
+        while x in parent:
+            x = parent[x]
+        return x
+    assert {root("a"), root("b"), root("c")} == {"a"}
+
+    # ... which is exactly what the batch engine computes transitively
+    from recordmanager_spark.operators.text_dedup import (
+        minhash_near_duplicates,
+        near_dup_prune,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", CHAIN_A), ("b", CHAIN_B), ("c", CHAIN_C)], SCHEMA
+    )
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5
+    )
+    pruned = near_dup_prune(docs, pairs, id_col="doc_id")
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in pruned.collect()
+    }
+    assert len(set(clusters.values())) == 1, clusters
