@@ -567,6 +567,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     driver_threshold: int = 2_000_000,
+    report: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation over undirected edges (id_a, id_b).
 
@@ -597,6 +598,8 @@ def connected_components(
         spark = edges.sparkSession
         return spark.createDataFrame([], "id string, component string")
     if len(pairs) <= driver_threshold:
+        if report is not None:
+            report.update(path="driver", edges=len(pairs))
         parent = _union_find(pairs)
         members = set()
         for r in pairs:
@@ -606,7 +609,11 @@ def connected_components(
         return _local_string_df(edges.sparkSession, rows, ["id", "component"])
     # distributed fallback: materialize the edge set once — the iterative
     # propagation reads it every round and must not re-run verification
-    return _cc_distributed(edges.localCheckpoint(eager=True), max_iterations)
+    if report is not None:
+        report.update(path="distributed")
+    return _cc_distributed(
+        edges.localCheckpoint(eager=True), max_iterations, report=report
+    )
 
 
 def _take_all_partitions(df: DataFrame, n: int) -> list:
@@ -824,7 +831,9 @@ def _assign_components(
     return enforce_one_per_source(comps, records, id_col, source_col)
 
 
-def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _cc_distributed(
+    edges: DataFrame, max_iterations: int = 20, report: dict | None = None
+) -> DataFrame:
     """Distributed min-label propagation with pointer jumping.
 
     Each iteration does (a) one-hop propagation — every node offers its
@@ -849,16 +858,25 @@ def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumnRenamed("src", "id")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
-        # neighbor labels: for each edge, candidate label of dst = label(src)
-        neigh = (
+    for it in range(max_iterations):
+        # neighbor labels: for each edge, candidate label of dst =
+        # label(src); folded in via LEFT JOIN + least, NOT a union with
+        # labels — a Union whose child mixes join-derived constraints
+        # with the labels relation trips Spark's constraint rewrite
+        # (UnionBase.rewriteConstraints "key not found" on non-nullable
+        # inputs, e.g. edges built from range()); the join formulation
+        # is semantically identical (least() skips the null for nodes
+        # with no incoming offer) and constraint-safe.
+        neigh_min = (
             sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__n_comp"))
         )
-        hop = (
-            neigh.unionByName(labels)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+        hop = labels.join(neigh_min, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.col("__n_comp")).alias(
+                "component"
+            ),
         )
         # pointer jumping: component(id) -> min(component(id),
         # component(component(id))) — least() skips the (impossible)
@@ -887,6 +905,10 @@ def _cc_distributed(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            if report is not None:
+                # iterations = propagation rounds RUN (the fixpoint
+                # round that detected convergence included)
+                report["iterations"] = it + 1
             return labels
     raise RuntimeError(
         f"connected components did not converge in {max_iterations} "

@@ -256,6 +256,31 @@ def test_cc_distributed_mixed_components(spark):
     assert driver == distributed
 
 
+def test_cc_distributed_nonnullable_edges(spark):
+    """Edges built from range() (non-nullable columns) used to trip
+    Spark's Union constraint rewrite inside the propagation loop
+    ("key not found" in UnionBase.rewriteConstraints) — found by the
+    r11 distributed-CC soak. The hop step is now a join, not a union;
+    pin the shape that failed."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.range(96)
+        .where(F.pmod("id", F.lit(8)) != 7)
+        .select(
+            F.format_string("r%09d", "id").alias("id_a"),
+            F.format_string("r%09d", F.col("id") + 1).alias("id_b"),
+        )
+    )
+    report = {}
+    comp = DD.connected_components(edges, driver_threshold=0, report=report)
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert report["path"] == "distributed"
+    assert len(rows) == 96
+    for i in range(96):
+        assert rows[f"r{i:09d}"] == f"r{(i // 8) * 8:09d}"
+
+
 def test_cc_distributed_nonconvergence_raises(spark):
     """Running out of iterations is a loud error, not silent wrong
     components."""

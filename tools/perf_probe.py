@@ -907,6 +907,88 @@ def cmd_soak7(sf_dir: str) -> None:
     spark.stop()
 
 
+
+def cmd_soak11(sf_dir: str) -> None:
+    """Round-11 soak: the distributed connected-components path past
+    the adaptive-CC driver threshold — the tier a 100 TB dedup run
+    actually lands on (2M driver-side edges is ~1-2 GB of heap; beyond
+    that connected_components routes to min-label propagation with
+    pointer jumping, operators/dedup.py:_cc_distributed). Two shapes:
+
+    (a) realistic dedup graph: 2.8M verified edges over 3.2M nodes in
+        groups of 8 (path-shaped within each group — the hardest
+        8-node layout for propagation) through the PUBLIC
+        connected_components API with the default 2M threshold, so the
+        adaptive branch itself decides to go distributed. Correctness
+        is asserted exactly (every node's component == its group min),
+        not sampled.
+    (b) diameter stress: one 65,536-node chain — pointer jumping must
+        converge in ~log2(L) rounds, far under max_iterations=20.
+    """
+    spark = _spark()
+    _warm(spark, sf_dir)
+    from recordmanager_spark.operators.dedup import connected_components
+
+    # --- (a) 2.8M-edge dedup-shaped graph ------------------------------
+    n_nodes = 3_200_000
+    g = 8
+    edges = (
+        spark.range(n_nodes)
+        .where(F.pmod("id", F.lit(g)) != g - 1)
+        .select(
+            F.format_string("r%09d", "id").alias("id_a"),
+            F.format_string("r%09d", F.col("id") + 1).alias("id_b"),
+        )
+    )
+    n_edges = edges.count()
+    report: dict = {}
+    t0 = time.time()
+    comp = connected_components(edges, report=report)
+    # exact correctness check doubles as the materialization: every
+    # node's component must equal its group-min id
+    expected = F.format_string(
+        "r%09d",
+        (F.substring("id", 2, 9).cast("long") / g).cast("long") * g,
+    )
+    bad = comp.where(F.col("component") != expected).count()
+    n_ids = comp.count()
+    secs = time.time() - t0
+    assert report.get("path") == "distributed", report
+    assert bad == 0, f"{bad} wrong component labels"
+    assert n_ids == n_nodes
+    print(
+        f"distributed CC (groups of {g})   {secs:7.2f}s  "
+        f"{n_edges} edges  {n_edges / secs:9.0f} edges/s  "
+        f"{n_edges / secs / CORES:7.0f} edges/s/core  "
+        f"iterations={report.get('iterations')}"
+    )
+
+    # --- (b) one long chain: pointer-jumping depth ----------------------
+    chain_n = 65_536
+    chain = spark.range(chain_n - 1).select(
+        F.format_string("c%09d", "id").alias("id_a"),
+        F.format_string("c%09d", F.col("id") + 1).alias("id_b"),
+    )
+    report2: dict = {}
+    t0 = time.time()
+    comp2 = connected_components(
+        chain, driver_threshold=0, report=report2
+    )
+    n_comp = comp2.select("component").distinct().count()
+    secs2 = time.time() - t0
+    assert report2.get("path") == "distributed"
+    assert n_comp == 1, n_comp
+    print(
+        f"distributed CC (1x{chain_n} chain) {secs2:7.2f}s  "
+        f"iterations={report2.get('iterations')} "
+        f"(log2(L)={chain_n.bit_length() - 1}, max=20)"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -928,6 +1010,8 @@ if __name__ == "__main__":
         cmd_soak9(sf_dir)
     elif mode == "soak10":
         cmd_soak10(sf_dir)
+    elif mode == "soak11":
+        cmd_soak11(sf_dir)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
