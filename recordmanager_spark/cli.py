@@ -873,6 +873,135 @@ def cmd_check_index(args) -> None:
         print(f"orphan delete list -> {args.out}")
 
 
+def cmd_sources_add_setting(args) -> None:
+    """Command/Sources/AddSetting.php: add a setting line to targeted
+    [source] sections of datasources.ini, comment-preserving. Default
+    prints the modified file; --write saves it in place."""
+    from .ini_edit import add_setting
+
+    text = open(args.config).read()
+    sources = None if args.source in (None, "*") else args.source.split(",")
+    out = add_setting(
+        text, args.setting, sources=sources, add_sources=args.add_sources
+    )
+    if args.write:
+        open(args.config, "w").write(out)
+        print(f"{args.config} updated")
+    else:
+        sys.stdout.write(out)
+
+
+def cmd_sources_remove_setting(args) -> None:
+    """Command/Sources/RemoveSetting.php: drop parse-equal setting
+    lines from targeted sections."""
+    from .ini_edit import remove_setting
+
+    text = open(args.config).read()
+    sources = None if args.source in (None, "*") else args.source.split(",")
+    out = remove_setting(text, args.setting, sources=sources)
+    if args.write:
+        open(args.config, "w").write(out)
+        print(f"{args.config} updated")
+    else:
+        sys.stdout.write(out)
+
+
+def cmd_sources_show_config(args) -> None:
+    """Command/Sources/ShowConfig.php: print one source's section
+    verbatim."""
+    from .ini_edit import show_config
+
+    sys.stdout.write(show_config(open(args.config).read(), args.source))
+
+
+def cmd_sources_search(args) -> None:
+    """Command/Sources/Search.php: names of sources whose normalized
+    setting=value lines match the regexp, joined by --separator."""
+    from .ini_edit import search_sources
+
+    sep = args.separator.replace("\\t", "\t").replace(
+        "\\n", "\n"
+    ).replace("\\r", "\r")
+    print(sep.join(search_sources(open(args.config).read(), args.regexp)))
+
+
+def _solr_state_key(date_per_server: bool, update_url: str | None) -> str:
+    """SolrUpdater.php:1624 getLastUpdateStateKey."""
+    key = "Last Index Update"
+    if date_per_server:
+        key += " " + (update_url or "")
+    return key
+
+
+def cmd_get_state_timestamp(args) -> None:
+    """Command/State/GetLastSolrUpdateTimestamp.php over a JSON state
+    file (the reference's database state collection as a file — the
+    engine's stores are files, not a live DB)."""
+    key = _solr_state_key(args.date_per_server, args.update_url)
+    state = {}
+    if os.path.exists(args.state_file):
+        state = json.load(open(args.state_file))
+    ts = state.get(key)
+    if ts is None:
+        print("not stored")
+    else:
+        print(
+            _dt.datetime.fromtimestamp(
+                ts, _dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%SZ")
+        )
+
+
+def cmd_set_state_timestamp(args) -> None:
+    """Command/State/SetLastSolrUpdateTimestamp.php: store (or with
+    --clear erase) the watermark the next incremental update-index run
+    starts from."""
+    key = _solr_state_key(args.date_per_server, args.update_url)
+    state = {}
+    if os.path.exists(args.state_file):
+        state = json.load(open(args.state_file))
+    if args.clear:
+        state.pop(key, None)
+        print(f"cleared {key!r}")
+    else:
+        if args.timestamp is None:
+            raise SystemExit("--timestamp required unless --clear")
+        ts = int(
+            _dt.datetime.fromisoformat(args.timestamp)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+        state[key] = ts
+        print(f"set {key!r} = {ts}")
+    json.dump(state, open(args.state_file, "w"), sort_keys=True)
+
+
+def cmd_solr_optimize(args) -> None:
+    """Command/Solr/Optimize.php -> SolrUpdater.php:1354 optimizeIndex:
+    one '{ "optimize": {} }' admin verb. --out writes it as a command
+    file next to the update batches (the engine's file-sink shape);
+    --update-url POSTs it live through the pusher seam (4h timeout in
+    the reference — long optimizes are normal)."""
+    body = '{ "optimize": {} }'
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "optimize.json")
+        open(path, "w").write(body + "\n")
+        print(f"optimize command -> {path}")
+        return
+    if not args.update_url:
+        raise SystemExit("one of --out / --update-url required")
+    from .examples.solr_pusher import make_urllib_transport
+
+    transport = make_urllib_transport(timeout=args.timeout)
+    status, _resp = transport(
+        args.update_url, body, {"Content-Type": "application/json"}
+    )
+    if status >= 300:
+        raise SystemExit(f"optimize failed: {status}")
+    print("Solr optimization completed")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -1081,6 +1210,72 @@ def main(argv: list[str] | None = None) -> None:
     )
     s.add_argument("--out", help="orphan delete list parquet")
     s.set_defaults(fn=cmd_check_index)
+
+    s = sub.add_parser(
+        "sources-add-setting",
+        help="add a setting line to datasources.ini sections",
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("setting", help="the setting line to add, e.g. 'a = b'")
+    s.add_argument("--source", default="*", help="comma-separated sources")
+    s.add_argument(
+        "--add-sources", action="store_true",
+        help="create missing [source] sections",
+    )
+    s.add_argument("--write", action="store_true", help="save in place")
+    s.set_defaults(fn=cmd_sources_add_setting)
+
+    s = sub.add_parser(
+        "sources-remove-setting",
+        help="remove a setting line from datasources.ini sections",
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("setting")
+    s.add_argument("--source", default="*")
+    s.add_argument("--write", action="store_true")
+    s.set_defaults(fn=cmd_sources_remove_setting)
+
+    s = sub.add_parser(
+        "sources-show-config", help="print one source's section verbatim"
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("source")
+    s.set_defaults(fn=cmd_sources_show_config)
+
+    s = sub.add_parser(
+        "sources-search",
+        help="names of sources whose settings match a regexp",
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("regexp")
+    s.add_argument("--separator", default=",")
+    s.set_defaults(fn=cmd_sources_search)
+
+    s = sub.add_parser(
+        "get-last-solr-update-timestamp",
+        help="print the stored incremental-index watermark",
+    )
+    s.add_argument("--state-file", required=True)
+    s.add_argument("--date-per-server", action="store_true")
+    s.add_argument("--update-url")
+    s.set_defaults(fn=cmd_get_state_timestamp)
+
+    s = sub.add_parser(
+        "set-last-solr-update-timestamp",
+        help="set/clear the incremental-index watermark",
+    )
+    s.add_argument("--state-file", required=True)
+    s.add_argument("--timestamp", help="ISO datetime, interpreted as UTC")
+    s.add_argument("--clear", action="store_true")
+    s.add_argument("--date-per-server", action="store_true")
+    s.add_argument("--update-url")
+    s.set_defaults(fn=cmd_set_state_timestamp)
+
+    s = sub.add_parser("solr-optimize", help="emit/POST the optimize verb")
+    s.add_argument("--out", help="write optimize.json to this directory")
+    s.add_argument("--update-url", help="POST live instead")
+    s.add_argument("--timeout", type=float, default=4 * 60 * 60)
+    s.set_defaults(fn=cmd_solr_optimize)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,154 @@
+"""sources-* / state / solr-optimize command family
+(Command/Sources/AddSetting|RemoveSetting|ShowConfig|Search.php,
+Command/State/*.php, Command/Solr/Optimize.php): comment-preserving
+ini edits, the watermark state file, and the optimize verb."""
+
+from __future__ import annotations
+
+import json
+
+from recordmanager_spark.cli import main
+from recordmanager_spark.ini_edit import (
+    add_setting,
+    remove_setting,
+    search_sources,
+    show_config,
+)
+
+INI = """\
+; top comment
+[alpha]
+format = marc
+building[] = A1
+building[] = A2
+; trailing comment in alpha
+
+[beta]
+format = dc
+verbose = true
+"""
+
+
+def test_add_setting_appends_at_section_end_before_blanks():
+    out = add_setting(INI, "newkey = v", sources=["alpha"])
+    lines = out.splitlines()
+    i = lines.index("newkey = v")
+    # inserted after the last alpha content line, before the trailing
+    # comment/blank run and the [beta] header
+    assert lines[i - 1] == "building[] = A2"
+    assert "[beta]" in lines[i + 1 :]
+    # beta untouched
+    assert out.count("newkey = v") == 1
+    # comments all survive
+    assert "; top comment" in out
+    assert "; trailing comment in alpha" in out
+
+
+def test_add_setting_array_value_joins_the_block():
+    out = add_setting(INI, "building[] = A3", sources=["alpha"])
+    lines = [ln for ln in out.splitlines() if ln.startswith("building")]
+    assert lines == ["building[] = A1", "building[] = A2", "building[] = A3"]
+
+
+def test_add_setting_identical_line_is_idempotent():
+    # parse-equality, not text equality: quoting/spacing differences
+    # still count as the same setting
+    out = add_setting(INI, 'format = "marc"', sources=["alpha"])
+    assert out.count("format") == INI.count("format")
+
+
+def test_add_setting_all_sections_and_add_sources():
+    out = add_setting(INI, "x = 1")
+    assert out.count("x = 1") == 2  # every section
+    out = add_setting(
+        INI, "x = 1", sources=["alpha", "gamma"], add_sources=True
+    )
+    assert "[gamma]" in out
+    assert out.index("[gamma]") < out.index("x = 1", out.index("[gamma]"))
+
+
+def test_remove_setting_parse_equal_only_in_targeted_sections():
+    out = remove_setting(INI, "format=dc", sources=["beta"])
+    assert "format = dc" not in out
+    assert "format = marc" in out  # alpha untouched
+    out = remove_setting(INI, "building[] = A1")
+    assert "A1" not in out and "A2" in out
+
+
+def test_show_config_verbatim_section():
+    out = show_config(INI, "alpha")
+    assert out.startswith("[alpha]")
+    assert "building[] = A2" in out
+    assert "; trailing comment in alpha" in out
+    assert "beta" not in out
+
+
+def test_search_sources_normalized_and_regex():
+    assert search_sources(INI, "format=marc") == ["alpha"]
+    # booleans normalize to 1/0 (the reference's parse_ini_string view)
+    assert search_sources(INI, "verbose=1") == ["beta"]
+    assert search_sources(INI, "/^BUILDING/i") == ["alpha"]
+    assert search_sources(INI, "format=") == ["alpha", "beta"]
+
+
+def test_cli_sources_roundtrip(tmp_path, capsys):
+    ini = tmp_path / "ds.ini"
+    ini.write_text(INI)
+    main(
+        [
+            "sources-add-setting", "--config", str(ini),
+            "institution = NLF", "--source", "alpha", "--write",
+        ]
+    )
+    assert "institution = NLF" in ini.read_text()
+    main(["sources-show-config", "--config", str(ini), "alpha"])
+    assert "institution = NLF" in capsys.readouterr().out
+    main(
+        [
+            "sources-remove-setting", "--config", str(ini),
+            "institution=NLF", "--write",
+        ]
+    )
+    assert "institution" not in ini.read_text()
+    main(["sources-search", "--config", str(ini), "format=", "--separator", "|"])
+    assert capsys.readouterr().out.strip().endswith("alpha|beta")
+
+
+def test_cli_state_timestamp_roundtrip(tmp_path, capsys):
+    sf = str(tmp_path / "state.json")
+    main(["get-last-solr-update-timestamp", "--state-file", sf])
+    assert "not stored" in capsys.readouterr().out
+    main(
+        [
+            "set-last-solr-update-timestamp", "--state-file", sf,
+            "--timestamp", "2024-06-01T12:00:00",
+        ]
+    )
+    capsys.readouterr()
+    main(["get-last-solr-update-timestamp", "--state-file", sf])
+    assert "2024-06-01 12:00:00Z" in capsys.readouterr().out
+    # per-server keys are independent (SolrUpdater.php:1624)
+    main(
+        [
+            "get-last-solr-update-timestamp", "--state-file", sf,
+            "--date-per-server", "--update-url", "http://solr/a",
+        ]
+    )
+    assert "not stored" in capsys.readouterr().out
+    main(
+        [
+            "set-last-solr-update-timestamp", "--state-file", sf,
+            "--clear",
+        ]
+    )
+    capsys.readouterr()
+    main(["get-last-solr-update-timestamp", "--state-file", sf])
+    assert "not stored" in capsys.readouterr().out
+    assert json.load(open(sf)) == {}
+
+
+def test_cli_solr_optimize_file_sink(tmp_path, capsys):
+    out = str(tmp_path / "batches")
+    main(["solr-optimize", "--out", out])
+    body = open(f"{out}/optimize.json").read()
+    assert json.loads(body) == {"optimize": {}}
