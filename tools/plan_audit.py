@@ -121,6 +121,18 @@ def unique_exchange_count(df) -> int:
 # charged the same shuffle several times. Each cap is the measured
 # unique-stage count at sf0.01.
 AUDITS = [
+    ("index_diff_docs", 3, True, False,
+     "melt is row-local (inline generator, zero pre-join shuffles); the "
+     "3 unique exchanges are the full-outer diff join's two sides on "
+     "the unique (id, field) key — skew-free at any corpus size — plus "
+     "the record-ids distinct feeding a broadcast semi"),
+    ("check_index_docs", 0, True, False,
+     "two anti-join-shaped probes; at sf the record side broadcasts "
+     "(AQE decides — at 100 TB both sides SMJ on id, still one "
+     "exchange each, no window anywhere)"),
+    ("optout_filter_docs", 0, False, False,
+     "robots-directive regexes are scan-stage expressions; any shuffle "
+     "is a bug"),
     ("q1_pricing_summary", 1, False, False,
      "scan->partial agg->1 shuffle (sort-free: the driver compares sorted)"),
     ("q3_shipping_priority", 1, True, False,
