@@ -1002,6 +1002,41 @@ def cmd_solr_optimize(args) -> None:
     print("Solr optimization completed")
 
 
+def cmd_logs_send(args) -> None:
+    """Command/Logs/Send.php: drain the stored log messages into
+    batched email reports. --out writes each report to a file (the
+    engine's file-sink seam); --smtp host[:port] sends live."""
+    from .examples.log_sender import (
+        file_log_store,
+        make_smtp_mailer,
+        send_logs,
+    )
+
+    read_batch, delete_batch = file_log_store(args.log_store)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        seq = {"n": 0}
+
+        def mailer(recipient, subject, body):
+            path = os.path.join(args.out, f"report{seq['n']:05d}.txt")
+            seq["n"] += 1
+            open(path, "w").write(
+                f"To: {recipient}\nSubject: {subject}\n\n{body}"
+            )
+            return True
+
+    elif args.smtp:
+        host, _, port = args.smtp.partition(":")
+        mailer = make_smtp_mailer(host, int(port or 25))
+    else:
+        raise SystemExit("one of --out / --smtp required")
+    n = send_logs(
+        read_batch, delete_batch, mailer, args.recipient,
+        batch_size=args.batch_size,
+    )
+    print(f"Completed with {n} message(s) sent")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="recordmanager_spark",
@@ -1276,6 +1311,16 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--update-url", help="POST live instead")
     s.add_argument("--timeout", type=float, default=4 * 60 * 60)
     s.set_defaults(fn=cmd_solr_optimize)
+
+    s = sub.add_parser(
+        "logs-send", help="drain stored logs into batched email reports"
+    )
+    s.add_argument("recipient")
+    s.add_argument("--log-store", required=True, help="JSON-lines log file")
+    s.add_argument("--batch-size", type=int, default=100)
+    s.add_argument("--out", help="write reports to files instead of SMTP")
+    s.add_argument("--smtp", help="host[:port] for live delivery")
+    s.set_defaults(fn=cmd_logs_send)
 
     args = p.parse_args(argv)
     args.fn(args)
