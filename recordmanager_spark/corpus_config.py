@@ -26,6 +26,16 @@ Stage order is FIXED and documented (the SolrUpdater-style contract —
 the reference applies field rules -> mappings -> extras in code order,
 not ini order):
 
+-1. ``optout`` / ``optout_domains`` — crawl compliance gate, FIRST
+                             and on the RAW markup (strip_html would
+                             remove the robots <meta> elements it
+                             reads): drop documents carrying a robots
+                             noindex/none meta or an ``X-Robots-Tag``
+                             noindex response header (WARC sources
+                             carry the envelope in ``http_headers``),
+                             and documents whose doc-URI host matches
+                             the ``optout_domains`` list (exact or
+                             subdomain)
 0.  ``strip_html`` / ``fix_mojibake`` — text hygiene, applied IN PLACE
                              to the text column before any gate reads
                              it: WET-grade HTML extraction

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Interleaved cold A/B closing bench: r10-final vs HEAD, 3 rotations.
+set -u
+OUT=/root/repo/bench_ab_r11.jsonl
+: > "$OUT"
+for round in 1 2 3; do
+  for snap in r10 head; do
+    case "$snap" in
+      r10) dir=/root/repo/.bench_snapshots/r10 ;;
+      head) dir=/root/repo ;;
+    esac
+    cd "$dir"
+    line=$(python bench.py 2>/dev/null | tail -1)
+    echo "{\"snap\": \"$snap\", \"round\": $round, \"bench\": $line}" >> "$OUT"
+  done
+done
+echo DONE >> "$OUT"
