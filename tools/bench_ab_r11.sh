@@ -1,7 +1,10 @@
 #!/bin/bash
-# Interleaved cold A/B closing bench: r10-final vs HEAD, 3 rotations.
+# Interleaved cold A/B closing bench: r10-final vs HEAD, 3 rotations,
+# per-run BENCH_DETAIL captured for per-query medians.
 set -u
 OUT=/root/repo/bench_ab_r11.jsonl
+DET=/root/repo/.bench_ab_detail
+mkdir -p "$DET"
 : > "$OUT"
 for round in 1 2 3; do
   for snap in r10 head; do
@@ -12,6 +15,7 @@ for round in 1 2 3; do
     cd "$dir"
     line=$(python bench.py 2>/dev/null | tail -1)
     echo "{\"snap\": \"$snap\", \"round\": $round, \"bench\": $line}" >> "$OUT"
+    cp "$dir/BENCH_DETAIL.json" "$DET/${snap}_r${round}.json" 2>/dev/null
   done
 done
 echo DONE >> "$OUT"
