@@ -676,7 +676,11 @@ def _clear_orphan_table_location(spark, table: str) -> None:
 
 
 def _recover_orphan_index(
-    spark, table: str, schema_ddl: str, key: str, n_buckets: int
+    spark,
+    table: str,
+    schema_ddl: str | None,
+    key: str | None,
+    n_buckets: int | None,
 ) -> bool:
     """Re-register a persisted index whose data survived a process
     restart but whose catalog entry (per-session in-memory derby) did
@@ -685,6 +689,12 @@ def _recover_orphan_index(
     ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the surviving
     files restores both the data AND the shuffle-free probe plan.
     Returns True when a table was re-registered.
+
+    ``schema_ddl=None`` infers the schema from the surviving parquet
+    footers. ``key/n_buckets=None`` re-registers WITHOUT a bucket spec
+    — correct but exchange-paying — for callers that cannot know the
+    original count (declaring a WRONG count would silently mis-bucket
+    every probe, worse than the lost optimization).
 
     A location holding no parquet files (a crash mid-first-write) is
     genuine debris: cleared, not registered."""
@@ -698,10 +708,19 @@ def _recover_orphan_index(
     if not _has_parquet_files(loc):
         shutil.rmtree(loc, ignore_errors=True)
         return False
+    if schema_ddl is None:
+        schema = spark.read.parquet(loc).schema
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+    bucket_clause = (
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        if key is not None and n_buckets is not None
+        else ""
+    )
     spark.sql(
         f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        f"{bucket_clause}LOCATION '{loc}'"
     )
     return True
 
@@ -744,6 +763,19 @@ def cmd_search(args) -> None:
 
     if bool(args.query) == bool(args.queries):
         raise SystemExit("exactly one of --query / --queries required")
+    # a fresh process has a fresh in-memory catalog: re-register an
+    # index whose warehouse data survived a restart (same recovery as
+    # curate's fingerprint index). --buckets restores the original
+    # bucket spec (shuffle-free probes); omitted, the table registers
+    # unbucketed — correct, one probe-side exchange — because declaring
+    # a GUESSED count would silently mis-bucket every probe.
+    if args.buckets:
+        _recover_orphan_index(
+            spark, args.table, None, "term", args.buckets
+        )
+    else:
+        _recover_orphan_index(spark, args.table, None, None, None)
+    _recover_orphan_index(spark, args.table + "_stats", None, None, None)
     if args.query:
         queries = spark.createDataFrame(
             [(0, args.query)], "query_id int, query_text string"
@@ -1194,6 +1226,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--out", help="write results parquet instead of printing")
+    s.add_argument(
+        "--buckets", type=int,
+        help="original bucket count, for shuffle-free recovery of an "
+        "index whose catalog entry was lost to a process restart",
+    )
     s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser(

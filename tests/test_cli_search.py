@@ -116,3 +116,51 @@ def test_index_recovers_from_orphan_warehouse_dir(spark, tmp_path, table):
     os.makedirs(os.path.join(wh, table.lower() + "_stats"), exist_ok=True)
     main(["index", "--input", src, "--table", table, "--buckets", "2"])
     assert spark.table(table).count() > 0
+
+
+def test_search_survives_catalog_loss(spark, tmp_path, capsys, table):
+    """index in process A, search in process B: the fresh catalog has
+    forgotten the tables but the warehouse data survived — search must
+    re-register and answer, with the bucket spec restored when
+    --buckets names the original count (r11; same recovery class as
+    curate's fingerprint index)."""
+    import json as _json
+    import shutil
+
+    from recordmanager_spark.cli import _table_location
+
+    src = str(tmp_path / "docs")
+    _docs(spark, src)
+    main(["index", "--input", src, "--table", table, "--buckets", "4"])
+    capsys.readouterr()
+
+    # simulate the process restart for BOTH tables: save data aside
+    # across the managed-table DROP, then restore it
+    for t in (table, table + "_stats"):
+        loc = _table_location(spark, t)
+        saved = tmp_path / ("saved_" + t)
+        shutil.copytree(loc, saved)
+        spark.sql(f"DROP TABLE {t}")
+        shutil.copytree(saved, loc)
+    assert not spark.catalog.tableExists(table)
+
+    main(
+        [
+            "search", "--table", table, "--query", "spark",
+            "--k", "2", "--buckets", "4",
+        ]
+    )
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["rank"] for r in lines] == [1, 2]
+    assert lines[0]["doc_id"] == 0  # tf(spark)=3 doc still ranks first
+    # the recovered postings table kept its bucket spec
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    nb = [r.data_type for r in detail if r.col_name == "Num Buckets"]
+    assert nb == ["4"]
+    # cleanup: recovered tables are external; clear their locations
+    for t in (table, table + "_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_table_location(spark, t), ignore_errors=True)
