@@ -258,6 +258,15 @@ def cmd_deduplicate(args) -> None:
 
 
 def cmd_update_index(args) -> None:
+    """The incremental story mirrors SolrUpdater.php:860-903 +
+    getStartTimestamp (:3272): an explicit --from-date wins (empty
+    string = full reindex), otherwise --state-file supplies the stored
+    watermark; the run-START clock is saved back after a successful
+    watermark-driven or full run, never after an explicit --from-date
+    (the reference's lastIndexingDate discipline). Adaptation: this
+    runner is per-source, so the state key appends the source id the
+    same way the reference's --date-per-server appends the update URL
+    (SolrUpdater.php:1624)."""
     spark = _spark("rm-update-index")
     cfg = _load_config(args.config, args.source)
     mapdir = args.mappings or os.path.join(
@@ -266,9 +275,31 @@ def cmd_update_index(args) -> None:
     compiled = CF.compile_source(
         cfg, lambda name: open(os.path.join(mapdir, name)).read()
     )
+    state_key = f"Last Index Update source {cfg.id}"
+    run_start = int(
+        _dt.datetime.now(_dt.timezone.utc).timestamp()
+    )
+    from_ts = None
+    if args.from_date is not None:
+        if args.from_date:  # '' = full reindex (getStartTimestamp)
+            from_ts = int(
+                _dt.datetime.fromisoformat(args.from_date)
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+            )
+    elif args.state_file and os.path.exists(args.state_file):
+        from_ts = json.load(open(args.state_file)).get(state_key)
     records = spark.read.parquet(args.records).where(
         (F.col("source_id") == cfg.id) & (~F.col("deleted"))
     )
+    if from_ts is not None:
+        from .operators.incremental import changed_since
+
+        wm = _dt.datetime.fromtimestamp(from_ts, _dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        records = changed_since(records, "updated", wm)
+        print(f"indexing records updated since {wm}Z")
     wide = extract_wide(records, cfg.format)
     # the indexed id is the STORE's id — already source-prefixed at import
     # (SolrUpdater indexes $record['_id'], not the driver's local id)
@@ -291,7 +322,21 @@ def cmd_update_index(args) -> None:
     deleted = spark.read.parquet(args.records).where(
         (F.col("source_id") == cfg.id) & F.col("deleted")
     )
+    if from_ts is not None:
+        from .operators.incremental import changed_since
+
+        deleted = changed_since(deleted, "updated", wm)
     write_delete_batches(deleted, "_id", args.out + "-deletes")
+    if args.state_file and args.from_date is None:
+        # store the run-START time so records updated DURING the run
+        # are re-examined next time (never lost to the gap)
+        state = (
+            json.load(open(args.state_file))
+            if os.path.exists(args.state_file)
+            else {}
+        )
+        state[state_key] = run_start
+        json.dump(state, open(args.state_file, "w"), sort_keys=True)
     print(f"wrote update batches for {cfg.id} -> {args.out}")
 
 
@@ -1110,6 +1155,16 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--mappings", help="mapping-file directory")
     s.add_argument("--batch-size", type=int, default=5000)
     s.add_argument("--hierarchical-facet", action="append")
+    s.add_argument(
+        "--from-date",
+        help="ISO datetime (UTC): index records updated since; '' "
+        "forces a full reindex, overriding any stored watermark",
+    )
+    s.add_argument(
+        "--state-file",
+        help="JSON watermark store: read the last-update timestamp "
+        "when --from-date is absent, save the run start on success",
+    )
     s.set_defaults(fn=cmd_update_index)
 
     s = sub.add_parser("export", help="records table -> export files")

@@ -302,3 +302,53 @@ def test_cli_curate_unknown_corpus(tmp_path):
                 "--input", "x", "--out", "y",
             ]
         )
+
+
+def test_cli_update_index_incremental_watermark(workspace, spark):
+    """--state-file incremental runs (SolrUpdater.php:860-903 +
+    getStartTimestamp:3272): run 1 indexes everything and stores the
+    run-start watermark; run 2 indexes only records updated since;
+    --from-date '' forces a full reindex and leaves the watermark
+    alone."""
+    import time
+
+    ws = str(workspace)
+    cfg = f"{ws}/conf/datasources.ini"
+    records = f"{ws}/records"
+    state = f"{ws}/state.json"
+
+    main(["import", "--config", cfg, "--source", "libA",
+          "--file", f"{ws}/a.xml", "--records", records,
+          "--id-tag", "recordID"])
+    main(["update-index", "--records", records, "--config", cfg,
+          "--source", "libA", "--out", f"{ws}/solr1",
+          "--mappings", f"{ws}/mappings", "--state-file", state])
+    assert spark.read.json(f"{ws}/solr1").count() == 2
+    st = json.load(open(state))
+    assert "Last Index Update source libA" in st
+
+    # second batch arrives AFTER the stored watermark
+    time.sleep(1.1)
+    (workspace / "a2.xml").write_text(
+        "<collection>"
+        + _dc("a9", "A Later Arrival", "Newcomer, N.")
+        + "</collection>"
+    )
+    main(["import", "--config", cfg, "--source", "libA",
+          "--file", f"{ws}/a2.xml", "--records", records,
+          "--id-tag", "recordID"])
+
+    main(["update-index", "--records", records, "--config", cfg,
+          "--source", "libA", "--out", f"{ws}/solr2",
+          "--mappings", f"{ws}/mappings", "--state-file", state])
+    docs2 = {r["id"] for r in spark.read.json(f"{ws}/solr2").collect()}
+    assert docs2 == {"libA.a9"}  # only the post-watermark record
+
+    # explicit empty --from-date = full reindex, watermark untouched
+    before = json.load(open(state))
+    main(["update-index", "--records", records, "--config", cfg,
+          "--source", "libA", "--out", f"{ws}/solr3",
+          "--mappings", f"{ws}/mappings", "--state-file", state,
+          "--from-date", ""])
+    assert spark.read.json(f"{ws}/solr3").count() == 3
+    assert json.load(open(state)) == before
