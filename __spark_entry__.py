@@ -3324,7 +3324,10 @@ def corpus_config_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
     from recordmanager_spark.sources.warc import warc_documents
 
     files = _warc_fixture_files(_t(spark, sf, "documents"))
-    docs = warc_documents(files)
+    # no optout stage in this section: drop the HTTP envelope before
+    # staging, exactly as cmd_curate does (r11 A/B: carrying it cost
+    # ~0.4 s of staging write at sf0.1 for nothing)
+    docs = warc_documents(files).drop("http_headers")
     # stage the parsed landing zone like cmd_curate does: the dedup
     # stage's fingerprint-census join-back executes its source subtree
     # once per side, which over a crawl transport means parsing every

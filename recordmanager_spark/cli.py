@@ -580,6 +580,10 @@ def cmd_curate(args) -> None:
         # parquet:<path>) — segment directory to curated parquet in
         # one command, the datasources.ini harvest architecture
         df = load_corpus_source(spark, cfgs[args.corpus].source)
+        if not cfgs[args.corpus].optout and "http_headers" in df.columns:
+            # the HTTP envelope exists for the opt-out gate; without
+            # one configured it would only fatten the staging write
+            df = df.drop("http_headers")
         if not cfgs[args.corpus].source.startswith("parquet:"):
             # STAGE parsed documents to parquet before the pipeline —
             # the reference's harvest -> landing zone -> pipeline hop.
