@@ -275,18 +275,14 @@ def cmd_update_index(args) -> None:
     compiled = CF.compile_source(
         cfg, lambda name: open(os.path.join(mapdir, name)).read()
     )
-    state_key = f"Last Index Update source {cfg.id}"
+    state_key = _solr_state_key(False, None, cfg.id)
     run_start = int(
         _dt.datetime.now(_dt.timezone.utc).timestamp()
     )
     from_ts = None
     if args.from_date is not None:
         if args.from_date:  # '' = full reindex (getStartTimestamp)
-            from_ts = int(
-                _dt.datetime.fromisoformat(args.from_date)
-                .replace(tzinfo=_dt.timezone.utc)
-                .timestamp()
-            )
+            from_ts = _utc_ts(args.from_date)
     elif args.state_file and os.path.exists(args.state_file):
         from_ts = json.load(open(args.state_file)).get(state_key)
     records = spark.read.parquet(args.records).where(
@@ -298,7 +294,9 @@ def cmd_update_index(args) -> None:
         wm = _dt.datetime.fromtimestamp(from_ts, _dt.timezone.utc).replace(
             tzinfo=None
         )
-        records = changed_since(records, "updated", wm)
+        # 5s slack mirrors the reference's clock-skew guard
+        # (SolrUpdater.php:990-1053 via changed_since)
+        records = changed_since(records, "updated", wm, slack_seconds=5)
         print(f"indexing records updated since {wm}Z")
     wide = extract_wide(records, cfg.format)
     # the indexed id is the STORE's id — already source-prefixed at import
@@ -325,7 +323,7 @@ def cmd_update_index(args) -> None:
     if from_ts is not None:
         from .operators.incremental import changed_since
 
-        deleted = changed_since(deleted, "updated", wm)
+        deleted = changed_since(deleted, "updated", wm, slack_seconds=5)
     write_delete_batches(deleted, "_id", args.out + "-deletes")
     if args.state_file and args.from_date is None:
         # store the run-START time so records updated DURING the run
@@ -658,12 +656,14 @@ def cmd_curate(args) -> None:
             gated, tables[cfg.dedup_index], id_col=args.id_col,
             text_col=args.text_col,
         )
+        # count BEFORE the append: afterwards the lazy plan would
+        # re-probe the mutated index and report +0 (r11 review finding)
+        added = new_rows.count()
         write_bucketed(
             new_rows, cfg.dedup_index, "fp", _INDEX_BUCKETS,
             mode="append" if spark.catalog.tableExists(cfg.dedup_index)
             else "overwrite",
         )
-        added = new_rows.count()
         print(f"fingerprint index {cfg.dedup_index}: +{added} rows")
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
 
@@ -676,30 +676,62 @@ _INDEX_BUCKETS = 64
 
 
 def _table_location(spark, table: str) -> str | None:
-    """Filesystem path a MANAGED table of this name would occupy in the
-    session warehouse. Handles qualified names: ``db.tbl`` lives at
-    ``<wh>/db.db/tbl``, not ``<wh>/db.tbl`` (r10 ADVICE — the naive
-    join made orphan recovery a no-op for qualified names)."""
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    """URI a MANAGED table of this name would occupy in the session
+    warehouse (scheme preserved: the warehouse may be hdfs://, s3a://,
+    or file: — r11 review finding: stripping to a local path made
+    recovery a silent no-op on cluster filesystems). Handles qualified
+    names: ``db.tbl`` lives at ``<wh>/db.db/tbl``, not ``<wh>/db.tbl``
+    (r10 ADVICE)."""
+    wh = (spark.conf.get("spark.sql.warehouse.dir") or "").rstrip("/")
     if not wh:
         return None
     parts = table.lower().split(".")
     if parts and parts[0] == "spark_catalog":
         parts = parts[1:]
     if len(parts) == 1 or parts[0] == "default":
-        return os.path.join(wh, parts[-1])
+        return f"{wh}/{parts[-1]}"
     if len(parts) == 2:
-        return os.path.join(wh, parts[0] + ".db", parts[1])
+        return f"{wh}/{parts[0]}.db/{parts[1]}"
     return None
 
 
-def _has_parquet_files(path: str) -> bool:
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+def _local_path(uri: str) -> str | None:
+    """Local filesystem path of a file:/no-scheme URI, else None."""
+    from urllib.parse import urlparse
+
+    u = urlparse(uri)
+    return u.path if u.scheme in ("", "file") else None
+
+
+def _hadoop_fs(spark, uri: str):
+    """(FileSystem, Path) for any Spark-visible URI — local, HDFS, or
+    object store; the same resolution every Spark write uses."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _location_exists(spark, uri: str) -> bool:
+    fs, path = _hadoop_fs(spark, uri)
+    return bool(fs.exists(path))
+
+
+def _location_has_parquet(spark, uri: str) -> bool:
+    fs, path = _hadoop_fs(spark, uri)
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
             return True
     return False
+
+
+def _delete_location(spark, uri: str) -> None:
+    fs, path = _hadoop_fs(spark, uri)
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def _clear_orphan_table_location(spark, table: str) -> None:
@@ -715,13 +747,11 @@ def _clear_orphan_table_location(spark, table: str) -> None:
     (`curate`'s fingerprint index) must use :func:`_recover_orphan_index`
     instead — deleting it would erase every prior ingest's fingerprints
     (r10 ADVICE, high)."""
-    import shutil
-
     if spark.catalog.tableExists(table):
         return
     loc = _table_location(spark, table)
     if loc:
-        shutil.rmtree(loc, ignore_errors=True)
+        _delete_location(spark, loc)
 
 
 def _recover_orphan_index(
@@ -747,15 +777,13 @@ def _recover_orphan_index(
 
     A location holding no parquet files (a crash mid-first-write) is
     genuine debris: cleared, not registered."""
-    import shutil
-
     if spark.catalog.tableExists(table):
         return False
     loc = _table_location(spark, table)
-    if not loc or not os.path.isdir(loc):
+    if not loc or not _location_exists(spark, loc):
         return False
-    if not _has_parquet_files(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    if not _location_has_parquet(spark, loc):
+        _delete_location(spark, loc)
         return False
     if schema_ddl is None:
         schema = spark.read.parquet(loc).schema
@@ -1006,11 +1034,31 @@ def cmd_sources_search(args) -> None:
     print(sep.join(search_sources(open(args.config).read(), args.regexp)))
 
 
-def _solr_state_key(date_per_server: bool, update_url: str | None) -> str:
-    """SolrUpdater.php:1624 getLastUpdateStateKey."""
+def _utc_ts(iso: str) -> int:
+    """ISO datetime -> unix seconds; naive input is interpreted as UTC,
+    an explicit offset is CONVERTED (not overwritten — r11 review
+    finding: .replace() silently shifted offset-carrying inputs)."""
+    d = _dt.datetime.fromisoformat(iso)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.astimezone(_dt.timezone.utc).timestamp())
+
+
+def _solr_state_key(
+    date_per_server: bool,
+    update_url: str | None,
+    source: str | None = None,
+) -> str:
+    """SolrUpdater.php:1624 getLastUpdateStateKey, extended with the
+    per-source suffix this engine's per-source update-index runs use —
+    the get/set-last-solr-update-timestamp commands accept --source so
+    every writer/reader derives the SAME key (r11 review finding: the
+    commands and update-index previously used disjoint keys)."""
     key = "Last Index Update"
     if date_per_server:
         key += " " + (update_url or "")
+    if source:
+        key += f" source {source}"
     return key
 
 
@@ -1018,7 +1066,9 @@ def cmd_get_state_timestamp(args) -> None:
     """Command/State/GetLastSolrUpdateTimestamp.php over a JSON state
     file (the reference's database state collection as a file — the
     engine's stores are files, not a live DB)."""
-    key = _solr_state_key(args.date_per_server, args.update_url)
+    key = _solr_state_key(
+        args.date_per_server, args.update_url, args.source
+    )
     state = {}
     if os.path.exists(args.state_file):
         state = json.load(open(args.state_file))
@@ -1037,7 +1087,9 @@ def cmd_set_state_timestamp(args) -> None:
     """Command/State/SetLastSolrUpdateTimestamp.php: store (or with
     --clear erase) the watermark the next incremental update-index run
     starts from."""
-    key = _solr_state_key(args.date_per_server, args.update_url)
+    key = _solr_state_key(
+        args.date_per_server, args.update_url, args.source
+    )
     state = {}
     if os.path.exists(args.state_file):
         state = json.load(open(args.state_file))
@@ -1047,11 +1099,7 @@ def cmd_set_state_timestamp(args) -> None:
     else:
         if args.timestamp is None:
             raise SystemExit("--timestamp required unless --clear")
-        ts = int(
-            _dt.datetime.fromisoformat(args.timestamp)
-            .replace(tzinfo=_dt.timezone.utc)
-            .timestamp()
-        )
+        ts = _utc_ts(args.timestamp)
         state[key] = ts
         print(f"set {key!r} = {ts}")
     json.dump(state, open(args.state_file, "w"), sort_keys=True)
@@ -1389,6 +1437,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--state-file", required=True)
     s.add_argument("--date-per-server", action="store_true")
     s.add_argument("--update-url")
+    s.add_argument(
+        "--source", help="per-source key suffix (update-index's keys)"
+    )
     s.set_defaults(fn=cmd_get_state_timestamp)
 
     s = sub.add_parser(
@@ -1400,6 +1451,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--clear", action="store_true")
     s.add_argument("--date-per-server", action="store_true")
     s.add_argument("--update-url")
+    s.add_argument(
+        "--source", help="per-source key suffix (update-index's keys)"
+    )
     s.set_defaults(fn=cmd_set_state_timestamp)
 
     s = sub.add_parser("solr-optimize", help="emit/POST the optimize verb")

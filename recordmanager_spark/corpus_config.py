@@ -364,6 +364,10 @@ def pre_dedup_gates(
             else None
         )
         out = out.where(~robots_optout(text_col, hdr))
+        if hdr is not None:
+            # the envelope exists FOR this gate; once consumed it would
+            # only fatten every downstream shuffle and the output
+            out = out.drop("http_headers")
     if cfg.optout_domains is not None:
         # domain-level opt-out list (one domain per line): the
         # crawl-tier doc id IS the target URI (sources/warc.py

@@ -58,26 +58,34 @@ def file_log_store(path: str):
     """(read_batch, delete_batch) over a JSON-lines log file. Each line
     is {"_id": ..., "timestamp": unix, "pid": ..., "level": int|str,
     "context": ..., "message": ...}. delete rewrites the file without
-    the sent ids — the file analogue of deleteLogMessage."""
+    the sent records — the file analogue of deleteLogMessage.
+
+    Deletion is by LINE POSITION (stamped into each record at read
+    time as ``__line``), never by ``_id`` value: a store whose records
+    lack ids (or repeat one) must only ever lose exactly the lines that
+    were mailed — deleting by id would destroy every same-id/no-id
+    line in the file after the first batch (r11 review finding)."""
 
     def read_batch(limit: int) -> list[dict]:
         if not os.path.exists(path):
             return []
         out = []
         with open(path, encoding="utf-8") as fh:
-            for line in fh:
+            for i, line in enumerate(fh):
                 if line.strip():
-                    out.append(json.loads(line))
+                    rec = json.loads(line)
+                    rec["__line"] = i
+                    out.append(rec)
                     if len(out) >= limit:
                         break
         return out
 
-    def delete_batch(ids: list) -> None:
-        gone = set(ids)
+    def delete_batch(batch: list[dict]) -> None:
+        gone = {r["__line"] for r in batch}
         kept = []
         with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                if line.strip() and json.loads(line).get("_id") not in gone:
+            for i, line in enumerate(fh):
+                if i not in gone and line.strip():
                     kept.append(line)
         with open(path, "w", encoding="utf-8") as fh:
             fh.writelines(kept)
@@ -116,7 +124,9 @@ def send_logs(
 ) -> int:
     """Drain the log store into batched reports; returns the total
     message count sent. Raises on a mailer failure WITHOUT deleting the
-    failed batch (Send.php:118-121 aborts; re-running resumes)."""
+    failed batch (Send.php:118-121 aborts; re-running resumes).
+    ``delete_batch`` receives the exact batch records ``read_batch``
+    returned, so stores can delete by position/identity, not id."""
     count = 0
     subject = f"RecordManager Log Report ({socket.gethostname()})"
     while True:
@@ -129,7 +139,7 @@ def send_logs(
         if not mailer(recipient, subject, body):
             log("fatal", "Failed to send email")
             raise RuntimeError("Failed to send email")
-        delete_batch([r.get("_id") for r in batch])
+        delete_batch(batch)
         count += len(batch)
         log("info", f"{count} message(s) sent")
     log("info", f"Completed with {count} message(s) sent")

@@ -14,11 +14,16 @@ Behavioral spec (reference, NOT code): ``Base/Harvest/OaiPmh.php``
   transport exception OR an empty body warns and sleeps ``retryWait``
   seconds (default 30, :216) before retrying; the last attempt
   re-raises.
-- ``processResponse`` :474-502 — parse failures raise; an <error>
-  element raises UNLESS the code is noRecordsMatch on an initial
-  (non-resumption) request — an empty incremental window is a normal
-  outcome, the same error mid-pagination is not (unless
-  ``ignore_no_records_match``).
+- ``processResponse`` :474-502 — parse failures raise INSIDE the
+  retry loop (a truncated body heals on retry, so the reference
+  retries them; mirrored here). An <error> element raises UNLESS the
+  code is noRecordsMatch on an initial (non-resumption) request — an
+  empty incremental window is a normal outcome, the same error
+  mid-pagination is not (unless ``ignore_no_records_match``).
+  Deliberate divergence: protocol <error>s are NOT retried here — the
+  reference retries them like any exception, but a repository that
+  answers badArgument deterministically will answer it 5 times; we
+  fail fast and keep the retry budget for transport flakes.
 - ``identifyServer`` :781-812 — granularity 'auto' reads
   <granularity> from the Identify response; the server's
   <responseDate> is remembered and becomes the saved "last harvested"
@@ -56,12 +61,15 @@ __all__ = [
 def make_urllib_transport(timeout: float | None = None):
     """Deployment transport: GET via stdlib urllib, returns
     (status_code, body_text); transport failures raise (the retry loop
-    treats them like the reference's HTTP client exceptions)."""
-    import urllib.request
+    treats them like the reference's HTTP client exceptions). Delegates
+    to the solr_pusher's urllib wrapper (body=None = GET) so the two
+    examples share one maintained HTTP seam."""
+    from .solr_pusher import make_urllib_transport as _base
+
+    base = _base(timeout=timeout)
 
     def transport(url: str):
-        with urllib.request.urlopen(url, timeout=timeout) as resp:
-            return resp.status, resp.read().decode("utf-8", "replace")
+        return base(url, None, None)
 
     return transport
 

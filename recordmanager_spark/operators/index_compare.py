@@ -206,7 +206,11 @@ def check_index(
         )
 
     fmt = (
-        F.col(format_col)
+        # NULL format = standard (the reference reads record_format ??
+        # recordtype and only 'merged' routes to the dedup table;
+        # without the coalesce a NULL comparison would silently drop
+        # the row from BOTH probes — r11 review finding)
+        F.coalesce(F.col(format_col), F.lit("standard"))
         if format_col in indexed.columns
         else F.lit("standard")
     )

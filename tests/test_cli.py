@@ -338,6 +338,23 @@ def test_cli_update_index_incremental_watermark(workspace, spark):
           "--file", f"{ws}/a2.xml", "--records", records,
           "--id-tag", "recordID"])
 
+    # pin the watermark deterministically against the records' ACTUAL
+    # updated stamps: the run applies the reference's 5s clock-skew
+    # slack (filter = updated >= watermark - 5s), so set the stored
+    # value to a9.updated + 5 — threshold lands exactly on a9,
+    # excluding the earlier batch regardless of test wall-clock
+    import datetime as dt
+
+    ts = {
+        r["_id"]: r["updated"]
+        for r in spark.read.parquet(records).collect()
+    }
+    st = json.load(open(state))
+    st["Last Index Update source libA"] = int(
+        ts["libA.a9"].replace(tzinfo=dt.timezone.utc).timestamp()
+    ) + 5
+    json.dump(st, open(state, "w"))
+
     main(["update-index", "--records", records, "--config", cfg,
           "--source", "libA", "--out", f"{ws}/solr2",
           "--mappings", f"{ws}/mappings", "--state-file", state])

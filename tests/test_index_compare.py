@@ -158,3 +158,18 @@ def test_check_index_without_dedup_table(spark):
     )
     out = {r["id"]: r["reason"] for r in check_index(indexed, records).collect()}
     assert out == {"m1": "missing"}
+
+
+def test_check_index_null_format_is_standard(spark):
+    # NULL record_format = standard (the reference reads record_format
+    # ?? recordtype; only 'merged' routes to dedup) — a NULL must not
+    # silently drop the row from both probes (r11 review finding)
+    indexed = spark.createDataFrame(
+        [("r1", None), ("r2", None)],
+        "id string, record_format string",
+    )
+    records = spark.createDataFrame(
+        [("r1",)], "id string"
+    ).withColumn("deleted", F.lit(False))
+    out = {r["id"]: r["reason"] for r in check_index(indexed, records).collect()}
+    assert out == {"r2": "missing"}

@@ -103,3 +103,23 @@ def test_cli_logs_send_file_sink(tmp_path, capsys):
         "report00000.txt", "report00001.txt", "report00002.txt",
     ]
     assert "To: ops@example.org" in open(f"{out}/report00000.txt").read()
+
+
+def test_records_without_ids_drain_exactly(tmp_path):
+    """Deletion is by line position: a store whose records carry no _id
+    (or duplicate ids) must lose exactly the mailed lines, never the
+    unsent tail (r11 review finding)."""
+    path = str(tmp_path / "log.jsonl")
+    with open(path, "w") as fh:
+        for i in range(150):
+            fh.write(json.dumps({"timestamp": 0, "message": f"m{i}"}) + "\n")
+    read, delete = file_log_store(path)
+    m = Recorder(fail_at=1)  # batch 1 ok, batch 2 fails
+    with pytest.raises(RuntimeError):
+        send_logs(read, delete, m, "a@b", batch_size=100)
+    left = read(1000)
+    assert len(left) == 50  # only the mailed 100 were deleted
+    assert left[0]["message"] == "m100"
+    # resume drains the rest
+    m2 = Recorder()
+    assert send_logs(read, delete, m2, "a@b", batch_size=100) == 50
