@@ -4395,6 +4395,81 @@ def optout_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def image_resize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Real byte-level image RESIZE (operators/multimodal.resize_images
+    — the preprocessing stage before any vision feature extractor): a
+    generator builds genuine 24-bit BMPs whose pixel values derive from
+    (doc_id, x, y) arithmetic, the stage decodes + nearest-neighbor
+    resamples to 4x4, and the query explodes the resized RGB bytes into
+    per-pixel rows with builtin byte access (hex/conv over substring) —
+    so the oracle predicts every byte analytically from the generation
+    arithmetic + the floor-sampling rule, and the resize cannot
+    shortcut it because it only sees the payload."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from recordmanager_spark.operators.multimodal import resize_images
+
+    def _gen(batches):
+        def bmp(i: int) -> bytes:
+            w, h = 8 + (i % 3) * 4, 8
+            stride = (w * 3 + 3) & ~3
+            rows = []
+            # file rows bottom-up (positive height): logical y = h-1-row
+            for y in range(h - 1, -1, -1):
+                row = bytearray()
+                for x in range(w):
+                    row += bytes(
+                        ((i % 256), (y * 24) % 256, (x * 16) % 256)
+                    )  # B, G, R
+                row += b"\x00" * (stride - len(row))
+                rows.append(bytes(row))
+            data = b"".join(rows)
+            off = 54
+            return (
+                b"BM" + _struct.pack("<I", off + len(data)) + b"\x00" * 4
+                + _struct.pack("<I", off)
+                + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                               len(data), 2835, 2835, 0, 0)
+                + data
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [bmp(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = _t(spark, sf, "documents").where(
+        F.pmod("doc_id", F.lit(5)) == 0
+    ).select("doc_id")
+    gen = d.mapInPandas(_gen, "id long, payload binary")
+    small = resize_images(gen, width=4, height=4)
+    return (
+        small.select(
+            F.col("id").alias("doc_id"),
+            "src_width",
+            "src_height",
+            F.posexplode(F.sequence(F.lit(0), F.lit(47))).alias(
+                "pos", "idx"
+            ),
+            "pixels",
+        )
+        .select(
+            "doc_id",
+            "src_width",
+            "src_height",
+            "idx",
+            F.conv(
+                F.hex(F.expr("substring(pixels, idx + 1, 1)")), 16, 10
+            ).cast("int").alias("val"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4416,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_diff_docs": index_diff_docs,
         "check_index_docs": check_index_docs,
         "optout_filter_docs": optout_filter_docs,
+        "image_resize_docs": image_resize_docs,
         # last driver-green: r1
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
@@ -4607,6 +4683,28 @@ def oracle_sql() -> dict[str, str]:
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
         # new this round (r11)
+        "image_resize_docs": """
+            WITH d AS (
+                SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT doc_id,
+                   w::INT AS src_width,
+                   h::INT AS src_height,
+                   i.range AS idx,
+                   CASE (i.range % 3)
+                       -- out pixel (r = idx//12, c = (idx%12)//3);
+                       -- nearest floor sampling: src_x = c*(w/4),
+                       -- src_y = r*(h/4); R=(x*16)%256, G=(y*24)%256,
+                       -- B = doc_id % 256
+                       WHEN 0 THEN ((((i.range % 12) // 3) * (w // 4))
+                                    * 16) % 256
+                       WHEN 1 THEN (((i.range // 12) * (h // 4)) * 24)
+                                   % 256
+                       ELSE doc_id % 256
+                   END::INT AS val
+            FROM d, range(0, 48) i
+        """,
         "optout_filter_docs": """
             SELECT doc_id,
                    (doc_id % 4 = 0 OR doc_id % 8 = 1) AS meta_optout,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "index_diff_docs",
     "check_index_docs",
     "pack_bins_ffd_docs",
+    "image_resize_docs",
 ]
 
 # Every registered query is either benched above or listed here with the

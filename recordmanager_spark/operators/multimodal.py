@@ -507,6 +507,92 @@ def media_probe(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(op, schema=MEDIA_PROBE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id long, mime string, src_width int, src_height int, "
+    "width int, height int, pixels binary"
+)
+
+
+def resize_nearest(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an (H, W, C) uint8 array — pure numpy
+    index arithmetic (floor sampling), deterministic across platforms.
+    The preprocessing every vision-training pipeline runs before
+    batching; bilinear/antialiased variants belong to the injected
+    imaging library (PIL seam), this is the dependency-free baseline."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    rows = np.minimum(
+        (np.arange(height) * (src_h / height)).astype(np.int64), src_h - 1
+    )
+    cols = np.minimum(
+        (np.arange(width) * (src_w / width)).astype(np.int64), src_w - 1
+    )
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 64,
+    height: int = 64,
+    decoder=None,
+) -> DataFrame:
+    """mapInPandas image resize: decode → nearest-neighbor resample →
+    raw RGB bytes + dims, one Arrow-batched Python scan (pair with
+    :func:`repartition_by_bytes` — image payloads dominate row size, so
+    partitions must be byte-bounded, not row-counted). The default
+    decoder is the container's stdlib pair (PNG/BMP pixel decoders);
+    ``decoder(payload) -> ndarray | None`` injects a real imaging
+    library for the remaining formats (examples/pil_images.py seam).
+    Undecodable payloads yield NULL pixel fields, never a crashed
+    stage. Output pixels are C-order (height, width, 3) uint8 — the
+    shape a downstream feature extractor's batch dimension expects."""
+
+    def default_decoder(p: bytes) -> "np.ndarray | None":
+        mime = sniff_mime(p)
+        if mime == "image/png":
+            return png_pixels(p)
+        if mime == "image/bmp":
+            return bmp_pixels(p)
+        return None
+
+    dec = decoder or default_decoder
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf["id"], pdf[payload_col]):
+                p = bytes(b) if b is not None else b""
+                mime = sniff_mime(p)
+                img = dec(p)
+                if img is None or img.size == 0:
+                    rows.append((rid, mime, None, None, None, None, None))
+                    continue
+                small = resize_nearest(img, width, height)
+                rows.append(
+                    (
+                        rid,
+                        mime,
+                        img.shape[1],
+                        img.shape[0],
+                        width,
+                        height,
+                        np.ascontiguousarray(small).tobytes(),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "mime", "src_width", "src_height",
+                    "width", "height", "pixels",
+                ],
+            )
+            for c in ("src_width", "src_height", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """STUB: real impl would use PIL/libvips. Deterministic fake derives
     "dimensions" from the payload hash so tests are reproducible."""

@@ -280,3 +280,62 @@ def test_media_probe_webp_and_mp3(spark):
     assert out[2].mime == "audio/mpeg"
     assert out[2].sample_rate == 44100
     assert abs(out[2].duration_ms - 2000) < 50
+
+
+def test_resize_nearest_exact_math():
+    import numpy as np
+
+    # 2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+    img = np.array(
+        [[[0, 0, 0], [255, 0, 0]], [[0, 255, 0], [0, 0, 255]]],
+        dtype=np.uint8,
+    )
+    out = MM.resize_nearest(img, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert (out[:2, :2] == [0, 0, 0]).all()
+    assert (out[:2, 2:] == [255, 0, 0]).all()
+    assert (out[2:, :2] == [0, 255, 0]).all()
+    assert (out[2:, 2:] == [0, 0, 255]).all()
+    # downscale picks floor-sampled originals
+    down = MM.resize_nearest(out, 2, 2)
+    assert (down == img).all()
+
+
+def test_resize_images_stage(spark):
+    import numpy as np
+
+    rows = [
+        (1, make_bmp(8, 4, lambda x, y: (x * 10, y * 20, 7))),
+        (2, b"not an image"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        r["id"]: r
+        for r in MM.resize_images(df, width=4, height=2).collect()
+    }
+    r1 = out[1]
+    assert (r1["src_width"], r1["src_height"]) == (8, 4)
+    assert (r1["width"], r1["height"]) == (4, 2)
+    px = np.frombuffer(r1["pixels"], dtype=np.uint8).reshape(2, 4, 3)
+    # nearest with 2x scale: sampled at x*2, y*2 of the source gradient
+    assert (px[0, 0] == [0, 0, 7]).all()
+    assert (px[1, 3] == [60, 40, 7]).all()
+    # undecodable/missing payloads keep their row with NULL pixels
+    assert out[2]["pixels"] is None and out[2]["src_width"] is None
+    assert out[3]["pixels"] is None
+
+
+def test_resize_images_injected_decoder(spark):
+    import numpy as np
+
+    # the PIL seam: any format decodes when a library is injected
+    def fake_decoder(payload):
+        if payload == b"JPEGISH":
+            return np.full((3, 3, 3), 9, dtype=np.uint8)
+        return None
+
+    df = spark.createDataFrame([(1, b"JPEGISH")], "id long, payload binary")
+    r = MM.resize_images(df, width=2, height=2, decoder=fake_decoder).first()
+    assert r["width"] == 2 and r["src_width"] == 3
+    assert np.frombuffer(r["pixels"], dtype=np.uint8).tolist() == [9] * 12

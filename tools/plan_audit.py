@@ -133,6 +133,10 @@ AUDITS = [
     ("optout_filter_docs", 0, False, False,
      "robots-directive regexes are scan-stage expressions; any shuffle "
      "is a bug"),
+    ("image_resize_docs", 0, False, False,
+     "generator -> decode+resize (two chained Arrow Python scans) -> "
+     "row-local pixel explode: zero exchanges end to end — resize "
+     "parallelism is exactly the input scan's"),
     ("q1_pricing_summary", 1, False, False,
      "scan->partial agg->1 shuffle (sort-free: the driver compares sorted)"),
     ("q3_shipping_priority", 1, True, False,
