@@ -72,9 +72,26 @@ def _parse_php_ini(text: str) -> dict[str, dict]:
         if bracket is None:
             cur[key] = val
         elif sub:
-            cur.setdefault(key, {})[sub] = val
+            existing = cur.get(key)
+            if not isinstance(existing, dict):
+                # scalar/list previously assigned under this key: the
+                # map form wins, like a PHP re-assignment (permissive,
+                # never a crash — r11 hypothesis finding)
+                cur[key] = {}
+            cur[key][sub] = val
         else:
-            cur.setdefault(key, []).append(val)
+            existing = cur.get(key)
+            if isinstance(existing, list):
+                existing.append(val)
+            elif existing is None:
+                cur[key] = [val]
+            else:
+                # `k = a` followed by `k[] = b`: promote the scalar to
+                # a single-element array and append (lossless; PHP
+                # discards the scalar with a notice — we keep it, the
+                # permissive-never-crash stance the engine takes
+                # everywhere; mixed forms never appear in real configs)
+                cur[key] = [existing, val]
     return out
 
 

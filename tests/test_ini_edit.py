@@ -152,3 +152,17 @@ def test_cli_solr_optimize_file_sink(tmp_path, capsys):
     main(["solr-optimize", "--out", out])
     body = open(f"{out}/optimize.json").read()
     assert json.loads(body) == {"optimize": {}}
+
+
+def test_parse_php_ini_mixed_forms_never_crash():
+    """`k = a` then `k[] = b` (and map-after-scalar) used to crash the
+    shared parser with AttributeError (r11 hypothesis finding); the
+    permissive stance promotes/overrides instead."""
+    from recordmanager_spark.config import _parse_php_ini
+
+    kv = _parse_php_ini(
+        "[s]\na = 0\na[] = 1\nb[] = x\nb[] = y\nc = 0\nc[sub] = m\n"
+    )["s"]
+    assert kv["a"] == ["0", "1"]  # scalar promoted, append lossless
+    assert kv["b"] == ["x", "y"]
+    assert kv["c"] == {"sub": "m"}  # map form wins over scalar

