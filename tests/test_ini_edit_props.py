@@ -97,11 +97,5 @@ def test_add_then_remove_properties(ini_and_secs, key, val, arr):
 
     removed = remove_setting(added, setting, sources=[target])
     assert _eq_count(removed, target, setting) == 0
-    # non-matching lines of the target all survive the removal
-    kept = [
-        ln
-        for ln in _section_lines(added, target)
-        if ln.strip() and _eq_count(ln + "\n[x]\n", "___", setting) == 0
-    ]
     for c in comments:
         assert c in removed
