@@ -617,14 +617,31 @@ def cmd_curate(args) -> None:
         from .sources.bucketed import read_bucketed
 
         id_type = df.schema[args.id_col].dataType.simpleString()
-        schema_ddl = f"fp string, canonical_id {id_type}"
+        # schema_ddl=None: recovery infers the schema from the
+        # SURVIVING parquet footers, never from the current batch — a
+        # batch whose id type drifted would otherwise stamp a declared
+        # schema that mismatches the stored data (silent nulls / cast
+        # failures on probe, r11 ADVICE). The drift is checked loudly
+        # below instead.
         _recover_orphan_index(
-            spark, cfg.dedup_index, schema_ddl, "fp", _INDEX_BUCKETS
+            spark, cfg.dedup_index, None, "fp", _INDEX_BUCKETS
         )
         if spark.catalog.tableExists(cfg.dedup_index):
-            tables[cfg.dedup_index] = read_bucketed(spark, cfg.dedup_index)
+            idx = read_bucketed(spark, cfg.dedup_index)
+            idx_type = idx.schema["canonical_id"].dataType.simpleString()
+            if idx_type != id_type:
+                raise SystemExit(
+                    f"fingerprint index {cfg.dedup_index} stores "
+                    f"canonical_id as {idx_type} but this batch's "
+                    f"--id-col {args.id_col} is {id_type}; refusing to "
+                    "probe/append across an id-type change (rebuild "
+                    "the index or cast the batch)"
+                )
+            tables[cfg.dedup_index] = idx
         else:
-            tables[cfg.dedup_index] = spark.createDataFrame([], schema_ddl)
+            tables[cfg.dedup_index] = spark.createDataFrame(
+                [], f"fp string, canonical_id {id_type}"
+            )
     out = apply_corpus_pipeline(
         df,
         cfg,
@@ -666,6 +683,11 @@ def cmd_curate(args) -> None:
         )
         print(f"fingerprint index {cfg.dedup_index}: +{added} rows")
     print(f"curated {args.corpus}: {n} rows -> {args.out}")
+
+
+# console print paths collect at most this many rows to the driver;
+# anything larger belongs in --out parquet, not stdout
+_PRINT_CAP = 10_000
 
 
 # bucket count for the persisted fingerprint index; must be identical
@@ -734,6 +756,27 @@ def _delete_location(spark, uri: str) -> None:
         fs.delete(path, True)
 
 
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d{3}")
+
+
+def _max_bucket_id_in_files(spark, uri: str) -> int | None:
+    """Largest bucket id encoded in the location's bucketed-file names
+    (``part-*_NNNNN.c000``), or None when no file carries one. A lower
+    bound on the true bucket count for legacy locations written before
+    the sidecar spec existed."""
+    fs, path = _hadoop_fs(spark, uri)
+    if not fs.exists(path):
+        return None
+    best: int | None = None
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        m = _BUCKET_ID_RE.search(it.next().getPath().getName())
+        if m:
+            b = int(m.group(1))
+            best = b if best is None or b > best else best
+    return best
+
+
 def _clear_orphan_table_location(spark, table: str) -> None:
     """saveAsTable(mode="overwrite") refuses to create a managed table
     whose warehouse LOCATION survives from a previous session while the
@@ -770,13 +813,19 @@ def _recover_orphan_index(
     Returns True when a table was re-registered.
 
     ``schema_ddl=None`` infers the schema from the surviving parquet
-    footers. ``key/n_buckets=None`` re-registers WITHOUT a bucket spec
-    — correct but exchange-paying — for callers that cannot know the
-    original count (declaring a WRONG count would silently mis-bucket
-    every probe, worse than the lost optimization).
+    footers. The bucket spec is resolved defensively (a WRONG declared
+    count silently mis-buckets every probe, worse than the lost
+    optimization): a ``_rm_bucket_spec.json`` sidecar written with the
+    table is authoritative — caller-passed key/n_buckets must MATCH it
+    or recovery refuses; with no sidecar (legacy location), a
+    caller-passed count is validated against the bucket ids encoded in
+    the surviving file names, and ``key/n_buckets=None`` re-registers
+    WITHOUT a bucket spec — correct but exchange-paying.
 
     A location holding no parquet files (a crash mid-first-write) is
     genuine debris: cleared, not registered."""
+    from .sources.bucketed import read_bucket_spec
+
     if spark.catalog.tableExists(table):
         return False
     loc = _table_location(spark, table)
@@ -785,6 +834,27 @@ def _recover_orphan_index(
     if not _location_has_parquet(spark, loc):
         _delete_location(spark, loc)
         return False
+    spec = read_bucket_spec(spark, loc)
+    if spec is not None:
+        spec_key, spec_n = spec.get("key"), int(spec.get("n_buckets", 0))
+        if key is not None and n_buckets is not None and (
+            key != spec_key or n_buckets != spec_n
+        ):
+            raise SystemExit(
+                f"{table}: surviving index was written bucketed by "
+                f"{spec_key!r} into {spec_n} buckets; refusing to "
+                f"re-register with key={key!r} n_buckets={n_buckets} "
+                "(a mismatched spec silently mis-buckets every probe)"
+            )
+        key, n_buckets = spec_key, spec_n
+    elif key is not None and n_buckets is not None:
+        max_id = _max_bucket_id_in_files(spark, loc)
+        if max_id is not None and max_id >= n_buckets:
+            raise SystemExit(
+                f"{table}: surviving files carry bucket ids up to "
+                f"{max_id} but --buckets={n_buckets} was requested; "
+                "refusing to register a mismatched bucket spec"
+            )
     if schema_ddl is None:
         schema = spark.read.parquet(loc).schema
         schema_ddl = ", ".join(
@@ -842,16 +912,20 @@ def cmd_search(args) -> None:
         raise SystemExit("exactly one of --query / --queries required")
     # a fresh process has a fresh in-memory catalog: re-register an
     # index whose warehouse data survived a restart (same recovery as
-    # curate's fingerprint index). --buckets restores the original
-    # bucket spec (shuffle-free probes); omitted, the table registers
-    # unbucketed — correct, one probe-side exchange — because declaring
-    # a GUESSED count would silently mis-bucket every probe.
-    if args.buckets:
-        _recover_orphan_index(
-            spark, args.table, None, "term", args.buckets
-        )
-    else:
-        _recover_orphan_index(spark, args.table, None, None, None)
+    # curate's fingerprint index). The written-with spec is recovered
+    # from the _rm_bucket_spec.json sidecar (shuffle-free probes with
+    # no flag at all); an explicit --buckets is VALIDATED against the
+    # sidecar / surviving file names and refused on mismatch — a wrong
+    # declared count would silently mis-bucket every probe (r11
+    # ADVICE). Only a legacy sidecar-less index with no --buckets
+    # registers unbucketed (correct, one probe-side exchange).
+    _recover_orphan_index(
+        spark,
+        args.table,
+        None,
+        "term" if args.buckets else None,
+        args.buckets or None,
+    )
     _recover_orphan_index(spark, args.table + "_stats", None, None, None)
     if args.query:
         queries = spark.createDataFrame(
@@ -930,14 +1004,22 @@ def cmd_compare_records(args) -> None:
         diff.write.mode("overwrite").parquet(args.out)
         print(f"index diff -> {args.out}")
         return
-    n = 0
-    for r in diff.orderBy("id", "field").collect():
-        n += 1
+    # a mapping change can perturb EVERY record — never collect the
+    # whole diff to the driver; print a capped prefix and point at
+    # --out for the full table (the reference streams per record)
+    shown = 0
+    for r in diff.orderBy("id", "field").limit(_PRINT_CAP + 1).collect():
+        if shown == _PRINT_CAP:
+            break
+        shown += 1
         print(f"Record {r['id']} field {r['field']} would be changed:")
         for v in r["removed"]:
             print(f"--- {v}")
         for v in r["added"]:
             print(f"+++ {v}")
+    n = diff.count() if shown >= _PRINT_CAP else shown
+    if n > shown:
+        print(f"... {n - shown} more — use --out for the full diff")
     print(f"{n} field differences")
 
 
@@ -961,9 +1043,13 @@ def cmd_check_index(args) -> None:
         updated_col=args.updated_col,
     )
     if args.report_only:
-        n = 0
-        for r in orphans.orderBy("id").collect():
-            n += 1
+        # capped like compare-records: a store-wide loss would make the
+        # orphan list index-sized; never collect it whole to the driver
+        shown = 0
+        for r in orphans.orderBy("id").limit(_PRINT_CAP + 1).collect():
+            if shown == _PRINT_CAP:
+                break
+            shown += 1
             kind = "merged" if r["merged"] else "single"
             detail = (
                 f"deleted {r['deleted_at']}"
@@ -974,6 +1060,9 @@ def cmd_check_index(args) -> None:
                 f"Found orphan {kind} record {r['id']} in index "
                 f"(database record {detail})"
             )
+        n = orphans.count() if shown >= _PRINT_CAP else shown
+        if n > shown:
+            print(f"... {n - shown} more — use --out for the full list")
         print(f"{n} orphaned records")
     else:
         if not args.out:
@@ -1032,6 +1121,41 @@ def cmd_sources_search(args) -> None:
         "\\n", "\n"
     ).replace("\\r", "\r")
     print(sep.join(search_sources(open(args.config).read(), args.regexp)))
+
+
+def cmd_sources_delete(args) -> None:
+    """Command/Sources/Delete.php: remove whole [source] sections from
+    datasources.ini, comment-preserving, with the reference's
+    keep-comments reattachment semantics. With --records, refuses to
+    delete a source that still has records (Delete.php:120-133 checks
+    the record store first); decommission order is delete-source +
+    purge-deleted, THEN sources-delete."""
+    from .ini_edit import delete_sources
+
+    sources = args.sources.split(",")
+    if args.records:
+        spark = _spark("rm-sources-delete")
+        records = spark.read.parquet(args.records)
+        present = {
+            r["source_id"]
+            for r in records.where(F.col("source_id").isin(sources))
+            .select("source_id").distinct().collect()
+        }
+        blocked = [s for s in sources if s in present]
+        if blocked:
+            for s in blocked:
+                print(
+                    f"Data source '{s}' contains records and cannot "
+                    "be deleted", file=sys.stderr,
+                )
+            raise SystemExit(1)
+    text = open(args.config).read()
+    out = delete_sources(text, sources, keep_comments=args.keep_comments)
+    if args.write:
+        open(args.config, "w").write(out)
+        print(f"{args.config} updated")
+    else:
+        sys.stdout.write(out)
 
 
 def _utc_ts(iso: str) -> int:
@@ -1429,6 +1553,26 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("regexp")
     s.add_argument("--separator", default=",")
     s.set_defaults(fn=cmd_sources_search)
+
+    s = sub.add_parser(
+        "sources-delete",
+        help="remove whole [source] sections from datasources.ini",
+    )
+    s.add_argument("--config", required=True)
+    s.add_argument("sources", help="comma-separated section names")
+    s.add_argument(
+        "--keep-comments",
+        default="trailing",
+        choices=["all", "leading", "trailing", "none"],
+        help="adjacent-comment retention (reference default: trailing)",
+    )
+    s.add_argument(
+        "--records",
+        help="records parquet; sources still holding records refuse "
+        "deletion (Delete.php:120-133)",
+    )
+    s.add_argument("--write", action="store_true", help="save in place")
+    s.set_defaults(fn=cmd_sources_delete)
 
     s = sub.add_parser(
         "get-last-solr-update-timestamp",

@@ -48,6 +48,20 @@ def _unquote(v: str) -> str:
     return v
 
 
+def _ini_value(v: str) -> str:
+    """One raw right-hand side -> value: a quoted value keeps everything
+    inside the quotes (including ';'); an unquoted value ends at the
+    first ';' — PHP's parse_ini_file drops inline comments, and the
+    sources-search normalization depends on matching that (`a = b ; n`
+    is the setting ``a=b``, never ``a=b ; n``)."""
+    v = v.strip()
+    if v and v[0] in ("'", '"'):
+        end = v.find(v[0], 1)
+        if end != -1:
+            return v[1:end]
+    return v.split(";", 1)[0].strip()
+
+
 def _parse_php_ini(text: str) -> dict[str, dict]:
     """PHP-ini dialect: sections, ``key = v``, ``key[] = v`` (append),
     ``key[sub] = v`` (map), ``;``/``#`` comments, optional quotes."""
@@ -67,7 +81,7 @@ def _parse_php_ini(text: str) -> dict[str, dict]:
         if not m:
             continue
         key, bracket, sub, val = (
-            m.group(1).strip(), m.group(2), m.group(3), _unquote(m.group(4)),
+            m.group(1).strip(), m.group(2), m.group(3), _ini_value(m.group(4)),
         )
         if bracket is None:
             cur[key] = val

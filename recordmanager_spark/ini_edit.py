@@ -37,6 +37,7 @@ import re
 __all__ = [
     "add_setting",
     "remove_setting",
+    "delete_sources",
     "show_config",
     "search_sources",
     "parse_setting_line",
@@ -54,11 +55,20 @@ def _section_of(line: str) -> str | None:
     return None
 
 
+# PHP's ini scanner (INI_SCANNER_NORMAL) folds UNQUOTED boolean
+# literals to "1"/"" — `a = true` and `a = 1` are the same setting to
+# AddSetting.php, and Search.php matches against the folded form.
+_PHP_TRUE = frozenset(("true", "on", "yes"))
+_PHP_FALSE = frozenset(("false", "off", "no", "none", "null"))
+
+
 def parse_setting_line(line: str) -> tuple[str, str] | None:
     """(key, value) of one ini line, or None when it parses to nothing
-    (blank/comment/section). Quotes stripped, comments dropped — the
-    single-line analogue of the shared PHP-ini dialect, so two spellings
-    of the same setting compare equal the way parse_ini_string does."""
+    (blank/comment/section). Quotes stripped, comments dropped, and
+    unquoted boolean literals normalized to "1"/"" — the single-line
+    analogue of the shared PHP-ini dialect, so two spellings of the
+    same setting compare equal the way parse_ini_string does (quoted
+    `"true"` stays the literal string, exactly as in PHP)."""
     c = _commentless(line)
     if not c or _section_of(line) is not None or "=" not in c:
         return None
@@ -68,6 +78,10 @@ def parse_setting_line(line: str) -> tuple[str, str] | None:
         return None
     if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
         val = val[1:-1]
+    elif val.lower() in _PHP_TRUE:
+        val = "1"
+    elif val.lower() in _PHP_FALSE:
+        val = ""
     return key, val
 
 
@@ -167,6 +181,89 @@ def remove_setting(
     return "\n".join(out) + "\n"
 
 
+def _is_comment(line: str) -> bool:
+    return line.strip().startswith(";")
+
+
+def delete_sources(
+    text: str, sources: list[str], keep_comments: str = "trailing"
+) -> str:
+    """Sources/Delete.php:105-200: remove whole ``[source]`` sections
+    from datasources.ini, comment-preserving for everything kept.
+
+    ``keep_comments``:
+
+    - ``"all"`` — the section's trailing comment run is reattached to
+      the head of the NEXT section (it usually describes that section),
+      and its leading comments (the trailing comment run of the
+      PREVIOUS section) are kept;
+    - ``"trailing"`` (default) — trailing comments reattach forward,
+      leading comments are removed from the previous section;
+    - ``"leading"`` — leading comments kept, trailing comments die with
+      the section;
+    - ``"none"`` — both die with the section.
+
+    Reattachment mirrors the reference exactly, including its bottom-up
+    collection order (Delete.php builds ``$comments`` scanning upward
+    and ``array_merge``\\ s it as-is, so a multi-line trailing comment
+    block arrives at the next section REVERSED — parity over polish).
+    A blank line terminates a comment run on both sides, so only the
+    immediately-adjacent run moves/dies."""
+    if keep_comments not in ("all", "leading", "trailing", "none"):
+        raise ValueError(
+            "keep_comments must be one of all/leading/trailing/none, "
+            f"got {keep_comments!r}"
+        )
+    # split into sections: the pre-header preamble (name "") plus one
+    # entry per [header], each holding its own verbatim lines
+    sections: list[dict] = []
+    current = ""
+    lines: list[str] = []
+    for line in text.splitlines():
+        sec = _section_of(line)
+        if sec is not None:
+            if lines:
+                sections.append(
+                    {"name": current, "lines": lines,
+                     "deleted": current in sources}
+                )
+            current = sec
+            lines = []
+        lines.append(line)
+    if lines:
+        sections.append(
+            {"name": current, "lines": lines, "deleted": current in sources}
+        )
+
+    for idx, section in enumerate(sections):
+        if not section["deleted"]:
+            continue
+        if keep_comments in ("all", "trailing") and idx < len(sections) - 1:
+            comments: list[str] = []
+            for line in reversed(section["lines"]):
+                if line.strip() == "" or not _is_comment(line):
+                    if comments:
+                        sections[idx + 1]["lines"] = (
+                            comments + sections[idx + 1]["lines"]
+                        )
+                        section["lines"] = section["lines"][: -len(comments)]
+                    break
+                comments.append(line)
+        if keep_comments in ("trailing", "none") and idx > 0:
+            prev = sections[idx - 1]
+            if not prev["deleted"]:
+                while prev["lines"]:
+                    last = prev["lines"][-1]
+                    if last.strip() == "" or not _is_comment(last):
+                        break
+                    prev["lines"].pop()
+
+    kept = [s for s in sections if not s["deleted"]]
+    return "\n".join(
+        "\n".join(s["lines"]) for s in kept
+    ) + "\n"
+
+
 def show_config(text: str, source: str) -> str:
     """ShowConfig.php: the verbatim lines of one source's section."""
     out: list[str] = []
@@ -187,7 +284,15 @@ def search_sources(text: str, regexp: str) -> list[str]:
     from .config import _parse_php_ini
 
     if regexp.startswith("/"):
-        body, _, flags = regexp[1:].rpartition("/")
+        # PHP-delimited form: strip delimiters ONLY when the closing
+        # '/' exists; an unterminated '/abc' is a preg compile error in
+        # the reference (Search.php passes it straight to preg_match),
+        # not an empty match-everything pattern.
+        body, sep, flags = regexp[1:].rpartition("/")
+        if not sep:
+            raise ValueError(
+                f"missing closing regexp delimiter: {regexp!r}"
+            )
         pat = re.compile(body, re.I if "i" in flags else 0)
     else:
         pat = re.compile(regexp)

@@ -35,9 +35,72 @@ answers point lookups, a bucket spec answers the corpus-scale joins.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed", "bucketed_join_ready"]
+__all__ = [
+    "write_bucketed",
+    "read_bucketed",
+    "bucketed_join_ready",
+    "read_bucket_spec",
+    "write_bucket_spec",
+]
+
+# sidecar recording the bucket spec INSIDE the table location, so a
+# process restart (per-session in-memory catalog) can re-register the
+# table with the exact spec it was written with instead of trusting a
+# user-passed count (a wrong count silently mis-buckets every probe —
+# r11 ADVICE, medium). Underscore prefix: parquet scans ignore it.
+_SPEC_FILE = "_rm_bucket_spec.json"
+
+
+def _fs_path(spark: SparkSession, uri: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def write_bucket_spec(
+    spark: SparkSession, location: str, key: str, n_buckets: int
+) -> None:
+    """Persist {key, n_buckets} as ``_rm_bucket_spec.json`` inside the
+    table location (any Spark-visible filesystem)."""
+    fs, path, _ = _fs_path(
+        spark, location.rstrip("/") + "/" + _SPEC_FILE
+    )
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(
+            {"key": key, "n_buckets": n_buckets}
+        ).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_bucket_spec(spark: SparkSession, location: str) -> dict | None:
+    """The persisted bucket spec of a table location, or None when the
+    sidecar is absent (pre-r12 index or never bucketed)."""
+    fs, path, jvm = _fs_path(
+        spark, location.rstrip("/") + "/" + _SPEC_FILE
+    )
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 4096, False)
+        return json.loads(bytes(buf.toByteArray()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _catalog_location(spark: SparkSession, table: str) -> str | None:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Location":
+            return r.data_type
+    return None
 
 
 def write_bucketed(
@@ -53,11 +116,35 @@ def write_bucketed(
 
     ``sort=True`` additionally sorts each bucket file by the key so
     downstream sort-merge joins skip their Sort as well as their
-    Exchange."""
+    Exchange. The spec is also persisted as a sidecar in the table
+    location so a later process can recover it without guessing;
+    appending with a spec that differs from the sidecar raises (the
+    mismatch would silently re-shuffle or mis-bucket every probe)."""
+    spark = df.sparkSession
+    if mode == "append":
+        loc = (
+            _catalog_location(spark, table)
+            if spark.catalog.tableExists(table)
+            else None
+        )
+        if loc is not None:
+            prior = read_bucket_spec(spark, loc)
+            if prior is not None and (
+                prior.get("key") != key
+                or int(prior.get("n_buckets", -1)) != n_buckets
+            ):
+                raise ValueError(
+                    f"bucket spec mismatch appending to {table}: "
+                    f"written with {prior}, append requested "
+                    f"key={key!r} n_buckets={n_buckets}"
+                )
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+    loc = _catalog_location(spark, table)
+    if loc:
+        write_bucket_spec(spark, loc, key, n_buckets)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

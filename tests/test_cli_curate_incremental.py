@@ -213,6 +213,41 @@ def test_index_fingerprints_cleaned_text(spark, tmp_path, index_table):
     assert spark.read.parquet(out2).count() == 0  # cross-batch dup caught
 
 
+def test_id_type_drift_refused_loudly(spark, tmp_path, index_table):
+    """A later ingest whose --id-col type differs from the persisted
+    index must fail LOUDLY — recovery infers the stored schema from the
+    surviving parquet footers and curate compares it to the batch
+    (r11 ADVICE: a batch-derived declared schema silently nulled or
+    cast-failed every probe)."""
+    ini = tmp_path / "corpus.ini"
+    ini.write_text(
+        "[corpus:daily]\n"
+        f"dedup_index = {index_table}\n"
+        "keep_text = true\n"
+    )
+    batch1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id long, text string"
+    ).write.parquet(batch1)
+    main(
+        [
+            "curate", "--config", str(ini), "--corpus", "daily",
+            "--input", batch1, "--out", str(tmp_path / "out1"),
+        ]
+    )
+    batch2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [("s1", "another document")], "doc_id string, text string"
+    ).write.parquet(batch2)
+    with pytest.raises(SystemExit, match="id-type change"):
+        main(
+            [
+                "curate", "--config", str(ini), "--corpus", "daily",
+                "--input", batch2, "--out", str(tmp_path / "out2"),
+            ]
+        )
+
+
 def test_dedup_index_rejects_minhash_combo(tmp_path):
     from recordmanager_spark.corpus_config import parse_corpus_ini
 

@@ -91,6 +91,57 @@ def test_search_sources_normalized_and_regex():
     assert search_sources(INI, "format=") == ["alpha", "beta"]
 
 
+def test_add_setting_boolean_spellings_are_parse_equal():
+    # PHP's ini scanner folds unquoted true/on/yes -> "1" and
+    # false/off/no/none -> "" before AddSetting compares, so
+    # 'verbose = 1' is already present in beta and must be skipped
+    out = add_setting(INI, "verbose = 1", sources=["beta"])
+    assert out.count("verbose") == INI.count("verbose")
+    out = add_setting(INI, "verbose = on", sources=["beta"])
+    assert out.count("verbose") == INI.count("verbose")
+    # quoted "true" is the literal string, NOT parse-equal -> inserted
+    out = add_setting(INI, 'verbose = "true"', sources=["beta"])
+    assert out.count("verbose") == INI.count("verbose") + 1
+
+
+def test_parse_setting_line_boolean_normalization():
+    from recordmanager_spark.ini_edit import parse_setting_line
+
+    assert parse_setting_line("a = true") == ("a", "1")
+    assert parse_setting_line("a = YES") == ("a", "1")
+    assert parse_setting_line("a = off") == ("a", "")
+    assert parse_setting_line("a = none") == ("a", "")
+    # quoted literals keep their text (PHP quoted values bypass folding)
+    assert parse_setting_line('a = "true"') == ("a", "true")
+
+
+def test_search_sources_unterminated_delimiter_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        search_sources(INI, "/abc")
+    # properly delimited still works
+    assert search_sources(INI, "/format=marc/") == ["alpha"]
+
+
+def test_parse_php_ini_strips_unquoted_inline_comments():
+    from recordmanager_spark.config import _parse_php_ini
+
+    ini = (
+        "[s]\n"
+        "a = b ; note\n"
+        'q = "b ; kept"\n'
+        "arr[] = v1 ; c1\n"
+    )
+    kv = _parse_php_ini(ini)["s"]
+    assert kv["a"] == "b"
+    assert kv["q"] == "b ; kept"
+    assert kv["arr"] == ["v1"]
+    # and search no longer sees comment text as value text
+    assert search_sources(ini, "note") == []
+    assert search_sources(ini, "a=b$") == ["s"]
+
+
 def test_cli_sources_roundtrip(tmp_path, capsys):
     ini = tmp_path / "ds.ini"
     ini.write_text(INI)
