@@ -441,8 +441,64 @@ _XPATH_EVAL_MARKS = (
 )
 
 
+# Queries whose generated code runs closest to janino's 64 KB method
+# limit (dim-unrolled vector arithmetic inside join consumers). These
+# are EXECUTED (collect, like the oracle harness) with the JVM's stderr
+# captured: an `ERROR CodeGenerator` there means Spark silently dropped
+# a stage to interpreted evaluation — correctness survives, the scale
+# story does not (r11 verdict: semantic_dedup's 3-chain consumer).
+CODEGEN_PROBES = [
+    "semantic_dedup_embeddings",
+    "cluster_corpus_embeddings",
+    "knn_ivf_full",
+    "embedding_neardup",
+    "knn_ivfadc_full",
+]
+
+_CODEGEN_ERR = re.compile(
+    r"ERROR CodeGenerator|InternalCompilerException|grows beyond 64 KB"
+)
+
+
 def main() -> None:
+    import os
+    import tempfile
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Capture fd-2 BEFORE the JVM launches (the gateway inherits it);
+    # log4j compile errors are invisible to Python otherwise.
+    real_err = os.dup(2)
+    errcap = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".stderr", delete=False
+    )
+    os.dup2(errcap.fileno(), 2)
+    try:
+        _audit(sf_dir)
+    finally:
+        sys.stderr.flush()
+        os.dup2(real_err, 2)
+        os.close(real_err)
+        errcap.seek(0)
+        captured = errcap.read()
+        errcap.close()
+        os.unlink(errcap.name)
+        sys.stderr.write(captured)
+        sys.stderr.flush()
+        hits = [
+            ln for ln in captured.splitlines() if _CODEGEN_ERR.search(ln)
+        ]
+        if hits:
+            print(
+                f"FAIL  codegen: {len(hits)} CodeGenerator error line(s) "
+                "in the JVM log — a stage fell back to interpreted "
+                "evaluation:"
+            )
+            for ln in hits[:5]:
+                print(f"      {ln.strip()}")
+            sys.exit(1)
+
+
+def _audit(sf_dir: str) -> None:
     spark = get_spark("plan_audit", shuffle_partitions=16)
     qs = entry_mod.queries()
     failures = []
@@ -517,6 +573,9 @@ def main() -> None:
             print(f"FAIL  {name}: {'; '.join(problems)}  ({note})")
         else:
             print(f"ok    {name}: exchanges={n_ex}  ({note})")
+    for name in CODEGEN_PROBES:
+        qs[name](spark, sf_dir).collect()
+        print(f"ok    {name}: executed (codegen probe)")
     print()
     if failures:
         print(f"{len(failures)} plan audit failures: {failures}")
