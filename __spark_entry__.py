@@ -694,7 +694,9 @@ def winnow_fingerprint_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowed (rolling-hash) document fingerprints — Schleimer et al.,
     SIGMOD 2003; k=5 char-grams, window w=4, md5-hex hash family so the
     DuckDB oracle replicates the selection byte-for-byte."""
-    fp = TD.winnow_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+    fp = TD.winnow_fingerprints(
+        _t(spark, sf, "documents", spread=True), "doc_id", "text"
+    )
     return fp.select(
         F.col("id").alias("doc_id"),
         F.size("fp").alias("n_fp"),
@@ -776,9 +778,20 @@ def winnow_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Pairs sharing >= 30 winnowed fingerprints (containment-style
     near-dup detection). bucket_cap=1000 is the deterministic skew guard
     (lowest ids win); the oracle models the same cap, so the comparison
-    holds at every sf — at sf0.01 it never binds, at sf0.1+ it does."""
+    holds at every sf — at sf0.01 it never binds, at sf0.1+ it does.
+
+    spread=True is load-bearing: winnowing emits ~1 md5 per character
+    (k=5/w=4), and the posting subtree feeds THREE consumers (size
+    census, under-cap anti-join, over-cap reps) that each re-execute
+    the scan-stage hash chain — on the toy single-row-group parquet
+    that serialized ~6x the corpus's md5 work onto one core (60 s at
+    sf0.1; 10-19 s spread across the input splits a real corpus
+    arrives in). An explicit posts-side repartition was measured
+    SLOWER (13.6 s vs 9.4 s warm): at this fingerprint density the
+    extra full shuffle of the posting rows costs more than re-running
+    the column-pruned scan + hash chain per consumer."""
     return TD.winnow_near_duplicates(
-        _t(spark, sf, "documents"), "doc_id", "text",
+        _t(spark, sf, "documents", spread=True), "doc_id", "text",
         min_shared=30, bucket_cap=1000,
     )
 

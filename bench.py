@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     "check_index_docs",
     "pack_bins_ffd_docs",
     "image_resize_docs",
+    # round-12 additions
+    # (r11 verdict: the heaviest registered query was hidden behind a
+    # shape-only exclusion; it is headline-worthy by cost — ~10-19 s at
+    # sf0.1 after the spread fix, down from 60 s single-partition)
+    "winnow_neardup_pairs",
 ]
 
 # Every registered query is either benched above or listed here with the
@@ -213,8 +218,7 @@ BENCH_EXCLUSIONS = {
     "train_split_docs": "scan-stage deterministic hash device",
     "uri_cache_ttl": "scan-stage TTL split + broadcast upsert join",
     "url_blocklist_docs": "scan-stage host/badword expressions",
-    "winnow_fingerprint_docs": "scan-stage rolling-hash windows",
-    "winnow_neardup_pairs": "duplicate banded pair-join plan shape of minhash_near_dup",
+    "winnow_fingerprint_docs": "scan-stage rolling-hash windows (the hash chain's cost is benched inside winnow_neardup_pairs, which executes it as its first stage)",
     "work_keys_marc": "fixture-bound",
     "xslt_normalize_orders": "fixture-bound",
 }

@@ -966,6 +966,17 @@ def winnow_near_duplicates(
     reducer). Work bound unchanged: <= cap members per fingerprint;
     only WHICH members survive an over-cap posting changes (salted-min
     instead of rank-by-id — a truncation either way).
+
+    COST IS DENSITY-DRIVEN, not shape-driven (r12 soak,
+    PERFORMANCE.md): winnowing emits ~2/(w+1) fingerprints per
+    CHARACTER (one window-min per position, pre-dedup), so postings
+    volume scales with corpus BYTES — k=5/w=4 measured 0.296
+    postings/char and ~30x minhash's cost on the same corpus through
+    the identical banded pair-join. For corpus-scale runs raise w (and
+    k) toward the guarantee you actually need — matches of length
+    >= w+k-1 are still caught: k=8/w=50 (t=57 chars) measured
+    0.034 postings/char, 3.6x faster end-to-end. Small k/w is for
+    short-match forensics (plagiarism), not corpus dedup.
     """
     from .bucket_pairs import salt_slot
 

@@ -989,6 +989,68 @@ def cmd_soak11(sf_dir: str) -> None:
     spark.stop()
 
 
+def cmd_soak12(sf_dir: str) -> None:
+    """Round-12 soak: the fingerprint-DENSITY cost curve — why winnowing
+    at contract-pinned k=5/w=4 is ~10-30x the cost of minhash on the
+    same corpus even though both run the identical bounded-state banded
+    pair-join shape. Winnowing emits ~2/(w+1) fingerprints per
+    CHARACTER (one per window, pre-dedup), so postings volume scales
+    with corpus BYTES; minhash emits a fixed n_hashes/bands per
+    DOCUMENT. Measured at 10x documents, plus winnowing at a
+    production-grade k=8/w=50 (guarantee threshold t=w+k-1=57 chars)
+    to show the knob that collapses the gap.
+    """
+    spark = _spark()
+    _warm(spark, sf_dir)
+    from recordmanager_spark.operators.text_dedup import (
+        minhash_near_duplicates,
+        winnow_fingerprints,
+        winnow_near_duplicates,
+    )
+
+    docs = _docs10(spark, sf_dir)
+    n_docs = docs.count()
+    n_chars = docs.select(F.sum(F.length("text"))).first()[0]
+    print(f"corpus: {n_docs} docs, {n_chars / 1e6:.1f}M chars")
+
+    configs = [
+        ("winnow k=5 w=4 (contract)", dict(k=5, w=4)),
+        ("winnow k=8 w=50 (production)", dict(k=8, w=50)),
+    ]
+    for label, kw in configs:
+        posts = (
+            winnow_fingerprints(docs, "doc_id", "text", **kw)
+            .select(F.sum(F.size("fp")).alias("n"))
+            .first()["n"]
+        )
+        t0 = time.time()
+        winnow_near_duplicates(
+            docs, "doc_id", "text", min_shared=2, bucket_cap=1000, **kw
+        ).write.format("noop").mode("overwrite").save()
+        secs = time.time() - t0
+        print(
+            f"{label:32s} {secs:7.2f}s  {posts / 1e6:6.2f}M postings "
+            f"({posts / n_chars:.3f}/char)  "
+            f"{n_docs / secs:6.0f} docs/s  "
+            f"{n_docs / secs / CORES:6.1f} docs/s/core"
+        )
+    t0 = time.time()
+    minhash_near_duplicates(
+        docs, "doc_id", "text"
+    ).write.format("noop").mode("overwrite").save()
+    secs = time.time() - t0
+    print(
+        f"{'minhash (defaults)':32s} {secs:7.2f}s  "
+        f"(fixed bands/doc postings)        "
+        f"{n_docs / secs:6.0f} docs/s  "
+        f"{n_docs / secs / CORES:6.1f} docs/s/core"
+    )
+    peak = _peak_shuffle_mb(spark)
+    if peak is not None:
+        print(f"peak per-stage shuffle write: {peak:.0f} MB")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -1012,6 +1074,8 @@ if __name__ == "__main__":
         cmd_soak10(sf_dir)
     elif mode == "soak11":
         cmd_soak11(sf_dir)
+    elif mode == "soak12":
+        cmd_soak12(sf_dir)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
