@@ -4496,19 +4496,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a fresh driver-recorded oracle row.
-        # r11 rotation: STALEST-FIRST — the r1-r3 vintage rows whose
-        # most recent driver evidence predates r4 (xml_split/geocode r1,
-        # the r2 extractor cohort, the large r3 cohort). Newly added
-        # queries go at the very top (never driver-checked = stalest).
-        # never driver-checked (new in r11)
+        # r12 rotation: STALEST-FIRST — the 30 queries whose last driver
+        # check is r3/r4 (they missed the r11 window cut), topped up
+        # with the full r7 cohort and the oldest 9 of the r8 cohort.
+        # last driver-green: r3/r4
+        "sfx_harvest_files": sfx_harvest_files,
+        "oai_provider_serve": oai_provider_serve,
+        "once_per_group_orders": once_per_group_orders,
+        "dirty_hosts_propagation": dirty_hosts_propagation,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "stateful_skip_unchanged": stateful_skip_unchanged,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "c4_clean_docs": c4_clean_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "contamination_docs": contamination_docs,
+        "forward_film_extract": forward_film_extract,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mix_sources_docs": mix_sources_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "ead_extract": ead_extract,
+        "lido_extract": lido_extract,
+        "qdc_extract": qdc_extract,
+        "upsert_orders": upsert_orders,
+        "copy_down_merged": copy_down_merged,
+        "suppression_filter": suppression_filter,
+        "work_keys_marc": work_keys_marc,
+        "dc_extract": dc_extract,
+        "dc_extract_struct": dc_extract_struct,
+        "marc_holdings_normalize": marc_holdings_normalize,
+        "oai_harvest_parse": oai_harvest_parse,
+        "sierra_harvest_extract": sierra_harvest_extract,
+        "genieplus_harvest_extract": genieplus_harvest_extract,
+        "rdf_import_entities": rdf_import_entities,
+        "pipeline_end_to_end": pipeline_end_to_end,
+        # last driver-green: r7
+        "deletion_antijoin": deletion_antijoin,
+        "incremental_changed": incremental_changed,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_json_extract": events_json_extract,
+        "host_component_merge": host_component_merge,
+        "component_parts_policy": component_parts_policy,
+        "group_merge_orders": group_merge_orders,
+        "dedup_incremental": dedup_incremental,
+        "dedup_check": dedup_check,
+        "component_dedup": component_dedup,
+        "marc_extract": marc_extract,
+        # last driver-green: r8 (first 9 inside the window)
+        "near_dup_prune_docs": near_dup_prune_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "bpe_tokenize_docs": bpe_tokenize_docs,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "filter_dsl_orders": filter_dsl_orders,
+        "filter_dsl_events_page": filter_dsl_events_page,
+        "range_scan_page": range_scan_page,
+        # --- below this line: outside the 50-query window ---
+        # last driver-green: r8
+        "count_values_lang": count_values_lang,
+        "count_values_event_type": count_values_event_type,
+        "count_values_tokens": count_values_tokens,
+        "count_values_mapped": count_values_mapped,
+        # last driver-green: r9
+        "hamming_neardup_hashes": hamming_neardup_hashes,
+        "streaming_content_dedup": streaming_content_dedup,
+        "config_pipeline_orders": config_pipeline_orders,
+        "quality_buckets_docs": quality_buckets_docs,
+        # last driver-green: r11
         "index_diff_docs": index_diff_docs,
         "check_index_docs": check_index_docs,
         "optout_filter_docs": optout_filter_docs,
         "image_resize_docs": image_resize_docs,
-        # last driver-green: r1
         "geocode_customers": geocode_customers,
         "xml_split_customers": xml_split_customers,
-        # last driver-green: r2
         "ese_extract": ese_extract,
         "doaj_extract": doaj_extract,
         "marc_authority_extract": marc_authority_extract,
@@ -4520,7 +4581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centers": geo_centers,
         "enrich_topics_nation": enrich_topics_nation,
         "link_resolution_lineitem": link_resolution_lineitem,
-        # last driver-green: r3
         "xslt_normalize_orders": xslt_normalize_orders,
         "multimodal_features": multimodal_features,
         "allfields_customer": allfields_customer,
@@ -4554,68 +4614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions_grid2": scalar_functions_grid2,
         "copy_down_parent": copy_down_parent,
         "geocode_simplify_customers": geocode_simplify_customers,
-        "sfx_harvest_files": sfx_harvest_files,
-        "oai_provider_serve": oai_provider_serve,
-        "once_per_group_orders": once_per_group_orders,
-        "dirty_hosts_propagation": dirty_hosts_propagation,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "stateful_skip_unchanged": stateful_skip_unchanged,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "gopher_quality_docs": gopher_quality_docs,
-        "c4_clean_docs": c4_clean_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "contamination_docs": contamination_docs,
-        "forward_film_extract": forward_film_extract,
-        "pack_sequences_docs": pack_sequences_docs,
-        "mix_sources_docs": mix_sources_docs,
-        "stratified_sample_docs": stratified_sample_docs,
-        # last driver-green: r4
-        "ead_extract": ead_extract,
-        "lido_extract": lido_extract,
-        "qdc_extract": qdc_extract,
-        "upsert_orders": upsert_orders,
-        "copy_down_merged": copy_down_merged,
-        "suppression_filter": suppression_filter,
-        "work_keys_marc": work_keys_marc,
-        "dc_extract": dc_extract,
-        "dc_extract_struct": dc_extract_struct,
-        "marc_holdings_normalize": marc_holdings_normalize,
-        "oai_harvest_parse": oai_harvest_parse,
-        "sierra_harvest_extract": sierra_harvest_extract,
-        "genieplus_harvest_extract": genieplus_harvest_extract,
-        "rdf_import_entities": rdf_import_entities,
-        "pipeline_end_to_end": pipeline_end_to_end,
-        # last driver-green: r7
-        "deletion_antijoin": deletion_antijoin,
-        "incremental_changed": incremental_changed,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_json_extract": events_json_extract,
-        "host_component_merge": host_component_merge,
-        "component_parts_policy": component_parts_policy,
-        "group_merge_orders": group_merge_orders,
-        "dedup_incremental": dedup_incremental,
-        "dedup_check": dedup_check,
-        "component_dedup": component_dedup,
-        "marc_extract": marc_extract,
-        # last driver-green: r8
-        "near_dup_prune_docs": near_dup_prune_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "bpe_tokenize_docs": bpe_tokenize_docs,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "filter_dsl_orders": filter_dsl_orders,
-        "filter_dsl_events_page": filter_dsl_events_page,
-        "range_scan_page": range_scan_page,
-        "count_values_lang": count_values_lang,
-        "count_values_event_type": count_values_event_type,
-        "count_values_tokens": count_values_tokens,
-        "count_values_mapped": count_values_mapped,
-        # last driver-green: r9
-        "hamming_neardup_hashes": hamming_neardup_hashes,
-        "streaming_content_dedup": streaming_content_dedup,
-        "config_pipeline_orders": config_pipeline_orders,
-        "quality_buckets_docs": quality_buckets_docs,
         # last driver-green: r10
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_search_docs": hybrid_search_docs,
