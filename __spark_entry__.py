@@ -4483,6 +4483,75 @@ def image_resize_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def audio_neardup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup through the REAL payload path
+    (examples/audio_fingerprint.py): a generator builds genuine PCM16
+    WAVs whose per-window amplitudes derive from (doc_id, window)
+    arithmetic — pair-mates share a pattern, one mate is re-levelled at
+    2x gain, and every 4th pair's first mate gets one perturbed window
+    — the stage decodes the RIFF bytes, mean-mixes, computes the 65
+    window RMS energies, packs the 64 energy-delta bits, and the banded
+    Hamming engine pairs fingerprints within distance 3. The oracle
+    predicts every bit analytically (constant-amplitude windows make
+    RMS == |amp| exactly; gain cancels in the comparisons) and brute
+    forces the pair criterion — exact, because 4x16-bit pigeonhole
+    banding is lossless at max_hamming=3 and no bucket nears the cap.
+    """
+    import pandas as _pd
+
+    from recordmanager_spark.examples.audio_fingerprint import (
+        audio_near_duplicates,
+        audio_segment_fingerprints,
+    )
+
+    rate, win = 4000, 65
+
+    def _gen(batches):
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+
+        def wav(did: int) -> bytes:
+            p = did // 20
+            scale = 2 if (did // 10) % 2 else 1
+            base, extra = rate // win, rate % win
+            samples = []
+            for j in range(win):
+                amp = ((p * 131 + j * 37) % 89) + 1
+                if did % 40 == 0 and j == 10:
+                    amp += 50
+                samples.extend(
+                    [amp * scale] * (base + (1 if j < extra else 0))
+                )
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(
+                    _np.array(samples, dtype="<i2").tobytes()
+                )
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].astype("int64"),
+                    "payload": [wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    d = _t(spark, sf, "documents").where(
+        F.pmod("doc_id", F.lit(10)) == 0
+    ).select("doc_id")
+    gen = d.mapInPandas(_gen, "id long, payload binary")
+    fps = audio_segment_fingerprints(gen, seg_ms=1000)
+    return audio_near_duplicates(
+        fps, max_hamming=3, min_matching_segments=1
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4496,9 +4565,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a fresh driver-recorded oracle row.
-        # r12 rotation: STALEST-FIRST — the 30 queries whose last driver
-        # check is r3/r4 (they missed the r11 window cut), topped up
-        # with the full r7 cohort and the oldest 9 of the r8 cohort.
+        # r12 rotation: STALEST-FIRST — new r12 query first (never
+        # driver-checked), then the 30 queries whose last driver check
+        # is r3/r4 (they missed the r11 window cut), topped up with the
+        # full r7 cohort and the oldest 8 of the r8 cohort.
+        # never driver-checked (new in r12)
+        "audio_neardup_docs": audio_neardup_docs,
         # last driver-green: r3/r4
         "sfx_harvest_files": sfx_harvest_files,
         "oai_provider_serve": oai_provider_serve,
@@ -4542,7 +4614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
-        # last driver-green: r8 (first 9 inside the window)
+        # last driver-green: r8 (first 8 inside the window)
         "near_dup_prune_docs": near_dup_prune_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "bpe_tokenize_docs": bpe_tokenize_docs,
@@ -4551,9 +4623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "filter_dsl_orders": filter_dsl_orders,
         "filter_dsl_events_page": filter_dsl_events_page,
-        "range_scan_page": range_scan_page,
         # --- below this line: outside the 50-query window ---
         # last driver-green: r8
+        "range_scan_page": range_scan_page,
         "count_values_lang": count_values_lang,
         "count_values_event_type": count_values_event_type,
         "count_values_tokens": count_values_tokens,
@@ -4693,7 +4765,35 @@ def oracle_sql() -> dict[str, str]:
     raw_toks = "string_split_regex(trim(text), '\\s+')"
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
-        # new this round (r11)
+        # new this round (r12)
+        "audio_neardup_docs": """
+            WITH d AS (
+                SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+            ), amps AS (
+                -- the generator's closed form: constant-amplitude
+                -- windows make engine-side RMS == |amp| exactly, and
+                -- the 2x gain on odd pair-mates cancels in every
+                -- energy comparison, so the bits derive from the raw
+                -- pattern alone
+                SELECT doc_id, j.range AS j,
+                       (((doc_id // 20) * 131 + j.range * 37) % 89) + 1
+                       + CASE WHEN doc_id % 40 = 0 AND j.range = 10
+                              THEN 50 ELSE 0 END AS amp
+                FROM d, range(0, 65) j
+            ), fps AS (
+                SELECT doc_id, list(amp ORDER BY j) AS a
+                FROM amps GROUP BY doc_id
+            ), ham AS (
+                SELECT f1.doc_id AS id_a, f2.doc_id AS id_b,
+                       list_sum(list_transform(range(1, 65),
+                           i -> ((f1.a[i+1] > f1.a[i])
+                                 != (f2.a[i+1] > f2.a[i]))::INT)) AS h
+                FROM fps f1 JOIN fps f2 ON f1.doc_id < f2.doc_id
+            )
+            SELECT id_a, id_b, 1::BIGINT AS n_segment_matches
+            FROM ham WHERE h <= 3
+        """,
+        # new in r11
         "image_resize_docs": """
             WITH d AS (
                 SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h

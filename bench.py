@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     # shape-only exclusion; it is headline-worthy by cost — ~10-19 s at
     # sf0.1 after the spread fix, down from 60 s single-partition)
     "winnow_neardup_pairs",
+    # WAV synth + Arrow fingerprint scan + banded Hamming pairing — the
+    # audio leg of the multimodal dedup story
+    "audio_neardup_docs",
 ]
 
 # Every registered query is either benched above or listed here with the
