@@ -99,3 +99,44 @@ def test_add_then_remove_properties(ini_and_secs, key, val, arr):
     assert _eq_count(removed, target, setting) == 0
     for c in comments:
         assert c in removed
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ini_file(),
+    st.data(),
+    st.sampled_from(["all", "leading", "trailing", "none"]),
+)
+def test_delete_sources_properties(ini_and_secs, data, keep):
+    """delete_sources: whatever the keep-comments mode does to COMMENT
+    placement, the PARSED view of the result is exactly the input's
+    parsed view minus the deleted sections, kept sections keep their
+    non-comment lines verbatim, and deletion is idempotent."""
+    from recordmanager_spark.ini_edit import delete_sources
+
+    text, sections = ini_and_secs
+    victims = data.draw(
+        st.lists(st.sampled_from(sections), min_size=1, unique=True)
+    )
+    out = delete_sources(text, victims, keep_comments=keep)
+
+    before = _parse_php_ini(text)
+    after = _parse_php_ini(out)
+    assert after == {
+        k: v for k, v in before.items() if k not in victims
+    }
+    # kept sections: every non-comment line survives verbatim
+    for sec in sections:
+        if sec in victims:
+            continue
+        kept_lines = [
+            ln for ln in _section_lines(text, sec)
+            if ln.split(";", 1)[0].strip()
+        ]
+        out_lines = _section_lines(out, sec)
+        for ln in kept_lines:
+            assert ln in out_lines
+    # idempotent
+    assert delete_sources(out, victims, keep_comments=keep) == out
+    # deleting nothing is identity
+    assert delete_sources(text, ["zz_no_such"], keep_comments=keep) == text
