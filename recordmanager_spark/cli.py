@@ -1132,6 +1132,8 @@ def cmd_sources_delete(args) -> None:
     purge-deleted, THEN sources-delete."""
     from .ini_edit import delete_sources
 
+    if args.highlight and args.write:
+        raise SystemExit("--highlight cannot be used with --write")
     sources = args.sources.split(",")
     if args.records:
         spark = _spark("rm-sources-delete")
@@ -1150,7 +1152,12 @@ def cmd_sources_delete(args) -> None:
                 )
             raise SystemExit(1)
     text = open(args.config).read()
-    out = delete_sources(text, sources, keep_comments=args.keep_comments)
+    out = delete_sources(
+        text,
+        sources,
+        keep_comments=args.keep_comments,
+        highlight=args.highlight,
+    )
     if args.write:
         open(args.config, "w").write(out)
         print(f"{args.config} updated")
@@ -1570,6 +1577,11 @@ def main(argv: list[str] | None = None) -> None:
         "--records",
         help="records parquet; sources still holding records refuse "
         "deletion (Delete.php:120-133)",
+    )
+    s.add_argument(
+        "--highlight", action="store_true",
+        help="preview: keep everything, mark would-be-deleted lines "
+        "in red (mutually exclusive with --write)",
     )
     s.add_argument("--write", action="store_true", help="save in place")
     s.set_defaults(fn=cmd_sources_delete)

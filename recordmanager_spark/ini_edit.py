@@ -185,8 +185,17 @@ def _is_comment(line: str) -> bool:
     return line.strip().startswith(";")
 
 
+# --highlight preview markers (the reference renders <fg=red> console
+# tags; ANSI is the plain-terminal equivalent)
+_RED = "\x1b[31m"
+_RESET = "\x1b[0m"
+
+
 def delete_sources(
-    text: str, sources: list[str], keep_comments: str = "trailing"
+    text: str,
+    sources: list[str],
+    keep_comments: str = "trailing",
+    highlight: bool = False,
 ) -> str:
     """Sources/Delete.php:105-200: remove whole ``[source]`` sections
     from datasources.ini, comment-preserving for everything kept.
@@ -208,7 +217,12 @@ def delete_sources(
     and ``array_merge``\\ s it as-is, so a multi-line trailing comment
     block arrives at the next section REVERSED — parity over polish).
     A blank line terminates a comment run on both sides, so only the
-    immediately-adjacent run moves/dies."""
+    immediately-adjacent run moves/dies.
+
+    ``highlight=True`` (Delete.php's --highlight preview): nothing is
+    removed — every line that WOULD be deleted (the victims' lines and
+    the adjacent leading-comment runs) prints wrapped in ANSI red
+    instead, so the operator can eyeball the change before --write."""
     if keep_comments not in ("all", "leading", "trailing", "none"):
         raise ValueError(
             "keep_comments must be one of all/leading/trailing/none, "
@@ -252,13 +266,26 @@ def delete_sources(
         if keep_comments in ("trailing", "none") and idx > 0:
             prev = sections[idx - 1]
             if not prev["deleted"]:
-                while prev["lines"]:
-                    last = prev["lines"][-1]
-                    if last.strip() == "" or not _is_comment(last):
+                i = len(prev["lines"]) - 1
+                while i >= 0:
+                    last = prev["lines"][i]
+                    if last.strip() == "" or last.startswith(_RED) or (
+                        not _is_comment(last)
+                    ):
                         break
-                    prev["lines"].pop()
+                    if highlight:
+                        prev["lines"][i] = _RED + last + _RESET
+                    else:
+                        prev["lines"].pop(i)
+                    i -= 1
 
-    kept = [s for s in sections if not s["deleted"]]
+    if highlight:
+        for s in sections:
+            if s["deleted"]:
+                s["lines"] = [_RED + ln + _RESET for ln in s["lines"]]
+        kept = sections
+    else:
+        kept = [s for s in sections if not s["deleted"]]
     return "\n".join(
         "\n".join(s["lines"]) for s in kept
     ) + "\n"

@@ -130,3 +130,32 @@ def test_cli_sources_delete_write_and_records_gate(tmp_path, capsys, spark):
     )
     text = ini.read_text()
     assert "[alpha]" not in text and "[beta]" in text
+
+
+def test_highlight_preview_keeps_everything_marked():
+    from recordmanager_spark.ini_edit import _RED, _RESET, delete_sources
+
+    out = delete_sources(INI, ["beta"], highlight=True)
+    # nothing removed: every input line still present (marked or not)
+    for ln in INI.splitlines():
+        assert ln in out.replace(_RED, "").replace(_RESET, "")
+    # the victim's lines are marked
+    assert f"{_RED}[beta]{_RESET}" in out
+    assert f"{_RED}format = dc{_RESET}" in out
+    # leading comments (alpha's trailing run) marked, not removed
+    assert f"{_RED}; describes beta, line 1{_RESET}" in out
+    # untouched sections unmarked
+    assert "\n[alpha]\n" in "\n" + out
+    assert f"{_RED}[gamma]" not in out
+
+
+def test_cli_highlight_write_mutually_exclusive(tmp_path):
+    ini = tmp_path / "ds.ini"
+    ini.write_text(INI)
+    with pytest.raises(SystemExit, match="highlight"):
+        main(
+            [
+                "sources-delete", "--config", str(ini), "beta",
+                "--highlight", "--write",
+            ]
+        )
