@@ -835,6 +835,10 @@ def _recover_orphan_index(
         _delete_location(spark, loc)
         return False
     spec = read_bucket_spec(spark, loc)
+    if spec is not None and not (
+        spec.get("key") and int(spec.get("n_buckets", 0) or 0) > 0
+    ):
+        spec = None  # malformed sidecar: fall back to legacy handling
     if spec is not None:
         spec_key, spec_n = spec.get("key"), int(spec.get("n_buckets", 0))
         if key is not None and n_buckets is not None and (
