@@ -472,8 +472,11 @@ def main() -> None:
         mode="w+", suffix=".stderr", delete=False
     )
     os.dup2(errcap.fileno(), 2)
+    exc: BaseException | None = None
     try:
         _audit(sf_dir)
+    except BaseException as e:  # keep the audit verdict AND codegen scan
+        exc = e
     finally:
         sys.stderr.flush()
         os.dup2(real_err, 2)
@@ -482,20 +485,20 @@ def main() -> None:
         captured = errcap.read()
         errcap.close()
         os.unlink(errcap.name)
-        sys.stderr.write(captured)
-        sys.stderr.flush()
-        hits = [
-            ln for ln in captured.splitlines() if _CODEGEN_ERR.search(ln)
-        ]
-        if hits:
-            print(
-                f"FAIL  codegen: {len(hits)} CodeGenerator error line(s) "
-                "in the JVM log — a stage fell back to interpreted "
-                "evaluation:"
-            )
-            for ln in hits[:5]:
-                print(f"      {ln.strip()}")
-            sys.exit(1)
+    sys.stderr.write(captured)
+    sys.stderr.flush()
+    hits = [ln for ln in captured.splitlines() if _CODEGEN_ERR.search(ln)]
+    if hits:
+        print(
+            f"FAIL  codegen: {len(hits)} CodeGenerator error line(s) "
+            "in the JVM log — a stage fell back to interpreted "
+            "evaluation:"
+        )
+        for ln in hits[:5]:
+            print(f"      {ln.strip()}")
+        sys.exit(1)
+    if exc is not None:
+        raise exc
 
 
 def _audit(sf_dir: str) -> None:
