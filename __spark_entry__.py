@@ -1819,6 +1819,22 @@ def hierarchical_facets_geo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def indexed_timestamps_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """first_indexed/last_indexed ISO-8601 Zulu stamping
+    (SolrUpdater.php:2360-2367 formatTimestamp) — created maps to
+    first_indexed, the index-run date to last_indexed; a fixed +3-day
+    offset stands in for the run date so the oracle is deterministic.
+    Scan-stage date_format projections, zero shuffles."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("created"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("date"),
+    )
+    return NZ.indexed_timestamps(o, "created", "date").select(
+        "o_orderkey", "first_indexed", "last_indexed"
+    )
+
+
 def allfields_customer(spark: SparkSession, sf: str) -> DataFrame:
     """allfields synthesis with exclusions + case-insensitive unique."""
     c = _t(spark, sf, "customer").select(
@@ -4571,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full r7 cohort and the oldest 8 of the r8 cohort.
         # never driver-checked (new in r12)
         "audio_neardup_docs": audio_neardup_docs,
+        "indexed_timestamps_orders": indexed_timestamps_orders,
         # last driver-green: r3/r4
         "sfx_harvest_files": sfx_harvest_files,
         "oai_provider_serve": oai_provider_serve,
@@ -4766,6 +4783,14 @@ def oracle_sql() -> dict[str, str]:
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
         # new this round (r12)
+        "indexed_timestamps_orders": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')
+                       AS first_indexed,
+                   strftime(o_orderdate + INTERVAL 3 DAY,
+                            '%Y-%m-%dT%H:%M:%SZ') AS last_indexed
+            FROM orders
+        """,
         "audio_neardup_docs": """
             WITH d AS (
                 SELECT doc_id FROM documents WHERE doc_id % 10 = 0

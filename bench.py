@@ -179,6 +179,7 @@ BENCH_EXCLUSIONS = {
     "gopher_quality_docs": "scan-stage quality-gate expressions (gopher_repetition_docs carries the family's cost)",
     "hierarchical_facets_geo": "scan-stage facet-path concat",
     "id_sort_keys": "scan-stage scalar key grid",
+    "indexed_timestamps_orders": "scan-stage date_format projections",
     "incremental_changed": "scan-stage watermark filter",
     "knn_lsh": "duplicate plan shape of ann_recall_lsh (same LSH probe, plus the recall join)",
     "lang_id_pred": "scan-stage n-gram scoring (text_quality carries the family)",
