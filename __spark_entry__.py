@@ -4631,7 +4631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
-        # last driver-green: r8 (first 8 inside the window)
+        # last driver-green: r8 (first 7 inside the window — the
+        # two new r12 queries took the last two slots)
         "near_dup_prune_docs": near_dup_prune_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "bpe_tokenize_docs": bpe_tokenize_docs,
@@ -4639,9 +4640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "filter_dsl_orders": filter_dsl_orders,
-        "filter_dsl_events_page": filter_dsl_events_page,
         # --- below this line: outside the 50-query window ---
         # last driver-green: r8
+        "filter_dsl_events_page": filter_dsl_events_page,
         "range_scan_page": range_scan_page,
         "count_values_lang": count_values_lang,
         "count_values_event_type": count_values_event_type,
