@@ -239,3 +239,43 @@ def test_filter_dsl_matches_independent_model(df, flt):
     rows = [dict(zip(("id", "s", "n", "tags"), r)) for r in ROWS]
     want = {r["id"] for r in rows if _eval_filter(r, flt) is True}
     assert got == want, f"filter {flt!r}: spark={sorted(got)} model={sorted(want)}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    filter_dict(),
+    st.sampled_from([("n", 1), ("n", -1), ("s", 1), ("s", -1)]),
+    st.integers(min_value=0, max_value=4),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+)
+def test_pagination_matches_model(df, flt, first_sort, skip, limit):
+    """sort/skip/limit (PDODatabase.php:1190-1219): with the unique id
+    as the FINAL sort term (the documented determinism contract), the
+    page equals the model's slice of the model's sort. Spark orderBy
+    puts NULLs FIRST ascending / LAST descending — encode that."""
+    sort = [first_sort, ("id", 1)]
+    got = [
+        r["id"]
+        for r in apply_query(
+            df, flt, sort=sort, skip=skip, limit=limit
+        ).select("id").collect()
+    ]
+    rows = [dict(zip(("id", "s", "n", "tags"), r)) for r in ROWS]
+    kept = [r for r in rows if _eval_filter(r, flt) is True]
+    field, direction = first_sort
+
+    nulls = sorted(
+        (r for r in kept if r[field] is None), key=lambda r: r["id"]
+    )
+    vals = [r for r in kept if r[field] is not None]
+    if direction == 1:
+        vals.sort(key=lambda r: (r[field], r["id"]))
+        ordered = nulls + vals  # Spark: NULLS FIRST ascending
+    else:
+        vals.sort(key=lambda r: r["id"])  # tiebreak, then stable desc
+        vals.sort(key=lambda r: r[field], reverse=True)
+        ordered = vals + nulls  # Spark: NULLS LAST descending
+    want = [r["id"] for r in ordered[skip:]]
+    if limit is not None:
+        want = want[:limit]
+    assert got == want, (flt, sort, skip, limit, got, want)
