@@ -1819,6 +1819,46 @@ def hierarchical_facets_geo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def robots_gate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 9309 robots.txt gate (functions/robots.py) through the REAL
+    parse + group-selection + most-specific-match path: doc URLs derive
+    from (doc_id % 5 hosts, doc_id % 7 paths), the per-host robots.txt
+    texts exercise $-anchored allows beating shorter disallows, an
+    allow-override under a blanket disallow, agent-specific group
+    selection (nlbot vs *), a no-matching-group host, and a host with
+    no robots row at all. The oracle states the decision table the
+    rules IMPLY — the engine must reach it by actually parsing."""
+    from recordmanager_spark.functions.robots import robots_gate
+
+    robots = spark.createDataFrame(
+        [
+            ("h0.example",
+             "User-agent: *\nDisallow: /p1\nAllow: /p1/x$\n"
+             "Disallow: /p2\n"),
+            ("h1.example",
+             "User-agent: *\nDisallow: /\nAllow: /p3\n"),
+            ("h2.example",
+             "User-agent: nlbot\nDisallow: /p4\n\n"
+             "User-agent: *\nDisallow: /\n"),
+            ("h3.example", "User-agent: otherbot\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(5)).cast("string"),
+            F.lit(".example/p"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit("/x"),
+        ).alias("url"),
+    )
+    return robots_gate(d, robots, url_col="url", agent="nlbot/1.0").select(
+        "doc_id", "url", F.col("robots_allowed").alias("allowed")
+    )
+
+
 def indexed_timestamps_orders(spark: SparkSession, sf: str) -> DataFrame:
     """first_indexed/last_indexed ISO-8601 Zulu stamping
     (SolrUpdater.php:2360-2367 formatTimestamp) — created maps to
@@ -4588,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new in r12)
         "audio_neardup_docs": audio_neardup_docs,
         "indexed_timestamps_orders": indexed_timestamps_orders,
+        "robots_gate_docs": robots_gate_docs,
         # last driver-green: r3/r4
         "sfx_harvest_files": sfx_harvest_files,
         "oai_provider_serve": oai_provider_serve,
@@ -4631,17 +4672,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_check": dedup_check,
         "component_dedup": component_dedup,
         "marc_extract": marc_extract,
-        # last driver-green: r8 (first 7 inside the window — the
-        # two new r12 queries took the last two slots)
+        # last driver-green: r8 (first 6 inside the window — the
+        # three new r12 queries took the last slots)
         "near_dup_prune_docs": near_dup_prune_docs,
         "chunk_documents_docs": chunk_documents_docs,
         "bpe_tokenize_docs": bpe_tokenize_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "filter_dsl_orders": filter_dsl_orders,
         # --- below this line: outside the 50-query window ---
         # last driver-green: r8
+        "filter_dsl_orders": filter_dsl_orders,
         "filter_dsl_events_page": filter_dsl_events_page,
         "range_scan_page": range_scan_page,
         "count_values_lang": count_values_lang,
@@ -4784,6 +4825,23 @@ def oracle_sql() -> dict[str, str]:
     hits = "len(list_filter({t}, x -> list_contains({lst}, x)))"
     return {
         # new this round (r12)
+        "robots_gate_docs": """
+            -- the decision table the four robots.txt texts imply:
+            -- h0: /p2 blocked; /p1/x rescued by the longer $-anchored
+            --     allow; h1: blanket disallow except the /p3 allow;
+            -- h2 (nlbot group): only /p4 blocked; h3: no group matches
+            -- nlbot -> all allowed; h4: no robots row -> allowed
+            SELECT doc_id,
+                   'https://h' || (doc_id % 5)::VARCHAR || '.example/p'
+                       || (doc_id % 7)::VARCHAR || '/x' AS url,
+                   CASE (doc_id % 5)
+                       WHEN 0 THEN (doc_id % 7) != 2
+                       WHEN 1 THEN (doc_id % 7) = 3
+                       WHEN 2 THEN (doc_id % 7) != 4
+                       ELSE TRUE
+                   END AS allowed
+            FROM documents
+        """,
         "indexed_timestamps_orders": """
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')

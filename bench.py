@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     # WAV synth + Arrow fingerprint scan + banded Hamming pairing — the
     # audio leg of the multimodal dedup story
     "audio_neardup_docs",
+    # broadcast robots join + per-host-cached RFC 9309 Arrow verdict scan
+    "robots_gate_docs",
 ]
 
 # Every registered query is either benched above or listed here with the

@@ -35,7 +35,11 @@ not ini order):
                              carry the envelope in ``http_headers``),
                              and documents whose doc-URI host matches
                              the ``optout_domains`` list (exact or
-                             subdomain)
+                             subdomain); ``robots_txt = <parquet>``
+                             additionally enforces RFC 9309 crawl
+                             permissions — per-host robots.txt rules
+                             (broadcast) against each doc's URI path,
+                             group selected by ``robots_agent``
 0.  ``strip_html`` / ``fix_mojibake`` — text hygiene, applied IN PLACE
                              to the text column before any gate reads
                              it: WET-grade HTML extraction
@@ -147,6 +151,8 @@ class CorpusConfig:
     source: str | None = None  # "warc:<dir>" | "parquet:<path>"
     optout: bool = False  # robots-meta / X-Robots-Tag noindex gate
     optout_domains: str | None = None  # domain opt-out list file
+    robots_txt: str | None = None  # (host, robots_txt) parquet, RFC 9309
+    robots_agent: str = "*"  # crawler product token for group selection
     strip_html: bool = False
     fix_mojibake: bool = False
     languages: list[str] = field(default_factory=list)
@@ -227,6 +233,8 @@ def parse_corpus_ini(text: str) -> dict[str, CorpusConfig]:
             dedup_index=didx,
             optout=_bool(kv.get("optout"), False),
             optout_domains=kv.get("optout_domains"),
+            robots_txt=kv.get("robots_txt"),
+            robots_agent=kv.get("robots_agent", "*"),
             strip_html=_bool(kv.get("strip_html"), False),
             fix_mojibake=_bool(kv.get("fix_mojibake"), False),
             languages=list(kv.get("languages", [])),
@@ -378,6 +386,18 @@ def pre_dedup_gates(
         doms = _read_blocklist(cfg.optout_domains)
         if doms:
             out = out.where(~host_blocked(url_host(id_col), doms))
+    if cfg.robots_txt is not None:
+        # RFC 9309 crawl-permission gate: per-host robots.txt rules
+        # (harvested alongside the crawl) against each doc's URI —
+        # the fetch-time half of REP compliance; the meta/header
+        # opt-out above is the index-time half. The robots table
+        # broadcasts; verdict is one Arrow scan, no corpus shuffle.
+        from .functions.robots import robots_gate
+
+        robots = df.sparkSession.read.parquet(cfg.robots_txt)
+        out = robots_gate(
+            out, robots, url_col=id_col, agent=cfg.robots_agent
+        ).where(F.col("robots_allowed")).drop("robots_allowed")
     if cfg.strip_html:
         from .functions.html import html_to_text
 
