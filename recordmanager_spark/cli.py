@@ -726,12 +726,11 @@ def _local_path(uri: str) -> str | None:
 
 
 def _hadoop_fs(spark, uri: str):
-    """(FileSystem, Path) for any Spark-visible URI — local, HDFS, or
-    object store; the same resolution every Spark write uses."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, path
+    """(FileSystem, Path) for any Spark-visible URI — the single shared
+    resolver lives next to the bucket-spec sidecar it serves."""
+    from .sources.bucketed import hadoop_fs
+
+    return hadoop_fs(spark, uri)
 
 
 def _location_exists(spark, uri: str) -> bool:
@@ -1138,7 +1137,12 @@ def cmd_sources_delete(args) -> None:
 
     if args.highlight and args.write:
         raise SystemExit("--highlight cannot be used with --write")
-    sources = args.sources.split(",")
+    # strip + drop empty tokens: 'alpha,' must not yield an '' victim
+    # (the preamble pseudo-section is named '' — deleting it silently
+    # drops the file-header comment block), and 'a, b' must match 'b'.
+    sources = [s.strip() for s in args.sources.split(",") if s.strip()]
+    if not sources:
+        raise SystemExit("sources-delete: no source ids given")
     if args.records:
         spark = _spark("rm-sources-delete")
         records = spark.read.parquet(args.records)

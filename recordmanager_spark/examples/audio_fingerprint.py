@@ -199,10 +199,26 @@ def audio_near_duplicates(
     items = fps.select(
         # segment items need unique ids: (audio_id << 16) | segment.
         # 16 bits of segment budget (~18 h at 1 s segments); audio ids
-        # stay comparable so id_a < id_b orientation groups consistently
-        (F.col("id").cast("long") * F.lit(65536) + F.col("seg")).alias(
-            "sid"
-        ),
+        # stay comparable so id_a < id_b orientation groups consistently.
+        # Overflow would silently alias segments into the NEXT audio id
+        # (false pairs, corrupted self-pair filter) — fail loudly instead.
+        F.when(
+            F.col("seg") >= 65536,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "audio segment index exceeds the 16-bit sid "
+                        "budget (seg="
+                    ),
+                    F.col("seg").cast("string"),
+                    F.lit("); raise seg_ms or pre-shard long audio"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(
+            F.col("id").cast("long") * F.lit(65536) + F.col("seg")
+        )
+        .alias("sid"),
         F.col("fp"),
     )
     pairs = hamming_near_duplicates(

@@ -164,10 +164,14 @@ def robots_gate(
     Arrow-batched scan with an lru-cached parse per distinct robots
     text — the documents never shuffle. Hosts with no robots row are
     allowed (opt-out protocol)."""
-    r = robots.select(
-        F.lower(F.col(host_col)).alias("__rb_host"),
-        F.col(txt_col).alias("__rb_txt"),
-    )
+    # RFC 9309 has exactly one robots.txt per authority; a robots table
+    # with duplicate host rows (two harvest runs unioned, http+https
+    # both recorded) must NOT fan the left join out — a gate that
+    # duplicates documents is corpus corruption, not a filter. Collapse
+    # to one deterministic row per host (max text) before broadcasting.
+    r = robots.groupBy(
+        F.lower(F.col(host_col)).alias("__rb_host")
+    ).agg(F.max(F.col(txt_col)).alias("__rb_txt"))
     joined = df.withColumn("__rb_host", url_host_expr(url_col)).join(
         F.broadcast(r), "__rb_host", "left"
     )

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
@@ -55,11 +56,14 @@ __all__ = [
 _SPEC_FILE = "_rm_bucket_spec.json"
 
 
-def _fs_path(spark: SparkSession, uri: str):
+def hadoop_fs(spark: SparkSession, uri: str):
+    """(FileSystem, Path) for any Spark-visible URI — local, HDFS, or
+    object store; the same resolution every Spark write uses. Shared
+    with cli's location helpers (single copy of the jvm dance)."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(uri)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, path, jvm
+    return fs, path
 
 
 def write_bucket_spec(
@@ -67,7 +71,7 @@ def write_bucket_spec(
 ) -> None:
     """Persist {key, n_buckets} as ``_rm_bucket_spec.json`` inside the
     table location (any Spark-visible filesystem)."""
-    fs, path, _ = _fs_path(
+    fs, path = hadoop_fs(
         spark, location.rstrip("/") + "/" + _SPEC_FILE
     )
     out = fs.create(path, True)
@@ -82,18 +86,40 @@ def write_bucket_spec(
 def read_bucket_spec(spark: SparkSession, location: str) -> dict | None:
     """The persisted bucket spec of a table location, or None when the
     sidecar is absent (pre-r12 index or never bucketed)."""
-    fs, path, jvm = _fs_path(
+    fs, path = hadoop_fs(
         spark, location.rstrip("/") + "/" + _SPEC_FILE
     )
     if not fs.exists(path):
         return None
-    stream = fs.open(path)
+    jvm = spark._jvm
     try:
-        buf = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 4096, False)
-        return json.loads(bytes(buf.toByteArray()).decode("utf-8"))
-    finally:
-        stream.close()
+        stream = fs.open(path)
+        try:
+            buf = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, buf, 4096, False
+            )
+            raw = bytes(buf.toByteArray()).decode("utf-8", errors="replace")
+        finally:
+            stream.close()
+    except Py4JJavaError:
+        # unreadable sidecar (e.g. checksum mismatch after a partial
+        # write): same contract as malformed below — treat as absent
+        return None
+    # A process can die between fs.create(path, True) (which truncates)
+    # and the write, leaving an empty/partial sidecar. That must read as
+    # "no spec" — not crash every later recovery/append — so anything
+    # that isn't a {key: str, n_buckets: int-able} dict is absent.
+    try:
+        spec = json.loads(raw)
+        if not isinstance(spec, dict):
+            return None
+        int(spec["n_buckets"])
+        if not spec.get("key"):
+            return None
+        return spec
+    except (ValueError, KeyError, TypeError):
+        return None
 
 
 def _catalog_location(spark: SparkSession, table: str) -> str | None:

@@ -156,3 +156,14 @@ def test_injected_decoder_seam(spark):
     ).collect()
     assert {r["id"] for r in fps} == {1, 2}
     assert len({r["fp"] for r in fps}) == 1  # identical fake content
+
+
+def test_segment_budget_overflow_raises(spark):
+    """The 16-bit sid segment budget is enforced, not just documented:
+    seg >= 65536 would alias into the NEXT audio id (false pairs), so
+    the pairing op fails loudly instead."""
+    fps = spark.createDataFrame(
+        [(1, 65536, 7), (2, 0, 7)], "id long, seg int, fp long"
+    )
+    with pytest.raises(Exception, match="16-bit sid budget"):
+        audio_near_duplicates(fps, min_matching_segments=1).collect()

@@ -164,3 +164,34 @@ def test_check_index_print_cap(spark, tmp_path, capsys, monkeypatch):
     assert "... 7 more — use --out for the full list" in out
     assert "12 orphaned records" in out
     assert out.count("Found orphan") == 5
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",  # crash between fs.create(truncate) and the write
+        b'{"key": "term", "n_bu',  # partial write
+        b'"just a string"',  # valid JSON, not a dict
+        b'{"key": "term", "n_buckets": "lots"}',  # non-numeric count
+        b'{"n_buckets": 8}',  # missing key
+    ],
+)
+def test_corrupt_sidecar_reads_as_absent(spark, tmp_path, raw):
+    """A malformed sidecar must behave exactly like no sidecar — not
+    permanently block recovery/appends with a JSONDecodeError."""
+    loc = tmp_path / ("corrupt_" + uuid.uuid4().hex[:6])
+    loc.mkdir()
+    (loc / "_rm_bucket_spec.json").write_bytes(raw)
+    assert read_bucket_spec(spark, str(loc)) is None
+
+
+def test_recovery_survives_corrupt_sidecar(spark, table, tmp_path):
+    """Recovery with a truncated sidecar falls back to the legacy
+    file-name validation instead of crashing."""
+    write_bucketed(_bucketed_df(spark), table, "term", 8)
+    loc = _simulate_restart(spark, table, tmp_path)
+    lp = _local_path(loc)
+    with open(f"{lp}/_rm_bucket_spec.json", "wb") as f:
+        f.write(b'{"key": "ter')
+    assert _recover_orphan_index(spark, table, None, "term", 8)
+    assert spark.table(table).count() == 20

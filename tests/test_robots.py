@@ -152,3 +152,25 @@ def test_corpus_config_robots_gate(spark, tmp_path):
         "https://crawl.example/public/a",
         "https://other.example/private/a",
     }
+
+
+def test_robots_gate_duplicate_host_rows_do_not_fan_out(spark):
+    """One robots.txt per authority (RFC 9309): a robots table carrying
+    duplicate host rows (two harvest runs unioned, http+https recorded
+    separately) must stay a filter — never multiply documents."""
+    docs = spark.createDataFrame(
+        [(1, "https://h0.example/private/x"), (2, "https://h0.example/ok")],
+        "id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example", BASIC),
+            ("h0.example", BASIC),            # duplicate harvest row
+            ("H0.EXAMPLE", BASIC),            # case-variant duplicate
+        ],
+        "host string, robots_txt string",
+    )
+    rows = robots_gate(docs, robots).collect()
+    assert len(rows) == 2  # no fan-out
+    out = {r["id"]: r["robots_allowed"] for r in rows}
+    assert out == {1: False, 2: True}

@@ -159,3 +159,20 @@ def test_cli_highlight_write_mutually_exclusive(tmp_path):
                 "--highlight", "--write",
             ]
         )
+
+
+def test_cli_token_hygiene_trailing_comma_and_spaces(tmp_path):
+    """'gamma,' must not produce an '' victim (the preamble
+    pseudo-section — deleting it silently drops the file header), and
+    ' gamma' must still match gamma despite the pad space."""
+    ini = tmp_path / "ds.ini"
+    ini.write_text(INI)
+    main(["sources-delete", "--config", str(ini), " gamma,", "--write"])
+    text = ini.read_text()
+    assert "[gamma]" not in text
+    assert "[alpha]" in text and "[beta]" in text
+    # the file preamble survives a trailing comma ('' victim never made)
+    assert text.splitlines()[0] == INI.splitlines()[0]
+    # all-empty input is an error, not a silent no-op
+    with pytest.raises(SystemExit, match="no source ids"):
+        main(["sources-delete", "--config", str(ini), ",", "--write"])

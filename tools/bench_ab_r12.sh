@@ -12,8 +12,14 @@ for round in 1 2 3; do
       r11) dir=/root/repo/.bench_snapshots/r11 ;;
       head) dir=/root/repo ;;
     esac
-    cd "$dir"
+    # unchecked cd would bench HEAD while labeling the line r11 —
+    # a fabricated zero-delta A/B. Fail the leg instead.
+    cd "$dir" || { echo "missing snapshot dir: $dir" >&2; exit 1; }
     line=$(python bench.py 2>/dev/null | tail -1)
+    if [ -z "$line" ]; then
+      echo "bench.py produced no output for $snap round $round" >&2
+      exit 1
+    fi
     echo "{\"snap\": \"$snap\", \"round\": $round, \"bench\": $line}" >> "$OUT"
     cp "$dir/BENCH_DETAIL.json" "$DET/${snap}_r12_${round}.json" 2>/dev/null
   done
