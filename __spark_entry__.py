@@ -1419,6 +1419,92 @@ def oai_harvest_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def renormalize_marc(spark: SparkSession, sf: str) -> DataFrame:
+    """records renormalize — the immediate pass
+    (Command/Records/Renormalize.php:105-240 via
+    operators/renormalize.py): suppression -> deleted, host ids, dedup
+    candidate keys with the changed-keys update_needed flag, dedup-group
+    retention, linking ids. Synthetic MARC-in-JSON records from orders;
+    the oracle states the reference's decision table directly from the
+    generating arithmetic. One scan-stage pass (parse + exprs +
+    mapInPandas serialize), zero shuffles."""
+    from recordmanager_spark.config import parse_datasources_ini
+    from recordmanager_spark.operators.renormalize import (
+        renormalize_records,
+    )
+
+    ini = """
+[ka]
+format = marc
+dedup = true
+suppressOnField[format] = "hidden|secret"
+
+[kb]
+format = marc
+"""
+    sources = parse_datasources_ini(ini)
+    o = _t(spark, sf, "orders", spread=True).where(
+        F.col("o_orderkey") % 4 == 0
+    )
+    k = F.col("o_orderkey")
+    host_part = F.when(
+        k % 7 == 0,
+        F.format_string(
+            ',{"773":{"ind1":"0","ind2":" ","subfields":[{"w":"h%s"}]}}',
+            (k / 7).cast("long").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    data = F.format_string(
+        '{"leader":"L","fields":[{"001":"r%s"},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Auth%s, First"}]}},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"Title%s"}]}},'
+        '{"977":{"ind1":" ","ind2":" ","subfields":[{"a":"%s"}]}}%s]}',
+        k.cast("string"),
+        (k % 20).cast("string"),
+        (k % 50).cast("string"),
+        F.when(k % 11 == 0, F.lit("hidden")).otherwise(F.lit("book")),
+        host_part,
+    )
+    records = o.select(
+        F.concat(F.lit("s"), k.cast("string")).alias("_id"),
+        F.when(k % 2 == 0, F.lit("ka")).otherwise(F.lit("kb")).alias(
+            "source_id"
+        ),
+        F.lit("marc").alias("format"),
+        data.alias("original_data"),
+        F.lit(False).alias("deleted"),
+        F.when(
+            k % 5 == 0,
+            F.array(
+                F.concat(
+                    F.lit("title"),
+                    (k % 50).cast("string"),
+                    F.lit("auth"),
+                    (k % 20).cast("string"),
+                )
+            ),
+        ).alias("title_keys"),
+        F.when(k % 3 == 0, F.concat(F.lit("g"), k.cast("string"))).alias(
+            "dedup_id"
+        ),
+    )
+    out = renormalize_records(records, sources)
+    return out.select(
+        "_id",
+        "deleted",
+        F.coalesce(
+            try_element_at(F.col("title_keys"), F.lit(1)), F.lit("")
+        ).alias("title_key"),
+        "update_needed",
+        F.coalesce("dedup_id", F.lit("")).alias("dedup_id"),
+        F.coalesce(
+            try_element_at(F.col("host_record_id"), F.lit(1)), F.lit("")
+        ).alias("host_id"),
+        try_element_at(F.col("linking_id"), F.lit(1)).alias("link_id"),
+        (F.col("normalized_data") == "").alias("roundtrip_clean"),
+    )
+
+
 def marc_holdings_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Koha item-to-holdings normalize: duplicate 952 keys merge into one
     holding whose availability is the OR over member items."""
@@ -4628,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new in r12)
         "audio_neardup_docs": audio_neardup_docs,
         "indexed_timestamps_orders": indexed_timestamps_orders,
+        "renormalize_marc": renormalize_marc,
         "robots_gate_docs": robots_gate_docs,
         # last driver-green: r3/r4
         "sfx_harvest_files": sfx_harvest_files,
@@ -4841,6 +4928,27 @@ def oracle_sql() -> dict[str, str]:
                        ELSE TRUE
                    END AS allowed
             FROM documents
+        """,
+        "renormalize_marc": """
+            WITH r AS (
+                SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 4 = 0
+            )
+            SELECT 's' || k AS _id,
+                   (k % 2 = 0 AND k % 11 = 0) AS deleted,
+                   CASE WHEN k % 2 = 0 AND k % 11 <> 0 AND k % 7 <> 0
+                        THEN 'title' || (k % 50) || 'auth' || (k % 20)
+                        ELSE '' END AS title_key,
+                   (k % 2 = 0 AND k % 11 <> 0 AND k % 7 <> 0
+                    AND k % 5 <> 0) AS update_needed,
+                   CASE WHEN k % 2 = 0 AND k % 11 <> 0 AND k % 7 <> 0
+                             AND k % 3 = 0
+                        THEN 'g' || k ELSE '' END AS dedup_id,
+                   CASE WHEN k % 7 = 0 THEN 'h' || (k // 7)
+                        ELSE '' END AS host_id,
+                   'r' || k AS link_id,
+                   TRUE AS roundtrip_clean
+            FROM r
         """,
         "indexed_timestamps_orders": """
             SELECT o_orderkey,

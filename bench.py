@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "audio_neardup_docs",
     # broadcast robots join + per-host-cached RFC 9309 Arrow verdict scan
     "robots_gate_docs",
+    # full immediate-renormalize pass: parse + key/flag exprs +
+    # mapInPandas re-serialization (round-12b)
+    "renormalize_marc",
 ]
 
 # Every registered query is either benched above or listed here with the

@@ -505,6 +505,52 @@ def cmd_mark_for_update(args) -> None:
     print(f"marked for update; table {n} rows")
 
 
+def cmd_renormalize(args) -> None:
+    """Records/Renormalize.php:105-240 — the IMMEDIATE re-normalization
+    pass: per-source normalization XSLT, driver normalize(), suppression
+    -> deleted, host/linking id refresh, dedup candidate key re-derive
+    with the changed-keys ``update_needed`` flag, re-serialized
+    ``normalized_data`` ('' when identical), ``updated`` stamp. Only the
+    selected rows (--source list / --single id / neither = all live
+    rows) are processed; the rest pass through byte-untouched."""
+    from .operators.renormalize import renormalize_records
+
+    spark = _spark("rm-renormalize")
+    records = spark.read.parquet(args.records)
+    cfgs = CF.parse_datasources_ini(open(args.config).read())
+    stylesheets = {}
+    for sid, cfg in cfgs.items():
+        if cfg.normalization:
+            path = os.path.join(args.xsl_dir or ".", cfg.normalization)
+            if not os.path.exists(path):
+                raise SystemExit(
+                    f"normalization stylesheet for [{sid}] not found: "
+                    f"{path} (set --xsl-dir)"
+                )
+            stylesheets[sid] = open(path).read()
+    cond = ~F.coalesce(F.col("deleted"), F.lit(False))
+    if args.single:
+        cond = cond & (F.col("_id") == args.single)
+    elif args.source:
+        srcs = [s.strip() for s in args.source.split(",") if s.strip()]
+        cond = cond & F.col("source_id").isin(srcs)
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    target = records.where(cond)
+    rest = records.where(~cond)
+    done = renormalize_records(
+        target, cfgs, stylesheets=stylesheets or None, now=now
+    )
+    merged = done.unionByName(rest, allowMissingColumns=True)
+    # count the processed subset BEFORE the rewrite: `done` scans the
+    # live path, which _rewrite_records replaces
+    n_proc = done.count() if args.verbose else None
+    n = _rewrite_records(spark, args.records, merged)
+    print(
+        f"renormalized; table {n} rows"
+        + (f" ({n_proc} processed)" if n_proc is not None else "")
+    )
+
+
 def cmd_check_dedup(args) -> None:
     """Records/CheckDedup.php: validate a (id, dedup_id) assignment
     against the group invariants; prints violations, exit 1 if any."""
@@ -1409,6 +1455,23 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--source")
     s.add_argument("--set-update-needed", action="store_true")
     s.set_defaults(fn=cmd_mark_for_update)
+
+    s = sub.add_parser(
+        "renormalize",
+        help="immediately re-normalize stored records "
+        "(XSLT + driver fixups + keys + flags)",
+    )
+    s.add_argument("--records", required=True)
+    s.add_argument("--config", required=True, help="datasources.ini")
+    s.add_argument(
+        "--source", help="comma-separated source ids (default: all)"
+    )
+    s.add_argument("--single", help="renormalize only this record id")
+    s.add_argument(
+        "--xsl-dir", help="directory holding normalization stylesheets"
+    )
+    s.add_argument("--verbose", action="store_true")
+    s.set_defaults(fn=cmd_renormalize)
 
     s = sub.add_parser("check-dedup", help="validate a dedup assignment")
     s.add_argument("--records", required=True)

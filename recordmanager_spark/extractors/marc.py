@@ -1712,3 +1712,147 @@ def work_keys(marc: "Column | str") -> Column:
     main = keys_for(_work_authors(marc, False), _work_titles(marc, False))
     alt = keys_for(_work_authors(marc, True), _work_titles(marc, True))
     return F.array_distinct(F.concat(main, alt))
+
+
+def marc_main_author(marc: Column) -> Column:
+    """getMainAuthor (Record/Marc.php:851-870): 100$a, falling back to
+    the first 700$a; when ind1 == '0' and the name carries no comma it
+    is flipped last-first; trailing punctuation stripped. '' when
+    neither field exists — the dedup candidate-key author input."""
+
+    def author_of(tag: str) -> Column:
+        fld = try_element_at(fields_by_tag(marc, tag), 1)
+        a = F.coalesce(try_element_at(_sub_values(fld, ["a"]), 1), F.lit(""))
+        flipped = F.when(
+            (F.coalesce(fld["ind1"], F.lit(" ")) == "0")
+            & ~a.contains(","),
+            K.convert_author_last_first(a),
+        ).otherwise(a)
+        return F.when(fld.isNotNull(), K.strip_trailing_punctuation(flipped))
+
+    return F.coalesce(
+        F.nullif(author_of("100"), F.lit("")),
+        F.nullif(author_of("700"), F.lit("")),
+        F.lit(""),
+    )
+
+
+def marc_host_record_ids(marc: Column, prepend_003: bool = False) -> Column:
+    """getHostRecordIDs (Record/Marc.php:658-705): a 941$a host id wins
+    outright; otherwise every 773$w (control characters stripped). Under
+    the ``003InLinkingID`` driver param, ids not already carrying a
+    parenthesized agency gain the record's own 003 as "(agency)id".
+    Empty array = not a component part."""
+    f941 = try_element_at(fields_by_tag(marc, "941"), 1)
+    id941 = K.strip_control_characters(
+        F.coalesce(try_element_at(_sub_values(f941, ["a"]), 1), F.lit(""))
+    )
+    w773 = F.transform(
+        get_fields_subfields(
+            marc, [(GET_NORMAL, "773", ["w"])], split_subfields=True
+        ),
+        K.strip_control_characters,
+    )
+    ids = F.when(f941.isNotNull(), F.array(id941)).otherwise(w773)
+    if prepend_003:
+        agency = K.strip_control_characters(
+            F.coalesce(F.trim(control_value(marc, "003")), F.lit(""))
+        )
+        ids = F.transform(
+            ids,
+            lambda i: F.when(
+                ~i.startswith("(") & (agency != ""),
+                F.concat(F.lit("("), agency, F.lit(")"), i),
+            ).otherwise(i),
+        )
+    return F.filter(ids, lambda i: i != "")
+
+
+def _serialize_one(parsed) -> str | None:
+    """Parsed struct → MARC-in-JSON text (Marc/Serialization/
+    MarcInJson.php behavioral spec: {"leader": ..., "fields": [{tag:
+    value} | {tag: {"ind1","ind2","subfields":[{code: value}]}}]},
+    compact separators, unicode unescaped — round-trips bit-exact
+    through :func:`_parse_one`)."""
+    if parsed is None:
+        return None
+    leader, fields = parsed
+
+    # Arrow hands struct elements back as dicts or plain tuples
+    # depending on the batch shape — accept both.
+    def unpack(fld):
+        if isinstance(fld, dict):
+            return (
+                fld["tag"], fld["ind1"], fld["ind2"], fld["value"],
+                fld["subfields"],
+            )
+        return tuple(fld)
+
+    def unpack_sf(sf):
+        if isinstance(sf, dict):
+            return sf["code"], sf["value"]
+        return tuple(sf)
+
+    out_fields = []
+    # `fields` may be a numpy array (mapInPandas Arrow batches) — no
+    # truthiness, length-check explicitly
+    for fld in (fields if fields is not None else []):
+        tag, ind1, ind2, value, subs = unpack(fld)
+        if subs is None:
+            out_fields.append({tag: value})
+        else:
+            out_fields.append(
+                {
+                    tag: {
+                        "ind1": ind1 if ind1 is not None else " ",
+                        "ind2": ind2 if ind2 is not None else " ",
+                        "subfields": [
+                            dict([unpack_sf(sf)]) for sf in subs
+                        ],
+                    }
+                }
+            )
+    return json.dumps(
+        {"leader": leader if leader is not None else "", "fields": out_fields},
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
+@pandas_udf(StringType())
+def serialize_marc_in_json(marc: pd.DataFrame) -> pd.Series:
+    """The storage serialization the renormalize pass writes back
+    (Renormalize.php:173 ``$metadataRecord->serialize()``). Struct
+    columns arrive as a (leader, fields) DataFrame under Arrow."""
+    return pd.Series(
+        [
+            None
+            if fields is None and leader is None
+            else _serialize_one((leader, fields))
+            for leader, fields in zip(marc["leader"], marc["fields"])
+        ]
+    )
+
+
+def _parse_any(raw: str | None):
+    """Storage-format autodetect: MARCXML when the payload leads with
+    '<', else MARC-in-JSON (incl. the legacy v1/v2/v3 shapes)."""
+    if not raw:
+        return None
+    return (
+        _parse_one_xml(raw) if raw.lstrip()[:1] == "<" else _parse_one(raw)
+    )
+
+
+@pandas_udf(MARC_SCHEMA)
+def parse_marc_any(raw: pd.Series) -> pd.DataFrame:
+    """Format-sniffing parse for tables whose ``original_data`` mixes
+    MARCXML imports with MARC-in-JSON storage rows (the renormalize
+    pass re-reads whatever the harvester stored)."""
+    parsed = raw.map(_parse_any)
+    return pd.DataFrame(
+        {
+            "leader": parsed.map(lambda p: p[0] if p else None),
+            "fields": parsed.map(lambda p: p[1] if p else None),
+        }
+    )

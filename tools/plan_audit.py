@@ -133,6 +133,11 @@ AUDITS = [
     ("optout_filter_docs", 0, False, False,
      "robots-directive regexes are scan-stage expressions; any shuffle "
      "is a bug"),
+    ("renormalize_marc", 0, False, False,
+     "the immediate-renormalize pass is one scan-stage chain: parse "
+     "(Arrow) -> key/flag/host expressions -> mapInPandas "
+     "re-serialization; zero exchanges — the pass scales with the scan "
+     "exactly like the reference's cursor walk, minus the round trips"),
     ("image_resize_docs", 0, False, False,
      "generator -> decode+resize (two chained Arrow Python scans) -> "
      "row-local pixel explode: zero exchanges end to end — resize "
