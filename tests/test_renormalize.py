@@ -227,3 +227,25 @@ def test_cli_renormalize_lifecycle(tmp_path, spark):
     assert out["ka.1"]["update_needed"] is True
     # kb.4 was NOT selected: stored keys survive untouched
     assert out["kb.4"]["title_keys"] == ["stale"]
+
+
+def test_isbn_and_id_keys_rederived(spark):
+    """020$a -> isbn_keys via normalizeISBN (10->13 upconvert), 035$a
+    accepted-prefix system control numbers -> id_keys; both feed the
+    changed-keys update_needed test (DedupHandler.php:342-367)."""
+    sources = parse_datasources_ini(INI)
+    data = (
+        '{"leader":"L","fields":[{"001":"ri"},'
+        '{"020":{"ind1":" ","ind2":" ","subfields":[{"a":"0-306-40615-2"}]}},'
+        '{"035":{"ind1":" ","ind2":" ","subfields":[{"a":"(OCoLC)123456"}]}},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Key, Ida"}]}},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"Isbn rec"}]}}]}'
+    )
+    records = spark.createDataFrame(
+        [("ka.i", "ka", "marc", data, False, None, None)], SCHEMA
+    )
+    out = renormalize_records(records, sources, now=NOW).collect()[0]
+    assert out["isbn_keys"] == ["9780306406157"]  # 10 -> 13 upconvert
+    # getUniqueIDs runs normalizeKey over the value (punctuation drops)
+    assert out["id_keys"] == ["ocolc123456"]
+    assert out["update_needed"] is True
