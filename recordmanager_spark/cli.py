@@ -122,6 +122,27 @@ def cmd_import(args) -> None:
     raw = spark.read.text(args.file, wholetext=True).withColumnRenamed(
         "value", "doc"
     )
+    # preTransformation (PreTransformationTrait.php): whole-payload
+    # XSLT(s) applied in order BEFORE splitting, with the reference's
+    # stylesheet params; resolved against --xsl-dir like renormalize
+    if cfg.pre_transformation:
+        from .sources.transforms import make_xslt_udf
+
+        params = {
+            "source_id": cfg.id,
+            "institution": cfg.institution,
+            "format": cfg.format,
+            "id_prefix": cfg.id_prefix or "",
+        }
+        for name in cfg.pre_transformation:
+            path = os.path.join(getattr(args, "xsl_dir", None) or ".", name)
+            if not os.path.exists(path):
+                raise SystemExit(
+                    f"preTransformation stylesheet not found: {path} "
+                    "(set --xsl-dir)"
+                )
+            udf = make_xslt_udf(open(path).read(), params=params)
+            raw = raw.withColumn("doc", udf(F.col("doc")))
     split = make_tag_splitter(record_tag, args.id_tag)
     parts = raw.select(F.explode(split(F.col("doc"))).alias("p")).select(
         F.col("p.part_id").alias("__local_id"),
@@ -302,6 +323,53 @@ def cmd_update_index(args) -> None:
     # the indexed id is the STORE's id — already source-prefixed at import
     # (SolrUpdater indexes $record['_id'], not the driver's local id)
     wide = wide.withColumn("id", F.col("_id"))
+    # createSolrId (SolrUpdater.php:3145-3165): indexUnprefixedIds wins,
+    # else solrIdPrefix replaces the stored prefix in the INDEX id only
+    if cfg.index_unprefixed_ids or cfg.solr_id_prefix:
+        from .sparkcompat import try_element_at
+
+        local = try_element_at(F.split(F.col("_id"), "\\.", 2), 2)
+        if cfg.index_unprefixed_ids:
+            wide = wide.withColumn(
+                "id", F.coalesce(local, F.col("_id"))
+            )
+        else:
+            wide = wide.withColumn(
+                "id",
+                F.when(
+                    local.isNotNull(),
+                    F.concat(F.lit(cfg.solr_id_prefix + "."), local),
+                ).otherwise(F.col("_id")),
+            )
+    # indexMergedParts (SolrUpdater.php:1922,2130): merged-away
+    # components either carry hidden_component_boolean=true (default)
+    # or drop out of the index entirely. Only merge modes hide anything
+    # (as_is indexes components plainly — no flag column to emit).
+    if cfg.component_parts.startswith("merge") and (
+        "host_record_id" in wide.columns
+    ):
+        from pyspark.sql.types import ArrayType as _AT
+
+        from .operators.merge import is_hidden_component_part
+        from .sparkcompat import try_element_at
+
+        host = F.col("host_record_id")
+        if isinstance(wide.schema["host_record_id"].dataType, _AT):
+            host = try_element_at(host, F.lit(1))
+        fmt_col = F.col("format")
+        if "format" in wide.columns and isinstance(
+            wide.schema["format"].dataType, _AT
+        ):
+            fmt_col = try_element_at(fmt_col, F.lit(1))
+        hidden = is_hidden_component_part(
+            host, fmt_col, component_parts=cfg.component_parts
+        )
+        if cfg.index_merged_parts:
+            wide = wide.withColumn(
+                "hidden_component_boolean", F.when(hidden, F.lit(True))
+            )
+        else:
+            wide = wide.where(~hidden)
     if cfg.institution and "institution" not in wide.columns:
         wide = wide.withColumn("institution", F.lit(cfg.institution))
     out = CF.apply_source_pipeline(
@@ -1365,6 +1433,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--records", required=True)
     s.add_argument("--record-tag")
     s.add_argument("--id-tag")
+    s.add_argument(
+        "--xsl-dir", help="directory holding preTransformation stylesheets"
+    )
     s.set_defaults(fn=cmd_import)
 
     s = sub.add_parser(

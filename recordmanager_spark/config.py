@@ -135,8 +135,19 @@ class SourceConfig:
     institution_in_building: str = "institution"
     component_parts: str = "as_is"
     index_unprefixed_ids: bool = False
+    # Solr-only id prefix (createSolrId, SolrUpdater.php:3145-3165):
+    # replaces idPrefix in the INDEX id, never in the stored id
+    solr_id_prefix: str | None = None
+    # indexMergedParts (SolrUpdater.php:1922,2130): hidden (merged)
+    # component parts index with hidden_component_boolean=true when on
+    # (the default), and are skipped entirely when off
+    index_merged_parts: bool = True
     id_search_replace: list[tuple[str, str]] = field(default_factory=list)
     normalization: str | None = None
+    # XSLT(s) applied to the whole import payload BEFORE record
+    # splitting (PreTransformationTrait.php; e.g. strip_namespaces.xsl),
+    # with source_id/institution/format/id_prefix stylesheet params
+    pre_transformation: list[str] = field(default_factory=list)
     record_splitter: str | None = None
     full_text_xpaths: list[str] = field(default_factory=list)
     raw: dict = field(default_factory=dict)
@@ -160,7 +171,13 @@ def parse_datasources_ini(text: str) -> dict[str, SourceConfig]:
         )
         cfg.component_parts = kv.get("componentParts", "as_is")
         cfg.index_unprefixed_ids = _bool(kv.get("indexUnprefixedIds"))
+        cfg.solr_id_prefix = kv.get("solrIdPrefix")
+        imp = kv.get("indexMergedParts")
+        cfg.index_merged_parts = True if imp is None else _bool(imp)
         cfg.normalization = kv.get("normalization")
+        pt = kv.get("preTransformation")
+        if pt:
+            cfg.pre_transformation = pt if isinstance(pt, list) else [pt]
         cfg.record_splitter = kv.get("recordSplitter") or kv.get(
             "recordSplitterClass"
         )

@@ -369,3 +369,140 @@ def test_cli_update_index_incremental_watermark(workspace, spark):
           "--from-date", ""])
     assert spark.read.json(f"{ws}/solr3").count() == 3
     assert json.load(open(state)) == before
+
+
+def test_import_pretransformation(tmp_path, spark):
+    """preTransformation (PreTransformationTrait.php): whole-payload
+    XSLT applied BEFORE splitting — here a namespace-strip-style rewrite
+    renaming <rec> wrappers to <record> so the default splitter finds
+    them; stylesheet params carry source_id/institution/format."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[pre]
+institution = InstP
+format = dc
+recordXPath = //record
+preTransformation = fix.xsl
+"""
+    )
+    (tmp_path / "fix.xsl").write_text(
+        """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:param name="source_id"/>
+  <xsl:template match="/|@*|node()"><xsl:copy>
+    <xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+  <xsl:template match="rec">
+    <record><src><xsl:value-of select="$source_id"/></src>
+      <xsl:apply-templates select="node()"/></record>
+  </xsl:template>
+</xsl:stylesheet>"""
+    )
+    (tmp_path / "in.xml").write_text(
+        "<collection>"
+        "<rec><recordID>p1</recordID><title>T1</title></rec>"
+        "<rec><recordID>p2</recordID><title>T2</title></rec>"
+        "</collection>"
+    )
+    records = str(tmp_path / "records")
+    main(["import", "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "pre", "--file", str(tmp_path / "in.xml"),
+          "--records", records, "--id-tag", "recordID",
+          "--xsl-dir", str(tmp_path)])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert sorted(rows) == ["pre.p1", "pre.p2"]
+    # the transformed payload (not the original) was split and stored
+    assert "<src>pre</src>" in rows["pre.p1"].original_data
+    assert "<rec>" not in rows["pre.p1"].original_data
+
+
+def test_import_pretransformation_missing_sheet(tmp_path):
+    (tmp_path / "ds.ini").write_text(
+        "[pre]\nformat = dc\npreTransformation = nope.xsl\n"
+    )
+    (tmp_path / "in.xml").write_text("<collection/>")
+    with pytest.raises(SystemExit, match="preTransformation stylesheet"):
+        main(["import", "--config", str(tmp_path / "ds.ini"),
+              "--source", "pre", "--file", str(tmp_path / "in.xml"),
+              "--records", str(tmp_path / "records")])
+
+
+def test_update_index_solr_id_settings(tmp_path, spark):
+    """createSolrId (SolrUpdater.php:3145-3165): indexUnprefixedIds
+    strips the prefix from the INDEX id; solrIdPrefix swaps it; the
+    stored _id never changes."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "mappings").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[bare]
+institution = I
+format = dc
+indexUnprefixedIds = true
+
+[swap]
+institution = I
+format = dc
+solrIdPrefix = S
+"""
+    )
+    cfg = str(tmp_path / "conf" / "ds.ini")
+    records = str(tmp_path / "records")
+    (tmp_path / "in.xml").write_text(
+        "<collection>" + _dc("x1", "T", "A.") + "</collection>"
+    )
+    for src in ("bare", "swap"):
+        main(["import", "--config", cfg, "--source", src,
+              "--file", str(tmp_path / "in.xml"), "--records", records,
+              "--id-tag", "recordID", "--record-tag", "record"])
+    stored = sorted(r._id for r in spark.read.parquet(records).collect())
+    assert stored == ["bare.x1", "swap.x1"]
+    for src, want in (("bare", "x1"), ("swap", "S.x1")):
+        out = str(tmp_path / f"solr_{src}")
+        main(["update-index", "--records", records, "--config", cfg,
+              "--source", src, "--out", out,
+              "--mappings", str(tmp_path / "mappings")])
+        ids = [r["id"] for r in spark.read.json(out).collect()]
+        assert ids == [want]
+
+
+def test_update_index_merged_parts_gate(tmp_path, spark):
+    """indexMergedParts (SolrUpdater.php:1922,2130): under merge_all, a
+    component part indexes with hidden_component_boolean=true by
+    default and is skipped entirely with indexMergedParts=false."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "mappings").mkdir()
+    ini = """
+[m]
+institution = I
+format = dc
+componentParts = merge_all
+{extra}
+"""
+    records = str(tmp_path / "records")
+    spark.createDataFrame(
+        [
+            ("m.h1", "m", "dc",
+             _dc("h1", "Host", "A."), False, None),
+            ("m.c1", "m", "dc",
+             _dc("c1", "Component", "A."), False, ["m.h1"]),
+        ],
+        "_id string, source_id string, format string, "
+        "original_data string, deleted boolean, "
+        "host_record_id array<string>",
+    ).write.parquet(records)
+    for extra, expect_ids, hidden_of in (
+        ("", {"m.h1", "m.c1"}, {"m.c1": True, "m.h1": None}),
+        ("indexMergedParts = false", {"m.h1"}, None),
+    ):
+        (tmp_path / "conf" / "ds.ini").write_text(ini.format(extra=extra))
+        out = str(tmp_path / ("solr_" + ("on" if not extra else "off")))
+        main(["update-index", "--records", records,
+              "--config", str(tmp_path / "conf" / "ds.ini"),
+              "--source", "m", "--out", out,
+              "--mappings", str(tmp_path / "mappings")])
+        rows = {r["id"]: r.asDict() for r in spark.read.json(out).collect()}
+        assert set(rows) == expect_ids
+        if hidden_of:
+            for rid, h in hidden_of.items():
+                assert rows[rid].get("hidden_component_boolean") == h
