@@ -109,6 +109,31 @@ def extract_wide(
     return mod.to_solr_columns(df, xml_col, **kwargs)
 
 
+def _apply_xslt_chain(df, col, names, cfg, xsl_dir, setting):
+    """Apply a source's stylesheet chain in order to ``col`` with the
+    reference's param set (PreTransformationTrait.php:60-95 — the same
+    shape serves preTransformation and oaipmhTransformation)."""
+    if not names:
+        return df
+    from .sources.transforms import make_xslt_udf
+
+    params = {
+        "source_id": cfg.id,
+        "institution": cfg.institution,
+        "format": cfg.format,
+        "id_prefix": cfg.id_prefix or "",
+    }
+    for name in names:
+        path = os.path.join(xsl_dir or ".", name)
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"{setting} stylesheet not found: {path} (set --xsl-dir)"
+            )
+        udf = make_xslt_udf(open(path).read(), params=params)
+        df = df.withColumn(col, udf(F.col(col)))
+    return df
+
+
 def cmd_import(args) -> None:
     spark = _spark("rm-import")
     cfg = _load_config(args.config, args.source)
@@ -125,25 +150,36 @@ def cmd_import(args) -> None:
     # preTransformation (PreTransformationTrait.php): whole-payload
     # XSLT(s) applied in order BEFORE splitting, with the reference's
     # stylesheet params; resolved against --xsl-dir like renormalize
-    if cfg.pre_transformation:
-        from .sources.transforms import make_xslt_udf
+    raw = _apply_xslt_chain(
+        raw, "doc", cfg.pre_transformation, cfg,
+        getattr(args, "xsl_dir", None), "preTransformation",
+    )
+    # recordSplitter / recordSplitterClass (StoreRecordTrait.php:85-103):
+    # a named splitter (Ead/Ead3, with recordSplitterParams[]) or a
+    # splitting TRANSFORMATION (a stylesheet emitting a <records> list,
+    # EadSplit.xsl-style) takes over from the plain tag splitter.
+    spl = (cfg.record_splitter or "").strip()
+    spl_l = spl.lower()
+    if spl_l.endswith((".xsl", ".xslt")):
+        from .sources.splitter import split_transformed_records
 
-        params = {
-            "source_id": cfg.id,
-            "institution": cfg.institution,
-            "format": cfg.format,
-            "id_prefix": cfg.id_prefix or "",
-        }
-        for name in cfg.pre_transformation:
-            path = os.path.join(getattr(args, "xsl_dir", None) or ".", name)
-            if not os.path.exists(path):
-                raise SystemExit(
-                    f"preTransformation stylesheet not found: {path} "
-                    "(set --xsl-dir)"
-                )
-            udf = make_xslt_udf(open(path).read(), params=params)
-            raw = raw.withColumn("doc", udf(F.col("doc")))
-    split = make_tag_splitter(record_tag, args.id_tag)
+        raw = _apply_xslt_chain(
+            raw, "doc", [spl], cfg,
+            getattr(args, "xsl_dir", None), "recordSplitter",
+        )
+        split = split_transformed_records
+    elif "ead3" in spl_l:
+        from .sources.splitter import make_ead3_splitter
+
+        split = make_ead3_splitter(cfg.record_splitter_params)
+    elif "ead" in spl_l:
+        from .sources.splitter import make_ead_splitter
+
+        split = make_ead_splitter(cfg.record_splitter_params)
+    elif spl:
+        raise SystemExit(f"unknown recordSplitter: {spl!r}")
+    else:
+        split = make_tag_splitter(record_tag, args.id_tag)
     parts = raw.select(F.explode(split(F.col("doc"))).alias("p")).select(
         F.col("p.part_id").alias("__local_id"),
         F.col("p.part_xml").alias("original_data"),
@@ -188,6 +224,12 @@ def cmd_harvest(args) -> None:
 
     pages = spark.read.text(args.pages, wholetext=True).withColumnRenamed(
         "value", "xml"
+    )
+    # oaipmhTransformation: XSLT(s) over each response page before
+    # record extraction (e.g. strip_namespaces.xsl)
+    pages = _apply_xslt_chain(
+        pages, "xml", cfg.oaipmh_transformation, cfg,
+        getattr(args, "xsl_dir", None), "oaipmhTransformation",
     )
     id_search = id_replace = None
     if cfg.id_search_replace:
@@ -319,7 +361,47 @@ def cmd_update_index(args) -> None:
         # (SolrUpdater.php:990-1053 via changed_since)
         records = changed_since(records, "updated", wm, slack_seconds=5)
         print(f"indexing records updated since {wm}Z")
-    wide = extract_wide(records, cfg.format)
+    if cfg.solr_transformation:
+        # solrTransformation (SolrUpdater.php:1407-1419): the Solr doc
+        # comes from the stylesheet's <field name=..> outputs, not a
+        # driver. One Arrow pass builds a field map; the column set is
+        # the distinct key set (one bounded aggregation over the
+        # selected source — the stylesheet's field vocabulary, not the
+        # corpus), then each key projects out as an array column.
+        from .sources.transforms import make_solr_fields_udf
+
+        path = os.path.join(
+            getattr(args, "xsl_dir", None) or ".", cfg.solr_transformation
+        )
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"solrTransformation stylesheet not found: {path} "
+                "(set --xsl-dir)"
+            )
+        udf = make_solr_fields_udf(
+            open(path).read(),
+            params={
+                "source_id": cfg.id,
+                "institution": cfg.institution,
+                "format": cfg.format,
+                "id_prefix": cfg.id_prefix or "",
+            },
+        )
+        mapped = records.withColumn(
+            "__solr_map", udf(F.col("original_data"))
+        )
+        keys = sorted(
+            r["k"]
+            for r in mapped.select(
+                F.explode(F.map_keys("__solr_map")).alias("k")
+            ).distinct().collect()
+        )
+        wide = mapped.select(
+            "_id",
+            *[F.col("__solr_map")[k].alias(k) for k in keys],
+        )
+    else:
+        wide = extract_wide(records, cfg.format)
     # the indexed id is the STORE's id — already source-prefixed at import
     # (SolrUpdater indexes $record['_id'], not the driver's local id)
     wide = wide.withColumn("id", F.col("_id"))
@@ -1445,6 +1527,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--source", required=True)
     s.add_argument("--pages", required=True, help="response page file(s)")
     s.add_argument("--records", required=True)
+    s.add_argument(
+        "--xsl-dir", help="directory holding oaipmhTransformation stylesheets"
+    )
     s.set_defaults(fn=cmd_harvest)
 
     s = sub.add_parser("deduplicate", help="records table -> (id, dedup_id)")
@@ -1463,6 +1548,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--mappings", help="mapping-file directory")
     s.add_argument("--batch-size", type=int, default=5000)
     s.add_argument("--hierarchical-facet", action="append")
+    s.add_argument(
+        "--xsl-dir", help="directory holding solrTransformation stylesheets"
+    )
     s.add_argument(
         "--from-date",
         help="ISO datetime (UTC): index records updated since; '' "

@@ -144,11 +144,20 @@ class SourceConfig:
     index_merged_parts: bool = True
     id_search_replace: list[tuple[str, str]] = field(default_factory=list)
     normalization: str | None = None
+    # XSLT producing the Solr fields for formats whose driver has no
+    # toSolrArray (SolrUpdater.php:1407-1419 transformToSolrArray)
+    solr_transformation: str | None = None
     # XSLT(s) applied to the whole import payload BEFORE record
     # splitting (PreTransformationTrait.php; e.g. strip_namespaces.xsl),
     # with source_id/institution/format/id_prefix stylesheet params
     pre_transformation: list[str] = field(default_factory=list)
+    # XSLT(s) applied to each OAI-PMH response page before record
+    # extraction (the oaipmhTransformation setting; same param set)
+    oaipmh_transformation: list[str] = field(default_factory=list)
     record_splitter: str | None = None
+    # recordSplitterParams[] k=v entries handed to the splitter's init
+    # (StoreRecordTrait.php:91-103)
+    record_splitter_params: dict = field(default_factory=dict)
     full_text_xpaths: list[str] = field(default_factory=list)
     raw: dict = field(default_factory=dict)
 
@@ -175,12 +184,22 @@ def parse_datasources_ini(text: str) -> dict[str, SourceConfig]:
         imp = kv.get("indexMergedParts")
         cfg.index_merged_parts = True if imp is None else _bool(imp)
         cfg.normalization = kv.get("normalization")
+        cfg.solr_transformation = kv.get("solrTransformation")
         pt = kv.get("preTransformation")
         if pt:
             cfg.pre_transformation = pt if isinstance(pt, list) else [pt]
+        ot = kv.get("oaipmhTransformation")
+        if ot:
+            cfg.oaipmh_transformation = (
+                ot if isinstance(ot, list) else [ot]
+            )
         cfg.record_splitter = kv.get("recordSplitter") or kv.get(
             "recordSplitterClass"
         )
+        for p in kv.get("recordSplitterParams", []) or []:
+            if "=" in p:
+                k, v = p.split("=", 1)
+                cfg.record_splitter_params[k.strip()] = _unquote(v)
         for p in kv.get("driverParams", []) or []:
             if "=" in p:
                 k, v = p.split("=", 1)

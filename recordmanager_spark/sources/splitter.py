@@ -168,8 +168,14 @@ EAD_SCHEMA = T.ArrayType(
 NON_INHERITED = {"unitid", "unittitle", "unitdate", "unitdatestructured"}
 
 
-def _ead_components(doc: str | None):
-    """One EAD document → component tuples per Splitter/Ead.php:150-244."""
+def _ead_components(doc: str | None, non_inherited: set | None = None):
+    """One EAD document → component tuples per Splitter/Ead.php:150-244.
+
+    ``non_inherited`` is the recordSplitterParams ``nonInheritedFields``
+    set (Ead.php:132-140): listing ``unittitle`` stops ancestor-title
+    inheritance (the repo surfaces inheritance as the
+    ``inherited_titles`` column rather than appended did XML)."""
+    non_inherited = non_inherited if non_inherited is not None else set()
     if not doc:
         return []
     try:
@@ -202,13 +208,17 @@ def _ead_components(doc: str | None):
         my_titles = ancestors_titles
         if is_component:
             comps.append((el, list(ancestors_titles)))
-            own = [
-                (t.text or "").strip()
-                for did in el
-                if _strip_ns(did.tag) == "did"
-                for t in did
-                if _strip_ns(t.tag) == "unittitle"
-            ]
+            own = (
+                []
+                if "unittitle" in non_inherited
+                else [
+                    (t.text or "").strip()
+                    for did in el
+                    if _strip_ns(did.tag) == "did"
+                    for t in did
+                    if _strip_ns(t.tag) == "unittitle"
+                ]
+            )
             my_titles = ancestors_titles + own
         for child in el:
             walk(child, my_titles)
@@ -299,7 +309,11 @@ def _first_unitid(el, unit_id_label: str | None) -> str:
     return first
 
 
-def _ead3_components(doc: str | None, unit_id_label: str | None = None):
+def _ead3_components(
+    doc: str | None,
+    unit_id_label: str | None = None,
+    prepend_parent_title_with_unitid: bool = False,
+):
     """One EAD3 document → component tuples (Splitter/Ead3.php:91-303).
 
     Differences from EAD: the archive id comes from archdesc/did/
@@ -353,6 +367,19 @@ def _ead3_components(doc: str | None, unit_id_label: str | None = None):
 
     walk(arch, None, [])
 
+    def _unitid_text(el) -> str:
+        """Plain text of the first did's first unitid
+        (Ead3.php:322-325 getParentUnitId) — feeds the
+        prependParentTitleWithUnitId option."""
+        for did in el:
+            if _strip_ns(did.tag) != "did":
+                continue
+            for uid in did:
+                if _strip_ns(uid.tag) == "unitid":
+                    return (uid.text or "").strip()
+            break
+        return ""
+
     ids: dict[int, str] = {}
     titles_by_el: dict[int, str] = {}
     out = []
@@ -381,6 +408,10 @@ def _ead3_components(doc: str | None, unit_id_label: str | None = None):
         if parent is not None:
             parent_id = ids.get(id(parent), archive_id)
             parent_title = titles_by_el.get(id(parent), "") or parent_id
+            if prepend_parent_title_with_unitid:
+                pid_text = _unitid_text(parent)
+                if pid_text:
+                    parent_title = f"{pid_text} {parent_title}"
             parent_level = (
                 "archive" if parent is arch else (parent.get("level") or "")
             )
@@ -406,8 +437,76 @@ def split_ead3(xml: pd.Series) -> pd.Series:
     return xml.map(_ead3_components)
 
 
+def make_ead_splitter(params: dict | None = None):
+    """EAD splitter honoring recordSplitterParams
+    (StoreRecordTrait.php:91-103 → Ead.php:127-141):
+    ``nonInheritedFields`` as a list or comma string."""
+    params = params or {}
+    ni = params.get("nonInheritedFields") or []
+    if isinstance(ni, str):
+        ni = [f.strip() for f in ni.split(",") if f.strip()]
+    ni_set = set(ni)
+
+    @pandas_udf(EAD_SCHEMA)
+    def split(xml: pd.Series) -> pd.Series:
+        return xml.map(lambda d: _ead_components(d, ni_set))
+
+    return split
+
+
+def make_ead3_splitter(params: dict | None = None):
+    """EAD3 splitter honoring recordSplitterParams (Ead3.php:81,259):
+    ``unitIdLabel`` and ``prependParentTitleWithUnitId``."""
+    params = params or {}
+    label = params.get("unitIdLabel") or None
+    prepend = str(
+        params.get("prependParentTitleWithUnitId", "")
+    ).strip().lower() in ("1", "true", "yes", "on")
+
+    @pandas_udf(EAD3_SCHEMA)
+    def split(xml: pd.Series) -> pd.Series:
+        return xml.map(lambda d: _ead3_components(d, label, prepend))
+
+    return split
+
+
 def explode_parts(df: DataFrame, parts_col: Column, keep: list[str]) -> DataFrame:
     """Explode a split result into one row per component part."""
     exploded = df.select(*keep, F.explode(parts_col).alias("__part"))
     part_fields = exploded.schema["__part"].dataType.names
     return exploded.select(*keep, *[F.col(f"__part.{f}").alias(f) for f in part_fields])
+
+
+SPLIT_TRANSFORMED_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("part_xml", T.StringType()),
+            T.StructField("part_id", T.StringType()),
+            T.StructField("sequence", T.IntegerType()),
+        ]
+    )
+)
+
+
+@pandas_udf(SPLIT_TRANSFORMED_SCHEMA)
+def split_transformed_records(xml: pd.Series) -> pd.Series:
+    """Split the OUTPUT of a splitting transformation (the
+    ``recordSplitter = EadSplit.xsl`` path, StoreRecordTrait.php:85-90):
+    the stylesheet emits one wrapper whose children are the records,
+    each carrying its id in an ``id`` attribute (1-based position when
+    absent)."""
+
+    def one(doc):
+        if not doc:
+            return []
+        try:
+            root = ET.fromstring(doc)
+        except ET.ParseError:
+            return []
+        out = []
+        for i, child in enumerate(root, start=1):
+            pid = child.get("id") or str(i)
+            out.append((_component_xml(child), pid, i))
+        return out
+
+    return xml.map(one)

@@ -134,3 +134,43 @@ def apply_xslt(df, column: str, xsl: str, out_column: str | None = None,
         extensions=extensions,
     )
     return df.withColumn(out_column or column, udf(df[column]))
+
+
+def make_solr_fields_udf(xsl: str, params: dict[str, object] | None = None):
+    """Arrow UDF: record XML -> ``map<string, array<string>>`` of the
+    stylesheet's ``<field name=..>`` outputs — the
+    ``XslTransformation::transformToSolrArray`` shape (the
+    ``solrTransformation`` datasources.ini setting for formats whose
+    driver provides no toSolrArray). Mini-engine only: field collection
+    walks the transform's node output directly. Unparseable records map
+    to NULL (logged-and-skipped in the reference)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, MapType, StringType
+
+    xsl_params = dict(params or {})
+    state: dict = {}
+
+    @pandas_udf(MapType(StringType(), ArrayType(StringType())))
+    def transform(xml: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        from recordmanager_spark.xsl import MiniXSLT
+
+        if "t" not in state:
+            state["t"] = MiniXSLT(xsl)
+
+        def one(doc):
+            if not doc:
+                return None
+            try:
+                pairs = state["t"].transform_to_fields(doc, xsl_params)
+            except ET.ParseError:
+                return None
+            out: dict[str, list[str]] = {}
+            for k, v in pairs:
+                out.setdefault(k, []).append(v)
+            return out
+
+        return xml.map(one)
+
+    return transform

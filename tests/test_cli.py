@@ -506,3 +506,222 @@ componentParts = merge_all
         if hidden_of:
             for rid, h in hidden_of.items():
                 assert rows[rid].get("hidden_component_boolean") == h
+
+
+def test_update_index_solr_transformation(tmp_path, spark):
+    """solrTransformation (SolrUpdater.php:1407-1419): the Solr doc is
+    the stylesheet's <field name=..> outputs — repeated names become
+    multi-valued fields; stylesheet params carry the source config."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "mappings").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[xf]
+institution = InstX
+format = custom
+solrTransformation = solr.xsl
+"""
+    )
+    (tmp_path / "solr.xsl").write_text(
+        """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:param name="institution"/>
+  <xsl:template match="/record">
+    <doc>
+      <field name="title_full"><xsl:value-of select="title"/></field>
+      <xsl:for-each select="subject">
+        <field name="topic_facet"><xsl:value-of select="."/></field>
+      </xsl:for-each>
+      <field name="institution"><xsl:value-of select="$institution"/></field>
+    </doc>
+  </xsl:template>
+</xsl:stylesheet>"""
+    )
+    records = str(tmp_path / "records")
+    spark.createDataFrame(
+        [
+            ("xf.1", "xf",
+             "<record><title>T-one</title><subject>s1</subject>"
+             "<subject>s2</subject></record>", False),
+        ],
+        "_id string, source_id string, original_data string, "
+        "deleted boolean",
+    ).write.parquet(records)
+    out = str(tmp_path / "solr")
+    main(["update-index", "--records", records,
+          "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "xf", "--out", out,
+          "--mappings", str(tmp_path / "mappings"),
+          "--xsl-dir", str(tmp_path)])
+    rows = [r.asDict() for r in spark.read.json(out).collect()]
+    assert len(rows) == 1
+    doc = rows[0]
+    assert doc["id"] == "xf.1"
+    assert doc["title_full"] == ["T-one"]
+    assert sorted(doc["topic_facet"]) == ["s1", "s2"]
+    assert doc["institution"] == ["InstX"]
+
+
+def test_harvest_oaipmh_transformation(tmp_path, spark):
+    """oaipmhTransformation: the stylesheet chain rewrites each OAI-PMH
+    response page before record extraction (here it annotates the
+    record metadata so the stored original_data proves the page was
+    transformed pre-split)."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[oh]
+institution = I
+format = dc
+oaipmhTransformation = page.xsl
+"""
+    )
+    (tmp_path / "page.xsl").write_text(
+        """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/|@*|node()"><xsl:copy>
+    <xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+  <xsl:template match="title">
+    <title>PRE-<xsl:value-of select="."/></title>
+  </xsl:template>
+</xsl:stylesheet>"""
+    )
+    (tmp_path / "page.xml").write_text(
+        '<OAI-PMH><ListRecords><record>'
+        '<header><identifier>oai:x:1</identifier>'
+        '<datestamp>2024-01-01</datestamp></header>'
+        '<metadata><dc><title>Harvested</title></dc></metadata>'
+        '</record></ListRecords></OAI-PMH>'
+    )
+    records = str(tmp_path / "records")
+    main(["harvest", "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "oh", "--pages", str(tmp_path / "page.xml"),
+          "--records", records, "--xsl-dir", str(tmp_path)])
+    rows = spark.read.parquet(records).collect()
+    assert len(rows) == 1
+    assert "PRE-Harvested" in rows[0].original_data
+
+
+EAD_DOC = """<ead><eadheader>
+  <eadid identifier="ARCH1"/>
+  <filedesc><titlestmt><titleproper>Collection</titleproper></titlestmt></filedesc>
+  </eadheader>
+  <archdesc level="fonds"><did><unitid identifier="F0">F0</unitid>
+    <unittitle>Fonds title</unittitle></did>
+  <dsc>
+    <c01 level="series"><did><unitid identifier="S1">S1</unitid>
+      <unittitle>Series title</unittitle></did>
+      <c02 level="file"><did><unitid identifier="F2">F2</unitid>
+        <unittitle>File title</unittitle></did></c02>
+    </c01>
+  </dsc></archdesc></ead>"""
+
+
+def test_import_record_splitter_ead(tmp_path, spark):
+    """recordSplitterClass = Ead splits a finding aid into hierarchy
+    components; recordSplitterParams nonInheritedFields=unittitle stops
+    ancestor-title inheritance (pinned indirectly: split still yields
+    the components)."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[arc]
+institution = I
+format = ead
+recordSplitterClass = "\\\\RecordManager\\\\Base\\\\Splitter\\\\Ead"
+recordSplitterParams[] = "nonInheritedFields=unittitle"
+"""
+    )
+    (tmp_path / "ead.xml").write_text(EAD_DOC)
+    records = str(tmp_path / "records")
+    main(["import", "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "arc", "--file", str(tmp_path / "ead.xml"),
+          "--records", records])
+    rows = sorted(r._id for r in spark.read.parquet(records).collect())
+    # archdesc unitid F0 differs from the eadid archive id, so it gets
+    # the archive prefix exactly like any component (Ead.php:255-263)
+    assert rows == ["arc.ARCH1_F0", "arc.ARCH1_F2", "arc.ARCH1_S1"]
+
+
+def test_import_record_splitter_unknown(tmp_path):
+    (tmp_path / "ds.ini").write_text(
+        "[z]\nformat = dc\nrecordSplitter = Mystery\n"
+    )
+    (tmp_path / "in.xml").write_text("<collection/>")
+    with pytest.raises(SystemExit, match="unknown recordSplitter"):
+        main(["import", "--config", str(tmp_path / "ds.ini"),
+              "--source", "z", "--file", str(tmp_path / "in.xml"),
+              "--records", str(tmp_path / "records")])
+
+
+def test_import_record_splitter_transformation(tmp_path, spark):
+    """recordSplitter = <stylesheet> runs the splitting TRANSFORMATION
+    (EadSplit.xsl shape): the transform emits a wrapper whose children
+    are the records, ids in the id attribute."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[tx]
+institution = I
+format = dc
+recordSplitter = split.xsl
+"""
+    )
+    (tmp_path / "split.xsl").write_text(
+        """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/bundle">
+    <records>
+      <xsl:for-each select="item">
+        <record><xsl:attribute name="id"><xsl:value-of select="@key"/></xsl:attribute>
+          <title><xsl:value-of select="name"/></title></record>
+      </xsl:for-each>
+    </records>
+  </xsl:template>
+</xsl:stylesheet>"""
+    )
+    (tmp_path / "in.xml").write_text(
+        '<bundle><item key="k1"><name>N1</name></item>'
+        '<item key="k2"><name>N2</name></item></bundle>'
+    )
+    records = str(tmp_path / "records")
+    main(["import", "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "tx", "--file", str(tmp_path / "in.xml"),
+          "--records", records, "--xsl-dir", str(tmp_path)])
+    rows = {r._id: r for r in spark.read.parquet(records).collect()}
+    assert sorted(rows) == ["tx.k1", "tx.k2"]
+    assert "<title>N1</title>" in rows["tx.k1"].original_data
+
+
+def test_ead3_splitter_prepend_parent_title(spark):
+    """recordSplitterParams prependParentTitleWithUnitId=true prefixes
+    the parent title with the parent's unitid text (Ead3.php:259-263)."""
+    from recordmanager_spark.sources.splitter import make_ead3_splitter
+
+    doc = """<ead3><archdesc level="fonds"><did>
+      <unitid identifier="A1">A-one</unitid><unittitle>Arch</unittitle></did>
+      <dsc><c01 level="series"><did><unitid identifier="S1">S-one</unitid>
+        <unittitle>Series</unittitle></did>
+        <c02 level="file"><did><unitid identifier="F1">F-one</unitid>
+          <unittitle>File</unittitle></did></c02>
+      </c01></dsc></archdesc></ead3>"""
+    df = spark.createDataFrame([(doc,)], "xml string")
+    import pyspark.sql.functions as SF
+
+    plain = spark.createDataFrame([(doc,)], "xml string").select(
+        SF.explode(
+            make_ead3_splitter({})(SF.col("xml"))
+        ).alias("p")
+    ).select("p.part_id", "p.parent_title").collect()
+    prep = df.select(
+        SF.explode(
+            make_ead3_splitter(
+                {"prependParentTitleWithUnitId": "true"}
+            )(SF.col("xml"))
+        ).alias("p")
+    ).select("p.part_id", "p.parent_title").collect()
+    by_plain = {r.part_id: r.parent_title for r in plain}
+    by_prep = {r.part_id: r.parent_title for r in prep}
+    assert by_plain["A1_F1"] == "Series"
+    assert by_prep["A1_F1"] == "S-one Series"
+    assert by_prep["A1_S1"] == "A-one Arch"
