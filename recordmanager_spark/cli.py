@@ -320,6 +320,45 @@ def cmd_deduplicate(args) -> None:
     print(f"deduplicated: {n_grouped} records in groups -> {args.out}")
 
 
+def _apply_enrichments(spark, df, cfg, stage, tables):
+    """enrichments[] dispatch (SolrUpdater.php:3070-3095): each entry
+    "<Name>[,final]" runs at its stage with an OFFLINE lookup table
+    (--enrichment-data Name=parquet) standing in for the reference's
+    HTTP backends. Skosmos family: topic/geographic $0 URIs gain
+    pref+alt labels in *_add_txt_mv (SkosmosEnrichment.php:136-146)."""
+    from .operators.enrich import enrich_with_entities
+
+    for name, st in cfg.enrichments:
+        if st != stage:
+            continue
+        key = name.lower()
+        path = tables.get(key)
+        if path is None:
+            raise SystemExit(
+                f"enrichment {name!r} needs --enrichment-data "
+                f"{name}=<entities.parquet>"
+            )
+        if "skosmos" in key or "onkilight" in key:
+            ent = spark.read.parquet(path)
+            for uri_col, out_col in (
+                ("topic_id_str_mv", "topic_add_txt_mv"),
+                ("geographic_id_str_mv", "geographic_add_txt_mv"),
+            ):
+                if uri_col in df.columns:
+                    df = enrich_with_entities(
+                        df, ent, id_col="id", uri_col=uri_col,
+                        out_col=out_col,
+                    )
+        else:
+            raise SystemExit(
+                f"unsupported enrichment {name!r} in update-index "
+                "(offline-wired: SkosmosEnrichment family; the "
+                "MusicBrainz/auth/geocode operators are available as "
+                "library calls — operators/enrich.py)"
+            )
+    return df
+
+
 def cmd_update_index(args) -> None:
     """The incremental story mirrors SolrUpdater.php:860-903 +
     getStartTimestamp (:3272): an explicit --from-date wins (empty
@@ -454,9 +493,19 @@ def cmd_update_index(args) -> None:
             wide = wide.where(~hidden)
     if cfg.institution and "institution" not in wide.columns:
         wide = wide.withColumn("institution", F.lit(cfg.institution))
+    enr_tables = {}
+    for spec in getattr(args, "enrichment_data", None) or []:
+        if "=" not in spec:
+            raise SystemExit(
+                f"--enrichment-data expects NAME=path, got {spec!r}"
+            )
+        k, v = spec.split("=", 1)
+        enr_tables[k.strip().lower()] = v.strip()
+    wide = _apply_enrichments(spark, wide, cfg, "", enr_tables)
     out = CF.apply_source_pipeline(
         wide, compiled, hierarchical_facets=args.hierarchical_facet or []
     )
+    out = _apply_enrichments(spark, out, cfg, "final", enr_tables)
     from .operators.normalize import normalize_fields
     from .sinks.solr import write_delete_batches, write_update_batches
 
@@ -1550,6 +1599,10 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--hierarchical-facet", action="append")
     s.add_argument(
         "--xsl-dir", help="directory holding solrTransformation stylesheets"
+    )
+    s.add_argument(
+        "--enrichment-data", action="append",
+        help="NAME=parquet lookup table for an enrichments[] entry",
     )
     s.add_argument(
         "--from-date",

@@ -158,6 +158,9 @@ class SourceConfig:
     # recordSplitterParams[] k=v entries handed to the splitter's init
     # (StoreRecordTrait.php:91-103)
     record_splitter_params: dict = field(default_factory=dict)
+    # enrichments[] "<Name>[,final]" entries (SolrUpdater.php:3070-3095):
+    # stage '' runs before mapping, 'final' after the field pipeline
+    enrichments: list[tuple[str, str]] = field(default_factory=list)
     full_text_xpaths: list[str] = field(default_factory=list)
     raw: dict = field(default_factory=dict)
 
@@ -200,6 +203,9 @@ def parse_datasources_ini(text: str) -> dict[str, SourceConfig]:
             if "=" in p:
                 k, v = p.split("=", 1)
                 cfg.record_splitter_params[k.strip()] = _unquote(v)
+        for e in kv.get("enrichments", []) or []:
+            name, _, stage = e.partition(",")
+            cfg.enrichments.append((name.strip(), stage.strip()))
         for p in kv.get("driverParams", []) or []:
             if "=" in p:
                 k, v = p.split("=", 1)

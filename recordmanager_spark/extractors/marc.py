@@ -1451,6 +1451,14 @@ def _solr_col_builders(m: Column, id_prefix: str | None, memo: dict) -> dict:
         "era": lambda: _stripped(
             get_fields_subfields(m, [(GET_BOTH, "648", list("avxyz"))])
         ),
+        # raw enrichment ids (Marc.php:1481-1494 getRawTopicIds /
+        # getRawGeographicTopicIds): the $0 URIs feeding Skosmos
+        "topic_id_str_mv": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "650", ["0"])], split_subfields=True
+        ),
+        "geographic_id_str_mv": lambda: get_fields_subfields(
+            m, [(GET_NORMAL, "651", ["0"])], split_subfields=True
+        ),
         "topic_facet": lambda: marc_topic_facets(m),
         "genre_facet": lambda: marc_genre_facets(m),
         "geographic_facet": lambda: marc_geographic_facets(m),

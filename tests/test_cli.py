@@ -725,3 +725,52 @@ def test_ead3_splitter_prepend_parent_title(spark):
     assert by_plain["A1_F1"] == "Series"
     assert by_prep["A1_F1"] == "S-one Series"
     assert by_prep["A1_S1"] == "A-one Arch"
+
+
+def test_update_index_skosmos_enrichment(tmp_path, spark):
+    """enrichments[] = SkosmosEnrichment (SolrUpdater.php:3070-3095 +
+    SkosmosEnrichment.php:136-146): 650$0 concept URIs gain the
+    vocabulary's pref+alt labels in topic_add_txt_mv, joined from an
+    offline entities table."""
+    (tmp_path / "conf").mkdir()
+    (tmp_path / "mappings").mkdir()
+    (tmp_path / "conf" / "ds.ini").write_text(
+        """
+[sk]
+institution = I
+format = marc
+enrichments[] = SkosmosEnrichment
+"""
+    )
+    data = (
+        '{"leader":"L","fields":[{"001":"r1"},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"T"}]}},'
+        '{"650":{"ind1":" ","ind2":"7","subfields":'
+        '[{"a":"Cats"},{"0":"http://voc.example/c1"}]}}]}'
+    )
+    records = str(tmp_path / "records")
+    spark.createDataFrame(
+        [("sk.1", "sk", "marc", data, False)],
+        "_id string, source_id string, format string, "
+        "original_data string, deleted boolean",
+    ).write.parquet(records)
+    ents = str(tmp_path / "ents")
+    spark.createDataFrame(
+        [("http://voc.example/c1", ["Felines"], ["Housecats"])],
+        "uri string, pref_labels array<string>, alt_labels array<string>",
+    ).write.parquet(ents)
+    out = str(tmp_path / "solr")
+    main(["update-index", "--records", records,
+          "--config", str(tmp_path / "conf" / "ds.ini"),
+          "--source", "sk", "--out", out,
+          "--mappings", str(tmp_path / "mappings"),
+          "--enrichment-data", f"SkosmosEnrichment={ents}"])
+    doc = spark.read.json(out).collect()[0].asDict()
+    assert doc["id"] == "sk.1"
+    assert sorted(doc["topic_add_txt_mv"]) == ["Felines", "Housecats"]
+    # missing table is a loud failure, not a silent skip
+    with pytest.raises(SystemExit, match="needs --enrichment-data"):
+        main(["update-index", "--records", records,
+              "--config", str(tmp_path / "conf" / "ds.ini"),
+              "--source", "sk", "--out", str(tmp_path / "solr2"),
+              "--mappings", str(tmp_path / "mappings")])
