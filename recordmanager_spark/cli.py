@@ -180,10 +180,16 @@ def cmd_import(args) -> None:
         raise SystemExit(f"unknown recordSplitter: {spl!r}")
     else:
         split = make_tag_splitter(record_tag, args.id_tag)
-    parts = raw.select(F.explode(split(F.col("doc"))).alias("p")).select(
+    hierarchical = "ead" in spl_l and not spl_l.endswith((".xsl", ".xslt"))
+    part_cols = [
         F.col("p.part_id").alias("__local_id"),
         F.col("p.part_xml").alias("original_data"),
-    )
+    ]
+    if hierarchical:
+        part_cols.append(F.col("p.archive_id").alias("__archive_id"))
+    parts = raw.select(
+        F.explode(split(F.col("doc"))).alias("p")
+    ).select(*part_cols)
     local_id = F.col("__local_id")
     for pat, repl in cfg.id_search_replace:
         expr, ci = _php_regex(pat)
@@ -205,6 +211,43 @@ def cmd_import(args) -> None:
 
         existing = spark.read.parquet(args.records)
         merged = upsert_records(existing, batch, now)
+        if hierarchical and not cfg.keep_missing_hierarchy_members:
+            # StoreRecordTrait.php:294-310: members of a re-imported
+            # archive that the new split no longer produced are marked
+            # deleted (keepMissingHierarchyMembers turns this off).
+            # Scope = this source's records whose id carries one of the
+            # batch's archive ids (EAD part ids are archive-prefixed by
+            # construction); the batch's own ids anti-join out.
+            archives = [
+                r[0]
+                for r in parts.select("__archive_id").distinct().collect()
+                if r[0]
+            ]
+            if archives:
+                pfx = cfg.effective_id_prefix + "."
+                in_scope = F.lit(False)
+                for a in archives:
+                    p = pfx + a
+                    in_scope = in_scope | (
+                        (F.col("_id") == p)
+                        | F.col("_id").startswith(p + "_")
+                    )
+                fresh = batch.select("_id").withColumn(
+                    "__fresh", F.lit(True)
+                )
+                merged = (
+                    merged.join(F.broadcast(fresh), "_id", "left")
+                    .withColumn(
+                        "deleted",
+                        F.when(
+                            (F.col("source_id") == cfg.id)
+                            & in_scope
+                            & F.col("__fresh").isNull(),
+                            F.lit(True),
+                        ).otherwise(F.col("deleted")),
+                    )
+                    .drop("__fresh")
+                )
         # parquet cannot overwrite its own scan input in place
         n = _rewrite_records(spark, args.records, merged)
     else:

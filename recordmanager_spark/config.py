@@ -161,6 +161,11 @@ class SourceConfig:
     # enrichments[] "<Name>[,final]" entries (SolrUpdater.php:3070-3095):
     # stage '' runs before mapping, 'final' after the field pipeline
     enrichments: list[tuple[str, str]] = field(default_factory=list)
+    # keepMissingHierarchyMembers (StoreRecordTrait.php:294): when false
+    # (the default), re-importing a hierarchical record marks deleted
+    # any previously-stored members of the same archive missing from
+    # the new split
+    keep_missing_hierarchy_members: bool = False
     full_text_xpaths: list[str] = field(default_factory=list)
     raw: dict = field(default_factory=dict)
 
@@ -206,6 +211,9 @@ def parse_datasources_ini(text: str) -> dict[str, SourceConfig]:
         for e in kv.get("enrichments", []) or []:
             name, _, stage = e.partition(",")
             cfg.enrichments.append((name.strip(), stage.strip()))
+        cfg.keep_missing_hierarchy_members = _bool(
+            kv.get("keepMissingHierarchyMembers")
+        )
         for p in kv.get("driverParams", []) or []:
             if "=" in p:
                 k, v = p.split("=", 1)

@@ -774,3 +774,44 @@ enrichments[] = SkosmosEnrichment
               "--config", str(tmp_path / "conf" / "ds.ini"),
               "--source", "sk", "--out", str(tmp_path / "solr2"),
               "--mappings", str(tmp_path / "mappings")])
+
+
+
+def test_import_hierarchy_cleanup(tmp_path, spark):
+    """StoreRecordTrait.php:294-310: re-importing an archive marks
+    deleted the members the new split no longer contains; the
+    keepMissingHierarchyMembers flag turns the cleanup off."""
+    import re as _re
+
+    reduced = _re.sub(
+        r"<c02.*?</c02>", "", EAD_DOC, flags=_re.S
+    )
+    (tmp_path / "conf").mkdir()
+    ini = """
+[arc]
+institution = I
+format = ead
+recordSplitterClass = Ead
+{extra}
+"""
+    records = str(tmp_path / "records")
+    cfgp = tmp_path / "conf" / "ds.ini"
+
+    def imp(doc, extra=""):
+        cfgp.write_text(ini.format(extra=extra))
+        (tmp_path / "ead.xml").write_text(doc)
+        main(["import", "--config", str(cfgp), "--source", "arc",
+              "--file", str(tmp_path / "ead.xml"), "--records", records])
+
+    imp(EAD_DOC)
+    assert spark.read.parquet(records).where("not deleted").count() == 3
+    # re-import without the c02: the file component is cleaned up
+    imp(reduced)
+    rows = {r._id: r.deleted for r in spark.read.parquet(records).collect()}
+    assert rows["arc.ARCH1_F2"] is True
+    assert rows["arc.ARCH1_F0"] is False and rows["arc.ARCH1_S1"] is False
+    # with the keep flag, a further reduced import deletes nothing
+    imp(EAD_DOC)  # restore all three
+    imp(reduced, extra="keepMissingHierarchyMembers = true")
+    rows = {r._id: r.deleted for r in spark.read.parquet(records).collect()}
+    assert rows["arc.ARCH1_F2"] is False
