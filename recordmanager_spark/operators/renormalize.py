@@ -135,12 +135,22 @@ def renormalize_records(
     ``sources`` maps source_id -> SourceConfig (datasources.ini);
     ``stylesheets`` maps source_id -> stylesheet TEXT for sources with a
     ``normalization=`` setting (the CLI resolves file names against its
-    --xsl-dir). Unknown sources pass through the XSLT/driver stages
-    untouched but still get keys re-derived with dedup=false semantics
-    (cleared), matching the reference's hard failure narrowed to a
-    per-row no-op — callers wanting the reference's logFatal behavior
-    should pre-validate."""
+    --xsl-dir). Key/flag/host derivation runs for MARC-family sources;
+    non-MARC (and unknown) sources run only the XSLT + normalized_data
+    stages and keep stored keys/flags untouched — the reference's
+    per-format driver dispatch narrowed to the formats whose drivers
+    actually carry dedup-key/holdings semantics."""
     src = F.col("source_id")
+    # Key/flag/host derivation is MARC-family work (the other formats'
+    # drivers have no dedup-key/holdings semantics): non-MARC sources
+    # run the XSLT + normalized_data stages and keep their stored
+    # keys/flags byte-untouched.
+    marc_sources = [
+        sid
+        for sid, cfg in sources.items()
+        if (cfg.format or "").lower() in ("marc", "marcxml")
+    ]
+    is_marc = src.isin(marc_sources) if marc_sources else F.lit(False)
 
     # (1) per-source normalization XSLT
     if stylesheets:
@@ -210,8 +220,8 @@ def renormalize_records(
         )
         suppressed = suppressed | ((src == sid) & cond)
     df = tmp.withColumn("__suppressed", suppressed)
-    deleted = F.coalesce(F.col("deleted"), F.lit(False)) | F.col(
-        "__suppressed"
+    deleted = F.coalesce(F.col("deleted"), F.lit(False)) | (
+        is_marc & F.col("__suppressed")
     )
 
     # (4) host / linking ids (941$a shortcut, 773$w ladder; linking =
@@ -237,8 +247,18 @@ def renormalize_records(
         in999, M.linking_ids(mn, id_in_999=True)
     ).otherwise(M.linking_ids(mn))
     df = (
-        df.withColumn("host_record_id", hosts)
-        .withColumn("linking_id", linking)
+        df.withColumn(
+            "host_record_id",
+            F.when(is_marc, hosts).otherwise(
+                _array_or_empty(df, "host_record_id")
+            ),
+        )
+        .withColumn(
+            "linking_id",
+            F.when(is_marc, linking).otherwise(
+                _array_or_empty(df, "linking_id")
+            ),
+        )
         .withColumn("deleted", deleted)
     )
 
@@ -283,27 +303,45 @@ def renormalize_records(
         | _keys_differ(old_ids, new_ids)
     )
     empty = F.array().cast("array<string>")
+    stored_un = (
+        F.coalesce(F.col("update_needed"), F.lit(False))
+        if "update_needed" in records.columns
+        else F.lit(False)
+    )
     out = (
         keyed.withColumn(
-            "title_keys", F.when(eligible, new_title).otherwise(empty)
+            "title_keys",
+            F.when(~is_marc, old_title)
+            .when(eligible, new_title)
+            .otherwise(empty),
         )
         .withColumn(
-            "isbn_keys", F.when(eligible, new_isbn).otherwise(empty)
+            "isbn_keys",
+            F.when(~is_marc, old_isbn)
+            .when(eligible, new_isbn)
+            .otherwise(empty),
         )
         .withColumn(
-            "id_keys", F.when(eligible, new_ids).otherwise(empty)
+            "id_keys",
+            F.when(~is_marc, old_ids)
+            .when(eligible, new_ids)
+            .otherwise(empty),
         )
         .withColumn(
             "update_needed",
-            F.when(eligible, changed).otherwise(F.lit(False)),
+            F.when(~is_marc, stored_un)
+            .when(eligible, changed)
+            .otherwise(F.lit(False)),
         )
     )
     if "dedup_id" in records.columns:
-        # non-eligible records leave their dedup group (reference's
-        # removeFromDedupRecord + unset)
+        # non-eligible MARC records leave their dedup group (the
+        # reference's removeFromDedupRecord + unset)
         out = out.withColumn(
             "dedup_id",
-            F.when(eligible, F.col("dedup_id")),
+            F.when(is_marc & ~eligible, F.lit(None)).otherwise(
+                F.col("dedup_id")
+            ),
         )
 
     # (6) normalized_data: the re-serialized record (the one consumer
@@ -318,27 +356,36 @@ def renormalize_records(
     # expression"). mapInPandas takes the struct as a materialized
     # child attribute — same Arrow batch path, zero shuffles, no
     # argument extraction involved.
-    out = out.withColumn("__marc_norm", norm).withColumn(
-        "normalized_data", F.lit(None).cast("string")
+    out = (
+        out.withColumn("__marc_norm", norm)
+        .withColumn("__is_marc", is_marc)
+        .withColumn("normalized_data", F.lit(None).cast("string"))
     )
+    carry = {"__marc_norm", "__is_marc", "__norm_src"}
     drop = [
         c for c in out.columns
-        if c.startswith("__") and c != "__marc_norm"
+        if c.startswith("__") and c not in carry
     ]
     out = out.drop(*drop)
     from ..extractors.marc import _serialize_one
 
-    keep = [c for c in out.columns if c != "__marc_norm"]
+    keep = [c for c in out.columns if c not in carry]
     schema_out = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in out.schema.fields
-        if f.name != "__marc_norm"
+        if f.name not in carry
     )
     data_idx = data_col
 
     def _ser_batches(batches):
         for pdf in batches:
-            def one(m, orig):
+            def one(m, orig, mk, nsrc):
+                if not mk:
+                    # non-MARC: normalized_data is the XSLT output
+                    # ('' when identical — no stylesheet means equal)
+                    if nsrc is None:
+                        return None
+                    return "" if nsrc == orig else nsrc
                 if not isinstance(m, dict):
                     return None  # null struct (unparseable record)
                 ser = _serialize_one((m.get("leader"), m.get("fields")))
@@ -346,9 +393,10 @@ def renormalize_records(
 
             pdf = pdf.assign(
                 normalized_data=[
-                    one(m, o)
-                    for m, o in zip(
-                        pdf["__marc_norm"], pdf[data_idx]
+                    one(m, o, mk, ns)
+                    for m, o, mk, ns in zip(
+                        pdf["__marc_norm"], pdf[data_idx],
+                        pdf["__is_marc"], pdf["__norm_src"],
                     )
                 ]
             )

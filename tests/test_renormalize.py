@@ -249,3 +249,42 @@ def test_isbn_and_id_keys_rederived(spark):
     # getUniqueIDs runs normalizeKey over the value (punctuation drops)
     assert out["id_keys"] == ["ocolc123456"]
     assert out["update_needed"] is True
+
+
+def test_non_marc_source_keeps_keys_and_applies_xslt(spark):
+    """A dc-format source keeps its stored keys/flags byte-untouched
+    (key semantics are MARC-driver work) while the XSLT +
+    normalized_data stages still run."""
+    ini = """
+[dsrc]
+format = dc
+dedup = true
+normalization = fix.xsl
+"""
+    sources = parse_datasources_ini(ini)
+    xsl = """<xsl:stylesheet version="1.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/|@*|node()"><xsl:copy>
+        <xsl:apply-templates select="@*|node()"/></xsl:copy></xsl:template>
+      <xsl:template match="title">
+        <title>N-<xsl:value-of select="."/></title>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    records = spark.createDataFrame(
+        [
+            (
+                "dsrc.1", "dsrc", "dc",
+                "<record><title>Tee</title></record>", False,
+                ["storedkey"], "gX",
+            )
+        ],
+        SCHEMA,
+    )
+    out = renormalize_records(
+        records, sources, stylesheets={"dsrc": xsl}, now=NOW
+    ).collect()[0]
+    assert out["title_keys"] == ["storedkey"]   # untouched
+    assert out["dedup_id"] == "gX"              # group survives
+    assert out["deleted"] is False
+    assert "N-Tee" in out["normalized_data"]    # XSLT output stored
+    assert out["updated"] == NOW
