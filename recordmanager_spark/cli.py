@@ -1532,6 +1532,37 @@ def cmd_set_state_timestamp(args) -> None:
     json.dump(state, open(args.state_file, "w"), sort_keys=True)
 
 
+def cmd_solr_delete_source(args) -> None:
+    """Command/Solr/Delete.php -> SolrUpdater.php:1338-1347
+    deleteDataSource: one delete-by-query request ('id:<source>.*')
+    followed by a commit (4h timeout — deletes of a whole source are
+    long). --out writes both as command files; --update-url POSTs them
+    live through the pusher seam. The reference's merge_records
+    pre-pass (re-running updates so deduplicated groups shed the
+    vanishing members) maps to running `update-index` first —
+    documented here rather than hidden inside the verb."""
+    body = json.dumps({"delete": {"query": f"id:{args.source}.*"}})
+    commit = '{ "commit": {} }'
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "delete-source.json")
+        open(path, "w").write(body + "\n" + commit + "\n")
+        print(f"delete-source commands -> {path}")
+        return
+    if not args.update_url:
+        raise SystemExit("one of --out / --update-url required")
+    from .examples.solr_pusher import make_urllib_transport
+
+    transport = make_urllib_transport(timeout=args.timeout)
+    for payload in (body, commit):
+        status, _resp = transport(
+            args.update_url, payload, {"Content-Type": "application/json"}
+        )
+        if status != 200:
+            raise SystemExit(f"solr delete-source failed: HTTP {status}")
+    print(f"deleted source {args.source} from index")
+
+
 def cmd_solr_optimize(args) -> None:
     """Command/Solr/Optimize.php -> SolrUpdater.php:1354 optimizeIndex:
     one '{ "optimize": {} }' admin verb. --out writes it as a command
@@ -1937,6 +1968,16 @@ def main(argv: list[str] | None = None) -> None:
         "--source", help="per-source key suffix (update-index's keys)"
     )
     s.set_defaults(fn=cmd_set_state_timestamp)
+
+    s = sub.add_parser(
+        "solr-delete-source",
+        help="emit/POST the delete-by-query for a whole source",
+    )
+    s.add_argument("source", help="record id prefix (no trailing period)")
+    s.add_argument("--out", help="write delete-source.json to this directory")
+    s.add_argument("--update-url", help="POST live instead")
+    s.add_argument("--timeout", type=float, default=4 * 60 * 60)
+    s.set_defaults(fn=cmd_solr_delete_source)
 
     s = sub.add_parser("solr-optimize", help="emit/POST the optimize verb")
     s.add_argument("--out", help="write optimize.json to this directory")

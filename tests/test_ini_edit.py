@@ -217,3 +217,32 @@ def test_parse_php_ini_mixed_forms_never_crash():
     assert kv["a"] == ["0", "1"]  # scalar promoted, append lossless
     assert kv["b"] == ["x", "y"]
     assert kv["c"] == {"sub": "m"}  # map form wins over scalar
+
+
+def test_cli_solr_delete_source_file_sink(tmp_path):
+    """Command/Solr/Delete.php: one delete-by-query ('id:<source>.*')
+    plus a commit, as command files."""
+    out = str(tmp_path / "batches")
+    main(["solr-delete-source", "libA", "--out", out])
+    lines = open(f"{out}/delete-source.json").read().strip().splitlines()
+    assert json.loads(lines[0]) == {"delete": {"query": "id:libA.*"}}
+    assert json.loads(lines[1]) == {"commit": {}}
+
+
+def test_cli_solr_delete_source_live_posts_delete_then_commit(monkeypatch):
+    import recordmanager_spark.examples.solr_pusher as SP
+
+    calls = []
+
+    def fake_transport(timeout=None):
+        def post(url, payload, headers):
+            calls.append((url, payload))
+            return 200, "{}"
+        return post
+
+    monkeypatch.setattr(SP, "make_urllib_transport", fake_transport)
+    main(["solr-delete-source", "libB", "--update-url", "http://s/update"])
+    assert [json.loads(p) for _, p in calls] == [
+        {"delete": {"query": "id:libB.*"}},
+        {"commit": {}},
+    ]
