@@ -253,6 +253,16 @@ def fields_by_tag(marc: Column, tag: str) -> Column:
     return F.filter(marc["fields"], lambda f: f["tag"] == tag)
 
 
+def _let1(value: Column, body) -> Column:
+    """Let-bind ``value`` through a one-element array transform: the
+    body reads it as a lambda variable, so however many times the body
+    references it the value's tree appears in the plan exactly once.
+    Expression trees duplicate per reference (both Column-API and the
+    SQL-text twin), so fan-out over a big subtree multiplies analyzer
+    and codegen cost — the r6 work-keys fix, packaged (opt r12)."""
+    return try_element_at(F.transform(F.array(value), body), 1)
+
+
 def control_value(marc: Column, tag: str) -> Column:
     """First control-field value for the tag ('' if absent)."""
     vals = F.filter(
@@ -444,21 +454,35 @@ def marc_title(marc: Column, for_filing: bool = False) -> Column:
     filing variant drops non-filing chars, strips punctuation and
     lowercases; an all-punctuation title survives as the raw fallback."""
 
-    def one(tag: str) -> tuple[Column, Column]:
+    def one(tag: str) -> Column:
+        """struct(t, c) for one tag — the raw title tree and the
+        punctuation-stripped fan-out each let-bound so the (large)
+        _field_title/strip chains appear in the plan once, not the
+        ~17x an inlined build multiplied them to (opt r12)."""
         fld = try_element_at(fields_by_tag(marc, tag), 1)
-        t = _field_title(fld, for_filing)
-        if for_filing:
-            t = F.lower(K.strip_punctuation(t))
-        t = F.when(fld.isNotNull(), t).otherwise(F.lit(None))
-        return t, K.strip_trailing_punctuation(t)
+        raw = _field_title(fld, for_filing)
 
-    t245, c245 = one("245")
-    t240, c240 = one("240")
-    fallback = F.coalesce(t245, t240, F.lit(""))
-    return (
-        F.when(F.coalesce(c245, F.lit("")) != "", c245)
-        .when(F.coalesce(c240, F.lit("")) != "", c240)
-        .otherwise(fallback)
+        def mk_t(v: Column) -> Column:
+            t = F.lower(K.strip_punctuation(v)) if for_filing else v
+            return F.when(fld.isNotNull(), t).otherwise(F.lit(None))
+
+        return _let1(
+            _let1(raw, mk_t),
+            lambda t: F.struct(
+                t.alias("t"), K.strip_trailing_punctuation(t).alias("c")
+            ),
+        )
+
+    return _let1(
+        one("245"),
+        lambda s1: _let1(
+            one("240"),
+            lambda s2: (
+                F.when(F.coalesce(s1["c"], F.lit("")) != "", s1["c"])
+                .when(F.coalesce(s2["c"], F.lit("")) != "", s2["c"])
+                .otherwise(F.coalesce(s1["t"], s2["t"], F.lit("")))
+            ),
+        ),
     )
 
 
@@ -921,71 +945,98 @@ def marc_unique_ids(marc: Column) -> Column:
         )
 
     f010 = first_field("010")
-    lccn = K.normalize_key(sub1(f010, "a"))
-    nucmc = K.normalize_key(sub1(f010, "b"))
-    ids_010 = F.filter(
-        F.array(
-            F.when(lccn != "", F.concat(F.lit("(lccn)"), lccn)),
-            F.when((nucmc != "") & (lccn != ""), F.concat(F.lit("(nucmc)"), lccn)),
+    # every normalize_key below is a multi-KB fold tree and the id
+    # assembly reads each key 2-3x — let-bind through structs so each
+    # fold appears in the plan once (opt r12; trees duplicate per
+    # reference)
+    ids_010 = _let1(
+        F.struct(
+            K.normalize_key(sub1(f010, "a")).alias("l"),
+            K.normalize_key(sub1(f010, "b")).alias("n"),
         ),
-        lambda v: v.isNotNull(),
+        lambda s: F.filter(
+            F.array(
+                F.when(s["l"] != "", F.concat(F.lit("(lccn)"), s["l"])),
+                F.when(
+                    (s["n"] != "") & (s["l"] != ""),
+                    F.concat(F.lit("(nucmc)"), s["l"]),
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        ),
     )
 
     def qualified(tag):
         fld = first_field(tag)
-        nr = K.normalize_key(sub1(fld, "a"))
-        src = sub1(fld, "2")
-        return F.filter(
-            F.array(
-                F.when(
-                    (nr != "") & (src != ""),
-                    F.concat(F.lit("("), src, F.lit(")"), nr),
-                )
+        return _let1(
+            F.struct(
+                K.normalize_key(sub1(fld, "a")).alias("nr"),
+                sub1(fld, "2").alias("src"),
             ),
-            lambda v: v.isNotNull(),
+            lambda s: F.filter(
+                F.array(
+                    F.when(
+                        (s["nr"] != "") & (s["src"] != ""),
+                        F.concat(F.lit("("), s["src"], F.lit(")"), s["nr"]),
+                    )
+                ),
+                lambda v: v.isNotNull(),
+            ),
         )
 
     f024 = first_field("024")
-    raw = sub1(f024, "a")
-    ind1 = F.coalesce(f024["ind1"], F.lit(" "))
-    ian_nr = F.when(
-        F.instr(raw, " ") > 1, F.substring(raw, 1, F.instr(raw, " ") - 1)
-    ).otherwise(raw)
-    src24 = (
-        F.when(ind1 == "0", "istc")
-        .when(ind1 == "1", "upc")
-        .when(ind1 == "2", "ismn")
-        .when(ind1 == "3", "ian")
-        .when(ind1 == "4", "sici")
-        .when(ind1 == "7", sub1(f024, "2"))
-        .otherwise("")
-    )
-    nr24 = K.normalize_key(F.when(ind1 == "3", ian_nr).otherwise(raw))
-    nr24 = F.when(
-        (src24 == "ismn") & ~nr24.rlike("[0-9]{13}"), F.lit("")
-    ).otherwise(nr24)
-    ids_024 = F.filter(
-        F.array(
-            F.when(
-                (src24 != "") & (nr24 != ""),
-                F.concat(F.lit("("), src24, F.lit(")"), nr24),
-            )
+
+    def ids_024_of(x: Column) -> Column:
+        raw, ind1 = x["raw"], x["i"]
+        ian_nr = F.when(
+            F.instr(raw, " ") > 1, F.substring(raw, 1, F.instr(raw, " ") - 1)
+        ).otherwise(raw)
+        src24 = (
+            F.when(ind1 == "0", "istc")
+            .when(ind1 == "1", "upc")
+            .when(ind1 == "2", "ismn")
+            .when(ind1 == "3", "ian")
+            .when(ind1 == "4", "sici")
+            .when(ind1 == "7", x["s2"])
+            .otherwise("")
+        )
+        nr0 = K.normalize_key(F.when(ind1 == "3", ian_nr).otherwise(raw))
+        return _let1(
+            F.struct(src24.alias("src"), nr0.alias("nr0")),
+            lambda y: _let1(
+                F.when(
+                    (y["src"] == "ismn") & ~y["nr0"].rlike("[0-9]{13}"),
+                    F.lit(""),
+                ).otherwise(y["nr0"]),
+                lambda nr: F.filter(
+                    F.array(
+                        F.when(
+                            (y["src"] != "") & (nr != ""),
+                            F.concat(F.lit("("), y["src"], F.lit(")"), nr),
+                        )
+                    ),
+                    lambda v: v.isNotNull(),
+                ),
+            ),
+        )
+
+    ids_024 = _let1(
+        F.struct(
+            sub1(f024, "a").alias("raw"),
+            F.coalesce(f024["ind1"], F.lit(" ")).alias("i"),
+            sub1(f024, "2").alias("s2"),
         ),
-        lambda v: v.isNotNull(),
+        ids_024_of,
     )
 
     scns = F.filter(
         F.transform(
             fields_by_tag(marc, "035"),
-            lambda f: F.when(
+            lambda f: _let1(
                 F.coalesce(
                     try_element_at(_sub_values(f, ["a"]), 1), F.lit("")
-                ).rlike(_SCN_RE),
-                K.normalize_key(
-                    F.coalesce(
-                        try_element_at(_sub_values(f, ["a"]), 1), F.lit("")
-                    )
                 ),
+                lambda a: F.when(a.rlike(_SCN_RE), K.normalize_key(a)),
             ),
         ),
         lambda v: v.isNotNull(),

@@ -141,6 +141,22 @@ def renormalize_records(
     per-format driver dispatch narrowed to the formats whose drivers
     actually carry dedup-key/holdings semantics."""
     src = F.col("source_id")
+    # Every fieldspec derivation below compiles through the SQL-text
+    # twin (sqltwin.marc_twin): the tree composes as a string in pure
+    # Python and crosses py4j as ONE F.expr parse per derivation,
+    # instead of thousands of Column-API round trips (opt r12; same
+    # mechanism as to_solr_columns/work_keys since r6, pinned
+    # operator-for-operator identical by tests/test_sqltwin.py +
+    # test_renormalize's oracle rows).
+    from .. import sqlalg as SA
+    from .. import sqltwin
+
+    tw = sqltwin.marc_twin()
+    tm = SA.col("__marc")
+
+    def TX(expr) -> Column:
+        return F.expr(str(expr))
+
     # Key/flag/host derivation is MARC-family work (the other formats'
     # drivers have no dedup-key/holdings semantics): non-MARC sources
     # run the XSLT + normalized_data stages and keep their stored
@@ -192,17 +208,28 @@ def renormalize_records(
 
     # (3) suppression -> deleted (AbstractRecord::getSuppressed over the
     # per-source suppressOnField map; fields resolve against the solr
-    # projection, here the standard title/author/format columns)
-    sup_fields = {
-        "title": M.marc_title(mn),
-        "author": M.marc_main_author(mn),
-        "format": F.coalesce(
-            M.first_subfield(mn, "977", "a"), F.lit("")
+    # projection, here the standard title/author/format columns).
+    # Only the fields some source's filter map actually references are
+    # built: each unreferenced field is a multi-KB fieldspec tree the
+    # analyzer would otherwise pay for on every submission (opt r12).
+    sup_builders = {
+        "title": lambda: TX(tw.marc_title(tm)),
+        "author": lambda: TX(tw.marc_main_author(tm)),
+        "format": lambda: F.coalesce(
+            TX(tw.first_subfield(tm, "977", "a")), F.lit("")
         ),
     }
+    referenced = {
+        f
+        for cfg in sources.values()
+        if isinstance(cfg.raw.get("suppressOnField"), dict)
+        for f in cfg.raw["suppressOnField"]
+        if f in sup_builders
+    }
     tmp = df
-    for name, expr in sup_fields.items():
-        tmp = tmp.withColumn("__sup_" + name, expr)
+    for name in sup_builders:
+        if name in referenced:
+            tmp = tmp.withColumn("__sup_" + name, sup_builders[name]())
     suppressed = F.lit(False)
     for sid, cfg in sources.items():
         filters = cfg.raw.get("suppressOnField")
@@ -215,7 +242,7 @@ def renormalize_records(
             {
                 "__sup_" + f: v
                 for f, v in filters.items()
-                if f in sup_fields
+                if f in sup_builders
             },
         )
         suppressed = suppressed | ((src == sid) & cond)
@@ -225,27 +252,43 @@ def renormalize_records(
     )
 
     # (4) host / linking ids (941$a shortcut, 773$w ladder; linking =
-    # own 001 + 035$a system control numbers, 003 wrap under the param)
-    p003 = _per_source_flag(
-        sources,
-        lambda c: _truthy(c.driver_params.get("003InLinkingID", False)),
-        src,
-    )
-    in999 = _per_source_flag(
-        sources,
-        lambda c: _truthy(c.driver_params.get("idIn999", False)),
-        src,
-    )
-    hosts = F.when(
-        p003, M.marc_host_record_ids(mn, prepend_003=True)
-    ).otherwise(M.marc_host_record_ids(mn, prepend_003=False))
-    linking = F.when(
-        p003 & in999, M.linking_ids(mn, prepend_003=True, id_in_999=True)
-    ).when(
-        p003, M.linking_ids(mn, prepend_003=True)
-    ).when(
-        in999, M.linking_ids(mn, id_in_999=True)
-    ).otherwise(M.linking_ids(mn))
+    # own 001 + 035$a system control numbers, 003 wrap under the param).
+    # Each branch embeds a full copy of the host/linking fieldspec tree,
+    # so branches are built ONLY for flag combinations some configured
+    # source actually has; sources with default flags (and unknown
+    # source ids) fall through to the single plain tree, exactly as the
+    # always-4-branch chain resolved for them (opt r12: the benched
+    # all-defaults config built 4 linking + 2 host copies to use one).
+    p003_sids = [
+        sid
+        for sid, cfg in sources.items()
+        if _truthy(cfg.driver_params.get("003InLinkingID", False))
+    ]
+    in999_sids = [
+        sid
+        for sid, cfg in sources.items()
+        if _truthy(cfg.driver_params.get("idIn999", False))
+    ]
+    hosts = TX(tw.marc_host_record_ids(tm, prepend_003=False))
+    if p003_sids:
+        hosts = F.when(
+            src.isin(p003_sids),
+            TX(tw.marc_host_record_ids(tm, prepend_003=True)),
+        ).otherwise(hosts)
+    combos = {
+        (sid in p003_sids, sid in in999_sids) for sid in sources
+    } - {(False, False)}
+    linking = TX(tw.linking_ids(tm))
+    for p3, i9 in sorted(combos, reverse=True):
+        sids = [
+            sid
+            for sid in sources
+            if (sid in p003_sids, sid in in999_sids) == (p3, i9)
+        ]
+        linking = F.when(
+            src.isin(sids),
+            TX(tw.linking_ids(tm, prepend_003=p3, id_in_999=i9)),
+        ).otherwise(linking)
     df = (
         df.withColumn(
             "host_record_id",
@@ -276,12 +319,12 @@ def renormalize_records(
         df.withColumn("__old_tk", _array_or_empty(df, "title_keys"))
         .withColumn("__old_ik", _array_or_empty(df, "isbn_keys"))
         .withColumn("__old_idk", _array_or_empty(df, "id_keys"))
-        .withColumn("__title", M.marc_title(mn, for_filing=True))
+        .withColumn("__title", TX(tw.marc_title(tm, for_filing=True)))
         .withColumn(
             "__author",
-            try_first_comma_part(M.marc_main_author(mn)),
+            try_first_comma_part(TX(tw.marc_main_author(tm))),
         )
-        .withColumn("__isbns", M.marc_isbns(mn))
+        .withColumn("__isbns", TX(tw.marc_isbns(tm)))
     )
     keyed = with_dedup_keys(df, "__title", "__author", isbn_col="__isbns")
     new_title = F.when(
@@ -291,9 +334,19 @@ def renormalize_records(
     new_isbn = F.coalesce(
         F.col("isbn_keys"), F.array().cast("array<string>")
     )
-    new_ids = F.transform(
-        M.marc_unique_ids(mn), lambda k: F.substring(k, 1, 200)
+    # let-bound: the unique-ids fieldspec tree is read twice (id_keys
+    # value + the changed test) — as a bound attribute it is analyzed
+    # once instead of inlined per reference (opt r12)
+    keyed = keyed.withColumn(
+        "__new_idk",
+        TX(
+            SA.transform(
+                tw.marc_unique_ids(tm),
+                lambda k: SA.substring(k, 1, 200),
+            )
+        ),
     )
+    new_ids = F.col("__new_idk")
     old_title = F.col("__old_tk")
     old_isbn = F.col("__old_ik")
     old_ids = F.col("__old_idk")

@@ -981,6 +981,17 @@ def winnow_near_duplicates(
     from .bucket_pairs import salt_slot
 
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    # Materialization strategies MEASURED SLOWER than recompute here
+    # (r12 build round + opt r12, 5-run medians at sf0.1): the posting
+    # subtree feeds the census, the anti-join, the reps, and both pair
+    # sides — the plan re-executes the scan + md5 chain up to 8x — yet
+    # an explicit posts-side repartition benched 13.6 s vs 9.4 s warm,
+    # and persist(MEMORY_AND_DISK) of the pre-explode fp arrays benched
+    # 23.4 s vs 10.3 s median (back-to-back A/B): winnowed fingerprints
+    # are ~10x the text bytes (one 32-char md5 hex per ~3 chars at
+    # k=5/w=4), so the columnar cache build + 5x array deserialization
+    # costs more than re-running the column-pruned scan + hash chain
+    # per consumer. The zero-materialization shape stands.
     # explode_outer, NOT explode: a plain explode makes the optimizer
     # infer a size(fp) > 0 filter and push it below the staged
     # projections, inlining the whole winnowing expression with the
@@ -988,6 +999,11 @@ def winnow_near_duplicates(
     # window, O(len²) md5 per row (measured: minutes vs sub-second).
     # fp is never empty (the <w fallback emits one element), so the
     # outer variant is semantically identical.
+    # NOT a binary key (opt r12 negative result): unhex-ing the hex
+    # digest to 16 bytes halves key width but benched 19.1 s vs 12.0 s
+    # median — BinaryType equality/hashing in the agg/join paths is
+    # slower than UTF8String's optimized comparators, and the pair join
+    # is comparator-bound, not byte-bound, at this scale.
     posts = fp.select("id", F.explode_outer("fp").alias("h"))
     sizes = posts.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
     big_keys = sizes.where(F.col("__n") > bucket_cap).select("h")
@@ -1269,22 +1285,36 @@ def ngram_novelty(
         F.col(id_col).alias("id"),
         F.explode(token_ngrams(text_col, n)).alias("g"),
     )
-    census = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # Aggregate BEFORE shuffling (guide §2.3, opt r12): grams are
+    # distinct per document, so a df==1 gram belongs to exactly one
+    # document — carrying min(id) through the census (O(1) extra state
+    # per gram) lets the novel count come from the census rows alone.
+    # The former shape joined the full gram stream back to the census
+    # on the gram key: one extra corpus-sized exchange of gram strings
+    # plus a corpus-sized post-join re-aggregation, replaced here by
+    # two per-document-sized shuffles (both map-side combined) and a
+    # per-document join. Results are identical row-for-row.
+    census = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"), F.min("id").alias("owner")
+    )
+    novel = (
+        census.where(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        grams.join(census, "g")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_novel"),
-        )
+        totals.join(novel, "id", "left")
         .select(
             "id",
             "n_grams",
-            "n_novel",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
             F.round(
-                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+                / F.col("n_grams").cast("double"),
+                6,
             ).alias("novelty"),
         )
     )

@@ -437,6 +437,10 @@ def substring(c, pos, length) -> X:
     return _fn("substring", c, pos, length)
 
 
+def substring_index(c, delim, count) -> X:
+    return _fn("substring_index", c, delim, count)
+
+
 def substr(c, pos, length) -> X:
     return _fn("substring", c, pos, length)
 

@@ -355,11 +355,15 @@ AUDITS = [
      "groupBys + both legs' ranking windows) plus the report's three "
      "query-id-keyed aggregations over TOP-K lists — every report-side "
      "join carries <= k rows per query, co-partitioned on query_id"),
-    ("ngram_novelty_docs", 2, False, False,
-     "n-gram novelty (r9): gram census groupBy (distinct grams per "
-     "doc, map-side-combined — the count IS document frequency) + the "
-     "AQE-skew-eligible join-back; per-doc ratio re-aggregates on the "
-     "doc id; no windows over the hot gram key"),
+    ("ngram_novelty_docs", 3, False, False,
+     "n-gram novelty (opt r12): gram census groupBy carrying min(id) "
+     "(distinct grams per doc, map-side-combined, O(1) extra state) is "
+     "the ONLY corpus-gram-sized exchange — a df==1 gram belongs to "
+     "exactly one doc, so the novel count aggregates from census rows "
+     "and the former corpus-sized gram join-back is gone; the other "
+     "two exchanges (novel-per-doc, totals-per-doc) carry map-combined "
+     "per-DOCUMENT partials, and the final join is per-doc sized; no "
+     "windows over the hot gram key"),
     ("token_divergence_docs", 6, True, False,
      "token drift report (r9): one corpus scan -> map-side-combined "
      "(group, bucket) census (state <= n_buckets per group at any "
