@@ -124,8 +124,6 @@ def bm25_topk(
     """
     if k < 1 or n_partial < 1:
         raise ValueError(f"k={k} and n_partial={n_partial} must be >= 1")
-    if postings is None:
-        postings = build_postings(corpus, id_col, text_col)
 
     q_toks = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -138,10 +136,33 @@ def bm25_topk(
     )
     q_vocab = qtf.select("term").distinct()
 
-    # Prune the corpus-scale postings to the query vocabulary BEFORE
-    # anything shuffles; df computed after the prune is still the exact
-    # global document frequency of each surviving term.
-    hits = postings.join(F.broadcast(q_vocab), "term")
+    # Prune to the query vocabulary BEFORE anything shuffles. For a
+    # persisted index that is the broadcast join against the bucketed
+    # postings table (reads only matching buckets). For the inline
+    # build, joining AFTER build_postings put the full corpus-sized
+    # (term, doc) aggregation below the join — Catalyst cannot push a
+    # join under an aggregation, so every posting shuffled despite the
+    # docstring's claim (opt r12, caught in the captured plan). The
+    # prune now joins the exploded TOKEN stream, so only query-term
+    # tokens reach the (term, doc) exchange; tf/df/dl computed after
+    # the prune are unchanged — the prune is term-complete.
+    if postings is None:
+        base = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(normalize_for_fingerprint(text_col)).alias("__toks"),
+        )
+        toks = base.select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        hits = (
+            toks.join(F.broadcast(q_vocab), "term")
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        )
+    else:
+        hits = postings.join(F.broadcast(q_vocab), "term")
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df joins back CO-PARTITIONED (the census join-back shape): the
     # pruned-hits exchange on term is shared by the census aggregation

@@ -470,6 +470,21 @@ def minhash_incremental(
     sigs_new = minhash_signature(
         new_docs, id_col, text_col, num_perm, shingle_n
     )
+    # The batch is small BY CONTRACT (the broadcast-batch probe shape);
+    # its signature subtree feeds the banded probe, the within-batch
+    # self-join, the signature pool, the scoring broadcast, and the
+    # survivor index — each an independent broadcast/union build that
+    # re-ran the batch shingle + permutation chain (the captured plan
+    # held ~8 copies). Materialize the batch-bounded signatures once
+    # (opt r12): state is O(batch) rows of (id, 16 longs), recomputed
+    # from the inputs on every invocation. localCheckpoint, NOT
+    # persist(): a persist registers the fragment with CacheManager,
+    # which then silently substitutes InMemoryRelation into every OTHER
+    # query in the session whose plan embeds the same batch-signature
+    # subtree — a cross-query plan mutation (it broke the bucketed-path
+    # exchange-count pin in tests). The lazy checkpoint keeps the reuse
+    # local to this lineage (the connected_components precedent).
+    sigs_new = sigs_new.localCheckpoint(eager=False)
     keys = _band_key_array(bands, rows_per_band)
     banded_new = sigs_new.select(
         F.col("id").alias("__new_id"),
