@@ -1019,6 +1019,13 @@ def winnow_near_duplicates(
     # median — BinaryType equality/hashing in the agg/join paths is
     # slower than UTF8String's optimized comparators, and the pair join
     # is comparator-bound, not byte-bound, at this scale.
+    # NOT localCheckpoint either (opt r12, 4th negative result):
+    # checkpointing `capped` (chain runs once per join side) benched
+    # 11.29 s vs 11.07 s, checkpointing `posts` AND `capped` 10.23 s —
+    # both inside the ±1 s noise band of 5 interleaved rounds
+    # (tools/probe_winnow_ckpt.py). The warm cost is the ~83M-row
+    # semantic pair volume (sum of capped n_h² — the exact pair set the
+    # oracle models), not the duplicated hash chain.
     posts = fp.select("id", F.explode_outer("fp").alias("h"))
     sizes = posts.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
     big_keys = sizes.where(F.col("__n") > bucket_cap).select("h")
