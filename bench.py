@@ -16,6 +16,7 @@ startup (warm-up query runs first).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -253,6 +254,13 @@ def main() -> None:
     _warm = pandas_udf(_warm_fn, "double")
     spark.range(10000, numPartitions=32).select(_warm(col("id"))).collect()
 
+    # Inter-query hygiene (see the loop body). Default ON: the pre-hygiene
+    # methodology let state leaked by earlier queries distort later timed
+    # regions (a measurement bug per guide §1/§5 — documented with the old
+    # numbers kept in OPTIMIZATION_r12.md). Set SPARK_GRAFT_BENCH_HYGIENE=0
+    # to reproduce the r11-and-earlier loop exactly.
+    hygiene = os.environ.get("SPARK_GRAFT_BENCH_HYGIENE", "1") != "0"
+
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
@@ -276,6 +284,24 @@ def main() -> None:
             f" (build {phases[name]['build']}s + exec {phases[name]['exec']}s)",
             file=sys.stderr,
         )
+        t_h0 = time.time()
+        if hygiene:
+            # Inter-query state release (untimed, JMH-style; guide §5).
+            # Several operators legitimately persist/localCheckpoint state
+            # their own consumers need within the query (k-means centroids,
+            # minhash batch signatures, CC frontiers). Spark only reaps
+            # those blocks — and every query's shuffle files and broadcasts
+            # — via ContextCleaner, which acts on DRIVER GC; a 48g driver
+            # heap rarely GCs, so by query ~60 the accumulated blocks
+            # compete with execution memory and later heavy queries spill
+            # (measured: winnow 9-11 s standalone vs 15-65 s in-bench on
+            # identical code; renormalize exec 2.6 vs 48 s). Releasing
+            # between timed regions measures each query, not the leak.
+            del df
+            gc.collect()  # drop py4j refs so the JVM side is unreachable
+            spark.catalog.clearCache()  # CacheManager entries (persist)
+            spark.sparkContext._jvm.System.gc()  # ContextCleaner reaps
+            phases[name]["hygiene_untimed"] = round(time.time() - t_h0, 3)
 
     # Full per-query timings + build/exec phases go to a sidecar file and
     # stderr; the driver captures only the LAST 2000 characters of stdout
