@@ -4707,68 +4707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver oracle window (first 50), rotated per round so
         # every contract query gets a fresh driver-recorded oracle row.
-        # r12 rotation: STALEST-FIRST — new r12 query first (never
-        # driver-checked), then the 30 queries whose last driver check
-        # is r3/r4 (they missed the r11 window cut), topped up with the
-        # full r7 cohort and the oldest 8 of the r8 cohort.
-        # never driver-checked (new in r12)
-        "audio_neardup_docs": audio_neardup_docs,
-        "indexed_timestamps_orders": indexed_timestamps_orders,
-        "renormalize_marc": renormalize_marc,
-        "robots_gate_docs": robots_gate_docs,
-        # last driver-green: r3/r4
-        "sfx_harvest_files": sfx_harvest_files,
-        "oai_provider_serve": oai_provider_serve,
-        "once_per_group_orders": once_per_group_orders,
-        "dirty_hosts_propagation": dirty_hosts_propagation,
-        "streaming_hourly_rollup": streaming_hourly_rollup,
-        "stateful_skip_unchanged": stateful_skip_unchanged,
-        "gopher_repetition_docs": gopher_repetition_docs,
-        "gopher_quality_docs": gopher_quality_docs,
-        "c4_clean_docs": c4_clean_docs,
-        "pii_scrub_docs": pii_scrub_docs,
-        "contamination_docs": contamination_docs,
-        "forward_film_extract": forward_film_extract,
-        "pack_sequences_docs": pack_sequences_docs,
-        "mix_sources_docs": mix_sources_docs,
-        "stratified_sample_docs": stratified_sample_docs,
-        "ead_extract": ead_extract,
-        "lido_extract": lido_extract,
-        "qdc_extract": qdc_extract,
-        "upsert_orders": upsert_orders,
-        "copy_down_merged": copy_down_merged,
-        "suppression_filter": suppression_filter,
-        "work_keys_marc": work_keys_marc,
-        "dc_extract": dc_extract,
-        "dc_extract_struct": dc_extract_struct,
-        "marc_holdings_normalize": marc_holdings_normalize,
-        "oai_harvest_parse": oai_harvest_parse,
-        "sierra_harvest_extract": sierra_harvest_extract,
-        "genieplus_harvest_extract": genieplus_harvest_extract,
-        "rdf_import_entities": rdf_import_entities,
-        "pipeline_end_to_end": pipeline_end_to_end,
-        # last driver-green: r7
-        "deletion_antijoin": deletion_antijoin,
-        "incremental_changed": incremental_changed,
-        "events_hourly_rollup": events_hourly_rollup,
-        "events_json_extract": events_json_extract,
-        "host_component_merge": host_component_merge,
-        "component_parts_policy": component_parts_policy,
-        "group_merge_orders": group_merge_orders,
-        "dedup_incremental": dedup_incremental,
-        "dedup_check": dedup_check,
-        "component_dedup": component_dedup,
-        "marc_extract": marc_extract,
-        # last driver-green: r8 (first 6 inside the window — the
-        # three new r12 queries took the last slots)
-        "near_dup_prune_docs": near_dup_prune_docs,
-        "chunk_documents_docs": chunk_documents_docs,
-        "bpe_tokenize_docs": bpe_tokenize_docs,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        # --- below this line: outside the 50-query window ---
+        # r13 rotation: the four r12-STRUCTURALLY-REWRITTEN queries
+        # first (bm25 prune-before-aggregation, ngram_novelty census
+        # owner, minhash localCheckpoint — all missed the r12 window,
+        # so the driver has not re-oracled them since the rewrite),
+        # then stalest-first: the r8/r9 cohorts, topped up with the
+        # oldest 34 of the r10 cohort.
+        # r12-rewritten, last driver-green r10
+        "bm25_topk_docs": bm25_topk_docs,
+        "hybrid_search_docs": hybrid_search_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
+        "minhash_incremental_docs": minhash_incremental_docs,
         # last driver-green: r8
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "filter_dsl_orders": filter_dsl_orders,
         "filter_dsl_events_page": filter_dsl_events_page,
         "range_scan_page": range_scan_page,
@@ -4781,6 +4732,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_content_dedup": streaming_content_dedup,
         "config_pipeline_orders": config_pipeline_orders,
         "quality_buckets_docs": quality_buckets_docs,
+        # last driver-green: r10 (first 34 complete the 50-query window)
+        "mojibake_repair_docs": mojibake_repair_docs,
+        "ann_recall_lsh": ann_recall_lsh,
+        "streaming_neardup_docs": streaming_neardup_docs,
+        "html_extract_docs": html_extract_docs,
+        "warc_extract_docs": warc_extract_docs,
+        "source_overlap_docs": source_overlap_docs,
+        "pack_bins_ffd_docs": pack_bins_ffd_docs,
+        "soft_dedup_weights_docs": soft_dedup_weights_docs,
+        "token_divergence_docs": token_divergence_docs,
+        "knn_pq_full": knn_pq_full,
+        "knn_ivfadc_full": knn_ivfadc_full,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
+        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
+        "shuffle_shards_docs": shuffle_shards_docs,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        "domain_cap_docs": domain_cap_docs,
+        "lm_perplexity_docs": lm_perplexity_docs,
+        "exact_dup_incremental_docs": exact_dup_incremental_docs,
+        "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
+        "corpus_config_minhash_docs": corpus_config_minhash_docs,
+        "corpus_config_warc_docs": corpus_config_warc_docs,
+        "corpus_config_incremental_docs": corpus_config_incremental_docs,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "shard_manifest_docs": shard_manifest_docs,
+        "minhash_calibration_docs": minhash_calibration_docs,
+        "dedup_er": dedup_er,
+        "marc_rich_extract": marc_rich_extract,
+        "lrmi_extract": lrmi_extract,
+        "winnow_fingerprint_docs": winnow_fingerprint_docs,
+        "fulltext_trait_docs": fulltext_trait_docs,
+        "uri_cache_ttl": uri_cache_ttl,
+        "eaccpf_extract": eaccpf_extract,
+        "exact_substring_dedup_docs": exact_substring_dedup_docs,
+        "temperature_mix_docs": temperature_mix_docs,
+        "url_blocklist_docs": url_blocklist_docs,
+        "url_canonical_dedup_docs": url_canonical_dedup_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "nb_quality_docs": nb_quality_docs,
+        "train_split_docs": train_split_docs,
+        "cluster_corpus_embeddings": cluster_corpus_embeddings,
+        "bloom_contamination_docs": bloom_contamination_docs,
+        "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
+        "corpus_token_stats_docs": corpus_token_stats_docs,
+        "skew_report_events": skew_report_events,
+        "corpus_datacard_docs": corpus_datacard_docs,
+        "media_probe_docs": media_probe_docs,
         # last driver-green: r11
         "index_diff_docs": index_diff_docs,
         "check_index_docs": check_index_docs,
@@ -4832,57 +4830,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions_grid2": scalar_functions_grid2,
         "copy_down_parent": copy_down_parent,
         "geocode_simplify_customers": geocode_simplify_customers,
-        # last driver-green: r10
-        "bm25_topk_docs": bm25_topk_docs,
-        "hybrid_search_docs": hybrid_search_docs,
-        "mojibake_repair_docs": mojibake_repair_docs,
-        "ann_recall_lsh": ann_recall_lsh,
-        "streaming_neardup_docs": streaming_neardup_docs,
-        "html_extract_docs": html_extract_docs,
-        "warc_extract_docs": warc_extract_docs,
-        "source_overlap_docs": source_overlap_docs,
-        "pack_bins_ffd_docs": pack_bins_ffd_docs,
-        "soft_dedup_weights_docs": soft_dedup_weights_docs,
-        "token_divergence_docs": token_divergence_docs,
-        "ngram_novelty_docs": ngram_novelty_docs,
-        "knn_pq_full": knn_pq_full,
-        "knn_ivfadc_full": knn_ivfadc_full,
-        "tfidf_keywords_docs": tfidf_keywords_docs,
-        "fuzzy_decontamination_docs": fuzzy_decontamination_docs,
-        "shuffle_shards_docs": shuffle_shards_docs,
-        "paragraph_dedup_docs": paragraph_dedup_docs,
-        "domain_cap_docs": domain_cap_docs,
-        "lm_perplexity_docs": lm_perplexity_docs,
-        "exact_dup_incremental_docs": exact_dup_incremental_docs,
-        "corpus_config_pipeline_docs": corpus_config_pipeline_docs,
-        "corpus_config_minhash_docs": corpus_config_minhash_docs,
-        "corpus_config_warc_docs": corpus_config_warc_docs,
-        "corpus_config_incremental_docs": corpus_config_incremental_docs,
-        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-        "shard_manifest_docs": shard_manifest_docs,
-        "minhash_calibration_docs": minhash_calibration_docs,
-        "dedup_er": dedup_er,
-        "marc_rich_extract": marc_rich_extract,
-        "lrmi_extract": lrmi_extract,
-        "winnow_fingerprint_docs": winnow_fingerprint_docs,
-        "fulltext_trait_docs": fulltext_trait_docs,
-        "uri_cache_ttl": uri_cache_ttl,
-        "eaccpf_extract": eaccpf_extract,
-        "exact_substring_dedup_docs": exact_substring_dedup_docs,
-        "temperature_mix_docs": temperature_mix_docs,
-        "url_blocklist_docs": url_blocklist_docs,
-        "url_canonical_dedup_docs": url_canonical_dedup_docs,
-        "dsir_select_docs": dsir_select_docs,
-        "nb_quality_docs": nb_quality_docs,
-        "train_split_docs": train_split_docs,
-        "minhash_incremental_docs": minhash_incremental_docs,
-        "cluster_corpus_embeddings": cluster_corpus_embeddings,
-        "bloom_contamination_docs": bloom_contamination_docs,
-        "llm_corpus_pipeline_docs": llm_corpus_pipeline_docs,
-        "corpus_token_stats_docs": corpus_token_stats_docs,
-        "skew_report_events": skew_report_events,
-        "corpus_datacard_docs": corpus_datacard_docs,
-        "media_probe_docs": media_probe_docs,
+        # last driver-green: r12
+        "audio_neardup_docs": audio_neardup_docs,
+        "indexed_timestamps_orders": indexed_timestamps_orders,
+        "renormalize_marc": renormalize_marc,
+        "robots_gate_docs": robots_gate_docs,
+        "sfx_harvest_files": sfx_harvest_files,
+        "oai_provider_serve": oai_provider_serve,
+        "once_per_group_orders": once_per_group_orders,
+        "dirty_hosts_propagation": dirty_hosts_propagation,
+        "streaming_hourly_rollup": streaming_hourly_rollup,
+        "stateful_skip_unchanged": stateful_skip_unchanged,
+        "gopher_repetition_docs": gopher_repetition_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "c4_clean_docs": c4_clean_docs,
+        "pii_scrub_docs": pii_scrub_docs,
+        "contamination_docs": contamination_docs,
+        "forward_film_extract": forward_film_extract,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mix_sources_docs": mix_sources_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "ead_extract": ead_extract,
+        "lido_extract": lido_extract,
+        "qdc_extract": qdc_extract,
+        "upsert_orders": upsert_orders,
+        "copy_down_merged": copy_down_merged,
+        "suppression_filter": suppression_filter,
+        "work_keys_marc": work_keys_marc,
+        "dc_extract": dc_extract,
+        "dc_extract_struct": dc_extract_struct,
+        "marc_holdings_normalize": marc_holdings_normalize,
+        "oai_harvest_parse": oai_harvest_parse,
+        "sierra_harvest_extract": sierra_harvest_extract,
+        "genieplus_harvest_extract": genieplus_harvest_extract,
+        "rdf_import_entities": rdf_import_entities,
+        "pipeline_end_to_end": pipeline_end_to_end,
+        "deletion_antijoin": deletion_antijoin,
+        "incremental_changed": incremental_changed,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_json_extract": events_json_extract,
+        "host_component_merge": host_component_merge,
+        "component_parts_policy": component_parts_policy,
+        "group_merge_orders": group_merge_orders,
+        "dedup_incremental": dedup_incremental,
+        "dedup_check": dedup_check,
+        "component_dedup": component_dedup,
+        "marc_extract": marc_extract,
+        "near_dup_prune_docs": near_dup_prune_docs,
+        "chunk_documents_docs": chunk_documents_docs,
+        "bpe_tokenize_docs": bpe_tokenize_docs,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
     }
 
 

@@ -301,6 +301,15 @@ def main() -> None:
             gc.collect()  # drop py4j refs so the JVM side is unreachable
             spark.catalog.clearCache()  # CacheManager entries (persist)
             spark.sparkContext._jvm.System.gc()  # ContextCleaner reaps
+            # Post-GC settle (r13, ADVICE r12): ContextCleaner reaps
+            # ASYNCHRONOUSLY after the System.gc() returns, so without a
+            # settle the block/shuffle removal RPCs overlap the NEXT
+            # query's timed build region (measured as a consistent
+            # +0.3-0.5 s on hamming_neardup_hashes, the query after the
+            # heaviest state producer). 0.5 s untimed absorbs the reap;
+            # cross-query cached state is intentionally disallowed by
+            # this methodology — each query computes from parquet.
+            time.sleep(0.5)
             phases[name]["hygiene_untimed"] = round(time.time() - t_h0, 3)
 
     # Full per-query timings + build/exec phases go to a sidecar file and

@@ -608,7 +608,10 @@ def connected_components(
         rows = [(m, _uf_find(parent, m)) for m in members]
         return _local_string_df(edges.sparkSession, rows, ["id", "component"])
     # distributed fallback: materialize the edge set once — the iterative
-    # propagation reads it every round and must not re-run verification
+    # propagation reads it every round and must not re-run verification.
+    # localCheckpoint blocks are non-resilient (executor loss fails the
+    # job rather than recomputing) — acceptable for within-job iteration
+    # state; re-run the job on preemptible-executor loss (ADVICE r12).
     if report is not None:
         report.update(path="distributed")
     return _cc_distributed(

@@ -484,6 +484,11 @@ def minhash_incremental(
     # subtree — a cross-query plan mutation (it broke the bucketed-path
     # exchange-count pin in tests). The lazy checkpoint keeps the reuse
     # local to this lineage (the connected_components precedent).
+    # Failure semantics (ADVICE r12): localCheckpoint blocks are NOT
+    # resilient — losing an executor that holds them fails downstream
+    # actions instead of recomputing, and the blocks linger until
+    # driver GC. Acceptable for O(batch) state recomputed per
+    # invocation; on preemptible executors re-run the invocation.
     sigs_new = sigs_new.localCheckpoint(eager=False)
     keys = _band_key_array(bands, rows_per_band)
     banded_new = sigs_new.select(
@@ -1316,6 +1321,13 @@ def ngram_novelty(
     # plus a corpus-sized post-join re-aggregation, replaced here by
     # two per-document-sized shuffles (both map-side combined) and a
     # per-document join. Results are identical row-for-row.
+    # Non-null id contract (ADVICE r12): the census-owner shape cannot
+    # attribute a novel gram to a NULL document id (null keys never
+    # equi-join), so a null-id document reports n_novel=0 where the old
+    # join-back shape counted its grams. Document ids are non-null by
+    # the corpus contract (every upstream source derives them from
+    # parquet keys); assert it cheaply via the totals join below
+    # staying inner on non-null ids if that contract ever loosens.
     census = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("df"), F.min("id").alias("owner")
     )

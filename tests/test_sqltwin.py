@@ -135,6 +135,21 @@ RECORDS = [
         ],
         leader="00000cem a22000004i 4500",
     ),
+    # linking/host edges (ADVICE r12): no 001 so the Koha 999$c id
+    # fallback fires, 003 agency for prepend_003, multiple 773$w with
+    # one already parenthesized, comma-less ind1=0 author flip
+    _rec(
+        [
+            {"003": "FI-X"},
+            {"008": "050101s2005    fi                  fin d"},
+            _df("999", {"c": "koha77"}),
+            _df("773", {"w": "(FI-NL)h1", "t": "Host A"}),
+            _df("773", {"w": "h2"}),
+            _df("035", {"a": "(OCoLC)555"}),
+            _df("100", {"__ind1": "0", "a": "Mononym Author"}),
+            _df("245", {"a": "Linked title"}),
+        ]
+    ),
 ]
 
 
@@ -169,6 +184,53 @@ def test_twin_column_parity(spark, parsed):
     assert not mismatches, mismatches[:5]
 
 
+def test_twin_host_linking_author_parity(spark, parsed):
+    """marc_main_author / marc_host_record_ids / linking_ids (every
+    prepend_003 / id_in_999 variant) — the renormalize twin paths that
+    have no _solr_col_builders entry, so the column sweep above never
+    exercises them (ADVICE r12)."""
+    tw = TW.marc_twin()
+    cases: dict = {
+        "main_author": (
+            lambda: MARC.marc_main_author(F.col("marc")),
+            lambda: tw.marc_main_author(S.col("marc")),
+        ),
+    }
+    for p3 in (False, True):
+        cases[f"host_ids_p3={p3}"] = (
+            lambda p3=p3: MARC.marc_host_record_ids(
+                F.col("marc"), prepend_003=p3
+            ),
+            lambda p3=p3: tw.marc_host_record_ids(
+                S.col("marc"), prepend_003=p3
+            ),
+        )
+        for i9 in (False, True):
+            cases[f"linking_p3={p3}_i9={i9}"] = (
+                lambda p3=p3, i9=i9: MARC.linking_ids(
+                    F.col("marc"), prepend_003=p3, id_in_999=i9
+                ),
+                lambda p3=p3, i9=i9: tw.linking_ids(
+                    S.col("marc"), prepend_003=p3, id_in_999=i9
+                ),
+            )
+    names = list(cases)
+    t_cols = [
+        F.expr(str(cases[n][1]())).cast("string").alias(f"t_{i}")
+        for i, n in enumerate(names)
+    ]
+    c_cols = [
+        cases[n][0]().cast("string").alias(f"c_{i}")
+        for i, n in enumerate(names)
+    ]
+    mismatches = []
+    for r in parsed.select(*t_cols, *c_cols).collect():
+        for i, n in enumerate(names):
+            if r[f"t_{i}"] != r[f"c_{i}"]:
+                mismatches.append((n, r[f"t_{i}"], r[f"c_{i}"]))
+    assert not mismatches, mismatches[:5]
+
+
 def test_twin_work_keys_parity(spark, parsed):
     a = parsed.select(MARC.work_keys("marc").cast("string").alias("v"))
     b = parsed.select(
@@ -180,7 +242,9 @@ def test_twin_work_keys_parity(spark, parsed):
 def test_twin_id_prefix(spark, parsed):
     out = MARC.to_solr_columns(parsed, "marc", id_prefix="src", only=["id"])
     ids = sorted(r["id"] for r in out.select("id").collect())
-    assert ids == ["src.rec1", "src.rec2", "src.rec3", "src.rec4"]
+    # "src." is the 001-less Koha record (999$c ids are a renormalize
+    # setting, not a to_solr_columns default) — prefix + empty 001.
+    assert ids == ["src.", "src.rec1", "src.rec2", "src.rec3", "src.rec4"]
 
 
 def test_twin_is_the_default_path(spark, parsed):
