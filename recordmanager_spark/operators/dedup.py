@@ -372,9 +372,39 @@ def match_condition(a: str = "a", b: str = "b") -> Column:
     unique_ids (array), issn (array), publish_year, page_count,
     series_issn, series_numbering, title, author.
     """
-    return _match_condition_from(
-        lambda n: F.col(f"{a}.{n}"), lambda n: F.col(f"{b}.{n}")
-    )
+    return _match_condition_expr(a, b)
+
+
+_MATCH_SQL_CACHE: dict = {}
+
+
+def _match_condition_expr(
+    a: str = "a", b: str = "b", pre_normalized: bool = False
+) -> Column:
+    """matchRecords compiled through the SQL-text twin: the same
+    decision tree as :func:`_match_condition_from`, rendered to SQL once
+    (pure Python) and parsed with ONE ``F.expr`` call instead of ~1.2k
+    py4j round trips of Column construction per dedup build (guide
+    §4/§5 — the r12 renormalize/fieldspec technique applied to the
+    verify tree; parity pinned by tests/test_dedup.py). The SQL text is
+    cached per (a, b, pre_normalized) — it is a function of nothing
+    else."""
+    key = (a, b, pre_normalized)
+    sql = _MATCH_SQL_CACHE.get(key)
+    if sql is None:
+        from .. import sqlalg as SA
+        from .. import sqltwin
+
+        tw = sqltwin.dedup_twin()
+        sql = str(
+            tw._match_condition_from(
+                lambda n: SA.col(f"{a}.{n}"),
+                lambda n: SA.col(f"{b}.{n}"),
+                pre_normalized=pre_normalized,
+            )
+        )
+        _MATCH_SQL_CACHE[key] = sql
+    return F.expr(sql)
 
 
 _VERIFY_FIELDS = [
@@ -507,9 +537,7 @@ def blocking_verified_edges(
         try_element_at(F.col("__c"), F.col("__p.i")).alias("a"),
         try_element_at(F.col("__c"), F.col("__p.j")).alias("b"),
     )
-    match = _match_condition_from(
-        lambda n: F.col(f"a.{n}"), lambda n: F.col(f"b.{n}"), pre_normalized=True
-    )
+    match = _match_condition_expr("a", "b", pre_normalized=True)
     # sources ride along (functionally dependent on the ids, so the
     # distinct is unchanged) — they let ``deduplicate`` enforce the
     # one-per-source invariant driver-side without a second record pass.

@@ -1024,6 +1024,15 @@ def winnow_near_duplicates(
     # median — BinaryType equality/hashing in the agg/join paths is
     # slower than UTF8String's optimized comparators, and the pair join
     # is comparator-bound, not byte-bound, at this scale.
+    # NOT a long-decoded key either (opt r13, 5th negative result,
+    # tools/probe_winnow_structkey.py): decoding the hex into native
+    # longs — struct<h1,h2 bigint> 20.9 s, two top-level bigint columns
+    # 15.8 s vs 14.0 s hex median, slower in EVERY interleaved round
+    # (parity-gated: 179,843 identical pairs). The 4x conv(8-hex) +
+    # shift/or decode re-runs per consumer of the posting subtree
+    # (census, anti, semi, reps, both join sides) and costs more than
+    # the long comparators save; with materialization also measured
+    # slower (above), the hex key question is closed.
     # NOT localCheckpoint either (opt r12, 4th negative result):
     # checkpointing `capped` (chain runs once per join side) benched
     # 11.29 s vs 11.07 s, checkpointing `posts` AND `capped` 10.23 s —

@@ -244,6 +244,9 @@ class X:
     def substr(self, pos, length) -> "X":
         return X(f"substring({_x(self)}, {_x(pos)}, {_x(length)})")
 
+    def eqNullSafe(self, other) -> "X":
+        return self._bin("<=>", other)
+
     def bitwiseXOR(self, other) -> "X":
         return X(f"({_x(self)} ^ {_x(other)})")
 
@@ -541,6 +544,16 @@ def round(c, scale=0) -> X:  # noqa: A001 — mirrors F.round
 
 def floor(c) -> X:
     return _fn("floor", c)
+
+
+def ceil(c) -> X:
+    return _fn("ceil", c)
+
+
+def call_function(name: str, *args) -> X:
+    """Mirror of F.call_function — any builtin by name (the Column path
+    uses it for SQL-only signatures like 3-arg banded levenshtein)."""
+    return _fn(name, *args)
 
 
 def format_string(fmt, *args) -> X:

@@ -62,6 +62,27 @@ def format_calculator_twin() -> types.ModuleType:
     )
 
 
+def dedup_twin() -> types.ModuleType:
+    """operators/dedup re-executed against the SQL-text algebra.
+
+    Only the pure expression builders are meaningful through this twin
+    (``_match_condition_from`` / ``match_condition`` — the matchRecords
+    verify tree); the DataFrame-shaping functions still reference the
+    real pyspark DataFrame API and must not be called on the twin."""
+    kt = keys_twin()
+    return _load(
+        "recordmanager_spark.operators.dedup",
+        {
+            "F": S,
+            "try_element_at": S.try_element_at,
+            "author_match_expr": kt.author_match_expr,
+            "normalize_key": kt.normalize_key,
+            "create_title_key": kt.create_title_key,
+            "normalize_isbn": kt.normalize_isbn,
+        },
+    )
+
+
 def marc_twin() -> types.ModuleType:
     return _load(
         "recordmanager_spark.extractors.marc",

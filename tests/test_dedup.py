@@ -65,6 +65,77 @@ def test_basic_match_and_group(spark):
     assert got == {"a.1": "a.1", "b.1": "a.1"}
 
 
+def test_match_condition_twin_parity(spark):
+    """The SQL-text-compiled matchRecords (_match_condition_expr, the
+    default verify path since r13) must decide every pair exactly like
+    the Column build (_match_condition_from) — adversarial cross
+    product: nulls, array overlaps, year/page/issn conflicts, prefix
+    authors, levenshtein band edges, unicode, empty strings."""
+    import itertools
+
+    from recordmanager_spark.functions.keys import normalize_key
+
+    recs = [
+        dict(BASE),
+        dict(BASE, isbn=["9780306406157"], title="The quick brown fox"),
+        dict(BASE, unique_ids=["u1"], issn=["1111-111x"], page_count=105,
+             title="The quick brown fix", author="smith j"),
+        dict(BASE, format="book", access_restrictions="x",
+             issn=["2222-222x"], publish_year="2001", page_count=200,
+             series_issn="s1", series_numbering="2",
+             title="Völuspá éditions", author="Jónsdóttir Á"),
+        dict(BASE, publish_year=None, page_count=None, series_issn="s1",
+             series_numbering="3", title="", author=""),
+        dict(BASE, isbn=["9780306406157"], unique_ids=["u1"],
+             publish_year="1999", page_count=130,
+             title="totally different title here", author="other author"),
+        dict(BASE, format=None, page_count=None,
+             title="the quick brown foxes run", author="smith john a"),
+    ]
+    fields = DD._VERIFY_FIELDS
+    rows = [
+        {**{f"a_{k}": ra[k] for k in fields}, **{f"b_{k}": rb[k] for k in fields}}
+        for ra, rb in itertools.product(recs, recs)
+    ]
+    a_schema = T.StructType(
+        [T.StructField(f"a_{f.name}", f.dataType) for f in SCHEMA.fields
+         if f.name in fields]
+        + [T.StructField(f"b_{f.name}", f.dataType) for f in SCHEMA.fields
+           if f.name in fields]
+    )
+    df = spark.createDataFrame(rows, a_schema)
+    pair = df.select(
+        F.struct(*[F.col(f"a_{f}").alias(f) for f in fields]).alias("a"),
+        F.struct(*[F.col(f"b_{f}").alias(f) for f in fields]).alias("b"),
+    )
+    col_cond = DD._match_condition_from(
+        lambda n: F.col(f"a.{n}"), lambda n: F.col(f"b.{n}")
+    )
+    twin_cond = DD._match_condition_expr("a", "b")
+    out = pair.select(col_cond.alias("c"), twin_cond.alias("t")).collect()
+    assert [r["c"] for r in out] == [r["t"] for r in out]
+    # pre-normalized variant (the fused blocking+verify path)
+    pairn = pair.select(
+        F.struct(
+            F.col("a.*"),
+            normalize_key(F.col("a.title")).alias("__nk_title"),
+            normalize_key(F.col("a.author")).alias("__nk_author"),
+        ).alias("a"),
+        F.struct(
+            F.col("b.*"),
+            normalize_key(F.col("b.title")).alias("__nk_title"),
+            normalize_key(F.col("b.author")).alias("__nk_author"),
+        ).alias("b"),
+    )
+    c2 = DD._match_condition_from(
+        lambda n: F.col(f"a.{n}"), lambda n: F.col(f"b.{n}"),
+        pre_normalized=True,
+    )
+    t2 = DD._match_condition_expr("a", "b", pre_normalized=True)
+    out2 = pairn.select(c2.alias("c"), t2.alias("t")).collect()
+    assert [r["c"] for r in out2] == [r["t"] for r in out2]
+
+
 def test_same_source_never_pairs(spark):
     got = run_dedup(spark, [rec("a.1", "a"), rec("a.2", "a")])
     assert got == {}
