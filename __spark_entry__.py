@@ -2213,11 +2213,31 @@ def solr_batch_sizes(spark: SparkSession, sf: str) -> DataFrame:
     updates = o.where(F.col("status") != "F").coalesce(1)
     deletes = o.where(F.col("status") == "F").coalesce(1)
     base = tempfile.mkdtemp(prefix="rm_solr_")
-    SOLR.write_update_batches(updates, f"{base}/updates", max_update_records=500)
-    SOLR.write_delete_batches(deletes, "id", f"{base}/deletes", batch=300)
+    # the two writers are independent jobs — submit them concurrently so
+    # the second backfills the first's single-task coalesce(1) tail
+    # (guide §2.6); ~4.4 s sequential -> ~max(2.5, 2.0) s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fu = pool.submit(
+            SOLR.write_update_batches,
+            updates,
+            f"{base}/updates",
+            max_update_records=500,
+        )
+        fd = pool.submit(
+            SOLR.write_delete_batches, deletes, "id", f"{base}/deletes", batch=300
+        )
+        fu.result()
+        fd.result()
 
     def sizes(path: str, kind: str) -> DataFrame:
-        read = spark.read.json(path).select(
+        # explicit schema: schemaless read.json runs a full inference
+        # pass over the files at CONSTRUCTION (~1.3 s build, r13
+        # profile); only the per-file row count is observed, and the
+        # writers emit JSON-lines with a known id field, so a 1-column
+        # schema reads the same rows without the inference job.
+        read = spark.read.schema("id string").json(path).select(
             F.input_file_name().alias("f")
         )
         return (

@@ -309,7 +309,10 @@ def main() -> None:
             # heaviest state producer). 0.5 s untimed absorbs the reap;
             # cross-query cached state is intentionally disallowed by
             # this methodology — each query computes from parquet.
-            time.sleep(0.5)
+            # Env-guarded (default ON) so the settle can be A/B'd and
+            # tuned independently of the release itself.
+            if os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") != "0":
+                time.sleep(0.5)
             phases[name]["hygiene_untimed"] = round(time.time() - t_h0, 3)
 
     # Full per-query timings + build/exec phases go to a sidecar file and

@@ -1051,6 +1051,149 @@ def cmd_soak12(sf_dir: str) -> None:
     spark.stop()
 
 
+def _stage_shuffles(spark) -> dict[int, int]:
+    """stageId -> shuffleWriteBytes via the UI REST API (probe sessions
+    enable the UI; engine sessions keep it off)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return {}
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=5)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages", timeout=5
+            )
+        )
+        return {
+            s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages
+        }
+    except Exception:
+        return {}
+
+
+def cmd_soak13(sf_dir: str) -> None:
+    """Round-13 heavy-tier scale soaks (opt-r13 item 5): the heaviest
+    bench operators at 10x the sf documents, recording wall,
+    rows/s/core, and the NEW stages' shuffle write per case — the sf0.1
+    driver bench is construction/driver-bound for this tier (c8/c32
+    ratios ~1 at r12), so data-path decisions need a scale point.
+
+    The 10x replicas are exact text copies with offset ids: every
+    fingerprint/band posting reaches ~10x density, so the capped-bucket
+    skew guards bind corpus-wide — deliberately the adversarial-density
+    regime for the pair generators."""
+    spark = _spark()
+    _warm(spark, sf_dir)
+    from recordmanager_spark.operators import text_dedup as TD
+
+    big = _docs10(spark, sf_dir)
+    n = big.count()
+    print(f"# soak13 corpus: {n} docs (10x {sf_dir}), {CORES} cores")
+
+    def case(label: str, df, extra: str = "") -> None:
+        seen = set(_stage_shuffles(spark))
+        spark.sparkContext.setJobDescription(f"soak13 {label}")
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        secs = time.time() - t0
+        sh = _stage_shuffles(spark)
+        new = [v for k, v in sh.items() if k not in seen]
+        print(
+            f"{label:34s} {secs:7.2f}s  {n / secs:8.0f} rows/s  "
+            f"{n / secs / CORES:6.0f} rows/s/core  "
+            f"shuffle new-stages: total {sum(new) / 1e6:8.1f} MB, "
+            f"max {max(new, default=0) / 1e6:7.1f} MB{extra}",
+            flush=True,
+        )
+
+    case(
+        "winnow k=5/w=4 min_shared=30",
+        TD.winnow_near_duplicates(
+            big, "doc_id", "text", min_shared=30, bucket_cap=1000
+        ),
+    )
+    case(
+        "minhash threshold=0.2",
+        TD.minhash_near_duplicates(big, "doc_id", "text", threshold=0.2),
+    )
+    case(
+        "simhash max_hamming=3",
+        TD.simhash_near_duplicates(big, "doc_id", "text", max_hamming=3),
+    )
+
+    # renormalize at 10x the sf record count (same synthetic MARC shape
+    # as the bench query, keys from range — throughput soak, not oracle)
+    from recordmanager_spark.config import parse_datasources_ini
+    from recordmanager_spark.operators.renormalize import renormalize_records
+
+    ini = "[ka]\nformat = marc\ndedup = true\n" \
+          "suppressOnField[format] = \"hidden|secret\"\n\n[kb]\nformat = marc\n"
+    sources = parse_datasources_ini(ini)
+    n_orders = 10 * 150_000
+    r = spark.range(0, n_orders * 4, 4, numPartitions=CORES)
+    k = F.col("id")
+    host_part = F.when(
+        k % 7 == 0,
+        F.format_string(
+            ',{"773":{"ind1":"0","ind2":" ","subfields":[{"w":"h%s"}]}}',
+            (k / 7).cast("long").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    data = F.format_string(
+        '{"leader":"L","fields":[{"001":"r%s"},'
+        '{"100":{"ind1":"1","ind2":" ","subfields":[{"a":"Auth%s, First"}]}},'
+        '{"245":{"ind1":"1","ind2":"0","subfields":[{"a":"Title%s"}]}},'
+        '{"977":{"ind1":" ","ind2":" ","subfields":[{"a":"%s"}]}}%s]}',
+        k.cast("string"),
+        (k % 20).cast("string"),
+        (k % 50).cast("string"),
+        F.when(k % 11 == 0, F.lit("hidden")).otherwise(F.lit("book")),
+        host_part,
+    )
+    records = r.select(
+        F.concat(F.lit("s"), k.cast("string")).alias("_id"),
+        F.when(k % 2 == 0, F.lit("ka")).otherwise(F.lit("kb")).alias(
+            "source_id"
+        ),
+        F.lit("marc").alias("format"),
+        data.alias("original_data"),
+        F.lit(False).alias("deleted"),
+        F.when(
+            k % 5 == 0,
+            F.array(
+                F.concat(
+                    F.lit("title"), (k % 50).cast("string"),
+                    F.lit("auth"), (k % 20).cast("string"),
+                )
+            ),
+        ).alias("title_keys"),
+        F.when(k % 3 == 0, F.concat(F.lit("g"), k.cast("string"))).alias(
+            "dedup_id"
+        ),
+    )
+    seen = set(_stage_shuffles(spark))
+    spark.sparkContext.setJobDescription("soak13 renormalize")
+    t0 = time.time()
+    renormalize_records(records, sources).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    secs = time.time() - t0
+    sh = _stage_shuffles(spark)
+    new = [v for kk, v in sh.items() if kk not in seen]
+    print(
+        f"{'renormalize (10x records)':34s} {secs:7.2f}s  "
+        f"{n_orders / secs:8.0f} rows/s  "
+        f"{n_orders / secs / CORES:6.0f} rows/s/core  "
+        f"shuffle new-stages: total {sum(new) / 1e6:8.1f} MB, "
+        f"max {max(new, default=0) / 1e6:7.1f} MB",
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "medians"
     rest = sys.argv[2:]
@@ -1076,6 +1219,8 @@ if __name__ == "__main__":
         cmd_soak11(sf_dir)
     elif mode == "soak12":
         cmd_soak12(sf_dir)
+    elif mode == "soak13":
+        cmd_soak13(sf_dir)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} (medians|soak|soak5|soak6|soak7|soak8)"
