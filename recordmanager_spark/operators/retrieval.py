@@ -73,6 +73,25 @@ def build_corpus_stats(
     )
 
 
+def _doc_token_stream(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl, term) — one exploded token per row, with the
+    document length duplicated per token. Shared by ``build_postings``
+    and ``bm25_topk``'s inline prune path so their tokenization can
+    never diverge (r12 ADVICE): a posting-index probe and an inline
+    scoring pass must agree on what a term is."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(normalize_for_fingerprint(text_col)).alias("__toks"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+
+
 def build_postings(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -83,18 +102,9 @@ def build_postings(
     result by ``term`` (``write_bucketed``) to make every probe
     index-side-shuffle-free.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize(normalize_for_fingerprint(text_col)).alias("__toks"),
-    )
-    toks = base.select(
-        "doc_id",
-        F.size("__toks").alias("dl"),
-        F.explode("__toks").alias("term"),
-    )
-    return toks.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
+    return _doc_token_stream(df, id_col, text_col).groupBy(
+        "term", "doc_id"
+    ).agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
 
 
 def bm25_topk(
@@ -147,15 +157,7 @@ def bm25_topk(
     # tokens reach the (term, doc) exchange; tf/df/dl computed after
     # the prune are unchanged — the prune is term-complete.
     if postings is None:
-        base = corpus.select(
-            F.col(id_col).alias("doc_id"),
-            tokenize(normalize_for_fingerprint(text_col)).alias("__toks"),
-        )
-        toks = base.select(
-            "doc_id",
-            F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
+        toks = _doc_token_stream(corpus, id_col, text_col)
         hits = (
             toks.join(F.broadcast(q_vocab), "term")
             .groupBy("term", "doc_id")
