@@ -401,14 +401,21 @@ def renormalize_records(
     # of the driver-normalized struct), '' when identical to the stored
     # original (StoreRecordTrait semantics).
     #
-    # Serialization runs as a mapInPandas STAGE, not a column UDF: the
+    # Serialization runs as a mapInArrow STAGE, not a column UDF: the
     # normalize chain contains nested HOF lambdas capturing an outer
     # lambda variable through HOF-derived arrays, and Spark's
     # ExtractPythonUDFs fails to lift a Python UDF whose argument
     # embeds that shape (runtime INTERNAL_ERROR "Cannot evaluate
-    # expression"). mapInPandas takes the struct as a materialized
+    # expression"). A map stage takes the struct as a materialized
     # child attribute — same Arrow batch path, zero shuffles, no
-    # argument extraction involved.
+    # argument extraction involved. mapInArrow rather than mapInPandas
+    # (r13, guide §4.1/§4.2): only the four columns the serializer
+    # reads cross into Python objects (C-level ``to_pylist``); every
+    # passthrough column rides the Arrow batch untouched. The pandas
+    # form converted EVERY column both ways per batch — profiled at
+    # ~24 s core-time of ``arrow_to_pandas`` + 8 s of PySpark's
+    # Python-level struct→dict converter against ~2.6 s of actual
+    # serialize+json work (tools/probe_udf_profile.py, sf0.1).
     out = (
         out.withColumn("__marc_norm", norm)
         .withColumn("__is_marc", is_marc)
@@ -431,31 +438,42 @@ def renormalize_records(
     data_idx = data_col
 
     def _ser_batches(batches):
-        for pdf in batches:
-            def one(m, orig, mk, nsrc):
-                if not mk:
-                    # non-MARC: normalized_data is the XSLT output
-                    # ('' when identical — no stylesheet means equal)
-                    if nsrc is None:
-                        return None
-                    return "" if nsrc == orig else nsrc
-                if not isinstance(m, dict):
-                    return None  # null struct (unparseable record)
-                ser = _serialize_one((m.get("leader"), m.get("fields")))
-                return "" if ser == orig else ser
+        import pyarrow as pa
 
-            pdf = pdf.assign(
-                normalized_data=[
-                    one(m, o, mk, ns)
-                    for m, o, mk, ns in zip(
-                        pdf["__marc_norm"], pdf[data_idx],
-                        pdf["__is_marc"], pdf["__norm_src"],
-                    )
-                ]
+        def one(m, orig, mk, nsrc):
+            if not mk:
+                # non-MARC: normalized_data is the XSLT output
+                # ('' when identical — no stylesheet means equal)
+                if nsrc is None:
+                    return None
+                return "" if nsrc == orig else nsrc
+            if not isinstance(m, dict):
+                return None  # null struct (unparseable record)
+            ser = _serialize_one((m.get("leader"), m.get("fields")))
+            return "" if ser == orig else ser
+
+        for batch in batches:
+            idx = {n: i for i, n in enumerate(batch.schema.names)}
+            vals = [
+                one(m, o, mk, ns)
+                for m, o, mk, ns in zip(
+                    batch.column(idx["__marc_norm"]).to_pylist(),
+                    batch.column(idx[data_idx]).to_pylist(),
+                    batch.column(idx["__is_marc"]).to_pylist(),
+                    batch.column(idx["__norm_src"]).to_pylist(),
+                )
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vals, type=pa.string())
+                    if n == "normalized_data"
+                    else batch.column(idx[n])
+                    for n in keep
+                ],
+                names=keep,
             )
-            yield pdf[keep]
 
-    out = out.mapInPandas(_ser_batches, schema=schema_out)
+    out = out.mapInArrow(_ser_batches, schema=schema_out)
 
     # (7) stamp
     if now is not None:

@@ -288,3 +288,26 @@ normalization = fix.xsl
     assert out["deleted"] is False
     assert "N-Tee" in out["normalized_data"]    # XSLT output stored
     assert out["updated"] == NOW
+
+
+def test_unparseable_marc_normalized_data_branches(spark):
+    """Pins the serializer stage's degenerate branches across its r13
+    mapInPandas -> mapInArrow port: NULL or unparseable stored data
+    parses to a struct with null leader/fields (parse_marc_any never
+    yields a null struct) and re-serializes to the empty record —
+    identical in both serializer forms, never a crashed stage."""
+    sources = parse_datasources_ini(INI)
+    rows = [
+        ("ka.n", "ka", "marc", None, False, None, None),
+        ("ka.g", "ka", "marc", "not json, not xml", False, None, None),
+        _rec(1, "ka", "Alpha", "Smith, Anna", "book"),
+    ]
+    records = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["_id"]: r
+        for r in renormalize_records(records, sources, now=NOW).collect()
+    }
+    assert out["ka.n"]["normalized_data"] == '{"leader":"","fields":[]}'
+    assert out["ka.g"]["normalized_data"] == '{"leader":"","fields":[]}'
+    # the parseable sibling still re-serializes through the same batch
+    assert out["ka.1"]["normalized_data"] is not None

@@ -135,7 +135,7 @@ AUDITS = [
      "is a bug"),
     ("renormalize_marc", 0, False, False,
      "the immediate-renormalize pass is one scan-stage chain: parse "
-     "(Arrow) -> key/flag/host expressions -> mapInPandas "
+     "(Arrow) -> key/flag/host expressions -> mapInArrow "
      "re-serialization; zero exchanges — the pass scales with the scan "
      "exactly like the reference's cursor walk, minus the round trips"),
     ("image_resize_docs", 0, False, False,
