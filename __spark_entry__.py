@@ -3678,6 +3678,121 @@ def corpus_token_stats_docs(spark: SparkSession, sf: str) -> DataFrame:
     return PK.corpus_token_stats(d, by=("source", "lang"))
 
 
+def _mp_wav(i: int) -> bytes:
+    """media_probe fixture WAV — numpy-vectorized (r13, guide §4.2):
+    the alternating ±amp PCM16 frames build as one int16 array instead
+    of a per-frame struct.pack join (byte-identity pinned old-vs-new in
+    tests/test_media_fixture_vectorized.py)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    rate = 8000 + (i % 4) * 2000
+    frames = 400 + i % 100
+    amp = 1000 + i % 100
+    samp = _np.empty(frames, dtype="<i2")
+    samp[0::2] = amp
+    samp[1::2] = -amp
+    data = samp.tobytes()
+    return (
+        b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                 rate * 2, 2, 16)
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+
+
+def _mp_halfrow(w: int, invert: bool, bgr_irrelevant: bool = True):
+    """One half-white/half-black RGB row (the pattern is channel-
+    symmetric, so BGR == RGB here), as a uint8 array of length w*3."""
+    import numpy as _np
+
+    white = (_np.arange(w) >= w // 2) != invert
+    return _np.repeat(
+        _np.where(white, 255, 0).astype(_np.uint8), 3
+    )
+
+
+def _mp_bmp(i: int) -> bytes:
+    """media_probe fixture BMP — numpy-vectorized row tiling (r13)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    w, h = 16 + (i % 3) * 8, 16
+    invert = i % 4 == 1
+    stride = (w * 3 + 3) & ~3
+    row = _mp_halfrow(w, invert)
+    rowp = _np.concatenate(
+        [row, _np.zeros(stride - w * 3, dtype=_np.uint8)]
+    )
+    data = _np.tile(rowp, h).tobytes()
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                        len(data), 2835, 2835, 0, 0)
+    hdr = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    return hdr + info + data
+
+
+def _mp_png(i: int) -> bytes:
+    """media_probe fixture PNG: same half/half pattern as _mp_bmp but
+    PNG-encoded RGB with a DIFFERENT spec filter per row (y % 5 cycles
+    None/Sub/Up/Average/Paeth) — the decoder must defilter every type
+    to reproduce the analytically-predicted aHash. Filtering is
+    vectorized per row over the RAW bytes (encode-side predictors read
+    original neighbors, no sequential dependency; byte-identity with
+    the per-pixel loop pinned in tests/test_media_fixture_vectorized.py)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as _np
+
+    w, h = 16 + (i % 3) * 8, 16
+    invert = i % 8 == 3
+    ch = 3
+    row = _mp_halfrow(w, invert).astype(_np.int32)
+    zeros = _np.zeros(ch, dtype=_np.int32)
+    filtered = bytearray()
+    prev = _np.zeros(w * ch, dtype=_np.int32)
+    for y in range(h):
+        f = y % 5
+        filtered.append(f)
+        a = _np.concatenate([zeros, row[:-ch]])
+        b = prev
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - a
+        elif f == 2:
+            enc = row - b
+        elif f == 3:
+            enc = row - ((a + b) >> 1)
+        else:
+            c = _np.concatenate([zeros, prev[:-ch]])
+            p = a + b - c
+            pa, pb, pc = _np.abs(p - a), _np.abs(p - b), _np.abs(p - c)
+            pr = _np.where(
+                (pa <= pb) & (pa <= pc), a, _np.where(pb <= pc, b, c)
+            )
+            enc = row - pr
+        filtered.extend((enc & 0xFF).astype(_np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", crc)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def media_probe_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Real byte-level media decoding: a generator stage builds genuine
     WAV (even doc_ids) and 24-bit BMP (odd doc_ids) payloads whose
@@ -3686,107 +3801,13 @@ def media_probe_docs(spark: SparkSession, sf: str) -> DataFrame:
     aHash). The oracle predicts every parsed field analytically from
     the generation arithmetic — the decoders cannot shortcut it because
     they only see the payload."""
-    import struct as _struct
-
     import pandas as _pd
 
     def _gen(batches):
-        def wav(i: int) -> bytes:
-            rate = 8000 + (i % 4) * 2000
-            frames = 400 + i % 100
-            amp = 1000 + i % 100
-            data = b"".join(
-                _struct.pack("<h", amp if j % 2 == 0 else -amp)
-                for j in range(frames)
-            )
-            return (
-                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
-                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate,
-                                         rate * 2, 2, 16)
-                + b"data" + _struct.pack("<I", len(data)) + data
-            )
-
-        def bmp(i: int) -> bytes:
-            w, h = 16 + (i % 3) * 8, 16
-            invert = i % 4 == 1
-            stride = (w * 3 + 3) & ~3
-            rows = []
-            for _y in range(h):
-                row = bytearray()
-                for x in range(w):
-                    white = (x >= w // 2) != invert
-                    row += b"\xff\xff\xff" if white else b"\x00\x00\x00"
-                row += b"\x00" * (stride - len(row))
-                rows.append(bytes(row))
-            data = b"".join(rows)
-            info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                                len(data), 2835, 2835, 0, 0)
-            hdr = b"BM" + _struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-            return hdr + info + data
-
-        def png(i: int) -> bytes:
-            # same half/half pattern as bmp() but PNG-encoded RGB with a
-            # DIFFERENT spec filter per row (y % 5 cycles None/Sub/Up/
-            # Average/Paeth) — the decoder must defilter every type to
-            # reproduce the analytically-predicted aHash
-            import zlib as _zlib
-
-            w, h = 16 + (i % 3) * 8, 16
-            invert = i % 8 == 3
-            ch = 3
-            rows = []
-            for _y in range(h):
-                row = bytearray()
-                for x in range(w):
-                    white = (x >= w // 2) != invert
-                    row += b"\xff\xff\xff" if white else b"\x00\x00\x00"
-                rows.append(bytes(row))
-            filtered = bytearray()
-            prev = bytes(w * ch)
-            for y, row in enumerate(rows):
-                f = y % 5
-                filtered.append(f)
-                for x in range(w * ch):
-                    a = row[x - ch] if x >= ch else 0
-                    b = prev[x]
-                    if f == 0:
-                        v = row[x]
-                    elif f == 1:
-                        v = row[x] - a
-                    elif f == 2:
-                        v = row[x] - b
-                    elif f == 3:
-                        v = row[x] - ((a + b) >> 1)
-                    else:
-                        c = prev[x - ch] if x >= ch else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pr = a if (pa <= pb and pa <= pc) else (
-                            b if pb <= pc else c
-                        )
-                        v = row[x] - pr
-                    filtered.append(v & 0xFF)
-                prev = row
-
-            def chunk(typ: bytes, data: bytes) -> bytes:
-                crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
-                return (
-                    _struct.pack(">I", len(data)) + typ + data
-                    + _struct.pack(">I", crc)
-                )
-
-            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", _zlib.compress(bytes(filtered)))
-                + chunk(b"IEND", b"")
-            )
-
         def payload(i: int) -> bytes:
             if i % 2 == 0:
-                return wav(i)
-            return png(i) if i % 4 == 3 else bmp(i)
+                return _mp_wav(i)
+            return _mp_png(i) if i % 4 == 3 else _mp_bmp(i)
 
         for pdf in batches:
             ids = pdf["id"]

