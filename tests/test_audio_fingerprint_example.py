@@ -167,3 +167,43 @@ def test_segment_budget_overflow_raises(spark):
     )
     with pytest.raises(Exception, match="16-bit sid budget"):
         audio_near_duplicates(fps, min_matching_segments=1).collect()
+
+
+def test_energy_delta_fp64_matches_reference():
+    """Parity pin for the r13 cumsum rewrite of the window energies:
+    the pre-rewrite array_split/per-window-mean implementation must
+    produce the same fingerprint over randomized inputs (sizes below,
+    at, and far above the 65-window count, plus constant-amplitude
+    windows like the fixture's)."""
+    import numpy as np
+
+    from recordmanager_spark.examples.audio_fingerprint import (
+        energy_delta_fp64,
+    )
+
+    def ref(samples):
+        windows = np.array_split(samples, 65)
+        e = np.array(
+            [
+                float(np.sqrt(np.mean(w * w))) if w.size else 0.0
+                for w in windows
+            ]
+        )
+        bits = e[1:] > e[:-1]
+        fp = 0
+        for i, b in enumerate(bits):
+            if b:
+                fp |= 1 << i
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    rng = np.random.default_rng(65)
+    for n in (1, 10, 64, 65, 66, 130, 997, 4000, 8191):
+        for _ in range(20):
+            s = rng.integers(-2000, 2000, size=n).astype(np.float64)
+            assert energy_delta_fp64(s) == ref(s), f"diverges at n={n}"
+    # the fixture shape: constant |amp| per window, alternating sign
+    amp = np.repeat(
+        ((np.arange(65) * 37 + 5) % 89 + 1).astype(np.float64), 61
+    )
+    sgn = np.where(np.arange(amp.size) % 2 == 0, 1.0, -1.0)
+    assert energy_delta_fp64(amp * sgn) == ref(amp * sgn)
