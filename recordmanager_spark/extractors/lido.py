@@ -118,8 +118,38 @@ _ALLFIELDS_IGNORED = (
 )
 
 
+_LOCAL_CACHE: dict[str, str] = {}
+
+
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    # memoized: the tag vocabulary is schema-bounded while _local runs
+    # once per element per traversal — profiled at 6.3 s core-time of
+    # rsplit churn per 2 k records before the r13 index pass
+    v = _LOCAL_CACHE.get(tag)
+    if v is None:
+        v = tag.rsplit("}", 1)[-1]
+        _LOCAL_CACHE[tag] = v
+    return v
+
+
+def _index_tree(root):
+    """ONE pre-order traversal -> ({local name: [elements, document
+    order]}, {child: parent}). Every per-record extraction helper reads
+    these instead of re-iterating the tree (the r13 single-traversal
+    rewrite: anywhere()/find_all()/inherited() each walked the whole
+    document per call)."""
+    by_local: dict[str, list] = {}
+    parent: dict = {}
+    for el in root.iter():
+        lp = _local(el.tag)
+        lst = by_local.get(lp)
+        if lst is None:
+            by_local[lp] = [el]
+        else:
+            lst.append(el)
+        for c in el:
+            parent[c] = el
+    return by_local, parent
 
 
 def _lido_titles_one(
@@ -151,9 +181,9 @@ def _lido_titles_one(
 
 
 def _lido_titles_from_root(
-    root, merge_values, merge_sets, fmt_in_title, default_lang
+    root, merge_values, merge_sets, fmt_in_title, default_lang, index=None
 ):
-    parent = {c: p for p in root.iter() for c in p}
+    by_local, parent = index if index is not None else _index_tree(root)
 
     def inherited(node, attr, default):
         cur = node
@@ -165,10 +195,14 @@ def _lido_titles_from_root(
         return default
 
     def find_all(path_locals):
-        """All elements matching a local-name path anywhere in the doc."""
-        hits = [root] if _local(root.tag) == path_locals[0] else [
-            el for el in root.iter() if _local(el.tag) == path_locals[0]
-        ]
+        """All elements matching a local-name path anywhere in the doc.
+        Root-match semantics preserved from the per-call scan: a root
+        whose local name matches the head yields ONLY the root."""
+        hits = (
+            [root]
+            if _local(root.tag) == path_locals[0]
+            else by_local.get(path_locals[0], [])
+        )
         for name in path_locals[1:]:
             hits = [c for h in hits for c in h if _local(c.tag) == name]
         return hits
@@ -350,12 +384,16 @@ def _lido_extract_one(raw, merge_values, merge_sets, fmt_in_title, default_lang)
     except ET.ParseError:
         return empty_titles + nulls
 
+    index = _index_tree(root)
+    by_local = index[0]
+
     titles = _lido_titles_from_root(
-        root, merge_values, merge_sets, fmt_in_title, default_lang
+        root, merge_values, merge_sets, fmt_in_title, default_lang,
+        index=index,
     )
 
     def anywhere(name):
-        return [el for el in root.iter() if _local(el.tag) == name]
+        return by_local.get(name, [])
 
     def search(path):
         """//a/b/c equivalent: chain rooted at every <a> in the doc."""
@@ -368,14 +406,19 @@ def _lido_extract_one(raw, merge_values, merge_sets, fmt_in_title, default_lang)
 
     # events by type, priority order (one pass per type keeps ordering)
     events = anywhere("event")
+    ev_cache: dict[str, list] = {}
 
     def ev_of(et):
+        got = ev_cache.get(et)
+        if got is not None:
+            return got
         out = []
         for ev in events:
             for term in _chain([ev], ["eventType", "term"]):
                 if _norm_space(_string_value(term)).translate(_ASCII_LOWER) == et:
                     out.append(ev)
                     break
+        ev_cache[et] = out
         return out
 
     def ev_values(types, subpath):
