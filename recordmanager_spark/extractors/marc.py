@@ -1827,6 +1827,67 @@ def marc_host_record_ids(marc: Column, prepend_003: bool = False) -> Column:
     return F.filter(ids, lambda i: i != "")
 
 
+def _marc_structs_to_py(norm_col) -> list:
+    """Arrow parsed-MARC struct column → list of ``(leader, fields)``
+    tuples (``None`` for a null struct; fields as ``(tag, ind1, ind2,
+    value, subfields)`` tuples, subfields as ``(code, value)`` tuples —
+    exactly the tuple shapes :func:`_serialize_one` unpacks).
+
+    Replaces ``norm_col.to_pylist()``: Arrow's nested ``as_py`` walks
+    one StructScalar object per field per record (profiled ~1.9x
+    slower); this fetches each leaf as one C-level flat ``to_pylist``
+    and reassembles rows with list-offset cursors. Cursor rule: a
+    row's flattened elements are consumed whenever its LIST is
+    non-null — including rows whose outer struct is null, since
+    ``pc.list_flatten`` masks only list-level validity. Parity with
+    ``to_pylist`` is pinned in tests/test_marc_structs_to_py.py over
+    adversarial null placements."""
+    import pyarrow.compute as pc
+
+    valid = norm_col.is_valid().to_pylist() if norm_col.null_count else None
+    leaders = norm_col.field("leader").to_pylist()
+    fields_arr = norm_col.field("fields")
+    f_lens = pc.list_value_length(fields_arr).to_pylist()
+    f_flat = pc.list_flatten(fields_arr)
+    tags = f_flat.field("tag").to_pylist()
+    i1 = f_flat.field("ind1").to_pylist()
+    i2 = f_flat.field("ind2").to_pylist()
+    fv = f_flat.field("value").to_pylist()
+    subs_arr = f_flat.field("subfields")
+    s_lens = pc.list_value_length(subs_arr).to_pylist()
+    s_flat = pc.list_flatten(subs_arr)
+    codes = s_flat.field("code").to_pylist()
+    svals = s_flat.field("value").to_pylist()
+    out = []
+    pos = spos = 0
+    for i in range(len(norm_col)):
+        nf = f_lens[i]
+        if valid is not None and not valid[i]:
+            if nf:
+                for k in range(pos, pos + nf):
+                    ns = s_lens[k]
+                    if ns:
+                        spos += ns
+                pos += nf
+            out.append(None)
+            continue
+        if nf is None:
+            out.append((leaders[i], None))
+            continue
+        flds = []
+        for k in range(pos, pos + nf):
+            ns = s_lens[k]
+            if ns is None:
+                subs = None
+            else:
+                subs = list(zip(codes[spos:spos + ns], svals[spos:spos + ns]))
+                spos += ns
+            flds.append((tags[k], i1[k], i2[k], fv[k], subs))
+        pos += nf
+        out.append((leaders[i], flds))
+    return out
+
+
 def _serialize_one(parsed) -> str | None:
     """Parsed struct → MARC-in-JSON text (Marc/Serialization/
     MarcInJson.php behavioral spec: {"leader": ..., "fields": [{tag:

@@ -427,7 +427,7 @@ def renormalize_records(
         if c.startswith("__") and c not in carry
     ]
     out = out.drop(*drop)
-    from ..extractors.marc import _serialize_one
+    from ..extractors.marc import _marc_structs_to_py, _serialize_one
 
     keep = [c for c in out.columns if c not in carry]
     schema_out = ", ".join(
@@ -447,9 +447,9 @@ def renormalize_records(
                 if nsrc is None:
                     return None
                 return "" if nsrc == orig else nsrc
-            if not isinstance(m, dict):
+            if m is None:
                 return None  # null struct (unparseable record)
-            ser = _serialize_one((m.get("leader"), m.get("fields")))
+            ser = _serialize_one(m)
             return "" if ser == orig else ser
 
         for batch in batches:
@@ -457,7 +457,10 @@ def renormalize_records(
             vals = [
                 one(m, o, mk, ns)
                 for m, o, mk, ns in zip(
-                    batch.column(idx["__marc_norm"]).to_pylist(),
+                    # flat-cursor tuples, not nested as_py dicts (r13;
+                    # see _marc_structs_to_py) — _serialize_one unpacks
+                    # both shapes identically
+                    _marc_structs_to_py(batch.column(idx["__marc_norm"])),
                     batch.column(idx[data_idx]).to_pylist(),
                     batch.column(idx["__is_marc"]).to_pylist(),
                     batch.column(idx["__norm_src"]).to_pylist(),
